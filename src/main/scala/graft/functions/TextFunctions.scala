@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * so the whole pipeline stays inside WholeStageCodegen — no UDFs, no
+  * driver-side loops; each function is a pure column expression that scales
+  * linearly with partitions.
+  *
+  * The reference engine (spcl/kafkadirect) has no built-in scalar text
+  * functions — all record-level computation is user lambdas
+  * (`streams/src/main/java/org/apache/kafka/streams/kstream/ValueMapper.java`);
+  * these are the Spark-native analytics additions on top of parity.
+  */
+object TextFunctions {
+
+  /** Lowercase, trim, collapse internal whitespace — canonical form for
+    * fingerprinting and dedup. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokenization (the baseline tokenizer). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** Number of whitespace-separated tokens. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alphanumeric runs plus isolated punctuation
+    * marks, approximating a GPT-style pre-tokenizer's piece count. Uses
+    * only RE2-compatible regexes so the DuckDB oracle can mirror it. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z0-9]+"), lit(0))) +
+      size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** ASCII punctuation as an explicit range class — identical in Java
+    * regex and RE2, so the oracle can reuse the pattern verbatim. */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, lit(0.0)).otherwise(
+      (n - length(regexp_replace(c, PunctClass, ""))).cast("double") / n)
+  }
+
+  /** Ratio of uppercase characters to total characters (0 for empty). */
+  def upperRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, lit(0.0)).otherwise(
+      (n - length(regexp_replace(c, "[A-Z]", ""))).cast("double") / n)
+  }
+
+  /** English stopwords used by the quality score and language ID. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val ts = tokens(lower(c))
+    val n = size(ts)
+    val sw = size(filter(ts, t => t.isin(EnStopwords: _*)))
+    when(n === 0, lit(0.0)).otherwise(sw.cast("double") / n)
+  }
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(c: Column): Column = {
+    val ts = tokens(c)
+    val n = size(ts)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+  }
+
+  /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
+    * a sane stopword ratio and low punctuation density. Deterministic and
+    * SQL-expressible so it can be oracle-checked. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + swScore * 0.3), 6)
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Scores = whole-word marker hits; argmax wins, ties broken
+    * by language code order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une"))
+
+  /** Per-language marker-hit count (whole-word matches on the lowercased
+    * text). */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val ts = tokens(lower(c))
+    size(filter(ts, t => t.isin(markers: _*)))
+  }
+
+  /** Heuristic language ID: CJK characters => "zh"; otherwise the language
+    * with the most marker-word hits ("und" = undetermined when all zero).
+    * Tie-break: first language in [[LangMarkers]] order. */
+  def langId(c: Column): Column = {
+    val hasCjk = length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", "")) < length(c)
+    val scores = LangMarkers.map { case (lang, m) => (lang, langScore(c, m)) }
+    val mx = greatest(scores.map(_._2): _*)
+    // first language (in LangMarkers order) reaching the max score wins
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === mx, lit(lang)).otherwise(acc)
+    }
+    when(hasCjk, lit("zh"))
+      .otherwise(when(mx === 0, lit("und")).otherwise(pick))
+  }
+
+  /** 64-bit hex document fingerprint over normalized text (first 16 hex
+    * chars of md5) — stable across engines, usable as an exact-dup key. */
+  def fingerprintHex(c: Column): Column =
+    substring(md5(normalizeText(c)), 1, 16)
+
+  /** 60-bit integer hash of a string via md5 (15 hex chars => fits a
+    * signed 64-bit int). Matches DuckDB's
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` exactly. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+import graft.functions.{DedupFunctions => D, TextFunctions => T, VectorFunctions => V}
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+  * (brute-force cosine top-k, LSH-bucketed), and text analysis (tokens,
+  * quality, language ID, fingerprints).
+  *
+  * Scale notes baked into the shapes:
+  *   - Near-dup candidate generation is an equi-join on shingle / band /
+  *     bucket keys — never an O(n^2) cross join. At 100 TB the candidate
+  *     join shuffles on a compact key and AQE handles skewed shingles
+  *     (stopword-heavy shingles would need a frequency cut, noted inline).
+  *   - All hashes route through md5 so DuckDB reproduces them exactly.
+  */
+object LlmPipeline extends Catalog {
+
+  /** DuckDB fragment: whitespace tokens of normalized text (mirror of
+    * TextFunctions.tokens∘normalizeText). */
+  private val SqlTokens =
+    "string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+')"
+
+  /** DuckDB fragment: md5-derived 60-bit hash of a string expr (mirror of
+    * TextFunctions.md5Long). */
+  private def sqlMd5Long(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB fragment: distinct 3-word shingles of normalized text (mirror
+    * of DedupFunctions.wordShingles(_, 3)). */
+  private val SqlShingles3 =
+    s"""CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |     ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                         for i in range(1, len(ws) - 1)]) END""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  // -- exact dedup: 64-bit fingerprint of normalized text, keep min id.
+  q("q_dedup_exact",
+    """SELECT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""") { (s, dir) =>
+    load(s, dir, "documents")
+      .groupBy(T.fingerprintHex(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // -- exact n-gram Jaccard near-dup pairs, inverted-index style: explode
+  //    shingles, equi-join on shingle (candidates = pairs sharing >=1
+  //    shingle — no false negatives for jaccard > 0), count shared
+  //    shingles = |A∩B|, then |A∪B| = |A|+|B|-|A∩B|. At 100 TB, very
+  //    frequent shingles would be cut by a doc-frequency threshold before
+  //    the self-join to bound skew.
+  q("q_dedup_ngram_jaccard",
+    s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |sh AS (SELECT doc_id, $SqlShingles3 AS shingles FROM docs),
+       |sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN sized sa ON sa.doc_id = doc_a
+       |JOIN sized sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0.5""") { (s, dir) =>
+    val sh = load(s, dir, "documents")
+      .select(col("doc_id"), D.wordShingles(col("text"), 3).as("shingles"))
+    val sized = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val pairs = inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))
+    pairs
+      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
+      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      .filter(jac > 0.5)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
+  // -- MinHash + LSH banding: k=16 signature, 4 bands x 4 rows; candidate
+  //    pairs share at least one band hash. Equi-join on (band, bandhash).
+  q("q_dedup_minhash_lsh",
+    s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest($SqlShingles3) AS shingle FROM docs),
+       |h AS (SELECT doc_id, ${sqlMd5Long("shingle")} % 2147483647 AS hv FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i, min((hv * (2*i + 1) + 12345 + 7919*i) % 2147483647) AS mv
+       |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i)
+       |  GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+       |bandkeys AS (
+       |  SELECT doc_id, bd,
+       |    ${sqlMd5Long("array_to_string(sig[bd*4 + 1 : bd*4 + 4], ',')")} AS bandhash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS bd))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bandkeys a
+       |JOIN bandkeys b ON a.bd = b.bd AND a.bandhash = b.bandhash
+       |  AND a.doc_id < b.doc_id""") { (s, dir) =>
+    // stage the md5 base hashes as their own column so they're computed
+    // once per shingle, not once per signature row
+    val sigs = load(s, dir, "documents")
+      .select(col("doc_id"),
+        D.shingleHashes(D.wordShingles(col("text"), 3)).as("hashes"))
+      .select(col("doc_id"),
+        array((0 until 16).map(i => D.minhashOne(col("hashes"), i)): _*).as("sig"))
+    val bandkeys = sigs
+      .select(col("doc_id"), explode(D.bandKeys(col("sig"), 4, 4)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandhash").as("bandhash"))
+    bandkeys.as("a")
+      .join(bandkeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // -- SimHash fingerprint per document (60 bits; near-dups differ in few
+  //    bits — pairing by hamming distance is done off the fingerprint).
+  q("q_dedup_simhash",
+    s"""WITH t AS (SELECT doc_id, unnest($SqlTokens) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${sqlMd5Long("tok")} AS hv FROM t),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+       |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""") { (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"), D.simhash64(col("text")).as("simhash"))
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  // -- per-document stats: chars, tokens, subwords, punct/upper ratios.
+  q("q_text_stats",
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) AS n_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_subwords,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END AS upper_ratio
+      |FROM documents""") { (s, dir) =>
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.subwordCount(col("text")).as("n_subwords"),
+      T.punctRatio(col("text")).as("punct_ratio"),
+      T.upperRatio(col("text")).as("upper_ratio"))
+  }
+
+  // -- composite quality score (mirrored arithmetic, rounded to 6dp).
+  q("q_text_quality",
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ltoks
+       |  FROM documents)
+       |SELECT doc_id, round(
+       |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |  greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0) * 0.3 +
+       |  least((CASE WHEN len(ltoks) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) / len(ltoks) END) * 5.0, 1.0) * 0.3
+       |, 6) AS quality
+       |FROM t""") { (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+  }
+
+  // -- heuristic language ID (marker-word argmax; CJK => zh).
+  q("q_lang_id", {
+    val scoreSql = T.LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter(ltoks, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = T.LangMarkers.map(_._1)
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseChain = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ltoks
+       |  FROM documents),
+       |s AS (SELECT doc_id, text, $scoreSql FROM t),
+       |m AS (SELECT *, $mx AS mx FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) < length(text) THEN 'zh'
+       |       WHEN mx = 0 THEN 'und'
+       |       $caseChain ELSE 'und' END AS lang_pred
+       |FROM m""".stripMargin
+  }) { (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
+  }
+
+  // ---------------------------------------------------- similarity search
+
+  // -- brute-force cosine top-10 for a query batch (vec_id < 20) against
+  //    the full corpus: corpus streams, query batch broadcast — one scan
+  //    regardless of corpus size; rank by rounded sim with id tie-break.
+  q("q_ann_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      |sims AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_dot_product(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(ce AS DOUBLE[]), CAST(ce AS DOUBLE[])))), 4) AS sim
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10""") { (s, dir) =>
+    val emb = load(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val sims = corpus.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(V.cosine(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  // -- LSH-bucketed ANN (the scale path): bucket by the sign pattern of
+  //    the first 12 components; exact cosine only within the bucket.
+  q("q_ann_lsh_bucket", {
+    val bits = (0 until 12).map(i =>
+      s"CASE WHEN embedding[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 20),
+       |sims AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(CAST(qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+       |      (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4) AS sim
+       |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }) { (s, dir) =>
+    val emb = load(s, dir, "embeddings")
+      .withColumn("bucket", V.signBucket(col("embedding"), 0 until 12))
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val sims = emb.join(broadcast(qs), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(V.cosine(col("qe"), col("embedding")), 4).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import Catalog.dec2
+
+/** Relational/analytic query surface (scan, filter+project with pushdown,
+  * hash aggregation, broadcast and shuffle joins, semi/anti joins, top-k,
+  * ranking windows, set ops).
+  *
+  * The reference's DSL has none of these as built-ins (SURVEY.md §2.6) —
+  * they are the Spark-native analytic layer. Plans are declared via the
+  * DataFrame API so Catalyst does pushdown/pruning/join-strategy; small
+  * dims are broadcast explicitly so no large-side shuffle survives at
+  * scale.
+  */
+object Relational extends Catalog {
+
+  // -- q1-style pricing summary: map-side partial agg, exact decimal sums.
+  q("q_agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""") { (s, dir) =>
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // -- filter + projection: both must reach the parquet scan (pushdown).
+  q("q_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05""") { (s, dir) =>
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+  }
+
+  // -- top-k with total order (tie-break on key): TakeOrderedAndProject,
+  //    no global sort at scale.
+  q("q_orderby_limit_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, dir) =>
+    load(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  // -- fact ⋈ small dim: broadcast hash join (no shuffle of the big side).
+  q("q_join_broadcast_dim",
+    """SELECT p_brand,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""") { (s, dir) =>
+    load(s, dir, "lineitem")
+      .join(broadcast(load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  // -- multiway star join: orders ⋈ customer ⋈ nation ⋈ region, dims all
+  //    broadcast; only `orders` streams.
+  q("q_join_multiway",
+    """SELECT r_name, n_name,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""") { (s, dir) =>
+    load(s, dir, "orders")
+      .join(broadcast(load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_value"))
+  }
+
+  // -- semi join (EXISTS): customers that placed at least one order.
+  q("q_join_semi",
+    """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""") { (s, dir) =>
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  // -- anti join (NOT EXISTS): customers with no high-value orders.
+  q("q_join_anti",
+    """SELECT c_nationkey, count(*) AS n_customers FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_nationkey""") { (s, dir) =>
+    load(s, dir, "customer")
+      .join(
+        load(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  // -- ranking window function: top order per customer by price.
+  q("q_window_rank_per_key",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn = 1""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    load(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  // -- distinct (the only set-op beyond union the analytic layer adds).
+  q("q_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, dir) =>
+    load(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+  }
+}

@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import Catalog.dec2
+
+/** Batch-checkable analogues of the Kafka Streams DSL operator inventory
+  * (SURVEY.md §2.2-§2.5), one query per operator family, run over the
+  * `events` stream table (key = user_id, event time = ts).
+  *
+  * The same operators are exposed as a typed streaming DSL in `graft.api`
+  * (KStream/KTable over Structured Streaming); these queries pin the
+  * *semantics* against the DuckDB oracle, which is what the driver's
+  * correctness gate can check.
+  */
+object StreamsParity extends Catalog {
+
+  // -- KStream.filter (KStreamFilter.java): stateless predicate.
+  q("q_ks_filter",
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_type = 'click' AND value > 100.0""") { (s, dir) =>
+    load(s, dir, "events")
+      .filter(col("event_type") === "click" && col("value") > 100.0)
+      .select("event_id", "user_id", "event_type", "value")
+  }
+
+  // -- KStream.map / selectKey (KStreamMap.java): re-key + transform value.
+  q("q_ks_map_selectkey",
+    """SELECT user_id % 10 AS shard, event_id, upper(event_type) AS event_type_uc,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DOUBLE) AS value_x2
+      |FROM events""") { (s, dir) =>
+    load(s, dir, "events").select(
+      (col("user_id") % 10).as("shard"),
+      col("event_id"),
+      upper(col("event_type")).as("event_type_uc"),
+      (dec2(col("value")) * 2).cast("double").as("value_x2"))
+  }
+
+  // -- KStream.flatMapValues (KStreamFlatMapValues.java): 1→N, relationally
+  //    explode(); word count over documents.
+  q("q_ks_flatmapvalues_wordcount",
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word""") { (s, dir) =>
+    load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // -- KStream.branch (KStreamBranch.java): first-matching-predicate-wins
+  //    routing; predicates made mutually exclusive like the reference.
+  q("q_ks_branch",
+    """SELECT CASE WHEN value >= 400 THEN 'high'
+      |            WHEN event_type IN ('click','view') THEN 'engagement'
+      |            ELSE 'rest' END AS branch,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""") { (s, dir) =>
+    load(s, dir, "events")
+      .withColumn("branch",
+        when(col("value") >= 400, "high")
+          .when(col("event_type").isin("click", "view"), "engagement")
+          .otherwise("rest"))
+      .groupBy("branch")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
+  // -- KStream.merge (KStreamImpl.java:328): UNION ALL of two streams.
+  q("q_ks_merge",
+    """SELECT event_type, count(*) AS cnt FROM (
+      |  SELECT event_type FROM events WHERE user_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_type FROM events WHERE user_id % 2 = 1)
+      |GROUP BY event_type""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    ev.filter(col("user_id") % 2 === 0).select("event_type")
+      .union(ev.filter(col("user_id") % 2 === 1).select("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // -- KGroupedStream.count (KStreamAggregate.java): per-key count.
+  q("q_grouped_count",
+    "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id") { (s, dir) =>
+    load(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("cnt"))
+  }
+
+  // -- KGroupedStream.reduce (KStreamReduce.java): per-key fold (sum).
+  q("q_grouped_reduce_sum",
+    """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    load(s, dir, "events").groupBy("user_id")
+      .agg(sum(dec2(col("value"))).cast("double").as("total"))
+  }
+
+  // -- KGroupedStream.aggregate (custom Initializer+Aggregator): richer
+  //    per-key state — min/max/avg in one pass.
+  q("q_grouped_aggregate",
+    """SELECT user_id, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_v
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    load(s, dir, "events").groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("avg_v"))
+  }
+
+  // -- KTable source (KTableSource.java): latest-value-per-key view of a
+  //    keyed changelog; deterministic tie-break (ts, event_id).
+  q("q_ktable_latest_per_key",
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+  }
+
+  // -- TimeWindowedKStream.count, tumbling (KStreamWindowAggregate.java):
+  //    10-minute epoch-aligned windows — window.start via Spark window(),
+  //    pure timestamp arithmetic in the oracle.
+  q("q_window_tumbling_count",
+    """SELECT ts - to_microseconds(epoch_us(ts) % 600000000) AS window_start,
+      |  event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2""") { (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+  }
+
+  // -- TimeWindowedKStream hopping windows (TimeWindows.advanceBy): size 10
+  //    min, advance 5 min — each record lands in 2 windows.
+  q("q_window_hopping_count",
+    """SELECT ts - to_microseconds((epoch_us(ts) - off) % 600000000) AS window_start,
+      |  count(*) AS cnt
+      |FROM events CROSS JOIN (SELECT unnest([0, 300000000]) AS off)
+      |GROUP BY 1""") { (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+  }
+
+  // -- SessionWindowedKStream (KStreamSessionWindowAggregate.java): 30-min
+  //    inactivity gap per user; oracle = gaps-and-islands.
+  q("q_window_session_count",
+    """SELECT user_id, count(*) AS n_sessions, CAST(sum(session_events) AS BIGINT) AS n_events FROM (
+      |  SELECT user_id, session_id, count(*) AS session_events
+      |  FROM (
+      |    SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) < INTERVAL 30 MINUTE
+      |             THEN 0 ELSE 1 END AS new_session
+      |      FROM events))
+      |  GROUP BY user_id, session_id)
+      |GROUP BY user_id""") { (s, dir) =>
+    load(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("session_events").as("n_events"))
+  }
+
+  // -- KStream⋈KTable (KStreamKTableJoinProcessor.java): stream record
+  //    enriched with current table value for its key; inner drops misses.
+  q("q_stream_table_join",
+    """SELECT c_mktsegment, event_type, count(*) AS cnt FROM events
+      |JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type""") { (s, dir) =>
+    load(s, dir, "events")
+      .join(broadcast(load(s, dir, "customer")), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // -- KStream⋈KTable left: misses keep the stream record with nulls
+  //    (key mapper user_id*11 pushes part of the key space off the table).
+  q("q_stream_table_join_left",
+    """SELECT event_id, user_id, c_mktsegment FROM events
+      |LEFT JOIN customer ON user_id * 11 = c_custkey
+      |WHERE user_id >= 100""") { (s, dir) =>
+    load(s, dir, "events").filter(col("user_id") >= 100)
+      .join(broadcast(load(s, dir, "customer")), col("user_id") * 11 === col("c_custkey"), "left")
+      .select("event_id", "user_id", "c_mktsegment")
+  }
+
+  // -- KStream⋈GlobalKTable (KStreamGlobalKTableJoin.java): broadcast
+  //    lookup join through an arbitrary key mapper (user_id % 25 → nation).
+  q("q_global_table_lookup_join",
+    """SELECT n_name, count(*) AS cnt FROM events
+      |JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY n_name""") { (s, dir) =>
+    load(s, dir, "events")
+      .join(broadcast(load(s, dir, "nation")), col("user_id") % 25 === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // -- KStream⋈KStream windowed interval join (KStreamKStreamJoin.java):
+  //    views joined to clicks of the same user within [0, +6 h].
+  q("q_interval_join",
+    """SELECT v.user_id, count(*) AS pairs FROM
+      |  (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      |JOIN
+      |  (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |ON v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+      |GROUP BY v.user_id""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view").select(col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    views.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("ts") &&
+          col("c_ts") <= col("ts") + expr("INTERVAL 6 HOUR"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pairs"))
+  }
+
+  // -- KTable⋈KTable (KTableKTableInnerJoin.java): join of two
+  //    latest-per-key views (final state of both changelogs).
+  q("q_table_table_join",
+    """WITH latest AS (
+      |  SELECT user_id, event_type, value FROM (
+      |    SELECT user_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT user_id, event_type, value, c_mktsegment, c_acctbal
+      |FROM latest JOIN customer ON user_id = c_custkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val latest = load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "value")
+    latest.join(broadcast(load(s, dir, "customer")), col("user_id") === col("c_custkey"))
+      .select("user_id", "event_type", "value", "c_mktsegment", "c_acctbal")
+  }
+
+  // -- KGroupedTable.aggregate with adder/subtractor (KTableAggregate.java
+  //    :72-106): re-keyed table aggregation. Oracle = aggregate of the
+  //    *final* table state (what add/subtract converges to after the full
+  //    changelog replays); the Spark impl computes the same from the
+  //    latest-per-key view. The incremental add/subtract Aggregator lives
+  //    in graft.operators.Changelog and is exercised by ScalaTest.
+  q("q_table_groupby_aggregate",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus""") { (s, dir) =>
+    load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+  }
+
+  // -- suppress(untilWindowCloses) (KTableSuppressProcessor.java): emit only
+  //    final results for closed windows — in batch, windows strictly before
+  //    max(stream time) - grace are closed.
+  q("q_suppress_final_windows",
+    """WITH agg AS (
+      |  SELECT ts - to_microseconds(epoch_us(ts) % 3600000000) AS window_start,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1)
+      |SELECT window_start, cnt FROM agg
+      |WHERE window_start + INTERVAL 1 HOUR <=
+      |  (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("window.end").as("we"), col("cnt"))
+      .filter(col("we") <= lit(maxTs) - expr("INTERVAL 10 MINUTE"))
+      .drop("we")
+  }
+}
