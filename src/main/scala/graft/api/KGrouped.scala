@@ -1,0 +1,177 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+import Rec._
+
+/** `KGroupedStream` (`kstream/KGroupedStream.java`): aggregation entry
+  * point after `groupByKey`/`groupBy`. All aggregations are incremental
+  * hash aggregations (SURVEY.md §2.4); Spark adds map-side partial
+  * aggregation on top — strictly less shuffle than the reference's
+  * repartition-then-fold.
+  *
+  * Divergence: the reference folds strictly in per-partition log order;
+  * Spark's partial aggregation requires a `merge` — aggregate() therefore
+  * takes a Merger-style combine like sessions do
+  * (`kstream/Merger.java`), and non-mergeable folds belong in
+  * `flatMapGroupsWithState`.
+  */
+final class KGroupedStream[K, V] private[graft] (private[graft] val df: DataFrame)(
+    implicit kEnc: Encoder[K], vEnc: Encoder[V]) {
+
+  private implicit def t3: Encoder[(K, V, Timestamp)] = tupleEnc[K, V]
+  private def typed = toTyped[K, V](df)
+
+  /** `KGroupedStream.count` (`kstream/internals/KStreamAggregate.java`):
+    * codegen'd columnar count, table timestamp = max event time. */
+  def count(): KTable[K, Long] = {
+    val out = df.groupBy(col(KeyCol))
+      .agg(F.count(lit(1)).as(ValueCol), max(col(TsCol)).as(TsCol))
+    new KTable[K, Long](out, deduped = true)(kEnc, Encoders.scalaLong)
+  }
+
+  /** `KGroupedStream.reduce` (`kstream/internals/KStreamReduce.java`). */
+  def reduce(reducer: (V, V) => V): KTable[K, V] =
+    aggregateInternal[V](None)(
+      (agg, v) => agg.map(reducer(_, v)).orElse(Some(v)),
+      (a, b) => (a, b) match {
+        case (Some(x), Some(y)) => Some(reducer(x, y))
+        case _ => a.orElse(b)
+      })(vEnc)
+
+  /** `KGroupedStream.aggregate(Initializer, Aggregator)` + Merger
+    * (`kstream/KGroupedStream.java:240`). */
+  def aggregate[VA: Encoder](initializer: => VA)(
+      aggregator: (K, V, VA) => VA, merger: (VA, VA) => VA): KTable[K, VA] = {
+    val typedAgg = new FoldAggregator[K, V, VA](
+      () => initializer, aggregator, merger, implicitly[Encoder[VA]])
+    val out = typed.groupByKey(_._1)
+      .agg(typedAgg.toColumn.name("agg"))
+      .select(col("key").as(KeyCol), col("agg._1").as(ValueCol), col("agg._2").as(TsCol))
+    new KTable[K, VA](out, deduped = true)
+  }
+
+  private def aggregateInternal[VA](init: => Option[VA])(
+      add: (Option[VA], V) => Option[VA],
+      combine: (Option[VA], Option[VA]) => Option[VA])(
+      implicit vaEnc: Encoder[VA]): KTable[K, VA] = {
+    val typedAgg = new OptFoldAggregator[K, V, VA](add, combine, vaEnc)
+    val out = typed.groupByKey(_._1)
+      .agg(typedAgg.toColumn.name("agg"))
+      .select(col("key").as(KeyCol), col("agg._1").as(ValueCol), col("agg._2").as(TsCol))
+    new KTable[K, VA](out, deduped = true)
+  }
+
+  /** Columnar aggregation fast path: arbitrary Spark SQL aggregate
+    * expressions over the value column; stays fully codegen'd. */
+  def aggExpr(exprs: (String, Column)*): DataFrame =
+    df.groupBy(col(KeyCol)).agg(
+      exprs.head._2.as(exprs.head._1),
+      exprs.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** `windowedBy(TimeWindows)` (`kstream/TimeWindowedKStream.java`). */
+  def windowedBy(w: TimeWindows): TimeWindowedKStream[K, V] =
+    new TimeWindowedKStream[K, V](df, w)
+
+  /** `windowedBy(SessionWindows)` (`kstream/SessionWindowedKStream.java`). */
+  def windowedBy(w: SessionWindows): SessionWindowedKStream[K, V] =
+    new SessionWindowedKStream[K, V](df, w)
+
+  private def maxTs(a: Timestamp, b: Timestamp): Timestamp =
+    if (a == null) b else if (b == null) a else if (a.after(b)) a else b
+}
+
+/** Tumbling/hopping windowed aggregation
+  * (`kstream/internals/KStreamWindowAggregate.java`): records are assigned
+  * their window(s), the window becomes part of the key, and the grouped
+  * aggregation machinery is reused — hopping windows explode to
+  * size/advance rows exactly like `Windows.windowsFor`
+  * (`kstream/TimeWindows.java:176-186`). */
+final class TimeWindowedKStream[K, V] private[graft] (
+    df: DataFrame, w: TimeWindows)(implicit kEnc: Encoder[K], vEnc: Encoder[V]) {
+
+  private implicit def t3: Encoder[(K, V, Timestamp)] = tupleEnc[K, V]
+
+  // IMPORTANT: grouping must use the native window() column — its
+  // event-time metadata is what drives watermark state eviction and
+  // late-record dropping; re-wrapping start/end into a plain struct before
+  // the aggregation would silently disable both.
+  private def rewrap(aggregated: DataFrame, valueCol: String, tsCol: String): DataFrame =
+    aggregated.select(
+      struct(col(KeyCol).as("key"), col("gw.start").as("start"), col("gw.end").as("end"))
+        .as(KeyCol),
+      col(valueCol).as(ValueCol), col(tsCol).as(TsCol))
+
+  def count()(implicit wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], Long] = {
+    val out = withGrace(df, w.graceMs)
+      .groupBy(window(col(TsCol), w.sizeExpr, w.slideExpr).as("gw"), col(KeyCol))
+      .agg(F.count(lit(1)).as(ValueCol), max(col(TsCol)).as(TsCol))
+    new KTable[Windowed[K], Long](rewrap(out, ValueCol, TsCol), deduped = true)(
+      wEnc, Encoders.scalaLong)
+  }
+
+  def reduce(reducer: (V, V) => V)(
+      implicit wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], V] = {
+    val agg = new OptFoldAggregator[K, V, V](
+      (b, v) => b.map(reducer(_, v)).orElse(Some(v)),
+      (a, b) => (a, b) match {
+        case (Some(x), Some(y)) => Some(reducer(x, y))
+        case _ => a.orElse(b)
+      }, vEnc)
+    aggWith(agg)
+  }
+
+  def aggregate[VA: Encoder](initializer: => VA)(
+      aggregator: (K, V, VA) => VA, merger: (VA, VA) => VA)(
+      implicit wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], VA] =
+    aggWith(new FoldAggregator[K, V, VA](
+      () => initializer, aggregator, merger, implicitly[Encoder[VA]]))
+
+  private def aggWith[BUF, VA](
+      agg: org.apache.spark.sql.expressions.Aggregator[(K, V, Timestamp), BUF, (VA, Timestamp)])(
+      implicit wEnc: Encoder[Windowed[K]], vaEnc: Encoder[VA]): KTable[Windowed[K], VA] = {
+    val rowAgg = new RowFoldAdapter[K, V, BUF, (VA, Timestamp)](agg, kEnc, vEnc)
+    val out = toTyped[K, V](withGrace(df, w.graceMs))
+      .groupBy(window(col("_3"), w.sizeExpr, w.slideExpr).as("gw"), col("_1").as(KeyCol))
+      .agg(rowAgg.toColumn.name("agg"))
+      .select(
+        struct(col(KeyCol).as("key"), col("gw.start").as("start"), col("gw.end").as("end"))
+          .as(KeyCol),
+        col("agg._1").as(ValueCol), col("agg._2").as(TsCol))
+    new KTable[Windowed[K], VA](out, deduped = true)
+  }
+}
+
+/** Session-windowed aggregation
+  * (`kstream/internals/KStreamSessionWindowAggregate.java:99-178`):
+  * sessions within the inactivity gap merge; Spark's `session_window`
+  * performs the same merge, and custom aggregates ride on the built-in
+  * machinery (the session `Merger` becomes the aggregate's combine). */
+final class SessionWindowedKStream[K, V] private[graft] (
+    df: DataFrame, w: SessionWindows)(implicit kEnc: Encoder[K], vEnc: Encoder[V]) {
+
+  def count()(implicit wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], Long] = {
+    val out = withGrace(df, w.graceMs)
+      .groupBy(session_window(col(TsCol), w.gapExpr).as("sw"), col(KeyCol))
+      .agg(F.count(lit(1)).as(ValueCol), max(col(TsCol)).as(TsCol))
+      .select(
+        struct(col(KeyCol).as("key"), col("sw.start").as("start"), col("sw.end").as("end"))
+          .as(KeyCol),
+        col(ValueCol), col(TsCol))
+    new KTable[Windowed[K], Long](out, deduped = true)(wEnc, Encoders.scalaLong)
+  }
+
+  /** Columnar session aggregation (count/sum/min/max/...); the reference's
+    * typed session Merger path maps to `flatMapGroupsWithState` and lands
+    * with the streaming state module. */
+  def aggExpr(exprs: (String, Column)*)(
+      implicit wEnc: Encoder[Windowed[K]]): DataFrame =
+    withGrace(df, w.graceMs)
+      .groupBy(session_window(col(TsCol), w.gapExpr).as("sw"), col(KeyCol))
+      .agg(exprs.head._2.as(exprs.head._1), exprs.tail.map { case (n, c) => c.as(n) }: _*)
+}

@@ -1,0 +1,250 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+import Rec._
+
+/** Record stream — the reference's `KStream<K,V>`
+  * (`streams/.../kstream/KStream.java`), re-expressed over Spark Datasets.
+  * Works identically over batch and streaming DataFrames; streaming nodes
+  * flow through Structured Streaming (shuffles replace repartition topics,
+  * state stores replace changelogs — SURVEY.md §3).
+  *
+  * Two operator surfaces:
+  *   - typed lambdas (parity with the reference's `ValueMapper`/`Predicate`
+  *     user-code model, `kstream/ValueMapper.java`);
+  *   - columnar variants (`where`, `mapValuesExpr`, …) that stay inside
+  *     whole-stage codegen — prefer these in hot paths.
+  */
+final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
+    implicit kEnc: Encoder[K], vEnc: Encoder[V]) {
+
+  private implicit def t3: Encoder[(K, V, Timestamp)] = tupleEnc[K, V]
+  private def typed: Dataset[(K, V, Timestamp)] = toTyped[K, V](df)
+  private def wrap(ds: Dataset[(K, V, Timestamp)]) = new KStream[K, V](fromTyped(ds))
+
+  // ------------------------------------------------- stateless (§2.2)
+
+  /** `KStream.filter` (`kstream/internals/KStreamFilter.java`). */
+  def filter(p: (K, V) => Boolean): KStream[K, V] =
+    wrap(typed.filter(r => p(r._1, r._2)))
+
+  def filterNot(p: (K, V) => Boolean): KStream[K, V] =
+    filter((k, v) => !p(k, v))
+
+  /** Columnar filter fast path (codegen'd; predicate pushdown-eligible). */
+  def where(cond: Column): KStream[K, V] = new KStream[K, V](df.filter(cond))
+
+  /** `KStream.selectKey` — marks a repartition point in the reference;
+    * here the next stateful op's shuffle re-keys automatically. */
+  def selectKey[K2: Encoder](f: (K, V) => K2): KStream[K2, V] =
+    new KStream[K2, V](fromTyped(typed.map(r => (f(r._1, r._2), r._2, r._3))(
+      tupleEnc[K2, V])))
+
+  /** `KStream.map` (`kstream/internals/KStreamMap.java`). */
+  def map[K2: Encoder, V2: Encoder](f: (K, V) => (K2, V2)): KStream[K2, V2] =
+    new KStream[K2, V2](fromTyped(typed.map { r =>
+      val (k2, v2) = f(r._1, r._2); (k2, v2, r._3)
+    }(tupleEnc[K2, V2])))
+
+  /** `KStream.mapValues` (`kstream/internals/KStreamMapValues.java`);
+    * key-preserving, so no shuffle is induced downstream. */
+  def mapValues[V2: Encoder](f: V => V2): KStream[K, V2] =
+    mapValuesWithKey((_, v) => f(v))
+
+  def mapValuesWithKey[V2: Encoder](f: (K, V) => V2): KStream[K, V2] =
+    new KStream[K, V2](fromTyped(typed.map(r => (r._1, f(r._1, r._2), r._3))(
+      tupleEnc[K, V2])))
+
+  /** Columnar mapValues fast path. */
+  def mapValuesExpr(value: Column): KStream[K, V] =
+    new KStream[K, V](df.withColumn(ValueCol, value))
+
+  /** `KStream.flatMap` (`kstream/internals/KStreamFlatMap.java`). */
+  def flatMap[K2: Encoder, V2: Encoder](
+      f: (K, V) => IterableOnce[(K2, V2)]): KStream[K2, V2] =
+    new KStream[K2, V2](fromTyped(typed.flatMap { r =>
+      f(r._1, r._2).iterator.map { case (k2, v2) => (k2, v2, r._3) }
+    }(tupleEnc[K2, V2])))
+
+  /** `KStream.flatMapValues` (`kstream/internals/KStreamFlatMapValues.java`). */
+  def flatMapValues[V2: Encoder](f: V => IterableOnce[V2]): KStream[K, V2] =
+    new KStream[K, V2](fromTyped(typed.flatMap { r =>
+      f(r._2).iterator.map(v2 => (r._1, v2, r._3))
+    }(tupleEnc[K, V2])))
+
+  /** `KStream.branch` (`kstream/internals/KStreamBranch.java`) —
+    * first-matching-predicate wins, each record goes to exactly one
+    * branch (predicates are exclusivized like the reference processor). */
+  def branch(predicates: ((K, V) => Boolean)*): Seq[KStream[K, V]] =
+    predicates.zipWithIndex.map { case (p, i) =>
+      val earlier = predicates.take(i)
+      filter((k, v) => p(k, v) && !earlier.exists(q => q(k, v)))
+    }
+
+  /** `KStream.merge` — UNION ALL (`kstream/internals/KStreamImpl.java:328`). */
+  def merge(other: KStream[K, V]): KStream[K, V] =
+    new KStream[K, V](df.unionByName(other.df))
+
+  /** `KStream.peek` (`kstream/internals/KStreamPeek.java`). */
+  def peek(action: (K, V) => Unit): KStream[K, V] =
+    wrap(typed.map { r => action(r._1, r._2); r })
+
+  /** `KStream.through(topic)` — explicit repartition point; Spark shuffles
+    * by key instead of round-tripping a topic (`KStream.java:431`). */
+  def repartitionByKey(numPartitions: Int): KStream[K, V] =
+    new KStream[K, V](df.repartition(numPartitions, col(KeyCol)))
+
+  /** PAPI `process`/`transform` analogue over whole partitions
+    * (`kstream/KStream.java:576`); stateless — stateful transforms belong
+    * to `flatMapGroupsWithState` on the grouped stream. */
+  def transform[K2: Encoder, V2: Encoder](
+      f: Iterator[(K, V, Timestamp)] => Iterator[(K2, V2, Timestamp)]): KStream[K2, V2] =
+    new KStream[K2, V2](fromTyped(typed.mapPartitions(f)(tupleEnc[K2, V2])))
+
+  // ------------------------------------------------- grouping (§2.3)
+
+  /** `KStream.groupByKey` (`kstream/KGroupedStreamImpl.java`). */
+  def groupByKey: KGroupedStream[K, V] = new KGroupedStream[K, V](df)
+
+  /** `KStream.groupBy(selector)` — key change; the downstream shuffle
+    * replaces the reference's `-repartition` topic
+    * (`kstream/internals/KStreamImpl.java:640`). */
+  def groupBy[K2: Encoder](f: (K, V) => K2): KGroupedStream[K2, V] =
+    selectKey(f).groupByKey
+
+  // ------------------------------------------------- joins (§2.5)
+
+  private def sides[VO: Encoder](other: KStream[K, VO]) = {
+    val l = df.select(col(KeyCol), col(ValueCol).as("l_value"), col(TsCol).as("l_ts"))
+    val r = other.df.select(col(KeyCol).as("r_key"), col(ValueCol).as("r_value"),
+      col(TsCol).as("r_ts"))
+    (l, r)
+  }
+
+  /** KStream⋈KStream inner interval join
+    * (`kstream/internals/KStreamKStreamJoin.java:86-100`): matches when
+    * `other.ts ∈ [ts - before, ts + after]`. Streaming: both sides need
+    * grace (watermark); Spark plans a stream-stream interval join. */
+  def join[VO: Encoder, VR: Encoder](other: KStream[K, VO], windows: JoinWindows)(
+      joiner: (V, VO) => VR): KStream[K, VR] = {
+    val (l, r) = sides(other)
+    val lw = withGraceOn(l, "l_ts", windows.graceMs)
+    val rw = withGraceOn(r, "r_ts", windows.graceMs)
+    val joined = lw.join(rw,
+      col(KeyCol) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS"))
+      .select(col(KeyCol).as("_1"), col("l_value").as("_2"), col("r_value").as("_3"),
+        col("l_ts").as("_4"))
+      .as(Encoders.tuple(kEnc, vEnc, implicitly[Encoder[VO]], Encoders.TIMESTAMP))
+    new KStream[K, VR](fromTyped(joined.map(r4 => (r4._1, joiner(r4._2, r4._3), r4._4))(
+      tupleEnc[K, VR])))
+  }
+
+  /** Left interval join: unmatched left records emit `joiner(v, None)`.
+    * Emission timing is watermark-final rather than the reference's eager
+    * spurious-null (`KStreamKStreamJoin.java:97-99`) — set equivalence,
+    * documented divergence (SURVEY.md §7.4). Batch only in this version. */
+  def leftJoin[VO: Encoder, VR: Encoder](other: KStream[K, VO], windows: JoinWindows)(
+      joiner: (V, Option[VO]) => VR): KStream[K, VR] = {
+    require(!df.isStreaming, "streaming left interval join lands with transformWithState")
+    val matched = join(other, windows)((v, vo) => joiner(v, Some(vo)))
+    val (l, r) = sides(other)
+    val unmatched = l.join(r,
+        col(KeyCol) === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS"),
+        "left_anti")
+      .select(col(KeyCol).as("_1"), col("l_value").as("_2"), col("l_ts").as("_3"))
+      .as(tupleEnc[K, V])
+    matched.merge(new KStream[K, VR](fromTyped(
+      unmatched.map(t => (t._1, joiner(t._2, None), t._3))(tupleEnc[K, VR]))))
+  }
+
+  /** KStream⋈KTable temporal lookup join
+    * (`kstream/internals/KStreamKTableJoinProcessor.java:55-76`): each
+    * stream record sees the table's current value for its key; no output
+    * on table updates. Batch: joins the table's final view; streaming
+    * against a static table: stream-static join per micro-batch. */
+  def joinTable[VT: Encoder, VR: Encoder](table: KTable[K, VT])(
+      joiner: (V, VT) => VR): KStream[K, VR] = {
+    val t = table.latestDF.select(col(KeyCol).as("t_key"), col(ValueCol).as("t_value"))
+    val joined = df.join(t, col(KeyCol) === col("t_key"))
+      .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("t_value").as("_3"),
+        col(TsCol).as("_4"))
+      .as(Encoders.tuple(kEnc, vEnc, implicitly[Encoder[VT]], Encoders.TIMESTAMP))
+    new KStream[K, VR](fromTyped(joined.map(r4 => (r4._1, joiner(r4._2, r4._3), r4._4))(
+      tupleEnc[K, VR])))
+  }
+
+  /** Left variant: misses emit `joiner(v, None)`. */
+  def leftJoinTable[VT: Encoder, VR: Encoder](table: KTable[K, VT])(
+      joiner: (V, Option[VT]) => VR): KStream[K, VR] = {
+    val matched = joinTable(table)((v, vt) => joiner(v, Some(vt)))
+    val t = table.latestDF.select(col(KeyCol).as("t_key"))
+    val missed = df.join(t, col(KeyCol) === col("t_key"), "left_anti")
+    val missStream = new KStream[K, V](missed)
+    matched.merge(missStream.mapValues(v => joiner(v, None)))
+  }
+
+  /** KStream⋈GlobalKTable lookup join with arbitrary key mapper
+    * (`kstream/internals/KStreamGlobalKTableJoin.java`): the global table
+    * is broadcast — no shuffle of the stream, the 100 TB-safe dimension
+    * join. */
+  def joinGlobal[GK: Encoder, GV: Encoder, VR: Encoder](global: GlobalKTable[GK, GV])(
+      keyMapper: (K, V) => GK)(joiner: (V, GV) => VR): KStream[K, VR] = {
+    val keyed = fromTyped(typed.map(r => ((r._1, r._2, r._3), keyMapper(r._1, r._2), r._3))(
+      Encoders.tuple(t3, implicitly[Encoder[GK]], Encoders.TIMESTAMP)))
+      .toDF("rec", "gk", "gts")
+    val g = global.df.select(col(KeyCol).as("g_key"), col(ValueCol).as("g_value"))
+    val joined = keyed.join(broadcast(g), col("gk") === col("g_key"))
+      .select(col("rec").as("_1"), col("g_value").as("_2"))
+      .as(Encoders.tuple(t3, implicitly[Encoder[GV]]))
+    new KStream[K, VR](fromTyped(joined.map { case (rec, gv) =>
+      (rec._1, joiner(rec._2, gv), rec._3)
+    }(tupleEnc[K, VR])))
+  }
+
+  def leftJoinGlobal[GK: Encoder, GV: Encoder, VR: Encoder](global: GlobalKTable[GK, GV])(
+      keyMapper: (K, V) => GK)(joiner: (V, Option[GV]) => VR): KStream[K, VR] = {
+    val matched = joinGlobal(global)(keyMapper)((v, gv) => joiner(v, Some(gv)))
+    val keyed = fromTyped(typed.map(r => ((r._1, r._2, r._3), keyMapper(r._1, r._2), r._3))(
+      Encoders.tuple(t3, implicitly[Encoder[GK]], Encoders.TIMESTAMP)))
+      .toDF("rec", "gk", "gts")
+    val g = global.df.select(col(KeyCol).as("g_key"))
+    val missed = keyed.join(broadcast(g), col("gk") === col("g_key"), "left_anti")
+      .select(col("rec.*"))
+      .as(t3)
+    matched.merge(new KStream[K, VR](fromTyped(
+      missed.map(r => (r._1, joiner(r._2, None), r._3))(tupleEnc[K, VR]))))
+  }
+
+  // ------------------------------------------------- tables & sinks
+
+  /** Treat this stream as a changelog and materialize the latest-per-key
+    * table view (`StreamsBuilder.table` / `KTableSource.java`). */
+  def toTable: KTable[K, V] = new KTable[K, V](df, deduped = false)
+
+  /** `KStream.to` — terminal write. Batch: parquet at `path`. */
+  def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+
+  /** `KStream.foreach` (terminal peek, `KStreamImpl.java:358`). */
+  def foreach(action: (K, V) => Unit): Unit =
+    typed.collect().foreach(r => action(r._1, r._2))
+
+  /** `KStream.print` — console sink analogue. */
+  def print(): Unit = df.show(20, truncate = false)
+
+  /** Typed view for tests and interop. */
+  def toDataset: Dataset[(K, V, Timestamp)] = typed
+
+  /** Columnar view (key, value, ts). */
+  def toDF: DataFrame = df
+
+  private def withGraceOn(d: DataFrame, tsCol: String, graceMs: Long): DataFrame =
+    if (d.isStreaming) d.withWatermark(tsCol, s"$graceMs milliseconds") else d
+}
