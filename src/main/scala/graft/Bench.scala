@@ -1,24 +1,93 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — the analogue of the reference's `SimpleBenchmark`
+  * (`streams/src/test/java/.../perf/SimpleBenchmark.java:401-634`, metrics
+  * `records/latency/rec-sec/MB-sec` at `:631-634`) plus the Yahoo query
+  * (`perf/YahooBenchmark.java:268-314`), measured over the driver-provided
+  * parquet at `SPARK_GRAFT_SF_DIR`.
+  *
+  * Prints ONE JSON line with the driver contract fields
+  * (metric/value/unit/queries/sf); `rec_sec` and `rows` ride along as
+  * extra keys for the BASELINE comparison.
+  */
 object Bench {
+
+  /** Reference SimpleBenchmark workload -> our query catalog entry. */
+  private val workloads: Seq[(String, String)] = Seq(
+    "consume" -> "q_filter_project", // scan+project+pushdown filter
+    "processstream" -> "q_ks_filter", // filter workload
+    "processstreamwithsink" -> "q_ks_map_selectkey", // map + re-key
+    "count" -> "q_grouped_count",
+    "windowed-count" -> "q_window_tumbling_count",
+    "session-count" -> "q_window_session_count",
+    "stream-table-join" -> "q_stream_table_join",
+    "stream-stream-join" -> "q_interval_join",
+    "table-table-join" -> "q_table_table_join",
+    "table-agg" -> "q_table_groupby_aggregate",
+    "yahoo" -> "q_yahoo_pipeline",
+    // Spark-native analytic + pipeline headliners
+    "pricing-summary" -> "q_agg_pricing_summary",
+    "star-join" -> "q_join_multiway",
+    "topk" -> "q_orderby_limit_topk",
+    "dedup-minhash-lsh" -> "q_dedup_minhash_lsh",
+    "dedup-jaccard" -> "q_dedup_ngram_jaccard",
+    "ann-cosine-topk" -> "q_ann_cosine_topk",
+    "text-stats" -> "q_text_stats",
+    "lang-id" -> "q_lang_id")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // input cardinality per source table, for rec/sec reporting
+    def rows(name: String): Long = Tables.load(spark, sfDir, name).count()
+    val eventRows = rows("events")
+    val lineitemRows = rows("lineitem")
+    val docRows = rows("documents")
+    val embRows = rows("embeddings")
+    val orderRows = rows("orders")
+    warmup(spark, sfDir)
+
+    val inputRows: Map[String, Long] = Map(
+      "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
+      "star-join" -> orderRows, "topk" -> orderRows, "table-agg" -> orderRows,
+      "dedup-minhash-lsh" -> docRows, "dedup-jaccard" -> docRows,
+      "text-stats" -> docRows, "lang-id" -> docRows,
+      "ann-cosine-topk" -> embRows).withDefaultValue(eventRows)
+
+    val results = workloads.map { case (wl, qname) =>
+      val fn = SparkEntry.queries(qname)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n =
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $wl: $e"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (wl, sec, n, inputRows(wl) / sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
+    val rs = results.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
+    val ns = results.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"rows":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** One small end-to-end action so JIT/codegen warmup doesn't land on the
+    * first measured workload (the reference benchmark similarly excludes
+    * startup). */
+  private def warmup(spark: SparkSession, sfDir: String): Unit =
+    try SparkEntry.queries("q_grouped_count")(spark, sfDir).count()
+    catch { case _: Throwable => () }
 }

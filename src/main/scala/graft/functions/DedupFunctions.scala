@@ -20,24 +20,28 @@ object DedupFunctions {
 
   private val Prime = 2147483647L // 2^31 - 1 (Mersenne)
 
-  /** Distinct word n-gram shingles of the normalized text. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(normalizeText(c))
-    val count = size(ts) - (n - 1)
-    array_distinct(
-      when(count <= 0, array(concat_ws(" ", ts)))
-        .otherwise(transform(sequence(lit(1), count), i =>
-          concat_ws(" ", slice(ts, i, lit(n))))))
-  }
+  /** Distinct word n-gram shingles of the normalized text.
+    *
+    * The token array is lambda-bound so it's computed once per row — a
+    * subtree referenced inside a `transform` lambda is otherwise
+    * re-evaluated per output element (one regex tokenization per shingle). */
+  def wordShingles(c: Column, n: Int): Column =
+    bindOnce(tokens(normalizeText(c))) { ts =>
+      val count = size(ts) - (n - 1)
+      array_distinct(
+        when(count <= 0, array(concat_ws(" ", ts)))
+          .otherwise(transform(sequence(lit(1), count), i =>
+            concat_ws(" ", slice(ts, i, lit(n))))))
+    }
 
   /** Distinct character k-gram shingles of the normalized text. */
-  def charShingles(c: Column, k: Int): Column = {
-    val s = normalizeText(c)
-    val count = length(s) - (k - 1)
-    array_distinct(
-      when(count <= 0, array(s))
-        .otherwise(transform(sequence(lit(1), count), i => s.substr(i, lit(k)))))
-  }
+  def charShingles(c: Column, k: Int): Column =
+    bindOnce(normalizeText(c)) { s =>
+      val count = length(s) - (k - 1)
+      array_distinct(
+        when(count <= 0, array(s))
+          .otherwise(transform(sequence(lit(1), count), i => s.substr(i, lit(k)))))
+    }
 
   /** Universal-hash parameters for the i-th MinHash function (fixed,
     * engine-independent). */
@@ -57,22 +61,50 @@ object DedupFunctions {
     array_min(transform(hashes, h => (h * a + b) % Prime))
   }
 
-  /** MinHash signature of length k as an array column. */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val hs = shingleHashes(shingles)
-    array((0 until k).map(i => minhashOne(hs, i)): _*)
-  }
+  /** Bind `c`'s value once and use it several times inside `f` — the
+    * array-wrap lambda idiom. Catalyst's CollapseProject freely inlines
+    * aliased expressions into every use site, so an expensive subtree
+    * (md5 over every shingle) referenced k times would be *evaluated* k
+    * times; a lambda variable is bound exactly once per row. */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** MinHash signature of length k as an array column. Base md5 hashes are
+    * computed once per shingle; the k rows are affine transforms
+    * (a_i = 2i+1, b_i from [[minhashParams]]). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    bindOnce(shingleHashes(shingles)) { hs =>
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(hs, h =>
+          (h * (i * 2 + 1) + (lit(12345L) + lit(7919L) * i)) % Prime)))
+    }
 
   /** LSH band key: hash of one band (contiguous rows of the signature).
     * Docs sharing any band key are candidate pairs. */
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        md5Long(concat_ws(",",
-          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
-          .as("bandhash"))
-    }: _*)
+    bindOnce(signature) { sig =>
+      array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5Long(concat_ws(",",
+            transform(slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
+            .as("bandhash"))
+      }: _*)
+    }
+
+  /** All ordered pairs (a < b) from a bucket's id list — candidate-pair
+    * generation after grouping by band/shingle/bucket key. One pass over
+    * the corpus + one shuffle on the bucket key, instead of a self-join
+    * that recomputes the signature pipeline for both sides. Bucket size
+    * is expected small; enormous buckets (stopword shingles) should be
+    * doc-frequency-cut upstream. */
+  def orderedPairs(ids: Column): Column =
+    bindOnce(array_sort(ids)) { s =>
+      flatten(transform(s, (x, i) =>
+        transform(
+          slice(s, i + 2, greatest(size(s) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))
+    }
 
   /** Exact Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -83,15 +115,20 @@ object DedupFunctions {
 
   /** 64-bit SimHash over the word multiset: for each bit position, sum +1/-1
     * according to the md5-derived hash bit of each token; the sign of the
-    * sum is the fingerprint bit. Near-dups differ in few bits. */
+    * sum is the fingerprint bit. Near-dups differ in few bits.
+    *
+    * Single-pass shape: one md5 per token, one fold producing the 60 vote
+    * counters as an array, one weighted sum — not 60 folds over the token
+    * hashes. */
   def simhash64(c: Column, bits: Int = 60): Column = {
-    val ts = tokens(normalizeText(c))
-    val hashes = transform(ts, t => md5Long(t))
-    (0 until bits).map { bit =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val hashes = transform(tokens(normalizeText(c)), t => md5Long(t))
+    val powers = array((0 until bits).map(b => lit(1L << b)): _*)
+    val votes = aggregate(hashes, array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, powers, (a, p) =>
+        a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0L, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two long-encoded fingerprints. */

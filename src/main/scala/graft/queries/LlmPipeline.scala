@@ -19,6 +19,14 @@ import graft.functions.{DedupFunctions => D, TextFunctions => T, VectorFunctions
   */
 object LlmPipeline extends Catalog {
 
+  /** The small-sf documents/embeddings parquet is a single row group, so
+    * without an explicit spread every per-row-heavy stage (md5 shingling,
+    * dot products) runs on ONE core. At real scale the scan has thousands
+    * of splits and this repartition is a no-op cost-wise; locally it's the
+    * difference between 1 and 32 cores. */
+  private def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** DuckDB fragment: whitespace tokens of normalized text (mirror of
     * TextFunctions.tokens∘normalizeText). */
   private val SqlTokens =
@@ -69,14 +77,17 @@ object LlmPipeline extends Catalog {
        |JOIN sized sa ON sa.doc_id = doc_a
        |JOIN sized sb ON sb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0.5""") { (s, dir) =>
-    val sh = load(s, dir, "documents")
+    val sh = spread(load(s, dir, "documents"))
       .select(col("doc_id"), D.wordShingles(col("text"), 3).as("shingles"))
     val sized = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // one pass: shingle -> bucket of doc_ids -> in-bucket ordered pairs;
+    // |A∩B| = how many shingle-buckets contain the pair
+    val pairs = sh
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /
       (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))
@@ -106,21 +117,17 @@ object LlmPipeline extends Catalog {
        |FROM bandkeys a
        |JOIN bandkeys b ON a.bd = b.bd AND a.bandhash = b.bandhash
        |  AND a.doc_id < b.doc_id""") { (s, dir) =>
-    // stage the md5 base hashes as their own column so they're computed
-    // once per shingle, not once per signature row
-    val sigs = load(s, dir, "documents")
+    val sigs = spread(load(s, dir, "documents"))
       .select(col("doc_id"),
-        D.shingleHashes(D.wordShingles(col("text"), 3)).as("hashes"))
-      .select(col("doc_id"),
-        array((0 until 16).map(i => D.minhashOne(col("hashes"), i)): _*).as("sig"))
-    val bandkeys = sigs
+        D.minhashSignature(D.wordShingles(col("text"), 3), 16).as("sig"))
+    // band buckets -> in-bucket pairs, one pass (no self-join recompute)
+    sigs
       .select(col("doc_id"), explode(D.bandKeys(col("sig"), 4, 4)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandhash").as("bandhash"))
-    bandkeys.as("a")
-      .join(bandkeys.as("b"),
-        col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("bk.band"), col("bk.bandhash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -137,7 +144,7 @@ object LlmPipeline extends Catalog {
        |  GROUP BY doc_id, b)
        |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id""") { (s, dir) =>
-    load(s, dir, "documents")
+    spread(load(s, dir, "documents"))
       .select(col("doc_id"), D.simhash64(col("text")).as("simhash"))
   }
 
@@ -227,7 +234,7 @@ object LlmPipeline extends Catalog {
     val emb = load(s, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val corpus = spread(emb).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val sims = corpus.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(V.cosine(col("qe"), col("ce")), 4).as("sim"))
@@ -257,7 +264,7 @@ object LlmPipeline extends Catalog {
        |  FROM sims)
        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5""".stripMargin
   }) { (s, dir) =>
-    val emb = load(s, dir, "embeddings")
+    val emb = spread(load(s, dir, "embeddings"))
       .withColumn("bucket", V.signBucket(col("embedding"), 0 until 12))
     val qs = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))

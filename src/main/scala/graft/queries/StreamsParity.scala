@@ -264,6 +264,36 @@ object StreamsParity extends Catalog {
         sum(dec2(col("o_totalprice"))).cast("double").as("total"))
   }
 
+  // -- Yahoo streaming benchmark query (YahooBenchmark.java:268-314), run
+  //    through the typed DSL end-to-end: filter(view) → project → join
+  //    campaigns (GlobalKTable broadcast) → key by campaign → tumbling
+  //    windowed count. `nation` stands in for the campaigns table with key
+  //    mapper user_id % 25 (events carry no adID).
+  q("q_yahoo_pipeline",
+    """SELECT ts - to_microseconds(epoch_us(ts) % 3600000000) AS window_start,
+      |  n_name AS campaign, count(*) AS cnt
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |WHERE event_type = 'view'
+      |GROUP BY 1, 2""") { (s, dir) =>
+    import graft.api._
+    import s.implicits._
+    val b = GraftStreams(s)
+    val stream = b.stream[Long, String](
+      load(s, dir, "events"), col("user_id"), col("event_type"), col("ts"))
+    val campaigns = b.globalTable[Int, String](
+      load(s, dir, "nation"), col("n_nationkey"), col("n_name"))
+    stream
+      .filter((_, eventType) => eventType == "view")
+      .joinGlobal(campaigns)((userId, _) => (userId % 25).toInt)((_, name) => name)
+      .selectKey((_, campaign) => campaign)
+      .groupByKey
+      .windowedBy(TimeWindows.of(java.time.Duration.ofHours(1)))
+      .count()
+      .toStream.toDF
+      .select(col("key.start").as("window_start"), col("key.key").as("campaign"),
+        col("value").as("cnt"))
+  }
+
   // -- suppress(untilWindowCloses) (KTableSuppressProcessor.java): emit only
   //    final results for closed windows — in batch, windows strictly before
   //    max(stream time) - grace are closed.
