@@ -212,6 +212,66 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
   }
 
+  // ------------------------------------------------------- multimodal
+
+  /** Synthetic media corpus: documents' bytes wrapped in real container
+    * magic numbers by doc_id — jpeg/png/wav/mp4 — so modality sniffing,
+    * metadata, and the stubbed decode pipeline run over a binary column
+    * exactly as they would over crawled media. */
+  private def mediaBytes(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val jpeg = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val wav = "RIFF".getBytes("UTF-8")
+    val mp4 = Array[Byte](0x00, 0x00, 0x00, 0x18) ++ "ftyp".getBytes("UTF-8")
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0, lit(jpeg))
+          .when(col("doc_id") % 4 === 1, lit(png))
+          .when(col("doc_id") % 4 === 2, lit(wav))
+          .otherwise(lit(mp4)),
+        encode(col("text"), "UTF-8")).as("media"))
+  }
+
+  // -- modality sniffing + metadata over the binary column (columnar, no
+  //    decode; fully oracle-checked).
+  q("q_multimodal_meta",
+    """SELECT doc_id,
+      |  CASE WHEN starts_with(lower(hex(media)), 'ffd8ff') THEN 'image/jpeg'
+      |       WHEN starts_with(lower(hex(media)), '89504e47') THEN 'image/png'
+      |       WHEN starts_with(lower(hex(media)), '52494646') THEN 'audio/wav'
+      |       WHEN starts_with(lower(hex(media)), '000000186674797') THEN 'video/mp4'
+      |       ELSE 'application/octet-stream' END AS kind,
+      |  octet_length(media) AS n_bytes,
+      |  md5(hex(media)) AS fp
+      |FROM (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
+      |                     WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+      |                     WHEN 2 THEN 'RIFF'::BLOB
+      |                     ELSE '\x00\x00\x00\x18ftyp'::BLOB END) || encode(text) AS media
+      |  FROM documents)""") { (s, dir) =>
+    import graft.multimodal.MediaFunctions
+    mediaBytes(s, dir).select(
+      col("doc_id"),
+      MediaFunctions.sniffKind(col("media")).as("kind"),
+      MediaFunctions.byteLength(col("media")).as("n_bytes"),
+      md5(hex(col("media"))).as("fp"))
+  }
+
+  // -- stubbed decode/feature pipeline (partition-wise batch processing,
+  //    1→N frame sampling for video). The decode itself is a deterministic
+  //    fake (no codecs in-container), so the oracle is rows-only; shape
+  //    and determinism are pinned by MultimodalSpec.
+  qNoOracle("q_multimodal_features") { (s, dir) =>
+    import graft.multimodal.MediaStubs
+    val records = MediaStubs.toMediaRecords(spread(mediaBytes(s, dir)), "doc_id", "media")
+    MediaStubs.extractFeatures(records, dim = 8, frameEveryMs = 1000L)
+      .toDF()
+      .select(col("mediaId"), col("kind"), col("frameIndex"), col("frameTsMs"),
+        round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
+  }
+
   // ---------------------------------------------------- similarity search
 
   // -- brute-force cosine top-10 for a query batch (vec_id < 20) against

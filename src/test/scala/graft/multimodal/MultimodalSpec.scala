@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Multimodal plumbing: sniffing, typed records, stubbed decode shape,
+  * frame sampling, resize metadata — the parts that must be real even
+  * though the codec call is faked. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import MediaModel._
+
+  private def bytesOf(parts: Int*): Array[Byte] = parts.map(_.toByte).toArray
+
+  private def mediaDF = Seq(
+    (1L, bytesOf(0xFF, 0xD8, 0xFF, 0xE0) ++ "jpegbody".getBytes),
+    (2L, bytesOf(0x89, 0x50, 0x4E, 0x47) ++ "pngbody".getBytes),
+    (3L, "RIFFwavbody".getBytes),
+    (4L, bytesOf(0, 0, 0, 0x18) ++ "ftypisomvideo".getBytes),
+    (5L, "plain text".getBytes)).toDF("id", "bytes")
+
+  test("sniffKind recognizes container magic numbers") {
+    val got = mediaDF.select($"id", MediaFunctions.sniffKind($"bytes")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(
+      1L -> "image/jpeg", 2L -> "image/png", 3L -> "audio/wav",
+      4L -> "video/mp4", 5L -> "application/octet-stream"))
+  }
+
+  test("toMediaRecords builds typed records with synthesized metadata") {
+    val recs = MediaStubs.toMediaRecords(mediaDF, "id", "bytes").collect()
+      .map(r => r.mediaId -> r).toMap
+    assert(recs(1L).kind === "image/jpeg")
+    assert(recs(1L).meta.channels === 3)
+    assert(recs(3L).meta.sampleRate === 16000)
+    assert(recs(4L).meta.durationMs > 0)
+  }
+
+  test("extractFeatures is deterministic and batch-shaped (mapInPandas analogue)") {
+    val ds = MediaStubs.toMediaRecords(mediaDF, "id", "bytes")
+    val a = MediaStubs.extractFeatures(ds, dim = 8).collect().sortBy(r => (r.mediaId, r.frameIndex))
+    val b = MediaStubs.extractFeatures(ds, dim = 8).collect().sortBy(r => (r.mediaId, r.frameIndex))
+    assert(a.map(_.features.toSeq) === b.map(_.features.toSeq)) // deterministic
+    assert(a.forall(_.features.length === 8)) // fixed feature dim
+    assert(a.forall(f => f.features.forall(v => v >= -1f && v <= 1f)))
+  }
+
+  test("video explodes 1→N frames with timestamps; others stay single-row") {
+    val ds = MediaStubs.toMediaRecords(mediaDF, "id", "bytes")
+    val feats = MediaStubs.extractFeatures(ds, dim = 4, frameEveryMs = 1000L).collect()
+    val byId = feats.groupBy(_.mediaId)
+    assert(byId(1L).length === 1)
+    assert(byId(4L).length >= 1)
+    val video = byId(4L).sortBy(_.frameIndex)
+    assert(video.map(_.frameTsMs).toSeq === video.indices.map(_ * 1000L))
+    // distinct frames decode to distinct features (per-frame sampling)
+    if (video.length > 1) assert(video(0).features.toSeq !== video(1).features.toSeq)
+  }
+
+  test("resize rewrites image metadata only") {
+    val ds = MediaStubs.toMediaRecords(mediaDF, "id", "bytes")
+    val resized = MediaStubs.resize(ds, 224, 224).collect().map(r => r.mediaId -> r).toMap
+    assert(resized(1L).meta.width === 224 && resized(1L).meta.height === 224)
+    assert(resized(3L).meta.width === 64) // audio untouched
+  }
+
+  test("media features flow back into the relational layer (join with embeddings shape)") {
+    val ds = MediaStubs.toMediaRecords(mediaDF, "id", "bytes")
+    val feats = MediaStubs.extractFeatures(ds, dim = 8).toDF()
+    val out = feats.groupBy("kind").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("image/jpeg") === 1L)
+    assert(out.values.sum === feats.count())
+  }
+}
