@@ -264,6 +264,73 @@ object StreamsParity extends Catalog {
         sum(dec2(col("o_totalprice"))).cast("double").as("total"))
   }
 
+  // -- Connect JSON converter (connect/json/JsonConverter.java → §2.1):
+  //    parse the JSON value payload, extract typed fields relationally.
+  q("q_json_extract",
+    """SELECT event_type,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    load(s, dir, "events")
+      .withColumn("k", k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
+  // -- UnlimitedWindows (kstream/UnlimitedWindows.java:60-94): one
+  //    landmark window per key from epoch — running totals + span.
+  q("q_window_unlimited",
+    """SELECT user_id, count(*) AS cnt, min(ts) AS first_seen, max(ts) AS last_seen
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    load(s, dir, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+  }
+
+  // -- KTable.filter with tombstone semantics (KTableFilter.java: rows
+  //    leaving the predicate vanish from the view), run through the DSL.
+  q("q_table_filter",
+    """SELECT user_id, value FROM (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND value > 250.0""") { (s, dir) =>
+    import graft.api._
+    import s.implicits._
+    val b = GraftStreams(s)
+    // deterministic changelog order: (ts, event_id) — encode both in ts? the
+    // DSL keys latest-per-key by ts; event_id breaks the (vanishingly rare)
+    // exact-timestamp tie in the oracle, so order by a composite here too
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+    val table = b.table[Long, Double](ev, col("user_id"), col("value"),
+      col("ts")).where(col(graft.api.Rec.ValueCol) > 250.0)
+    table.toStream.toDF.select(col("key").as("user_id"), col("value"))
+  }
+
+  // -- KTable⋈KTable outer (KTableKTableOuterJoin.java): either side may
+  //    be absent; view keyed by coalesced key.
+  q("q_table_outer_join",
+    """WITH latest AS (
+      |  SELECT user_id, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT coalesce(user_id, c_custkey) AS id, event_type, c_mktsegment
+      |FROM latest FULL OUTER JOIN customer ON user_id = c_custkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val latest = load(s, dir, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_type")
+    latest.join(load(s, dir, "customer"), col("user_id") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("user_id"), col("c_custkey")).as("id"),
+        col("event_type"), col("c_mktsegment"))
+  }
+
   // -- Yahoo streaming benchmark query (YahooBenchmark.java:268-314), run
   //    through the typed DSL end-to-end: filter(view) → project → join
   //    campaigns (GlobalKTable broadcast) → key by campaign → tumbling

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: these assertions pin the properties that make the
+  * catalog viable at 100 TB — filters and projections reaching the parquet
+  * scan, dimension joins broadcasting instead of shuffling the fact side,
+  * aggregations doing map-side partial combine, top-k avoiding a global
+  * sort. A plan regression here is a scale bug even when results stay
+  * correct. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter+projection push into the parquet scan (q_filter_project)") {
+    val plan = planOf("q_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(800))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(800))
+    // pruned read schema: only the referenced columns are read
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"))
+  }
+
+  test("dimension join broadcasts, fact side not shuffled (q_join_broadcast_dim)") {
+    val plan = planOf("q_join_broadcast_dim")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("star join broadcasts every dimension (q_join_multiway)") {
+    val plan = planOf("q_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("aggregation has map-side partial combine (q_agg_pricing_summary)") {
+    val plan = planOf("q_agg_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_"), plan.take(800))
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort (q_orderby_limit_topk)") {
+    val plan = planOf("q_orderby_limit_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("whole-stage codegen spans the hot path (q_ks_filter)") {
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    val plan = planOf("q_ks_filter")
+    assert(plan.contains("*(1)"), plan.take(500))
+    // and the filter pushes into the scan with pruned columns
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)"), plan.take(800))
+  }
+
+  test("ANN query broadcasts the query batch, scans corpus once (q_ann_cosine_topk)") {
+    val plan = planOf("q_ann_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    assert(planOf("q_join_semi").contains("LeftSemi"))
+    assert(planOf("q_join_anti").contains("LeftAnti"))
+  }
+}
