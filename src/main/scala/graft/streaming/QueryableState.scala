@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interactive queries (§2.7): the reference exposes running state through
+  * `KafkaStreams.store(name, type)` (`KafkaStreams.java:1064`) with
+  * `ReadOnlyKeyValueStore.get/range/all`
+  * (`state/ReadOnlyKeyValueStore.java:38-65`).
+  *
+  * Spark mapping: materialize the view either into a memory-sink table
+  * (small/hot views — this wrapper) or read the raw operator state from a
+  * checkpoint via the state store data source
+  * (`spark.read.format("statestore")` — [[QueryableState.fromCheckpoint]]).
+  * Both serve point lookups, range scans, and full scans without touching
+  * the running query.
+  */
+final class QueryableStore(view: () => DataFrame, keyCol: String) {
+
+  /** `ReadOnlyKeyValueStore.get(key)`. */
+  def get(key: Any): Option[org.apache.spark.sql.Row] =
+    view().filter(col(keyCol) === lit(key)).collect().headOption
+
+  /** `ReadOnlyKeyValueStore.range(from, to)` — inclusive, key-ordered. */
+  def range(from: Any, to: Any): Array[org.apache.spark.sql.Row] =
+    view().filter(col(keyCol) >= lit(from) && col(keyCol) <= lit(to))
+      .orderBy(col(keyCol)).collect()
+
+  /** `ReadOnlyKeyValueStore.all()`. */
+  def all(): Array[org.apache.spark.sql.Row] = view().orderBy(col(keyCol)).collect()
+
+  /** `approximateNumEntries()`. */
+  def approximateNumEntries(): Long = view().count()
+}
+
+object QueryableState {
+
+  /** Store over a memory-sink table fed by an update-mode table query
+    * (latest row per key wins — the memory sink appends each update). */
+  def memoryStore(spark: SparkSession, queryName: String, keyCol: String): QueryableStore =
+    new QueryableStore(() => {
+      val t = spark.table(queryName)
+      // latest emitted update per key = current table state
+      val cols = t.columns
+      t.withColumn("__seq", monotonically_increasing_id())
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(cols.map(col): _*), col("__seq")).as("m"))
+        .select(cols.map(c => col(s"m.$c").as(c)): _*)
+    }, keyCol)
+
+  /** Store over operator state persisted in a checkpoint — the
+    * state-store data source; queryable while the stream runs, from any
+    * process that can read the checkpoint (the reference needs RPC
+    * routing across instances for this, `KafkaStreams.java:956-1045`). */
+  def fromCheckpoint(spark: SparkSession, checkpointPath: String,
+      operatorId: Int = 0): DataFrame =
+    spark.read.format("statestore")
+      .option("path", checkpointPath)
+      .option("operatorId", operatorId.toString)
+      .load()
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.ts
+import graft.api.GraftStreams
+
+/** Interactive queries over running state
+  * (`QueryableStateIntegrationTest.java` analogue). */
+class QueryableStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("memory store serves get/range/all over a live update-mode view") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val counts = GraftStreams(spark)
+      .stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+      .groupByKey.count()
+    val q = counts.df.writeStream.format("memory").queryName("iqcounts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("a", 1, ts(1000L)), ("b", 1, ts(1000L)), ("c", 1, ts(1000L)))
+      q.processAllAvailable()
+      mem.addData(("a", 1, ts(2000L)))
+      q.processAllAvailable()
+
+      val store = QueryableState.memoryStore(spark, "iqcounts", "key")
+      assert(store.get("a").map(_.getLong(1)) === Some(2L)) // latest update wins
+      assert(store.get("zzz") === None)
+      assert(store.range("a", "b").map(_.getString(0)).toSeq === Seq("a", "b"))
+      assert(store.all().map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+      assert(store.approximateNumEntries() === 3L)
+    } finally q.stop()
+  }
+
+  test("state store data source reads operator state from a checkpoint") {
+    val inDir = Files.createTempDirectory("graft-iq-in").toFile
+    val ckpt = Files.createTempDirectory("graft-iq-ckpt").toFile.getAbsolutePath
+    Files.writeString(new java.io.File(inDir, "a.txt").toPath, "x\nx\ny\n")
+    val q = spark.readStream.text(inDir.getAbsolutePath)
+      .groupBy("value").count()
+      .writeStream.format("memory").queryName("iqsrc")
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Update).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val state = QueryableState.fromCheckpoint(spark, ckpt)
+    val rows = state.select(col("key.value").as("k"), col("value.count").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows === Map("x" -> 2L, "y" -> 1L))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.ts
+import graft.api.GraftStreams
+
+/** PAPI stateful-transform parity: per-key state, multiple forwards,
+  * punctuation-style timeouts, suppress-until-time-limit. */
+class StatefulOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def builder = GraftStreams(spark)
+
+  test("flatTransformWithState keeps per-key state and forwards 0..n records (batch)") {
+    val input = builder.stream(spark.createDataset(Seq(
+      ("A", 1, ts(1000L)), ("A", 2, ts(2000L)), ("B", 5, ts(1500L)), ("A", 3, ts(3000L)))))
+    // running sum per key, forwarding each prefix sum (Transformer with a KV store)
+    val got = StatefulOps.flatTransformWithState[String, Int, Int, (String, Int)](input) {
+      (key, rows, state) =>
+        var acc = state.getOption.getOrElse(0)
+        val out = rows.map { case (v, _) => acc += v; (key, acc) }.toList
+        state.update(acc)
+        out.iterator
+    }.collect().sorted
+    // batch mode: one group invocation per key; within-key order follows ts order? Not
+    // guaranteed in batch — assert final sums and forward counts instead
+    assert(got.count(_._1 == "A") === 3)
+    assert(got.filter(_._1 == "A").map(_._2).max === 6)
+    assert(got.filter(_._1 == "B") === List(("B", 5)))
+  }
+
+  test("streaming stateful transform accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val stream = builder.stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+    val sums = StatefulOps.flatTransformWithState[String, Int, Int, (String, Int)](
+      stream, OutputMode.Append) { (key, rows, state) =>
+      val acc = state.getOption.getOrElse(0) + rows.map(_._1).sum
+      state.update(acc)
+      Iterator.single((key, acc))
+    }
+    val q = sums.toDF("k", "sum").writeStream.format("memory").queryName("statesums")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("A", 1, ts(1000L)))
+      q.processAllAvailable()
+      mem.addData(("A", 2, ts(2000L)), ("B", 10, ts(2000L)))
+      q.processAllAvailable()
+      val got = spark.table("statesums").collect().map(r => (r.getString(0), r.getInt(1)))
+      // state persisted across batches: A emitted 1 then 3
+      assert(got.toSet === Set(("A", 1), ("A", 3), ("B", 10)))
+    } finally q.stop()
+  }
+
+  test("suppressUntilTimeLimit emits only after the delay elapses (punctuation)") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    val suppressed = StatefulOps.suppressUntilTimeLimit(stream, delayMs = 600L)
+    // processing-time timers => batches keep firing; use a real trigger and
+    // poll with a deadline instead of processAllAvailable (see scaladoc)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory").queryName("supp")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rowsNow() = spark.table("supp").collect().map(r => (r.getString(0), r.getString(1)))
+    try {
+      mem.addData(("A", "v1", ts(1000L)), ("A", "v2", ts(2000L)))
+      val deadline = System.currentTimeMillis() + 20000L
+      // shortly after ingest the buffer must still be holding (no output)
+      Thread.sleep(300L)
+      assert(rowsNow().isEmpty, "emitted before the time limit")
+      while (rowsNow().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      // only the LATEST buffered value for A emerges after the time limit
+      assert(rowsNow().toSeq === Seq(("A", "v2")))
+    } finally q.stop()
+  }
+
+  test("materializeLatest = KTableSource via explicit state handles") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    val latest = StatefulOps.materializeLatest(stream)
+    val q = latest.toDF("k", "v").writeStream.format("memory").queryName("mlatest")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("k1", "v1", ts(1000L)))
+      q.processAllAvailable()
+      mem.addData(("k1", "v0-late", ts(500L))) // older ts must not win
+      q.processAllAvailable()
+      val rows = spark.table("mlatest").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.last === ("k1", "v1")) // latest-by-event-time retained
+    } finally q.stop()
+  }
+}
