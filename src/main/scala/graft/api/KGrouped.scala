@@ -166,12 +166,45 @@ final class SessionWindowedKStream[K, V] private[graft] (
     new KTable[Windowed[K], Long](out, deduped = true)(wEnc, Encoders.scalaLong)
   }
 
-  /** Columnar session aggregation (count/sum/min/max/...); the reference's
-    * typed session Merger path maps to `flatMapGroupsWithState` and lands
-    * with the streaming state module. */
+  /** Columnar session aggregation (count/sum/min/max/...). */
   def aggExpr(exprs: (String, Column)*)(
       implicit wEnc: Encoder[Windowed[K]]): DataFrame =
     withGrace(df, w.graceMs)
       .groupBy(session_window(col(TsCol), w.gapExpr).as("sw"), col(KeyCol))
       .agg(exprs.head._2.as(exprs.head._1), exprs.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** Typed session reduce — Spark's session aggregation performs the
+    * window merging; the reducer doubles as the session `Merger`
+    * (`kstream/Merger.java`). */
+  def reduce(reducer: (V, V) => V)(
+      implicit wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], V] =
+    aggWith(new OptFoldAggregator[K, V, V](
+      (b, v) => b.map(reducer(_, v)).orElse(Some(v)),
+      (a, b) => (a, b) match {
+        case (Some(x), Some(y)) => Some(reducer(x, y))
+        case _ => a.orElse(b)
+      }, vEnc))
+
+  /** Typed session aggregate with explicit Merger
+    * (`SessionWindowedKStream.aggregate(Initializer, Aggregator, Merger)`,
+    * `kstream/SessionWindowedKStream.java:232`). */
+  def aggregate[VA: Encoder](initializer: => VA)(
+      aggregator: (K, V, VA) => VA, merger: (VA, VA) => VA)(
+      implicit wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], VA] =
+    aggWith(new FoldAggregator[K, V, VA](
+      () => initializer, aggregator, merger, implicitly[Encoder[VA]]))
+
+  private def aggWith[BUF, VA](
+      agg: org.apache.spark.sql.expressions.Aggregator[(K, V, Timestamp), BUF, (VA, Timestamp)])(
+      implicit wEnc: Encoder[Windowed[K]], vaEnc: Encoder[VA]): KTable[Windowed[K], VA] = {
+    val rowAgg = new RowFoldAdapter[K, V, BUF, (VA, Timestamp)](agg, kEnc, vEnc)
+    val out = toTyped[K, V](withGrace(df, w.graceMs))
+      .groupBy(session_window(col("_3"), w.gapExpr).as("sw"), col("_1").as(KeyCol))
+      .agg(rowAgg.toColumn.name("agg"))
+      .select(
+        struct(col(KeyCol).as("key"), col("sw.start").as("start"), col("sw.end").as("end"))
+          .as(KeyCol),
+        col("agg._1").as(ValueCol), col("agg._2").as(TsCol))
+    new KTable[Windowed[K], VA](out, deduped = true)
+  }
 }

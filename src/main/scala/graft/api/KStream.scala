@@ -165,6 +165,30 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
       unmatched.map(t => (t._1, joiner(t._2, None), t._3))(tupleEnc[K, VR]))))
   }
 
+  /** Full outer interval join (`KStream.java:1527` outerJoin): unmatched
+    * records from either side emit with the other side None. Same
+    * watermark-final emission caveat as [[leftJoin]]. Batch only. */
+  def outerJoin[VO: Encoder, VR: Encoder](other: KStream[K, VO], windows: JoinWindows)(
+      joiner: (Option[V], Option[VO]) => VR): KStream[K, VR] = {
+    require(!df.isStreaming, "streaming outer interval join lands with transformWithState")
+    val matched = join(other, windows)((v, vo) => joiner(Some(v), Some(vo)))
+    val (l, r) = sides(other)
+    val joinCond =
+      col(KeyCol) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
+    val lOnly = l.join(r, joinCond, "left_anti")
+      .select(col(KeyCol).as("_1"), col("l_value").as("_2"), col("l_ts").as("_3"))
+      .as(tupleEnc[K, V])
+      .map(t => (t._1, joiner(Some(t._2), None), t._3))(tupleEnc[K, VR])
+    val rOnly = r.join(l, joinCond, "left_anti")
+      .select(col("r_key").as("_1"), col("r_value").as("_2"), col("r_ts").as("_3"))
+      .as(tupleEnc[K, VO])
+      .map(t => (t._1, joiner(None, Some(t._2)), t._3))(tupleEnc[K, VR])
+    matched.merge(new KStream[K, VR](fromTyped(lOnly)))
+      .merge(new KStream[K, VR](fromTyped(rOnly)))
+  }
+
   /** KStream⋈KTable temporal lookup join
     * (`kstream/internals/KStreamKTableJoinProcessor.java:55-76`): each
     * stream record sees the table's current value for its key; no output

@@ -228,6 +228,65 @@ object StreamsParity extends Catalog {
       .agg(count(lit(1)).as("pairs"))
   }
 
+  // -- KStream⋈KStream OUTER windowed join (KStream.java:1527): unmatched
+  //    records from either side appear with nulls. Counted per user over
+  //    purchases ⋈ errors within ±1 h.
+  q("q_stream_stream_outer_join",
+    """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+      |m AS (SELECT p.user_id AS pu, e.user_id AS eu FROM p
+      |      FULL OUTER JOIN e ON p.user_id = e.user_id
+      |        AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts + INTERVAL 1 HOUR)
+      |SELECT coalesce(pu, eu) AS user_id,
+      |  count(*) AS pairs,
+      |  CAST(count(CASE WHEN eu IS NULL THEN 1 END) AS BIGINT) AS unmatched_left,
+      |  CAST(count(CASE WHEN pu IS NULL THEN 1 END) AS BIGINT) AS unmatched_right
+      |FROM m GROUP BY 1""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts").as("ets"))
+    p.join(e,
+        col("pu") === col("eu") &&
+          col("ets") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("ets") <= col("pts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .groupBy(coalesce(col("pu"), col("eu")).as("user_id"))
+      .agg(count(lit(1)).as("pairs"),
+        count(when(col("eu").isNull, 1)).as("unmatched_left"),
+        count(when(col("pu").isNull, 1)).as("unmatched_right"))
+  }
+
+  // -- SessionWindowedKStream.reduce with Merger (typed fold per session,
+  //    sessions merged by Spark's session aggregation): per-user sum of
+  //    cent-values per 30-min session, run through the DSL.
+  q("q_window_session_reduce",
+    """SELECT user_id, session_start, total_cents FROM (
+      |  SELECT user_id, min(ts) AS session_start,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |      sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |    FROM (
+      |      SELECT user_id, ts, event_id, value,
+      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) < INTERVAL 30 MINUTE
+      |             THEN 0 ELSE 1 END AS new_session
+      |      FROM events))
+      |  GROUP BY user_id, session_id)""") { (s, dir) =>
+    import graft.api._
+    import s.implicits._
+    val cents = load(s, dir, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"), col("ts"))
+    GraftStreams(s).stream[Long, Long](cents, col("user_id"), col("cents"), col("ts"))
+      .groupByKey
+      .windowedBy(SessionWindows.`with`(java.time.Duration.ofMinutes(30)))
+      .reduce(_ + _)
+      .toStream.toDF
+      .select(col("key.key").as("user_id"), col("key.start").as("session_start"),
+        col("value").as("total_cents"))
+  }
+
   // -- KTable⋈KTable (KTableKTableInnerJoin.java): join of two
   //    latest-per-key views (final state of both changelogs).
   q("q_table_table_join",

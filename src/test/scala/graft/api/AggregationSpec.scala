@@ -91,6 +91,26 @@ class AggregationSpec extends AnyFunSuite {
     assert(got.filter(_._1 == "C") === Seq(("C", 11000L, 1L)))
   }
 
+  test("typed session reduce folds within merged sessions (session Merger)") {
+    val got = input.groupByKey
+      .windowedBy(SessionWindows.`with`(java.time.Duration.ofSeconds(5)))
+      .reduce(_ + _)
+      .toDataset.collect()
+      .map(r => (r._1.key, r._1.start.getTime, r._2)).sortBy(t => (t._1, t._2))
+    // A: 1s(1) + 3s(3) merge into one session => 4; 12s(5) alone
+    assert(got.filter(_._1 == "A") === Seq(("A", 1000L, 4), ("A", 12000L, 5)))
+    assert(got.filter(_._1 == "B") === Seq(("B", 2000L, 2), ("B", 13000L, 6)))
+  }
+
+  test("typed session aggregate with initializer and merger") {
+    val got = input.groupByKey
+      .windowedBy(SessionWindows.`with`(java.time.Duration.ofSeconds(5)))
+      .aggregate(0)((_, v, agg) => agg + v, _ + _)
+      .toDataset.collect()
+      .map(r => (r._1.key, r._1.start.getTime, r._2)).sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == "C") === Seq(("C", 11000L, 4)))
+  }
+
   test("columnar aggExpr fast path") {
     import org.apache.spark.sql.functions._
     val got = input.groupByKey.aggExpr(

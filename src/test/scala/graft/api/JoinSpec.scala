@@ -87,6 +87,13 @@ class JoinSpec extends AnyFunSuite {
     assert(got === Seq((0, "X0+E"), (1, "X1+null"), (2, "X2+E"), (3, "X3+null")))
   }
 
+  test("stream-stream outer join emits both-side unmatched (KStreamKStreamOuterJoinTest)") {
+    val got = out(left.outerJoin(right, JoinWindows.of(Duration.ofSeconds(1)))(
+      (v, vo) => v.getOrElse("null") + "+" + vo.getOrElse("null")))
+    assert(got === Seq(
+      (0, "X0+Y0"), (1, "X1+Y1"), (2, "X2+null"), (2, "null+Y2"), (3, "X3+null")))
+  }
+
   test("table-table inner/left/outer joins (TableTableJoinIntegrationTest)") {
     val tl = builder.table(spark.createDataset(Seq(
       (0, "L0", ts(0L)), (1, "L1", ts(0L)))))
