@@ -32,6 +32,7 @@ object Bench {
     "star-join" -> "q_join_multiway",
     "topk" -> "q_orderby_limit_topk",
     "dedup-minhash-lsh" -> "q_dedup_minhash_lsh",
+    "dedup-minhash-native" -> "q_dedup_minhash_native",
     "dedup-jaccard" -> "q_dedup_ngram_jaccard",
     "ann-cosine-topk" -> "q_ann_cosine_topk",
     "text-stats" -> "q_text_stats",
@@ -61,7 +62,8 @@ object Bench {
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
       "star-join" -> orderRows, "topk" -> orderRows, "table-agg" -> orderRows,
-      "dedup-minhash-lsh" -> docRows, "dedup-jaccard" -> docRows,
+      "dedup-minhash-lsh" -> docRows, "dedup-minhash-native" -> docRows,
+      "dedup-jaccard" -> docRows,
       "text-stats" -> docRows, "lang-id" -> docRows,
       "ann-cosine-topk" -> embRows).withDefaultValue(eventRows)
 

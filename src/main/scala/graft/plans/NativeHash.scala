@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels referenced from generated code — one tight loop
+  * over the UTF8 bytes, no per-element expression interpretation. */
+object HashKernels {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over the raw UTF-8 bytes. */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct word n-gram shingle hashes in ONE pass: lowercase,
+    * whitespace-tokenize, and FNV-hash each n-gram (words joined by a
+    * single space) without materializing shingle strings. Short docs
+    * (< n words) hash the whole normalized text — mirroring
+    * DedupFunctions.wordShingles' fallback. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val text = s.toString.toLowerCase
+    // whitespace tokenization, skipping empty runs
+    val words = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) words.add(text.substring(start, i))
+    }
+    val m = words.size
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < n) {
+      // whole-text fallback (single shingle)
+      var h = FnvOffset
+      var w = 0
+      while (w < m) {
+        if (w > 0) { h ^= ' '.toLong & 0xffL; h *= FnvPrime }
+        val word = words.get(w)
+        var c = 0
+        while (c < word.length) {
+          // ASCII fast path; non-ASCII chars fold through UTF-8 bytes
+          h = hashChar(h, word.charAt(c)); c += 1
+        }
+        w += 1
+      }
+      out.add(h)
+    } else {
+      var start = 0
+      while (start + n <= m) {
+        var h = FnvOffset
+        var w = start
+        while (w < start + n) {
+          if (w > start) { h ^= ' '.toLong & 0xffL; h *= FnvPrime }
+          val word = words.get(w)
+          var c = 0
+          while (c < word.length) { h = hashChar(h, word.charAt(c)); c += 1 }
+          w += 1
+        }
+        out.add(h)
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  private def hashChar(h0: Long, ch: Char): Long = {
+    var h = h0
+    if (ch < 0x80) {
+      h ^= ch.toLong & 0xffL; h *= FnvPrime
+    } else {
+      // fold the UTF-8 encoding of the char
+      val bs = String.valueOf(ch).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bs.length) { h ^= bs(i) & 0xffL; h *= FnvPrime; i += 1 }
+    }
+    h
+  }
+}
+
+/** `fnv64(string)` — codegen'd 64-bit FNV-1a; the cheap non-cryptographic
+  * fingerprint for bucketing/dedup keys (md5 stays for oracle-exact
+  * paths). Custom-Expression tier (b) of the operator preference order. */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.fnv64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.fnv64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+/** `shingle_hashes(text, n)` — one-pass tokenization + n-gram FNV hashing
+  * producing array<long>; replaces a 4-deep interpreted higher-order
+  * pipeline (normalize -> split -> slice/concat per shingle -> hash) on
+  * the dedup hot path. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object NativeHash {
+  import org.apache.spark.sql.GraftColumns.{column, expression}
+
+  def fnv64(c: Column): Column = column(Fnv64(expression(c)))
+  def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
+
+  /** Register `fnv64` / `shingle_hashes` for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv64", exprs => Fnv64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
+}

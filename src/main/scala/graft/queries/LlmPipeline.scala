@@ -131,6 +131,32 @@ object LlmPipeline extends Catalog {
       .distinct()
   }
 
+  // -- native-Expression MinHash+LSH (codegen'd one-pass shingle hashing
+  //    via graft.plans.ShingleHashes + xxhash64 band keys): same LSH
+  //    structure as q_dedup_minhash_lsh but on the cheap non-crypto hash
+  //    path — the production-perf variant; md5 keeps the oracle-exact one.
+  qNoOracle("q_dedup_minhash_native") { (s, dir) =>
+    import graft.plans.NativeHash
+    val P = 2147483647L
+    val sigs = spread(load(s, dir, "documents"))
+      .select(col("doc_id"),
+        D.bindOnce(NativeHash.shingleHashes(col("text"), 3)) { hs =>
+          transform(sequence(lit(0), lit(15)), i =>
+            array_min(transform(hs, h =>
+              (pmod(h, lit(P)) * (i * 2 + 1) + (lit(12345L) + lit(7919L) * i)) % P)))
+        }.as("sig"))
+    sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), expr("slice(sig, band*4 + 1, 4)")).as("bandhash"))
+      .groupBy("band", "bandhash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
   // -- SimHash fingerprint per document (60 bits; near-dups differ in few
   //    bits — pairing by hamming distance is done off the fingerprint).
   q("q_dedup_simhash",

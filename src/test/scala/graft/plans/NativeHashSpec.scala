@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Custom codegen'd Expressions: FNV-1a vectors, one-pass shingle hashing
+  * equivalence with the column-function pipeline, SQL registration, and
+  * whole-stage codegen participation. */
+class NativeHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fnv64 matches published FNV-1a 64 test vectors") {
+    val got = Seq("", "a", "foobar").toDF("s")
+      .select(NativeHash.fnv64($"s")).collect().map(_.getLong(0))
+    assert(got(0) === 0xcbf29ce484222325L)
+    assert(got(1) === 0xaf63dc4c8601ec8cL)
+    assert(got(2) === 0x85944171f73967e8L)
+  }
+
+  test("shingle_hashes = fnv64 over the same shingles the column pipeline builds") {
+    val df = Seq("The quick  brown fox JUMPS", "one two").toDF("t")
+    val native = df.select(NativeHash.shingleHashes($"t", 3)).collect()
+      .map(_.getSeq[Long](0).toSet)
+    val viaStrings = df.select(
+        transform(graft.functions.DedupFunctions.wordShingles($"t", 3),
+          s => NativeHash.fnv64(s)))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(native === viaStrings)
+    assert(native(1).size === 1) // short doc -> whole-text fallback shingle
+  }
+
+  test("expressions are SQL-registered and codegen'd") {
+    NativeHash.register(spark)
+    val viaSql = spark.sql("SELECT fnv64('foobar'), size(shingle_hashes('a b c d', 3))")
+      .head()
+    assert(viaSql.getLong(0) === 0x85944171f73967e8L)
+    assert(viaSql.getInt(1) === 2)
+    // participates in whole-stage codegen (no CodegenFallback) — check
+    // over a real scan (a local relation folds to LocalTableScan)
+    val plan = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(NativeHash.fnv64(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("native minhash query finds the same near-dup structure as the md5 path") {
+    val dir = "/root/testdata/sf0.001"
+    val md5Pairs = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nativePairs = graft.SparkEntry.queries("q_dedup_minhash_native")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // different hash families -> not identical, but both must surface the
+    // dominant near-dup population (high overlap)
+    val inter = (md5Pairs & nativePairs).size.toDouble
+    assert(inter / math.max(md5Pairs.size, 1) > 0.7,
+      s"md5=${md5Pairs.size} native=${nativePairs.size} inter=$inter")
+  }
+}
