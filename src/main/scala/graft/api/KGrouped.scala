@@ -67,6 +67,29 @@ final class KGroupedStream[K, V] private[graft] (private[graft] val df: DataFram
     new KTable[K, VA](out, deduped = true)
   }
 
+  /** Per-key fold strictly in event-time order — the reference's
+    * per-partition log-order fold (`StreamTask.process` pops records in
+    * timestamp order, `PartitionGroup.java:92-123`), for aggregators that
+    * are not merge-commutative. Materializes each group in memory; use
+    * only where groups are bounded (batch parity path — streaming
+    * non-commutative folds belong in flatMapGroupsWithState). */
+  def aggregateOrdered[VA: Encoder](initializer: => VA)(
+      aggregator: (K, V, VA) => VA): KTable[K, VA] = {
+    implicit val outEnc: Encoder[(K, VA, Timestamp)] =
+      Encoders.tuple(kEnc, implicitly[Encoder[VA]], Encoders.TIMESTAMP)
+    // stage locals so the task closure captures only the user functions
+    val init: () => VA = () => initializer
+    val aggFn = aggregator
+    val out = typed.groupByKey(_._1)
+      .mapGroups { (k: K, it: Iterator[(K, V, Timestamp)]) =>
+        val rows = it.toArray.sortBy(_._3.getTime)
+        var acc = init()
+        rows.foreach(r => acc = aggFn(k, r._2, acc))
+        (k, acc, rows.last._3)
+      }
+    new KTable[K, VA](out.toDF(KeyCol, ValueCol, TsCol), deduped = true)
+  }
+
   /** Columnar aggregation fast path: arbitrary Spark SQL aggregate
     * expressions over the value column; stays fully codegen'd. */
   def aggExpr(exprs: (String, Column)*): DataFrame =

@@ -61,6 +61,13 @@ final class KTable[K, V] private[graft] (
     new KTable[K, V2](fromTyped(latestTyped.map(r => (r._1, f(r._2), r._3))(
       tupleEnc[K, V2])), deduped = true, suppressed)
 
+  /** `KTable.transformValues` (`kstream/internals/KTableTransformValues
+    * .java`): value transform over the table view; stateful variants ride
+    * `graft.streaming.StatefulOps` on the update stream. */
+  def transformValues[V2: Encoder](f: (K, V) => V2): KTable[K, V2] =
+    new KTable[K, V2](fromTyped(latestTyped.map(r => (r._1, f(r._1, r._2), r._3))(
+      tupleEnc[K, V2])), deduped = true, suppressed)
+
   /** `KTable.toStream` (`KTable.java:363`): the update stream; in batch,
     * the final view's rows. */
   def toStream: KStream[K, V] = new KStream[K, V](latestDF)

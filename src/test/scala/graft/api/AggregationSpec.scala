@@ -43,6 +43,14 @@ class AggregationSpec extends AnyFunSuite {
     assert(parts(got("C")) === Set("4"))
   }
 
+  test("aggregateOrdered folds in event-time order (reference log-order fold)") {
+    val got = input.groupByKey
+      .aggregateOrdered("0")((_, v, agg) => agg + "+" + v)
+      .toDataset.collect().map(r => (r._1, r._2)).toMap
+    // exact order now guaranteed, like the reference's single-threaded trace
+    assert(got === Map("A" -> "0+1+3+5", "B" -> "0+2+6", "C" -> "0+4"))
+  }
+
   test("groupBy re-keys before aggregating (repartition semantics)") {
     val got = input.groupBy((_, v) => v % 2).count().toDataset.collect()
       .map(r => (r._1, r._2)).sortBy(_._1)
