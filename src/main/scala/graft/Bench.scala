@@ -50,14 +50,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // input cardinality per source table, for rec/sec reporting
+    // input cardinality + on-disk bytes per source table, for rec/sec and
+    // MB/sec reporting (the reference's SimpleBenchmark metric pair)
     def rows(name: String): Long = Tables.load(spark, sfDir, name).count()
+    def bytes(name: String): Long = new java.io.File(s"$sfDir/$name.parquet").length()
     val eventRows = rows("events")
     val lineitemRows = rows("lineitem")
     val docRows = rows("documents")
     val embRows = rows("embeddings")
     val orderRows = rows("orders")
     warmup(spark, sfDir)
+
+    val inputBytes: Map[String, Long] = Map(
+      "consume" -> bytes("lineitem"), "pricing-summary" -> bytes("lineitem"),
+      "star-join" -> bytes("orders"), "topk" -> bytes("orders"),
+      "table-agg" -> bytes("orders"),
+      "dedup-minhash-lsh" -> bytes("documents"),
+      "dedup-minhash-native" -> bytes("documents"),
+      "dedup-jaccard" -> bytes("documents"),
+      "text-stats" -> bytes("documents"), "lang-id" -> bytes("documents"),
+      "ann-cosine-topk" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -80,9 +92,13 @@ object Bench {
     val qs = results.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
     val rs = results.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
     val ns = results.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
+    val mb = results.map { case (wl, sec, _, _) =>
+      val mbs = inputBytes(wl) / 1e6 / sec
+      f""""$wl":$mbs%.2f"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"rows":$ns,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
 
