@@ -238,6 +238,42 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
   }
 
+  // -- embedding-cosine near-dup pairs: sign-bucket LSH candidates, exact
+  //    cosine rescoring above a tight threshold — the vector-space member
+  //    of the dedup family (brute-force-free, scale path).
+  q("q_dedup_embedding", {
+    val bits = (0 until 12).map(i =>
+      s"CASE WHEN embedding[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) /
+       |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 4) AS sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT vec_a, vec_b, sim FROM pairs WHERE sim > 0.2""".stripMargin
+  }) { (s, dir) =>
+    val emb = spread(load(s, dir, "embeddings"))
+      .withColumn("bucket", V.signBucket(col("embedding"), 0 until 12))
+    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(V.cosine(col("ea"), col("eb")), 4).as("sim"))
+      .filter(col("sim") > 0.2)
+  }
+
+  // -- rolling-hash document fingerprint on the native codegen'd FNV path
+  //    (md5-based q_dedup_exact stays the oracle-exact variant).
+  qNoOracle("q_fingerprint_rolling") { (s, dir) =>
+    import graft.plans.NativeHash
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      NativeHash.fnv64(T.normalizeText(col("text"))).as("fp64"))
+  }
+
   // ------------------------------------------------------- multimodal
 
   /** Synthetic media corpus: documents' bytes wrapped in real container
