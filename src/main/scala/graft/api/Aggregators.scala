@@ -13,13 +13,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * Top-level classes (no `$outer`) so task serialization only captures the
   * user lambdas; every buffer also threads max-event-time so result tables
   * carry the reference's table timestamp semantics. */
-private[api] object GroupAggs {
+private[graft] object GroupAggs {
   def maxTs(a: Timestamp, b: Timestamp): Timestamp =
     if (a == null) b else if (b == null) a else if (a.after(b)) a else b
 }
 
 /** `aggregate(initializer)(aggregator, merger)` over (K, V, ts) records. */
-private[api] final class FoldAggregator[K, V, VA](
+private[graft] final class FoldAggregator[K, V, VA](
     init: () => VA, aggr: (K, V, VA) => VA, mrg: (VA, VA) => VA,
     vaEnc: Encoder[VA])
     extends Aggregator[(K, V, Timestamp), (VA, Timestamp), (VA, Timestamp)] {
@@ -37,7 +37,7 @@ private[api] final class FoldAggregator[K, V, VA](
 /** Emptiness-tracked fold for `reduce` (no initializer): buffer is
   * (hasValue, value, maxTs) so primitive V stays encodable without
   * Option. */
-private[api] final class OptFoldAggregator[K, V, VA](
+private[graft] final class OptFoldAggregator[K, V, VA](
     add: (Option[VA], V) => Option[VA],
     combine: (Option[VA], Option[VA]) => Option[VA],
     vaEnc: Encoder[VA])
@@ -62,7 +62,7 @@ private[api] final class OptFoldAggregator[K, V, VA](
   * product-typed fields arrive as `Row`; atomic externals (String, boxed
   * numbers, Timestamp) arrive as themselves. This rebuilds the typed value
   * when needed. */
-private[api] object ExternalConv {
+private[graft] object ExternalConv {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
   import org.apache.spark.sql.catalyst.InternalRow
@@ -90,7 +90,7 @@ private[api] object ExternalConv {
 /** Adapts a (K, V, ts)-tuple aggregator to Row input for use on a
   * relational groupBy (the windowed path, where grouping must stay on the
   * native window() column). Row layout: (_1=key, _2=value, _3=ts). */
-private[api] final class RowFoldAdapter[K, V, BUF, OUT](
+private[graft] final class RowFoldAdapter[K, V, BUF, OUT](
     delegate: Aggregator[(K, V, Timestamp), BUF, OUT],
     kEnc: Encoder[K], vEnc: Encoder[V])
     extends Aggregator[org.apache.spark.sql.Row, BUF, OUT] {
@@ -107,7 +107,7 @@ private[api] final class RowFoldAdapter[K, V, BUF, OUT](
 
 /** Adder/subtractor fold over (+new, -old) changelog deltas —
   * `KTableAggregate.java:72-106`. */
-private[api] final class DeltaFoldAggregator[K, V, VA](
+private[graft] final class DeltaFoldAggregator[K, V, VA](
     init: () => VA, adder: (K, V, VA) => VA, subtractor: (K, V, VA) => VA,
     mrg: (VA, VA) => VA, vaEnc: Encoder[VA])
     extends Aggregator[(K, V, Boolean, Timestamp), (VA, Timestamp), (VA, Timestamp)] {
