@@ -14,9 +14,11 @@ import graft.queries.{LlmPipeline, Relational, StreamsParity}
 object SparkEntry {
   private val catalogs = Seq(Relational, StreamsParity, LlmPipeline)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The Yahoo benchmark pipeline through the typed DSL — source, filter,
+    * broadcast global-table join, re-key, tumbling windowed count. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q_yahoo_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

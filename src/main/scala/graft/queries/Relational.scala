@@ -137,4 +137,75 @@ object Relational extends Catalog {
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, dir) =>
     load(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
   }
+
+  // -- grouping sets: ROLLUP over (returnflag, linestatus) — subtotals +
+  //    grand total in one pass (no reference analogue; Spark-native add).
+  q("q_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""") { (s, dir) =>
+    load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("total"))
+  }
+
+  // -- CUBE over (orderstatus, orderpriority).
+  q("q_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""") { (s, dir) =>
+    load(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // -- running window frame: cumulative revenue per supplier by ship date
+  //    (rowsBetween unboundedPreceding..current).
+  q("q_window_running_sum",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM lineitem WHERE l_suppkey <= 2""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "lineitem").filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_extendedprice"))).over(w).cast("double").as("running"))
+  }
+
+  // -- lag/lead analytics: per-customer order-value delta.
+  q("q_window_lag_delta",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
+      |    lag(CAST(o_totalprice AS DECIMAL(18,2)))
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta
+      |FROM orders WHERE o_custkey < 50""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    load(s, dir, "orders").filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (dec2(col("o_totalprice")) - lag(dec2(col("o_totalprice")), 1).over(w))
+          .cast("double").as("delta"))
+  }
+
+  // -- exact distinct count (oracle) — the HLL sketch variant is
+  //    q_approx_distinct (rows-only; estimates differ across engines).
+  q("q_count_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    load(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  // -- HLL-sketch distinct (approx_count_distinct): the "novel sketch"
+  //    class — partial sketches merge map-side, constant state per group.
+  qNoOracle("q_approx_distinct") { (s, dir) =>
+    load(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+  }
 }
