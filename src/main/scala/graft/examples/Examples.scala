@@ -1,0 +1,88 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.api._
+
+/** Runnable example topologies — the migration guide for a Kafka Streams
+  * user, each mirroring a canonical Streams first-app. Run with e.g.
+  * `sbt "runMain graft.examples.WordCountApp"`.
+  *
+  * The Kafka-backed variant of each is the same topology with the source
+  * swapped for `builder.kafkaStream(bootstrap, topic)` and the sink for
+  * `GraftSinks.toKafka(...)` — no broker ships in this environment, so
+  * the examples read the driver-provided parquet instead.
+  */
+object ExampleSession {
+  def spark(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** The Streams "hello world": split text into words, count per word.
+  * (KStream → flatMapValues → groupBy → count → print.) */
+object WordCountApp {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("wordcount")
+    import spark.implicits._
+    val builder = GraftStreams(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+    builder
+      .stream[Long, String](docs, col("doc_id"), col("text"), current_timestamp())
+      .flatMapValues(text => text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      .selectKey((_, word) => word)
+      .groupByKey
+      .count()
+      .toStream
+      .toDF.orderBy(desc("value")).limit(10).show(false)
+    spark.stop()
+  }
+}
+
+/** Sessionized user activity with final-results suppression:
+  * events → groupByKey → session windows → count → suppress. */
+object SessionizeApp {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("sessionize")
+    import spark.implicits._
+    val builder = GraftStreams(spark)
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+    val sessions = builder
+      .stream[Long, Double](events, col("user_id"), col("value"), col("ts"))
+      .groupByKey
+      .windowedBy(SessionWindows.`with`(java.time.Duration.ofMinutes(30)))
+      .reduce(_ + _)
+      .suppressFinal() // in streaming: append mode after the watermark
+    sessions.toStream.toDF
+      .select(col("key.key").as("user"), col("key.start"), col("value").as("session_value"))
+      .orderBy(desc("session_value")).limit(10).show(false)
+    spark.stop()
+  }
+}
+
+/** Corpus hygiene pipeline: exact dedup fingerprints + MinHash-LSH
+  * near-dup candidates + quality filter, one job. */
+object CorpusDedupApp {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("corpus-dedup")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val nearDups = graft.SparkEntry.queries("q_dedup_minhash_native")(spark, dir)
+    val quality = graft.SparkEntry.queries("q_text_quality")(spark, dir)
+    println(s"near-dup candidate pairs: ${nearDups.count()}")
+    println("lowest-quality docs:")
+    quality.orderBy("quality").limit(5).show(false)
+    spark.stop()
+  }
+}
