@@ -134,10 +134,7 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
     val (l, r) = sides(other)
     val lw = withGraceOn(l, "l_ts", windows.graceMs)
     val rw = withGraceOn(r, "r_ts", windows.graceMs)
-    val joined = lw.join(rw,
-      col(KeyCol) === col("r_key") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS"))
+    val joined = lw.join(rw, intervalCond(windows))
       .select(col(KeyCol).as("_1"), col("l_value").as("_2"), col("r_value").as("_3"),
         col("l_ts").as("_4"))
       .as(Encoders.tuple(kEnc, vEnc, implicitly[Encoder[VO]], Encoders.TIMESTAMP))
@@ -146,48 +143,45 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
   }
 
   /** Left interval join: unmatched left records emit `joiner(v, None)`.
-    * Emission timing is watermark-final rather than the reference's eager
-    * spurious-null (`KStreamKStreamJoin.java:97-99`) — set equivalence,
-    * documented divergence (SURVEY.md §7.4). Batch only in this version. */
+    * Native left-outer interval join (streaming-capable with grace on both
+    * sides); emission timing is watermark-final rather than the
+    * reference's eager spurious-null (`KStreamKStreamJoin.java:97-99`) —
+    * set equivalence, documented divergence (SURVEY.md §7.4). */
   def leftJoin[VO: Encoder, VR: Encoder](other: KStream[K, VO], windows: JoinWindows)(
       joiner: (V, Option[VO]) => VR): KStream[K, VR] = {
-    require(!df.isStreaming, "streaming left interval join lands with transformWithState")
-    val matched = join(other, windows)((v, vo) => joiner(v, Some(vo)))
     val (l, r) = sides(other)
-    val unmatched = l.join(r,
-        col(KeyCol) === col("r_key") &&
-          col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS"),
-        "left_anti")
-      .select(col(KeyCol).as("_1"), col("l_value").as("_2"), col("l_ts").as("_3"))
-      .as(tupleEnc[K, V])
-    matched.merge(new KStream[K, VR](fromTyped(
-      unmatched.map(t => (t._1, joiner(t._2, None), t._3))(tupleEnc[K, VR]))))
+    val lw = withGraceOn(l, "l_ts", windows.graceMs)
+    val rw = withGraceOn(r, "r_ts", windows.graceMs)
+    // Option encoder decodes the nullable unmatched side directly
+    val joined = lw.join(rw, intervalCond(windows), "left_outer")
+      .select(col(KeyCol).as("_1"), col("l_value").as("_2"), col("r_value").as("_3"),
+        col("l_ts").as("_4"))
+      .as(Encoders.tuple(kEnc, vEnc, optionEnc[VO], Encoders.TIMESTAMP))
+    new KStream[K, VR](fromTyped(joined.map(t => (t._1, joiner(t._2, t._3), t._4))(
+      tupleEnc[K, VR])))
   }
 
   /** Full outer interval join (`KStream.java:1527` outerJoin): unmatched
-    * records from either side emit with the other side None. Same
-    * watermark-final emission caveat as [[leftJoin]]. Batch only. */
+    * records from either side emit with the other side None. Native
+    * full-outer interval join; same watermark-final emission caveat as
+    * [[leftJoin]]. */
   def outerJoin[VO: Encoder, VR: Encoder](other: KStream[K, VO], windows: JoinWindows)(
       joiner: (Option[V], Option[VO]) => VR): KStream[K, VR] = {
-    require(!df.isStreaming, "streaming outer interval join lands with transformWithState")
-    val matched = join(other, windows)((v, vo) => joiner(Some(v), Some(vo)))
     val (l, r) = sides(other)
-    val joinCond =
-      col(KeyCol) === col("r_key") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
-    val lOnly = l.join(r, joinCond, "left_anti")
-      .select(col(KeyCol).as("_1"), col("l_value").as("_2"), col("l_ts").as("_3"))
-      .as(tupleEnc[K, V])
-      .map(t => (t._1, joiner(Some(t._2), None), t._3))(tupleEnc[K, VR])
-    val rOnly = r.join(l, joinCond, "left_anti")
-      .select(col("r_key").as("_1"), col("r_value").as("_2"), col("r_ts").as("_3"))
-      .as(tupleEnc[K, VO])
-      .map(t => (t._1, joiner(None, Some(t._2)), t._3))(tupleEnc[K, VR])
-    matched.merge(new KStream[K, VR](fromTyped(lOnly)))
-      .merge(new KStream[K, VR](fromTyped(rOnly)))
+    val lw = withGraceOn(l, "l_ts", windows.graceMs)
+    val rw = withGraceOn(r, "r_ts", windows.graceMs)
+    val joined = lw.join(rw, intervalCond(windows), "full_outer")
+      .select(coalesce(col(KeyCol), col("r_key")).as("_1"), col("l_value").as("_2"),
+        col("r_value").as("_3"), coalesce(col("l_ts"), col("r_ts")).as("_4"))
+      .as(Encoders.tuple(kEnc, optionEnc[V], optionEnc[VO], Encoders.TIMESTAMP))
+    new KStream[K, VR](fromTyped(joined.map(t => (t._1, joiner(t._2, t._3), t._4))(
+      tupleEnc[K, VR])))
   }
+
+  private def intervalCond(windows: JoinWindows): Column =
+    col(KeyCol) === col("r_key") &&
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
 
   /** KStream⋈KTable temporal lookup join
     * (`kstream/internals/KStreamKTableJoinProcessor.java:55-76`): each
@@ -205,14 +199,17 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
       tupleEnc[K, VR])))
   }
 
-  /** Left variant: misses emit `joiner(v, None)`. */
+  /** Left variant: misses emit `joiner(v, None)` — single left-outer pass
+    * with Option-decoded table side. */
   def leftJoinTable[VT: Encoder, VR: Encoder](table: KTable[K, VT])(
       joiner: (V, Option[VT]) => VR): KStream[K, VR] = {
-    val matched = joinTable(table)((v, vt) => joiner(v, Some(vt)))
-    val t = table.latestDF.select(col(KeyCol).as("t_key"))
-    val missed = df.join(t, col(KeyCol) === col("t_key"), "left_anti")
-    val missStream = new KStream[K, V](missed)
-    matched.merge(missStream.mapValues(v => joiner(v, None)))
+    val t = table.latestDF.select(col(KeyCol).as("t_key"), col(ValueCol).as("t_value"))
+    val joined = df.join(t, col(KeyCol) === col("t_key"), "left_outer")
+      .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("t_value").as("_3"),
+        col(TsCol).as("_4"))
+      .as(Encoders.tuple(kEnc, vEnc, optionEnc[VT], Encoders.TIMESTAMP))
+    new KStream[K, VR](fromTyped(joined.map(t4 => (t4._1, joiner(t4._2, t4._3), t4._4))(
+      tupleEnc[K, VR])))
   }
 
   /** KStream⋈GlobalKTable lookup join with arbitrary key mapper
@@ -262,6 +259,10 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
 
   /** `KStream.print` — console sink analogue. */
   def print(): Unit = df.show(20, truncate = false)
+
+  /** `Topology.describe()` (`Topology.java:767`): the topology IS the
+    * Catalyst logical plan here — print it. */
+  def describe(): String = df.queryExecution.logical.treeString
 
   /** Typed view for tests and interop. */
   def toDataset: Dataset[(K, V, Timestamp)] = typed

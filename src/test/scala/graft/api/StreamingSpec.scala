@@ -104,6 +104,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming left interval join emits watermark-final nulls (KStreamKStreamLeftJoin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Int, String, java.sql.Timestamp)]
+    val rMem = MemoryStream[(Int, String, java.sql.Timestamp)]
+    val l = builder.stream[Int, String](lMem.toDF(), $"_1", $"_2", $"_3")
+    val r = builder.stream[Int, String](rMem.toDF(), $"_1", $"_2", $"_3")
+    val joined = l.leftJoin(r, JoinWindows.of(Duration.ofSeconds(1)))(
+      (v, vo) => v + "+" + vo.getOrElse("null"))
+    val q = joined.toDF.writeStream.format("memory").queryName("slj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lMem.addData((0, "X0", ts(1000L)), (1, "X1", ts(2000L)))
+      rMem.addData((0, "Y0", ts(1500L)))
+      q.processAllAvailable()
+      // advance both watermarks far past the join windows
+      lMem.addData((9, "XF", ts(60000L)))
+      rMem.addData((9, "YF", ts(60000L)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("slj").collect().map(r0 => (r0.getInt(0), r0.getString(1))).toSet
+      assert(got.contains((0, "X0+Y0"))) // matched pair
+      assert(got.contains((1, "X1+null"))) // unmatched left emitted after watermark
+    } finally q.stop()
+  }
+
   test("streaming stream-static join enriches each micro-batch (KStream⋈KTable)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Int, String, java.sql.Timestamp)]
