@@ -232,16 +232,16 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
 
   def leftJoinGlobal[GK: Encoder, GV: Encoder, VR: Encoder](global: GlobalKTable[GK, GV])(
       keyMapper: (K, V) => GK)(joiner: (V, Option[GV]) => VR): KStream[K, VR] = {
-    val matched = joinGlobal(global)(keyMapper)((v, gv) => joiner(v, Some(gv)))
     val keyed = fromTyped(typed.map(r => ((r._1, r._2, r._3), keyMapper(r._1, r._2), r._3))(
       Encoders.tuple(t3, implicitly[Encoder[GK]], Encoders.TIMESTAMP)))
       .toDF("rec", "gk", "gts")
-    val g = global.df.select(col(KeyCol).as("g_key"))
-    val missed = keyed.join(broadcast(g), col("gk") === col("g_key"), "left_anti")
-      .select(col("rec.*"))
-      .as(t3)
-    matched.merge(new KStream[K, VR](fromTyped(
-      missed.map(r => (r._1, joiner(r._2, None), r._3))(tupleEnc[K, VR]))))
+    val g = global.df.select(col(KeyCol).as("g_key"), col(ValueCol).as("g_value"))
+    val joined = keyed.join(broadcast(g), col("gk") === col("g_key"), "left_outer")
+      .select(col("rec").as("_1"), col("g_value").as("_2"))
+      .as(Encoders.tuple(t3, optionEnc[GV]))
+    new KStream[K, VR](fromTyped(joined.map { case (rec, gv) =>
+      (rec._1, joiner(rec._2, gv), rec._3)
+    }(tupleEnc[K, VR])))
   }
 
   // ------------------------------------------------- tables & sinks

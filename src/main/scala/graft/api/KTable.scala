@@ -115,31 +115,31 @@ final class KTable[K, V] private[graft] (
       tupleEnc[K, VR])), deduped = true, suppressed)
   }
 
-  /** Left join (`KTableKTableLeftJoin.java`): right misses join as None. */
+  /** Left join (`KTableKTableLeftJoin.java`): right misses join as None —
+    * native left-outer pass with Option-decoded right side. */
   def leftJoin[VO: Encoder, VR: Encoder](other: KTable[K, VO])(
       joiner: (V, Option[VO]) => VR): KTable[K, VR] = {
-    val matched = join(other)((v, vo) => joiner(v, Some(vo)))
-    val r = other.latestDF.select(col(KeyCol).as("r_key"))
-    val missed = toTyped[K, V](latestDF.join(r, col(KeyCol) === col("r_key"), "left_anti"))
-    val missedTable = fromTyped(missed.map(t => (t._1, joiner(t._2, None), t._3))(
-      tupleEnc[K, VR]))
-    new KTable[K, VR](matched.df.unionByName(missedTable), deduped = true, suppressed)
+    val r = other.latestDF.select(col(KeyCol).as("r_key"), col(ValueCol).as("r_value"))
+    val joined = latestDF.join(r, col(KeyCol) === col("r_key"), "left_outer")
+      .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("r_value").as("_3"),
+        col(TsCol).as("_4"))
+      .as(Encoders.tuple(kEnc, vEnc, optionEnc[VO], Encoders.TIMESTAMP))
+    new KTable[K, VR](fromTyped(joined.map(t => (t._1, joiner(t._2, t._3), t._4))(
+      tupleEnc[K, VR])), deduped = true, suppressed)
   }
 
-  /** Outer join (`KTableKTableOuterJoin.java`): either side may be None. */
+  /** Outer join (`KTableKTableOuterJoin.java`): either side may be None —
+    * native full-outer pass, both sides Option-decoded. */
   def outerJoin[VO: Encoder, VR: Encoder](other: KTable[K, VO])(
       joiner: (Option[V], Option[VO]) => VR): KTable[K, VR] = {
-    val matched = join(other)((v, vo) => joiner(Some(v), Some(vo)))
-    val rKeys = other.latestDF.select(col(KeyCol).as("r_key"))
-    val lOnly = toTyped[K, V](latestDF.join(rKeys, col(KeyCol) === col("r_key"), "left_anti"))
-      .map(t => (t._1, joiner(Some(t._2), None), t._3))(tupleEnc[K, VR])
-    val lKeys = latestDF.select(col(KeyCol).as("l_key"))
-    val rOnly = toTyped[K, VO](
-        other.latestDF.join(lKeys, col(KeyCol) === col("l_key"), "left_anti"))
-      .map(t => (t._1, joiner(None, Some(t._2)), t._3))(tupleEnc[K, VR])
-    new KTable[K, VR](
-      matched.df.unionByName(fromTyped(lOnly)).unionByName(fromTyped(rOnly)),
-      deduped = true, suppressed)
+    val r = other.latestDF.select(col(KeyCol).as("r_key"), col(ValueCol).as("r_value"),
+      col(TsCol).as("r_ts"))
+    val joined = latestDF.join(r, col(KeyCol) === col("r_key"), "full_outer")
+      .select(coalesce(col(KeyCol), col("r_key")).as("_1"), col(ValueCol).as("_2"),
+        col("r_value").as("_3"), coalesce(col(TsCol), col("r_ts")).as("_4"))
+      .as(Encoders.tuple(kEnc, optionEnc[V], optionEnc[VO], Encoders.TIMESTAMP))
+    new KTable[K, VR](fromTyped(joined.map(t => (t._1, joiner(t._2, t._3), t._4))(
+      tupleEnc[K, VR])), deduped = true, suppressed)
   }
 
   /** Typed view of the live rows. */

@@ -202,6 +202,18 @@ object Relational extends Catalog {
         countDistinct(col("l_suppkey")).as("n_supps"))
   }
 
+  // -- exact interpolated quantiles (Spark percentile ≡ DuckDB
+  //    quantile_cont, bit-identical interpolation — verified).
+  q("q_percentile",
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS median_v,
+      |  quantile_cont(value, 0.95) AS p95_v
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    load(s, dir, "events").groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("median_v"),
+        expr("percentile(value, 0.95)").as("p95_v"))
+  }
+
   // -- HLL-sketch distinct (approx_count_distinct): the "novel sketch"
   //    class — partial sketches merge map-side, constant state per group.
   qNoOracle("q_approx_distinct") { (s, dir) =>

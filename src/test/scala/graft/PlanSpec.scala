@@ -63,4 +63,20 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_join_semi").contains("LeftSemi"))
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
+
+  test("hive-style partitioned layout prunes partitions at the scan") {
+    // the 100 TB layout: facts partitioned by a coarse key; a filter on the
+    // partition column must become a PartitionFilter (skips whole dirs),
+    // not a data filter
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.load(spark, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val plan = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .groupBy("user_id").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(900))
+    // and no row-level filter remains for the partition predicate
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"), plan.take(900))
+  }
 }

@@ -87,6 +87,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows merge across batches with typed reduce") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    // session-window streaming aggs emit final results only (append mode —
+    // Spark doesn't support update mode for merging sessions)
+    val sessions = builder.stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+      .groupByKey
+      .windowedBy(SessionWindows.`with`(Duration.ofSeconds(10)).grace(Duration.ZERO))
+      .reduce(_ + _)
+    val q = sessions.df.writeStream.format("memory").queryName("ssess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("A", 1, ts(1000L)))
+      q.processAllAvailable()
+      // second batch extends the same session (within gap): values fold
+      mem.addData(("A", 2, ts(5000L)))
+      q.processAllAvailable()
+      assert(spark.table("ssess").count() === 0) // session still open
+      // watermark passes session end -> final merged session appended
+      mem.addData(("Z", 9, ts(60000L)))
+      q.processAllAvailable()
+      val rows = spark.table("ssess").collect()
+        .map(r => (r.getStruct(0).getString(0), r.getInt(1)))
+      assert(rows.toSeq === Seq(("A", 3))) // 1+2 merged into one session
+    } finally q.stop()
+  }
+
   test("streaming KTable latest-per-key view in update mode (KTableSource)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, java.sql.Timestamp)]
