@@ -64,6 +64,21 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("repartition elision: aggregation adds no shuffle over a repartition point (§4.1)") {
+    // the reference elides repartition topics when the key is unchanged
+    // (repartitionRequired flag in KStreamImpl); Catalyst's equivalent:
+    // a groupBy over an explicitly key-partitioned child (through())
+    // inserts NO additional exchange — the repartition satisfies the
+    // aggregation's required distribution
+    import org.apache.spark.sql.functions._
+    val rekeyed = Tables.load(spark, dir, "events")
+      .select((col("user_id") % 7).as("k"), col("value"))
+      .repartition(col("k"))
+    val agg = rekeyed.groupBy("k").agg(sum(col("value")).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(1500))
+  }
+
   test("hive-style partitioned layout prunes partitions at the scan") {
     // the 100 TB layout: facts partitioned by a coarse key; a filter on the
     // partition column must become a PartitionFilter (skips whole dirs),
