@@ -95,6 +95,8 @@ object Bench {
       (wl, sec, n, inputRows(wl) / sec)
     }
 
+    val lat = latencyPercentiles(spark)
+
     val qs = results.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
     val rs = results.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
     val ns = results.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
@@ -103,9 +105,46 @@ object Bench {
       f""""$wl":$mbs%.2f"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val latJson = lat.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"latency_ms":$latJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end micro-batch latency percentiles — the `EndToEndLatency`
+    * analogue (`core/.../EndToEndLatency.scala:159-163` prints
+    * p50/p95/p99): time from records entering the source to the stateful
+    * topology's results being visible in the sink, over repeated small
+    * batches of a keyed count topology. */
+  private def latencyPercentiles(spark: SparkSession): Map[String, Double] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val counts = mem.toDF().toDF("k", "v")
+        .groupBy(col("k") % 64).agg(count(lit(1)), sum(col("v")))
+      val q = counts.writeStream.format("memory").queryName("bench_latency")
+        .outputMode(OutputMode.Update).start()
+      val durations = try {
+        (1 to 30).map { round =>
+          val batch = (0 until 1000).map(i => ((round * 1000 + i).toLong, i.toDouble))
+          val t0 = System.nanoTime()
+          mem.addData(batch)
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e6
+        }.drop(5).sorted // drop warm-up rounds
+      } finally q.stop()
+      def pct(p: Double) = durations(math.min(durations.size - 1,
+        (p * durations.size).toInt))
+      Map("p50" -> pct(0.50), "p95" -> pct(0.95), "p99" -> pct(0.99))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] latency probe failed: $e")
+        Map("p50" -> -1.0, "p95" -> -1.0, "p99" -> -1.0)
+    }
   }
 
   /** One small end-to-end action so JIT/codegen warmup doesn't land on the
