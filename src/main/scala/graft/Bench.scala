@@ -35,6 +35,7 @@ object Bench {
     "dedup-minhash-native" -> "q_dedup_minhash_native",
     "dedup-jaccard" -> "q_dedup_ngram_jaccard",
     "ann-cosine-topk" -> "q_ann_cosine_topk",
+    "ann-ivf" -> "q_ann_ivf",
     "text-stats" -> "q_text_stats",
     "lang-id" -> "q_lang_id")
 
@@ -69,7 +70,8 @@ object Bench {
       "dedup-minhash-native" -> bytes("documents"),
       "dedup-jaccard" -> bytes("documents"),
       "text-stats" -> bytes("documents"), "lang-id" -> bytes("documents"),
-      "ann-cosine-topk" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "ann-cosine-topk" -> bytes("embeddings"),
+      "ann-ivf" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -77,7 +79,7 @@ object Bench {
       "dedup-minhash-lsh" -> docRows, "dedup-minhash-native" -> docRows,
       "dedup-jaccard" -> docRows,
       "text-stats" -> docRows, "lang-id" -> docRows,
-      "ann-cosine-topk" -> embRows).withDefaultValue(eventRows)
+      "ann-cosine-topk" -> embRows, "ann-ivf" -> embRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference

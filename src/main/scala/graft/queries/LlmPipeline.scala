@@ -366,6 +366,18 @@ object LlmPipeline extends Catalog {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  // -- IVF ANN (the other scale path): k-means cells + nProbe search.
+  //    Approximation depends on float summation order in centroid
+  //    training, so the oracle is rows-only; recall vs brute force is
+  //    pinned by VectorIndexSpec.
+  qNoOracle("q_ann_ivf") { (s, dir) =>
+    import graft.functions.VectorIndex
+    val emb = spread(load(s, dir, "embeddings"))
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    VectorIndex.search(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", cb, nProbe = 4, topK = 10)
+  }
+
   // -- LSH-bucketed ANN (the scale path): bucket by the sign pattern of
   //    the first 12 components; exact cosine only within the bucket.
   q("q_ann_lsh_bucket", {
