@@ -124,6 +124,11 @@ object Bench {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // latency-sensitive streams run few state partitions (per-batch task
+    // overhead dominates at small batch sizes); restore the throughput
+    // setting afterwards
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val mem = MemoryStream[(Long, Double)]
       val counts = mem.toDF().toDF("k", "v")
@@ -146,7 +151,7 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] latency probe failed: $e")
         Map("p50" -> -1.0, "p95" -> -1.0, "p99" -> -1.0)
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** One small end-to-end action so JIT/codegen warmup doesn't land on the
