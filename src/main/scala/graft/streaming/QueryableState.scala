@@ -41,7 +41,7 @@ object QueryableState {
     new QueryableStore(() => {
       val t = spark.table(queryName)
       // latest emitted update per key = current table state
-      val cols = t.columns
+      val cols = t.columns.toIndexedSeq
       t.withColumn("__seq", monotonically_increasing_id())
         .groupBy(col(keyCol))
         .agg(max_by(struct(cols.map(col): _*), col("__seq")).as("m"))
