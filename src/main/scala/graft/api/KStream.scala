@@ -264,6 +264,24 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
     * Catalyst logical plan here — print it. */
   def describe(): String = df.queryExecution.logical.treeString
 
+  /** Named observable metrics over the stream — the reference's
+    * per-processor metrics surface (`late-record-drop`, process-rate …):
+    * batch queries surface them via QueryExecutionListener, streaming via
+    * `StreamingQueryProgress.observedMetrics`. */
+  def observe(name: String, exprs: (String, Column)*): KStream[K, V] =
+    new KStream[K, V](df.observe(name,
+      exprs.head._2.as(exprs.head._1), exprs.tail.map { case (n, c) => c.as(n) }: _*))
+
+  /** At-least-once source/sink dedup: drop records with a duplicate id
+    * seen within the watermark window — the standard mitigation for the
+    * Kafka sink's at-least-once delivery (state is bounded by the
+    * watermark, unlike full-history dropDuplicates). */
+  def dedupWithinGrace(idCols: Seq[String], graceMs: Long): KStream[K, V] =
+    new KStream[K, V](
+      if (df.isStreaming)
+        withGrace(df, graceMs).dropDuplicatesWithinWatermark(idCols)
+      else df.dropDuplicates(idCols))
+
   /** Typed view for tests and interop. */
   def toDataset: Dataset[(K, V, Timestamp)] = typed
 

@@ -156,6 +156,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observe surfaces named metrics in streaming progress (metrics parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val observed = builder.stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+      .observe("throughput",
+        "n" -> org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        "sum_v" -> org.apache.spark.sql.functions.sum($"value"))
+    val q = observed.toDF.writeStream.format("memory").queryName("obs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("A", 1, ts(1000L)), ("B", 2, ts(2000L)))
+      q.processAllAvailable()
+      val metrics = q.lastProgress.observedMetrics.get("throughput")
+      assert(metrics.getAs[Long]("n") === 2L)
+      assert(metrics.getAs[Long]("sum_v") === 3L)
+    } finally q.stop()
+  }
+
+  test("dedupWithinGrace drops duplicate ids across micro-batches (at-least-once mitigation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val deduped = builder.stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+      .dedupWithinGrace(Seq("key"), graceMs = 60000L)
+    val q = deduped.toDF.writeStream.format("memory").queryName("dedupst")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("a", 1, ts(1000L)), ("a", 1, ts(1100L)), ("b", 2, ts(1200L)))
+      q.processAllAvailable()
+      mem.addData(("a", 1, ts(2000L))) // redelivery in a later batch
+      q.processAllAvailable()
+      val keys = spark.table("dedupst").collect().map(_.getString(0)).sorted
+      assert(keys === Array("a", "b")) // each id delivered once downstream
+    } finally q.stop()
+  }
+
   test("streaming stream-static join enriches each micro-batch (KStream⋈KTable)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Int, String, java.sql.Timestamp)]
