@@ -127,6 +127,47 @@ object GraftSinks {
       .option("path", path).option("checkpointLocation", checkpoint)
       .trigger(trigger).start()
 
+  /** Maintain a queryable materialized view of a streaming KTable as a
+    * keyed parquet upsert (exactly-once via checkpoint + idempotent batch
+    * merge): each micro-batch's updates overwrite the affected keys; null
+    * values delete. The Delta-less IQ/materialization sink — readers see
+    * the current table with plain `spark.read.parquet`. */
+  def upsertParquet[K, V](t: KTable[K, V], path: String, checkpoint: String): StreamingQuery =
+    t.df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(path)
+        val existing =
+          if (dir.exists() && dir.list().exists(_.endsWith(".parquet")))
+            Some(spark.read.parquet(path))
+          else None
+        val updates = batch.toDF()
+        val merged = existing match {
+          case Some(cur) =>
+            cur.join(updates.select(col(Rec.KeyCol)).distinct(), Seq(Rec.KeyCol),
+                "left_anti")
+              .unionByName(updates)
+          case None => updates
+        }
+        val live = merged.filter(col(Rec.ValueCol).isNotNull)
+        // write to a temp dir then swap, so concurrent readers never see
+        // a half-written view
+        val tmp = path + ".tmp"
+        live.coalesce(math.max(1, live.rdd.getNumPartitions / 4))
+          .write.mode("overwrite").parquet(tmp)
+        val old = new java.io.File(path)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (old.exists()) rm(old)
+        new java.io.File(tmp).renameTo(old)
+        ()
+      }
+      .start()
+
   /** PAPI `process` terminal / punctuation-free side effects:
     * foreachBatch. */
   def foreachBatch[K, V](s: KStream[K, V], checkpoint: String)(

@@ -98,6 +98,50 @@ object LlmPipeline extends Catalog {
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
+  // -- character 4-gram Jaccard near-dups with a doc-frequency cut: char
+  //    shingles shared by too many docs (stop-grams) are dropped BEFORE
+  //    pair generation — the skew-bounding technique stated exactly in the
+  //    oracle, so results stay hash-exact while the hot buckets vanish.
+  q("q_dedup_char_ngram", {
+    val nt = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    s"""WITH docs AS (SELECT doc_id, $nt AS nt FROM documents),
+       |sh AS (SELECT doc_id, unnest(
+       |    CASE WHEN len(nt) < 4 THEN [nt]
+       |         ELSE list_distinct([nt[i:i+3] for i in range(1, len(nt) - 2)]) END) AS s
+       |  FROM docs),
+       |kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+       |ksh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+       |sized AS (SELECT doc_id, count(*) AS n_sh FROM ksh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN sized sa ON sa.doc_id = doc_a
+       |JOIN sized sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0.6""".stripMargin
+  }) { (s, dir) =>
+    val sh = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(D.charShingles(col("text"), 4)).as("s"))
+    val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 50)
+    val sized = kept.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = kept.filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))
+    pairs
+      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
+      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      .filter(jac > 0.6)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
   // -- MinHash + LSH banding: k=16 signature, 4 bands x 4 rows; candidate
   //    pairs share at least one band hash. Equi-join on (band, bandhash).
   q("q_dedup_minhash_lsh",
