@@ -138,6 +138,40 @@ object Relational extends Catalog {
     load(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
   }
 
+  // -- pivot: event counts per user spread into per-type columns.
+  q("q_pivot",
+    """SELECT user_id,
+      |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+      |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase
+      |FROM events WHERE user_id < 30 GROUP BY user_id""") { (s, dir) =>
+    graft.Tables.load(s, dir, "events").filter(col("user_id") < 30)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  // -- intersect / except: the set ops the reference's merge (UNION ALL)
+  //    never had.
+  q("q_intersect",
+    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""") { (s, dir) =>
+    val c = load(s, dir, "customer")
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+      .intersect(c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey"))
+  }
+
+  q("q_except",
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0""") { (s, dir) =>
+    load(s, dir, "orders").select("o_custkey")
+      .except(load(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("o_custkey")))
+  }
+
   // -- grouping sets: ROLLUP over (returnflag, linestatus) — subtotals +
   //    grand total in one pass (no reference analogue; Spark-native add).
   q("q_rollup",
