@@ -98,15 +98,17 @@ object Bench {
     }
 
     val lat = latencyPercentiles(spark)
+    val streaming = streamingThroughput(spark, sfDir, eventRows)
 
-    val qs = results.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
-    val rs = results.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
-    val ns = results.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
-    val mb = results.map { case (wl, sec, _, _) =>
+    val allResults = results ++ streaming
+    val qs = allResults.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
+    val rs = allResults.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
+    val ns = allResults.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
+    val mb = allResults.map { case (wl, sec, _, _) =>
       val mbs = inputBytes(wl) / 1e6 / sec
       f""""$wl":$mbs%.2f"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = allResults.map(_._2).sum
     val latJson = lat.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"latency_ms":$latJson,"sf":"$sfDir"}""")
@@ -151,6 +153,51 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] latency probe failed: $e")
         Map("p50" -> -1.0, "p95" -> -1.0, "p99" -> -1.0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** True streaming-mode throughput: the events table replayed through a
+    * running Structured Streaming query (the Yahoo topology shape —
+    * filter, re-key, tumbling windowed count). This is the apples-to-
+    * apples number against the reference's continuously-running Streams
+    * workloads; the batch workloads above measure the analytic engine. */
+  private def streamingThroughput(spark: SparkSession, sfDir: String,
+      eventRows: Long): Seq[(String, Double, Long, Double)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // state fan-out sized for the stream's key cardinality, not the batch
+    // engine's width (deployment tuning, like the latency probe)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val events = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, String, java.sql.Timestamp)]
+        .collect()
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val counts = mem.toDF().toDF("user_id", "event_type", "ts")
+        .filter(col("event_type") === "view")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id") % 25)
+        .agg(count(lit(1)))
+      val q = counts.writeStream.format("memory").queryName("bench_streaming")
+        .outputMode(OutputMode.Update).start()
+      val sec = try {
+        // warm the query machinery with one tiny batch before timing
+        mem.addData(events.take(100))
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        events.grouped(50000).foreach(mem.addData(_))
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      } finally q.stop()
+      Seq(("yahoo-streaming", sec, eventRows, eventRows / sec))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming throughput failed: $e")
+        Seq(("yahoo-streaming", -1.0, -1L, -1.0))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
