@@ -156,6 +156,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed typed reduce folds across batches (Row-adapter path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val sums = builder.stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+      .groupByKey
+      .windowedBy(TimeWindows.of(Duration.ofSeconds(10)))
+      .reduce(_ + _)
+    val q = sums.df.writeStream.format("memory").queryName("swreduce")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("A", 1, ts(1000L)))
+      q.processAllAvailable()
+      mem.addData(("A", 2, ts(3000L))) // same window, later batch
+      q.processAllAvailable()
+      val got = spark.table("swreduce").collect()
+        .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getTimestamp(1).getTime,
+          r.getInt(1)))
+      // state persisted across batches: window [0,10s) folded 1 then 3
+      assert(got.toSet === Set(("A", 0L, 1), ("A", 0L, 3)))
+    } finally q.stop()
+  }
+
   test("observe surfaces named metrics in streaming progress (metrics parity)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
