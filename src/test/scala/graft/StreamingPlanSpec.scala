@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.ts
+import graft.api._
+
+/** Streaming physical-plan audits: the stateful operators that make the
+  * topologies incremental must actually appear — a silent fallback to a
+  * stateless plan would "work" on small tests while recomputing the world
+  * at scale. */
+class StreamingPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def builder = GraftStreams(spark)
+
+  private def lastPlan(queryName: String): String = {
+    val q = spark.streams.active.find(_.name == queryName).get
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos)) { q.explain(extended = true) }
+    baos.toString
+  }
+
+  test("windowed count plans StateStoreSave with watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val counts = builder.stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+      .groupByKey
+      .windowedBy(TimeWindows.of(java.time.Duration.ofSeconds(10))
+        .grace(java.time.Duration.ofSeconds(5)))
+      .count()
+    val q = counts.df.writeStream.format("memory").queryName("plan_wc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("A", 1, ts(1000L)))
+      q.processAllAvailable()
+      val plan = lastPlan("plan_wc")
+      assert(plan.contains("StateStoreSave"), plan.take(800))
+      assert(plan.contains("EventTimeWatermark"), plan.take(800))
+    } finally q.stop()
+  }
+
+  test("stateful transform plans FlatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val out = graft.streaming.StatefulOps.flatTransformWithState[String, Int, Int, (String, Int)](
+      builder.stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")) { (k, rows, st) =>
+      val acc = st.getOption.getOrElse(0) + rows.map(_._1).sum
+      st.update(acc)
+      Iterator.single((k, acc))
+    }
+    val q = out.toDF("k", "v").writeStream.format("memory").queryName("plan_fm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("A", 1, ts(1000L)))
+      q.processAllAvailable()
+      assert(lastPlan("plan_fm").contains("FlatMapGroupsWithState"))
+    } finally q.stop()
+  }
+
+  test("streaming changelog aggregation chains stateful operators in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val counts = graft.streaming.StreamingChangelog.groupByCount(
+      builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3"))((_, r) => r)
+    val q = counts.writeStream.format("memory").queryName("plan_cl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("u1", "eu", ts(1000L)))
+      q.processAllAvailable()
+      val plan = lastPlan("plan_cl")
+      assert(plan.contains("FlatMapGroupsWithState"), plan.take(800))
+      assert(plan.contains("StateStoreSave"), plan.take(800))
+    } finally q.stop()
+  }
+}
