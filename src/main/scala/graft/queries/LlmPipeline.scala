@@ -258,6 +258,25 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
   }
 
+  // -- token-shape stats: mean token length + stopword density (the
+  //    remaining quality-feature columns, oracled standalone).
+  q("q_text_token_shape",
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+      |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |       ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END AS mean_token_len,
+      |  CASE WHEN len(ltoks) = 0 THEN 0.0
+      |       ELSE CAST(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) / len(ltoks) END AS stopword_ratio
+      |FROM t""") { (s, dir) =>
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      T.meanTokenLen(col("text")).as("mean_token_len"),
+      T.stopwordRatio(col("text")).as("stopword_ratio"))
+  }
+
   // -- heuristic language ID (marker-word argmax; CJK => zh).
   q("q_lang_id", {
     val scoreSql = T.LangMarkers.map { case (lang, ms) =>
