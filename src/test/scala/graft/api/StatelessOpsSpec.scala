@@ -79,6 +79,23 @@ class StatelessOpsSpec extends AnyFunSuite {
     assert(out(input.peek((_, _) => ())) === out(input))
   }
 
+  test("mapValuesExpr = columnar value transform fast path") {
+    import org.apache.spark.sql.functions.{concat, lit, col}
+    assert(out(input.mapValuesExpr(concat(col("value"), lit("!")))) ===
+      Seq((0, "X0!"), (1, "X1!"), (2, "X2!"), (3, "X3!")))
+  }
+
+  test("repartitionByKey keeps data intact and partitions by key (through())") {
+    val rp = input.repartitionByKey(2)
+    assert(out(rp) === out(input))
+    assert(rp.toDF.rdd.getNumPartitions === 2)
+  }
+
+  test("describe prints the logical topology") {
+    val d = input.filter((k, _) => k > 0).describe()
+    assert(d.contains("Filter"))
+  }
+
   test("transform = per-partition PAPI processor (stateless)") {
     val got = out(input.transform[Int, String](it => it.map(r => (r._1, r._2 + "T", r._3))))
     assert(got === Seq((0, "X0T"), (1, "X1T"), (2, "X2T"), (3, "X3T")))
