@@ -3,32 +3,46 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.plans.NativeVector
+
 /** Embedding/vector column functions (`Array[Float]` columns).
   *
-  * Pure column expressions over `zip_with`/`aggregate` — codegen-friendly,
-  * no UDFs, distribute trivially. Accumulation is an in-order left fold in
-  * double precision, which keeps results deterministic and reproducible
-  * across engines (needed for oracle checks) and across cluster sizes.
+  * The arithmetic kernels (dot/cosine/sqdist) are codegen'd Catalyst
+  * Expressions (`graft.plans.VectorKernels`) — one tight loop per row over
+  * the unsafe array data. The equivalent higher-order-function column
+  * formulations are kept as `*Hof` for the bit-exactness spec: both
+  * accumulate in double precision in strict left-to-right element order,
+  * so results are bitwise identical (and deterministic across engines and
+  * cluster sizes, which the oracle checks rely on).
   */
 object VectorFunctions {
 
   /** Dot product of two float-array columns, accumulated in double. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dotProduct(a: Column, b: Column): Column = NativeVector.dotF32(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** Cosine similarity in [-1, 1]; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column = NativeVector.cosineF32(a, b)
 
   /** Squared euclidean distance. */
-  def sqDist(a: Column, b: Column): Column =
+  def sqDist(a: Column, b: Column): Column = NativeVector.sqDistF32(a, b)
+
+  /** HOF reference formulation of [[dotProduct]] (spec-only). */
+  def dotProductHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** HOF reference formulation of [[cosine]] (spec-only). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val denom = sqrt(dotProductHof(a, a)) * sqrt(dotProductHof(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotProductHof(a, b) / denom)
+  }
+
+  /** HOF reference formulation of [[sqDist]] (spec-only). */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d
