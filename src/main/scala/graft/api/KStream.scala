@@ -187,9 +187,15 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
     * (`kstream/internals/KStreamKTableJoinProcessor.java:55-76`): each
     * stream record sees the table's current value for its key; no output
     * on table updates. Batch: joins the table's final view; streaming
-    * against a static table: stream-static join per micro-batch. */
+    * against a static table: stream-static join per micro-batch; streaming
+    * against a LIVE changelog table: stateful lookup join
+    * (`graft.streaming.StreamingTableJoin.streamTableJoin`). */
   def joinTable[VT: Encoder, VR: Encoder](table: KTable[K, VT])(
       joiner: (V, VT) => VR): KStream[K, VR] = {
+    if (df.isStreaming && table.df.isStreaming)
+      return new KStream[K, VR](fromTyped(
+        graft.streaming.StreamingTableJoin.streamTableJoin(this, table, inner = true)(
+          (v, t) => joiner(v, t.get))))
     val t = table.latestDF.select(col(KeyCol).as("t_key"), col(ValueCol).as("t_value"))
     val joined = df.join(t, col(KeyCol) === col("t_key"))
       .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("t_value").as("_3"),
@@ -203,6 +209,10 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
     * with Option-decoded table side. */
   def leftJoinTable[VT: Encoder, VR: Encoder](table: KTable[K, VT])(
       joiner: (V, Option[VT]) => VR): KStream[K, VR] = {
+    if (df.isStreaming && table.df.isStreaming)
+      return new KStream[K, VR](fromTyped(
+        graft.streaming.StreamingTableJoin.streamTableJoin(this, table, inner = false)(
+          joiner)))
     val t = table.latestDF.select(col(KeyCol).as("t_key"), col(ValueCol).as("t_value"))
     val joined = df.join(t, col(KeyCol) === col("t_key"), "left_outer")
       .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("t_value").as("_3"),

@@ -195,6 +195,51 @@ object StreamsParity extends Catalog {
       .select("event_id", "user_id", "c_mktsegment")
   }
 
+  // -- KStream⋈KTable against a LIVE changelog table
+  //    (KStreamKTableJoinProcessor.java:55-76), driven through the real
+  //    Structured Streaming path: events replay through a file stream in
+  //    one AvailableNow batch; each click looks up the latest purchase
+  //    cents for its user as of its event time; table updates emit
+  //    nothing. Single-batch replay + in-batch event-time ordering makes
+  //    this the temporal as-of join the SQL mirrors (last_value over the
+  //    ts-ordered union, purchases applying before same-ts clicks).
+  q("q_stream_table_join_live",
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100) AS BIGINT) END AS cents
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |f AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    last_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+      |      ROWS UNBOUNDED PRECEDING) AS cur_cents
+      |  FROM u)
+      |SELECT user_id, event_id AS click_id, cur_cents AS purchase_cents
+      |FROM f WHERE event_type = 'click' AND cur_cents IS NOT NULL""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // glob form: the file source requires a directory/glob path
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](ev.filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts"))
+    val purchases = b.table[Long, Long](ev.filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts"))
+    val joined = clicks.joinTable(purchases)((eid, cents) => (eid, cents))
+    val name = s"stjl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = joined.toDF.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(name).select(col("key").as("user_id"), col("value._1").as("click_id"),
+      col("value._2").as("purchase_cents"))
+  }
+
   // -- KStream⋈GlobalKTable (KStreamGlobalKTableJoin.java): broadcast
   //    lookup join through an arbitrary key mapper (user_id % 25 → nation).
   q("q_global_table_lookup_join",

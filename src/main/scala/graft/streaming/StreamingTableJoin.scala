@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.api.{KStream, Rec}
+import graft.api.{KStream, KTable, Rec}
 
 /** Streaming KTable⋈KTable changelog join — the reference's symmetric
   * update-driven join (`kstream/internals/KTableKTableInnerJoin.java:78-106`
@@ -39,6 +39,61 @@ object StreamingTableJoin {
       joiner: (VL, Option[VR]) => OUT): Dataset[(K, Option[OUT])] =
     fullJoin(left, right) { (l, r) => l.map(lv => joiner(lv, r)) }
 
+  /** Streaming KStream⋈KTable enrichment join against a LIVE changelog
+    * table (`kstream/internals/KStreamKTableJoinProcessor.java:55-76`):
+    * each stream record is emitted once, joined with the table's current
+    * value for its key; table updates only mutate the join state — they
+    * produce NO output (unlike the symmetric table-table join above).
+    * Tombstones (null table values) clear the key's state.
+    *
+    * Spark mapping: union of the two sides tagged by origin, grouped by
+    * key, `flatMapGroupsWithState` in Append mode holding the table's
+    * latest value per key. Within a micro-batch rows apply in event-time
+    * order with table updates ordered before stream lookups at equal ts —
+    * a deterministic stand-in for the reference's offset order. Stream
+    * records with null values are dropped (`KStreamKTableJoinProcessor`'s
+    * null-skip + skipped-records metric). Append mode keeps downstream
+    * streaming aggregations legal.
+    *
+    * `inner=false` gives the left variant: misses emit `joiner(v, None)`.
+    */
+  def streamTableJoin[K: Encoder, V: Encoder, VT: Encoder, VR: Encoder](
+      stream: KStream[K, V], table: KTable[K, VT], inner: Boolean)(
+      joiner: (V, Option[VT]) => VR): Dataset[(K, VR, Timestamp)] = {
+    implicit val ov: Encoder[Option[V]] = Rec.optionEnc[V]
+    implicit val ovt: Encoder[Option[VT]] = Rec.optionEnc[VT]
+    implicit val tagged: Encoder[(K, Boolean, Option[V], Option[VT], Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaBoolean, ov, ovt,
+        Encoders.TIMESTAMP)
+    implicit val stateEnc: Encoder[(Option[VT], Timestamp)] =
+      Encoders.tuple(ovt, Encoders.TIMESTAMP)
+    implicit val outEnc: Encoder[(K, VR, Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[VR]], Encoders.TIMESTAMP)
+
+    val s = stream.toDataset.map(r => (r._1, true, Option(r._2), Option.empty[VT], r._3))
+    val t = new KStream[K, VT](table.df).toDataset
+      .map(r => (r._1, false, Option.empty[V], Option(r._2), r._3))
+    val joinFn = joiner
+    val innerFlag = inner
+
+    s.union(t)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[VT], Timestamp), (K, VR, Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var cur = state.getOption.map(_._1).getOrElse(Option.empty[VT])
+        var curTs = state.getOption.map(_._2).getOrElse(new Timestamp(0L))
+        val out = Seq.newBuilder[(K, VR, Timestamp)]
+        // event-time order; table updates before stream lookups at equal ts
+        rows.toSeq.sortBy(r => (r._5.getTime, r._5.getNanos, r._2)).foreach { r =>
+          if (!r._2) { cur = r._4; curTs = r._5 }
+          else if (r._3.isDefined && (!innerFlag || cur.isDefined))
+            out += ((r._1, joinFn(r._3.get, cur), r._5))
+        }
+        state.update((cur, curTs))
+        out.result().iterator
+      }
+  }
+
   /** General form: `view` maps the two current side values to the joined
     * value (None = no row for this key). */
   def fullJoin[K: Encoder, VL: Encoder, VR: Encoder, OUT: Encoder](
@@ -64,7 +119,8 @@ object StreamingTableJoin {
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
         var (curL, curR) = state.getOption.getOrElse((Option.empty[VL], Option.empty[VR]))
         // apply this batch's updates in event-time order (changelog order)
-        rows.toSeq.sortBy(_._5.getTime).foreach { row =>
+        // (millis, nanos) keeps sub-millisecond event times ordered
+        rows.toSeq.sortBy(row => (row._5.getTime, row._5.getNanos)).foreach { row =>
           if (row._2) curL = row._3 else curR = row._4
         }
         state.update((curL, curR))
