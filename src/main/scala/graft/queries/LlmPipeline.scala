@@ -56,20 +56,21 @@ object LlmPipeline extends Catalog {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  // -- exact n-gram Jaccard near-dup pairs, inverted-index style: explode
-  //    shingles, equi-join on shingle (candidates = pairs sharing >=1
-  //    shingle — no false negatives for jaccard > 0), count shared
-  //    shingles = |A∩B|, then |A∪B| = |A|+|B|-|A∩B|. At 100 TB, very
-  //    frequent shingles would be cut by a doc-frequency threshold before
-  //    the self-join to bound skew.
+  // -- n-gram Jaccard near-dup pairs, inverted-index style with a
+  //    doc-frequency cut: shingles shared by >50 docs (stop-shingles) are
+  //    dropped BEFORE pair generation, bounding every bucket's O(n^2) pair
+  //    fan-out; remaining buckets equi-join on shingle, count shared
+  //    shingles = |A∩B|, then |A∪B| = |A|+|B|-|A∩B| over the kept-shingle
+  //    space (the cut is stated identically in the oracle).
   q("q_dedup_ngram_jaccard",
     s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
-       |sh AS (SELECT doc_id, $SqlShingles3 AS shingles FROM docs),
-       |sized AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |sh AS (SELECT doc_id, unnest($SqlShingles3) AS s FROM docs),
+       |kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+       |ksh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+       |sized AS (SELECT doc_id, count(*) AS n_sh FROM ksh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -77,15 +78,18 @@ object LlmPipeline extends Catalog {
        |JOIN sized sa ON sa.doc_id = doc_a
        |JOIN sized sb ON sb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) > 0.5""") { (s, dir) =>
+    // doc-frequency cut BEFORE pair generation (mirrored verbatim in the
+    // oracle's HAVING): stop-shingles shared by >50 docs would otherwise
+    // make O(|bucket|^2) pair blowups inside single tasks at corpus scale
     val sh = spread(load(s, dir, "documents"))
-      .select(col("doc_id"), D.wordShingles(col("text"), 3).as("shingles"))
-    val sized = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    // one pass: shingle -> bucket of doc_ids -> in-bucket ordered pairs;
+      .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("s"))
+    val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 50)
+    val sized = kept.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // shingle -> bucket of doc_ids -> in-bucket ordered pairs;
     // |A∩B| = how many shingle-buckets contain the pair
-    val pairs = sh
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val pairs = kept.filter(size(col("ids")) > 1)
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))

@@ -47,6 +47,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() === expected)
   }
 
+  test("jaccard dedup df-cut drops stop-shingle buckets before pairing") {
+    // 60 docs all opening with the same 3 words (one stop-shingle shared
+    // by all of them) plus a unique tail; without the df-cut the stop
+    // bucket alone would fan out 60*59/2 = 1770 candidate pairs. Two docs
+    // additionally share a rare shingle -> the only surviving pair.
+    val docs = Seq.tabulate(60) { i =>
+      val tail = if (i >= 58) "rare shared suffix words here" else s"unique$i tail$i words$i"
+      (i.toLong, s"common stop shingle $tail", "en", "synthetic", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("jacdf").toFile
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((58L, 59L)))
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = Seq.tabulate(1000)(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toLong))
       .toDF("k", "v")
