@@ -263,9 +263,11 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
   /** `KStream.to` — terminal write. Batch: parquet at `path`. */
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
 
-  /** `KStream.foreach` (terminal peek, `KStreamImpl.java:358`). */
+  /** `KStream.foreach` (terminal peek, `KStreamImpl.java:358`) — runs
+    * per-record on the executors, like the reference's terminal processor;
+    * the action must be serializable and side-effect executor-locally. */
   def foreach(action: (K, V) => Unit): Unit =
-    typed.collect().foreach(r => action(r._1, r._2))
+    typed.foreach(r => action(r._1, r._2))
 
   /** `KStream.print` — console sink analogue. */
   def print(): Unit = df.show(20, truncate = false)

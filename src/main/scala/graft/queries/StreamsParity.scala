@@ -477,11 +477,13 @@ object StreamsParity extends Catalog {
       |WHERE window_start + INTERVAL 1 HOUR <=
       |  (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE""") { (s, dir) =>
     val ev = load(s, dir, "events")
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    // watermark (max ts - 10 min) joins in as a broadcast 1-row aggregate:
+    // one plan, no separate driver action / extra scan
+    val wm = ev.agg((max("ts") - expr("INTERVAL 10 MINUTE")).as("wm"))
     ev.groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("window.end").as("we"), col("cnt"))
-      .filter(col("we") <= lit(maxTs) - expr("INTERVAL 10 MINUTE"))
-      .drop("we")
+      .join(broadcast(wm), col("we") <= col("wm"))
+      .select("window_start", "cnt")
   }
 }
