@@ -131,42 +131,26 @@ object GraftSinks {
     * keyed parquet upsert (exactly-once via checkpoint + idempotent batch
     * merge): each micro-batch's updates overwrite the affected keys; null
     * values delete. The Delta-less IQ/materialization sink — readers see
-    * the current table with plain `spark.read.parquet`. */
-  def upsertParquet[K, V](t: KTable[K, V], path: String, checkpoint: String): StreamingQuery =
+    * the current table with plain `spark.read.parquet(path)` (plus the
+    * `bucket` partition column).
+    *
+    * Storage is hash-bucketed (`graft.sources.UpsertView`): a batch
+    * rewrites only the buckets containing its keys — O(batch × table/n)
+    * per trigger, not O(table) — with a per-bucket crash-safe swap. Size
+    * `numBuckets` so one bucket is a comfortable rewrite unit at the
+    * table's full scale. */
+  def upsertParquet[K, V](t: KTable[K, V], path: String, checkpoint: String,
+      numBuckets: Int = 16): StreamingQuery = {
+    graft.sources.UpsertView.recoverAll(path)
     t.df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val spark = batch.sparkSession
-        val dir = new java.io.File(path)
-        val existing =
-          if (dir.exists() && dir.list().exists(_.endsWith(".parquet")))
-            Some(spark.read.parquet(path))
-          else None
-        val updates = batch.toDF()
-        val merged = existing match {
-          case Some(cur) =>
-            cur.join(updates.select(col(Rec.KeyCol)).distinct(), Seq(Rec.KeyCol),
-                "left_anti")
-              .unionByName(updates)
-          case None => updates
-        }
-        val live = merged.filter(col(Rec.ValueCol).isNotNull)
-        // write to a temp dir then swap, so concurrent readers never see
-        // a half-written view
-        val tmp = path + ".tmp"
-        live.coalesce(math.max(1, live.rdd.getNumPartitions / 4))
-          .write.mode("overwrite").parquet(tmp)
-        val old = new java.io.File(path)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (old.exists()) rm(old)
-        new java.io.File(tmp).renameTo(old)
-        ()
+        graft.sources.UpsertView.merge(batch.toDF(), path, numBuckets,
+          Rec.KeyCol, Rec.ValueCol, Rec.TsCol)
       }
       .start()
+  }
 
   /** PAPI `process` terminal / punctuation-free side effects:
     * foreachBatch. */

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed keyed-upsert materialized view over plain parquet — the
+  * storage engine behind `GraftSinks.upsertParquet` (the reference's
+  * queryable-state materialization, RocksDB store + changelog compaction
+  * collapsed to files).
+  *
+  * Layout: `path/bucket=<i>/part-*.parquet`, `i = pmod(hash(key), n)`.
+  * A micro-batch rewrites ONLY the buckets containing its keys — O(batch ×
+  * table/n) per trigger instead of O(table) — so a continuously-updating
+  * large view stays cheap; size `n` so one bucket ≈ a comfortable rewrite
+  * unit. Readers use `spark.read.parquet(path)`: partition discovery
+  * exposes the `bucket` column, and a point lookup that filters
+  * `bucket = bucketOf(key, n)` prunes to one directory.
+  *
+  * Crash safety (per bucket, all dirs Spark-hidden via leading dot):
+  * write merged data to `.tmp_bucket=i`, rename current → `.bak_bucket=i`,
+  * rename tmp into place, delete the backup. Every window recovers:
+  * before the first rename a rerun simply rewrites the tmp; between the
+  * renames the bucket is restored from `.bak` (checked at sink start and
+  * before every bucket merge); after them the stale `.bak` is deleted.
+  * Batch replays after recovery are idempotent — the merge reads the
+  * current bucket content, which may already include this batch.
+  */
+object UpsertView {
+
+  /** Bucket id of a key — Spark's Murmur3 `hash`, stable across runs. */
+  def bucketOf(key: Column, numBuckets: Int): Column = pmod(hash(key), lit(numBuckets))
+
+  private def bucketDir(path: String, b: Int) = new File(path, s"bucket=$b")
+  private def bakDir(path: String, b: Int) = new File(path, s".bak_bucket=$b")
+  private def tmpDir(path: String, b: Int) = new File(path, s".tmp_bucket=$b")
+
+  private def rm(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
+
+  /** Roll an interrupted swap forward/back so `bucket=<b>` is live. */
+  def recoverBucket(path: String, b: Int): Unit = {
+    val cur = bucketDir(path, b)
+    val bak = bakDir(path, b)
+    if (!cur.exists() && bak.exists()) bak.renameTo(cur) // died between renames
+    else if (cur.exists() && bak.exists()) rm(bak) // died before backup delete
+  }
+
+  /** Recover every bucket with a leftover backup (sink startup). */
+  def recoverAll(path: String): Unit = {
+    val root = new File(path)
+    if (!root.exists()) return
+    root.list().toSeq
+      .filter(_.startsWith(".bak_bucket="))
+      .map(_.stripPrefix(".bak_bucket=").toInt)
+      .foreach(recoverBucket(path, _))
+  }
+
+  /** Merge one micro-batch of (key, value, ts) updates into the view:
+    * reduce to latest-per-key, then per touched bucket anti-join + union +
+    * drop tombstones and crash-safely swap the bucket directory. */
+  def merge(updates0: DataFrame, path: String, numBuckets: Int,
+      keyCol: String, valueCol: String, tsCol: String): Unit = {
+    val spark = updates0.sparkSession
+    // a non-deduped changelog can carry several updates per key per
+    // trigger; only the latest survives in the view (ties on ts broken by
+    // value for determinism)
+    val latest = updates0
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(col(tsCol), col(valueCol)), struct(col(tsCol), col(valueCol)))
+        .as("m"))
+      .select(col(keyCol), col(s"m.$valueCol").as(valueCol), col(s"m.$tsCol").as(tsCol))
+      .withColumn("__bucket", bucketOf(col(keyCol), numBuckets))
+      .persist()
+    try {
+      val touched = latest.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // <= numBuckets ints
+      touched.foreach { b =>
+        recoverBucket(path, b)
+        val cur = bucketDir(path, b)
+        val bUpdates = latest.filter(col("__bucket") === b).drop("__bucket")
+        val existing =
+          if (cur.exists() && cur.list().exists(_.endsWith(".parquet")))
+            Some(spark.read.parquet(cur.toString))
+          else None
+        val merged = existing match {
+          case Some(curDf) =>
+            curDf.join(bUpdates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+              .unionByName(bUpdates)
+          case None => bUpdates
+        }
+        val live = merged.filter(col(valueCol).isNotNull)
+        val tmp = tmpDir(path, b)
+        // one rewrite unit per bucket: a single file keeps the view's
+        // file count = numBuckets
+        live.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (cur.exists()) cur.renameTo(bakDir(path, b))
+        tmp.renameTo(cur)
+        if (bakDir(path, b).exists()) rm(bakDir(path, b))
+      }
+    } finally latest.unpersist()
+  }
+}

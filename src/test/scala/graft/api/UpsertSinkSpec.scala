@@ -1,20 +1,37 @@
 package graft.api
 
+import java.io.File
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{lit, max_by, struct}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.TestSpark.ts
+import graft.sources.UpsertView
 
 /** Keyed parquet upsert sink: the queryable materialized-table view
-  * (IQ over files — `QueryableStateIntegrationTest` via storage). */
+  * (IQ over files — `QueryableStateIntegrationTest` via storage), stored
+  * hash-bucketed with per-bucket crash-safe swaps. */
 class UpsertSinkSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("streaming table upserts and deletes materialize in the parquet view") {
+  private val N = 4
+
+  private def bucketOf(key: String): Int =
+    spark.range(1).select(UpsertView.bucketOf(lit(key), N)).head().getInt(0)
+
+  /** (path, bytes) of every data file under the bucket dir. */
+  private def bucketFiles(path: String, b: Int): Map[String, Seq[Byte]] = {
+    val dir = new File(path, s"bucket=$b")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      f.getName -> Files.readAllBytes(f.toPath).toSeq
+    }.toMap
+  }
+
+  test("streaming table upserts and deletes materialize; untouched buckets keep identical files") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-upsert").toString + "/view"
     val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
@@ -25,25 +42,76 @@ class UpsertSinkSpec extends AnyFunSuite {
     // null values for the sink's delete handling
     val view = new KTable[String, String](
       table.df.groupBy($"key")
-        .agg(org.apache.spark.sql.functions.max_by(
-          org.apache.spark.sql.functions.struct($"value", $"ts"), $"ts").as("m"))
+        .agg(max_by(struct($"value", $"ts"), $"ts").as("m"))
         .select($"key", $"m.value".as("value"), $"m.ts".as("ts")),
       deduped = true)
 
-    val q = GraftSinks.upsertParquet(view, path, ckpt)
+    // two keys guaranteed to land in different buckets
+    val keys = (1 to 32).map(i => s"k$i")
+    val kA = keys.head
+    val kB = keys.find(k => bucketOf(k) != bucketOf(kA)).get
+
+    val q = GraftSinks.upsertParquet(view, path, ckpt, numBuckets = N)
     try {
-      mem.addData(("k1", "v1", ts(1000L)), ("k2", "w1", ts(1000L)))
+      mem.addData((kA, "v1", ts(1000L)), (kB, "w1", ts(1000L)))
       q.processAllAvailable()
       val after1 = spark.read.parquet(path).collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
-      assert(after1 === Map("k1" -> "v1", "k2" -> "w1"))
+      assert(after1 === Map(kA -> "v1", kB -> "w1"))
+      val bFilesBefore = bucketFiles(path, bucketOf(kB))
 
-      mem.addData(("k1", "v2", ts(2000L))) // update
-      mem.addData(("k2", null.asInstanceOf[String], ts(3000L))) // delete
+      mem.addData((kA, "v2", ts(2000L))) // touches only kA's bucket
       q.processAllAvailable()
       val after2 = spark.read.parquet(path).collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
-      assert(after2 === Map("k1" -> "v2")) // upserted + deleted
+      assert(after2 === Map(kA -> "v2", kB -> "w1"))
+      // kB's bucket was not rewritten: same file names, same bytes
+      assert(bucketFiles(path, bucketOf(kB)) === bFilesBefore)
+
+      mem.addData((kB, null.asInstanceOf[String], ts(3000L))) // delete
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(after3 === Map(kA -> "v2"))
     } finally q.stop()
+  }
+
+  test("several updates to one key in a batch keep only the latest") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-upsert2").toString + "/view"
+    val ckpt = Files.createTempDirectory("graft-upsert2-ckpt").toString
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    // RAW changelog straight into the sink (no pre-aggregation): the
+    // sink's own latest-per-key reduce must deduplicate the batch
+    val table = GraftStreams(spark)
+      .table[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    val q = GraftSinks.upsertParquet(table, path, ckpt, numBuckets = N)
+    try {
+      mem.addData(("k", "old", ts(1000L)), ("k", "new", ts(2000L)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.toSeq === Seq(("k", "new"))) // one row, latest value
+    } finally q.stop()
+  }
+
+  test("interrupted swaps recover from every crash window") {
+    val path = Files.createTempDirectory("graft-upsert3").toString + "/view"
+    val b = 0
+    val cur = new File(path, s"bucket=$b")
+    val bak = new File(path, s".bak_bucket=$b")
+
+    // window between the two renames: bucket dir gone, backup present
+    Seq(("k1", "v1")).toDF("key", "value").write.parquet(bak.toString)
+    UpsertView.recoverAll(path)
+    assert(cur.exists() && !bak.exists())
+    assert(spark.read.parquet(cur.toString).count() === 1)
+
+    // window after the new dir landed but before backup delete: stale
+    // backup must be dropped, live dir untouched
+    Seq(("k1", "v2")).toDF("key", "value").write.mode("overwrite").parquet(bak.toString)
+    UpsertView.recoverBucket(path, b)
+    assert(cur.exists() && !bak.exists())
+    assert(spark.read.parquet(cur.toString).head().getString(1) === "v1")
   }
 }
