@@ -72,10 +72,16 @@ object MediaStubs {
     * an image/audio codec here (e.g. libjpeg/ffmpeg via JNI); this fake
     * derives a reproducible pseudo-signal from the byte content so the
     * surrounding pipeline (shapes, determinism, tests, oracles) is fully
-    * exercisable without the native libraries. */
+    * exercisable without the native libraries. It hashes the uppercase
+    * hex rendering of the bytes (not the raw blob) so engines without
+    * blob-md5 can mirror it exactly (`md5(hex(blob))` in DuckDB), and
+    * each component is k/128 — a power-of-two quotient, bit-exact in
+    * float and double across engines. */
   def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
     // ??? <- real codec call goes here; deterministic fake below
-    val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     Array.tabulate(dim)(i => ((h(i % 16) & 0xff) - 128) / 128.0f)
   }
 

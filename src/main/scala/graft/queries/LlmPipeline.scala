@@ -389,16 +389,56 @@ object LlmPipeline extends Catalog {
   }
 
   // -- stubbed decode/feature pipeline (partition-wise batch processing,
-  //    1→N frame sampling for video). The decode itself is a deterministic
-  //    fake (no codecs in-container), so the oracle is rows-only; shape
-  //    and determinism are pinned by MultimodalSpec.
-  qNoOracle("q_multimodal_features") { (s, dir) =>
+  //    1→N frame sampling for video). The stub decode is md5-over-hex
+  //    arithmetic (Multimodal.scala decodeBytes), so DuckDB mirrors it
+  //    exactly: frame bytes = media || single frame-index byte, f0 =
+  //    (first_md5_byte - 128) / 128 — a power-of-two quotient, bit-exact
+  //    in float and double.
+  q("q_multimodal_features",
+    """WITH media AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
+      |                     WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+      |                     WHEN 2 THEN 'RIFF'::BLOB
+      |                     ELSE '\x00\x00\x00\x18ftyp'::BLOB END) || encode(text) AS media
+      |  FROM documents),
+      |typed AS (
+      |  SELECT doc_id, media,
+      |    CASE WHEN starts_with(lower(hex(media)), 'ffd8ff') THEN 'image/jpeg'
+      |         WHEN starts_with(lower(hex(media)), '89504e47') THEN 'image/png'
+      |         WHEN starts_with(lower(hex(media)), '52494646') THEN 'audio/wav'
+      |         WHEN starts_with(lower(hex(media)), '000000186674797') THEN 'video/mp4'
+      |         ELSE 'application/octet-stream' END AS kind
+      |  FROM media),
+      |framed AS (
+      |  SELECT doc_id, media, kind,
+      |    CASE WHEN kind = 'video/mp4' THEN 1 + octet_length(media) % 10
+      |         ELSE 1 END AS n_frames
+      |  FROM typed),
+      |idx AS (SELECT CAST(range AS INT) AS frame_index FROM range(10)),
+      |frames AS (
+      |  SELECT doc_id, media, kind, frame_index
+      |  FROM framed JOIN idx ON frame_index < n_frames),
+      |feat AS (
+      |  SELECT doc_id AS mediaId, kind, frame_index AS frameIndex,
+      |    CAST(frame_index AS BIGINT) * 1000 AS frameTsMs,
+      |    CAST('0x' || substr(md5(hex(media ||
+      |      (CASE frame_index WHEN 0 THEN '\x00'::BLOB WHEN 1 THEN '\x01'::BLOB
+      |            WHEN 2 THEN '\x02'::BLOB WHEN 3 THEN '\x03'::BLOB
+      |            WHEN 4 THEN '\x04'::BLOB WHEN 5 THEN '\x05'::BLOB
+      |            WHEN 6 THEN '\x06'::BLOB WHEN 7 THEN '\x07'::BLOB
+      |            WHEN 8 THEN '\x08'::BLOB ELSE '\x09'::BLOB END))), 1, 2)
+      |      AS INT) AS h0
+      |  FROM frames)
+      |SELECT mediaId, kind, frameIndex, frameTsMs,
+      |  CAST(h0 - 128 AS DOUBLE) / 128.0 AS f0
+      |FROM feat""") { (s, dir) =>
     import graft.multimodal.MediaStubs
     val records = MediaStubs.toMediaRecords(spread(mediaBytes(s, dir)), "doc_id", "media")
     MediaStubs.extractFeatures(records, dim = 8, frameEveryMs = 1000L)
       .toDF()
       .select(col("mediaId"), col("kind"), col("frameIndex"), col("frameTsMs"),
-        round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
+        element_at(col("features"), 1).cast("double").as("f0"))
   }
 
   // ---------------------------------------------------- similarity search

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Formal cross-checks for the catalog queries without a SQL-expressible
+  * oracle: each rows-only query is pinned to an oracle-checked twin by a
+  * set-level assertion (the strong complement to the driver's rows>0
+  * check). */
+class CrossCheckSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash variants recall every true near-dup pair (md5 + native)") {
+    // ground truth: exact 3-shingle jaccard > 0.5 pairs (oracle-checked)
+    val truth = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nativePairs = SparkEntry.queries("q_dedup_minhash_native")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // LSH candidates are supersets of the true pairs on this corpus
+    // (recall 1.0 for both hash families at 4 bands x 4 rows)
+    assert((truth -- md5Pairs).isEmpty, s"md5 variant missed ${truth -- md5Pairs}")
+    assert((truth -- nativePairs).isEmpty, s"native variant missed ${truth -- nativePairs}")
+  }
+
+  test("fnv64 fingerprint partitions documents identically to the md5 fingerprint") {
+    // same duplicate structure <=> same grouping of doc_ids by fingerprint
+    val byFnv = SparkEntry.queries("q_fingerprint_rolling")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val byMd5 = SparkEntry.queries("q_dedup_exact")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (keep_id, n_copies)
+    // q_dedup_exact groups by md5 fingerprint: keep_id+count per group.
+    // Compare group-size multisets plus total group count; then verify
+    // each fnv group's min id and size appear as an md5 group
+    val md5Groups = byMd5.map { case (keepId, n) => (keepId, n) }.toSet
+    val fnvGroups = byFnv.map(g => (g.min, g.size.toLong)).toSet
+    assert(fnvGroups === md5Groups)
+  }
+
+  test("approx_count_distinct lands within 3x rsd of the exact count") {
+    val exact = SparkEntry.queries("q_count_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, n) =>
+      val a = approx(flag)
+      assert(math.abs(a - n).toDouble / n <= 0.03, s"$flag: approx=$a exact=$n")
+    }
+  }
+}
