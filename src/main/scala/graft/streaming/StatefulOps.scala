@@ -50,22 +50,85 @@ object StatefulOps {
     * don't rely on `processAllAvailable` for quiescence — it may never
     * observe one. */
   def suppressUntilTimeLimit[K: Encoder, V: Encoder](
-      stream: KStream[K, V], delayMs: Long): Dataset[(K, V)] = {
+      stream: KStream[K, V], delayMs: Long): Dataset[(K, V)] =
+    suppressUntilTimeLimit(stream, delayMs, maxRecordsPerKey = Long.MaxValue,
+      emitEarlyOnFull = true)
+
+  /** [[suppressUntilTimeLimit]] with a bounded buffer —
+    * `Suppressed.BufferConfig.maxRecords` with the EMIT / SHUT_DOWN
+    * overflow policies (`kstream/Suppressed.java:36-166`): once a key has
+    * absorbed `maxRecordsPerKey` updates without its timer firing, EMIT
+    * flushes the latest value early (resetting the buffer), SHUT_DOWN
+    * fails the query like the reference's `StreamsException`. */
+  def suppressUntilTimeLimit[K: Encoder, V: Encoder](
+      stream: KStream[K, V], delayMs: Long,
+      maxRecordsPerKey: Long,
+      emitEarlyOnFull: Boolean): Dataset[(K, V)] = {
     implicit val kvEnc: Encoder[(K, V)] =
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
-    flatTransformWithState[K, V, (K, V), (K, V)](
+    implicit val stEnc: Encoder[(K, V, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]], Encoders.scalaLong)
+    flatTransformWithState[K, V, (K, V, Long), (K, V)](
       stream, OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
       (key, rows, state) =>
         if (state.hasTimedOut) {
-          val out = state.getOption.iterator
+          val out = state.getOption.map(s => (s._1, s._2)).iterator
           state.remove()
           out
         } else {
-          var latest: Option[V] = None
-          rows.foreach { case (v, _) => latest = Some(v) }
-          latest.foreach { v =>
-            state.update((key, v))
-            state.setTimeoutDuration(delayMs)
+          var latest: Option[(K, V, Long)] = state.getOption
+          rows.foreach { case (v, _) =>
+            latest = Some((key, v, latest.map(_._3).getOrElse(0L) + 1L))
+          }
+          latest match {
+            case Some((k, v, n)) if n >= maxRecordsPerKey =>
+              if (!emitEarlyOnFull)
+                throw new IllegalStateException(
+                  s"suppress buffer full for key $k ($n records) with SHUT_DOWN policy")
+              state.remove() // EMIT: flush early, buffer resets
+              Iterator.single((k, v))
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutDuration(delayMs)
+              Iterator.empty
+            case None => Iterator.empty
+          }
+        }
+    }
+  }
+
+  /** Event-time (STREAM_TIME) variant of [[suppressUntilTimeLimit]] —
+    * `PunctuationType.STREAM_TIME` (`processor/PunctuationType.java:34`):
+    * a key's latest value emits once the WATERMARK passes its last update
+    * ts + delay, i.e. punctuation advances with event time, not wall
+    * clock. Late records beyond `graceMs` are dropped by the watermark.
+    * Unlike the processing-time variant this needs no continuous
+    * triggers — timers fire as data advances the stream time. */
+  def suppressUntilTimeLimitEventTime[K: Encoder, V: Encoder](
+      stream: KStream[K, V], delayMs: Long, graceMs: Long): Dataset[(K, V)] = {
+    implicit val kvEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    implicit val stEnc: Encoder[(K, V, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]], Encoders.scalaLong)
+    val withWm = new KStream[K, V](Rec.withGrace(stream.toDF, graceMs))
+    flatTransformWithState[K, V, (K, V, Long), (K, V)](
+      withWm, OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key, rows, state) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(s => (s._1, s._2)).iterator
+          state.remove()
+          out
+        } else {
+          var latest: Option[(K, V, Long)] = state.getOption
+          rows.foreach { case (v, t) =>
+            val tsMs = t.getTime
+            if (latest.forall(_._3 <= tsMs)) latest = Some((key, v, tsMs))
+          }
+          latest.foreach { case s @ (_, _, tsMs) =>
+            state.update(s)
+            // timeout must sit past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1L, tsMs + delayMs))
           }
           Iterator.empty
         }

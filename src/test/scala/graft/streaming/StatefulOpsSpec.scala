@@ -83,6 +83,54 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded suppress buffer EMITs early when a key absorbs maxRecords updates") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    // delay of 60s: nothing can emerge via the timer within this test —
+    // only the EMIT-on-full overflow path can produce output
+    val suppressed = StatefulOps.suppressUntilTimeLimit(stream, delayMs = 60000L,
+      maxRecordsPerKey = 3L, emitEarlyOnFull = true)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory").queryName("suppfull")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rowsNow() = spark.table("suppfull").collect().map(r => (r.getString(0), r.getString(1)))
+    try {
+      mem.addData(("A", "v1", ts(1000L)), ("A", "v2", ts(2000L)))
+      Thread.sleep(500L)
+      assert(rowsNow().isEmpty, "buffer of 2 < maxRecords must keep holding")
+      mem.addData(("A", "v3", ts(3000L))) // third update: buffer full -> EMIT
+      val deadline = System.currentTimeMillis() + 20000L
+      while (rowsNow().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(rowsNow().toSeq === Seq(("A", "v3"))) // latest value, well before the timer
+    } finally q.stop()
+  }
+
+  test("event-time suppress punctuates on watermark advance (STREAM_TIME)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    val suppressed = StatefulOps.suppressUntilTimeLimitEventTime(
+      stream, delayMs = 600L, graceMs = 0L)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory").queryName("suppet")
+      .outputMode(OutputMode.Append).start()
+    def rowsNow() = spark.table("suppet").collect().map(r => (r.getString(0), r.getString(1)))
+    try {
+      mem.addData(("A", "v1", ts(1000L)), ("A", "v2", ts(2000L)))
+      q.processAllAvailable() // watermark -> 2000; A's timer at 2600
+      assert(rowsNow().isEmpty, "stream time has not reached ts+delay")
+      mem.addData(("B", "x", ts(2500L)))
+      q.processAllAvailable() // watermark -> 2500 < 2600: still held
+      assert(rowsNow().isEmpty)
+      mem.addData(("C", "y", ts(5000L)))
+      q.processAllAvailable() // watermark -> 5000: A (2600) and B (3100) fire
+      assert(rowsNow().toSet === Set(("A", "v2"), ("B", "x"))) // latest values only
+    } finally q.stop()
+  }
+
   test("materializeLatest = KTableSource via explicit state handles") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, java.sql.Timestamp)]
