@@ -47,6 +47,21 @@ final class GraftStreams(val spark: SparkSession) {
     new KStream[Array[Byte], Array[Byte]](df)(Encoders.BINARY, Encoders.BINARY)
   }
 
+  /** [[kafkaStream]] carrying full consumer-record metadata — topic,
+    * partition, offset, headers (`ConsumerRecord.java:37-47`) — in the
+    * value as `(payload, RecordMeta)`; headers flow through the DSL like
+    * the reference forwards them through stateless processors. */
+  def kafkaStreamWithMeta(bootstrapServers: String, subscribe: String,
+      options: Map[String, String] = Map.empty): KStream[Array[Byte], (Array[Byte], RecordMeta)] = {
+    val df = options.foldLeft(
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrapServers)
+          .option("subscribe", subscribe)
+          .option("includeHeaders", "true")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    RecordMeta.fromConsumerRecords(df)
+  }
+
   /** `StreamsBuilder.table(topic)` (`StreamsBuilder.java:225`): changelog
     * → latest-per-key view; null values are tombstones. */
   def table[K: Encoder, V: Encoder](df: DataFrame, key: Column, value: Column,
@@ -104,6 +119,18 @@ object GraftSinks {
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** [[toKafka]] for metadata-carrying streams: forwards the record
+    * headers to the sink (`includeHeaders` write path). */
+  def toKafkaWithHeaders[K](s: KStream[K, (Array[Byte], RecordMeta)],
+      bootstrapServers: String, topic: String, checkpoint: String): StreamingQuery =
+    RecordMeta.toProducerRecords(s)
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("includeHeaders", "true")
       .option("checkpointLocation", checkpoint)
       .start()
 
