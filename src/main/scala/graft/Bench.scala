@@ -110,9 +110,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = allResults.map(_._2).sum
     val latJson = lat.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"latency_ms":$latJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"latency_ms":$latJson,"sf":"$sfDir"}"""
+    // dedicated artifact + final stdout line (build.sbt disables sbt's
+    // [success] trailer so the line stays last for the driver's parser)
+    val w = new java.io.PrintWriter("BENCH.json")
+    try w.write(json + "\n") finally w.close()
     spark.stop()
+    println(json)
   }
 
   /** End-to-end micro-batch latency percentiles — the `EndToEndLatency`
