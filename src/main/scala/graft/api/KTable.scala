@@ -33,14 +33,27 @@ final class KTable[K, V] private[graft] (
   private implicit def t3: Encoder[(K, V, Timestamp)] = tupleEnc[K, V]
 
   /** Latest-per-key live rows (tombstones removed) —
-    * `KTableSource.java:105` materialization. */
+    * `KTableSource.java:105` materialization.
+    *
+    * Determinism: equal-ts updates tie-break on the value itself (the
+    * reference is deterministic in offset order, which a re-shuffled
+    * changelog no longer carries); non-null beats tombstone at the same
+    * ts. Unorderable value types (maps) fall back to ts-only ordering. */
   def latestDF: DataFrame = {
     val live =
       if (deduped) df
       else df.groupBy(col(KeyCol))
-        .agg(max_by(struct(col(ValueCol), col(TsCol)), col(TsCol)).as("m"))
+        .agg(max_by(struct(col(ValueCol), col(TsCol)), tieOrder).as("m"))
         .select(col(KeyCol), col(s"m.$ValueCol").as(ValueCol), col(s"m.$TsCol").as(TsCol))
     live.filter(col(ValueCol).isNotNull)
+  }
+
+  /** (ts, value) when the value type is orderable, else ts alone. */
+  private def tieOrder: Column = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    if (RowOrdering.isOrderable(df.schema(ValueCol).dataType))
+      struct(col(TsCol), col(ValueCol))
+    else struct(col(TsCol))
   }
 
   private def latestTyped: Dataset[(K, V, Timestamp)] = toTyped[K, V](latestDF)
@@ -83,8 +96,9 @@ final class KTable[K, V] private[graft] (
       "streaming table groupBy lands with the transformWithState changelog module")
     // Replay the changelog as (+new, -old) deltas: adds from every live
     // row version, subtracts from every superseded (lagged) version —
-    // KTableAggregate.java:72-106 semantics, batch-replayed.
-    val byKey = Window.partitionBy(col(KeyCol)).orderBy(col(TsCol))
+    // KTableAggregate.java:72-106 semantics, batch-replayed. Same
+    // deterministic (ts, value) tie-break as latestDF.
+    val byKey = Window.partitionBy(col(KeyCol)).orderBy(tieOrder)
     val adds = df.filter(col(ValueCol).isNotNull)
       .select(col(KeyCol), col(ValueCol), lit(true).as("isAdd"), col(TsCol))
     val subs = df.withColumn("old_value", lag(col(ValueCol), 1).over(byKey))

@@ -30,33 +30,36 @@ object HashKernels {
     * whitespace-tokenize, and FNV-hash each n-gram (words joined by a
     * single space) without materializing shingle strings. Short docs
     * (< n words) hash the whole normalized text — mirroring
-    * DedupFunctions.wordShingles' fallback. */
+    * DedupFunctions.wordShingles' fallback.
+    *
+    * Equivalence with `fnv64(wordShingles(...))` holds for ALL input:
+    * lowercase is `UTF8String.toLowerCase` (the exact `lower()` kernel),
+    * tokenization splits on Java regex `\s` = ASCII `[ \t\n\f\r]`
+    * (what the column pipeline's `\s+` matches), and hashing folds each
+    * word's UTF-8 bytes — surrogate pairs (emoji, CJK-B) hash as their
+    * true encoding. Pinned by NativeHashSpec's non-ASCII case. */
   def shingleHashes(s: UTF8String, n: Int): ArrayData = {
-    val text = s.toString.toLowerCase
-    // whitespace tokenization, skipping empty runs
-    val words = new java.util.ArrayList[String](64)
+    val text = s.toLowerCase.toString
+    // ASCII-whitespace tokenization (regex \s class), skipping empty runs
+    val words = new java.util.ArrayList[Array[Byte]](64)
     var i = 0
     val len = text.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && isRegexSpace(text.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
-      if (i > start) words.add(text.substring(start, i))
+      while (i < len && !isRegexSpace(text.charAt(i))) i += 1
+      if (i > start) words.add(
+        text.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val m = words.size
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     if (m < n) {
-      // whole-text fallback (single shingle)
+      // whole-text fallback (single shingle; empty text hashes to the basis)
       var h = FnvOffset
       var w = 0
       while (w < m) {
         if (w > 0) { h ^= ' '.toLong & 0xffL; h *= FnvPrime }
-        val word = words.get(w)
-        var c = 0
-        while (c < word.length) {
-          // ASCII fast path; non-ASCII chars fold through UTF-8 bytes
-          h = hashChar(h, word.charAt(c)); c += 1
-        }
+        h = hashBytes(h, words.get(w))
         w += 1
       }
       out.add(h)
@@ -67,9 +70,7 @@ object HashKernels {
         var w = start
         while (w < start + n) {
           if (w > start) { h ^= ' '.toLong & 0xffL; h *= FnvPrime }
-          val word = words.get(w)
-          var c = 0
-          while (c < word.length) { h = hashChar(h, word.charAt(c)); c += 1 }
+          h = hashBytes(h, words.get(w))
           w += 1
         }
         out.add(h)
@@ -83,16 +84,14 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
-  private def hashChar(h0: Long, ch: Char): Long = {
+  /** Java regex `\s`: ASCII whitespace only (unlike Character.isWhitespace). */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r') // \t \n VT \f \r
+
+  private def hashBytes(h0: Long, bs: Array[Byte]): Long = {
     var h = h0
-    if (ch < 0x80) {
-      h ^= ch.toLong & 0xffL; h *= FnvPrime
-    } else {
-      // fold the UTF-8 encoding of the char
-      val bs = String.valueOf(ch).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < bs.length) { h ^= bs(i) & 0xffL; h *= FnvPrime; i += 1 }
-    }
+    var i = 0
+    while (i < bs.length) { h ^= bs(i) & 0xffL; h *= FnvPrime; i += 1 }
     h
   }
 }

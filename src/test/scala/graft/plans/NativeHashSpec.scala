@@ -21,7 +21,12 @@ class NativeHashSpec extends AnyFunSuite {
   }
 
   test("shingle_hashes = fnv64 over the same shingles the column pipeline builds") {
-    val df = Seq("The quick  brown fox JUMPS", "one two").toDF("t")
+    val df = Seq(
+      "The quick  brown fox JUMPS", "one two",
+      // non-ASCII: Turkish dotted I, umlauts, CJK, astral-plane emoji,
+      // and a Unicode (non-\s) space U+00A0 that must NOT split tokens
+      "İstanbul GRÜSSE 中文 😀emoji😀 a b repeated İstanbul GRÜSSE 中文",
+      "tab\tsplit\nandvertical").toDF("t")
     val native = df.select(NativeHash.shingleHashes($"t", 3)).collect()
       .map(_.getSeq[Long](0).toSet)
     val viaStrings = df.select(
