@@ -60,8 +60,10 @@ object UpsertView {
   }
 
   /** Merge one micro-batch of (key, value, ts) updates into the view:
-    * reduce to latest-per-key, then per touched bucket anti-join + union +
-    * drop tombstones and crash-safely swap the bucket directory. */
+    * reduce to latest-per-key, read ONLY the touched buckets, anti-join +
+    * union + drop tombstones in a single partitioned write job, then
+    * crash-safely swap each touched bucket directory (filesystem renames
+    * only — no per-bucket Spark jobs). */
   def merge(updates0: DataFrame, path: String, numBuckets: Int,
       keyCol: String, valueCol: String, tsCol: String): Unit = {
     val spark = updates0.sparkSession
@@ -78,29 +80,36 @@ object UpsertView {
     try {
       val touched = latest.select("__bucket").distinct()
         .collect().map(_.getInt(0)).sorted // <= numBuckets ints
+      touched.foreach(recoverBucket(path, _))
+      val existingDirs = touched.map(bucketDir(path, _))
+        .filter(d => d.exists() && d.list().exists(_.endsWith(".parquet")))
+        .map(_.toString)
+      val existing =
+        if (existingDirs.isEmpty) None
+        else Some(spark.read.parquet(existingDirs: _*)
+          .select(col(keyCol), col(valueCol), col(tsCol))
+          .withColumn("__bucket", bucketOf(col(keyCol), numBuckets)))
+      val merged = existing match {
+        case Some(curDf) =>
+          curDf.join(latest.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .unionByName(latest)
+        case None => latest
+      }
+      val live = merged.filter(col(valueCol).isNotNull)
+      val tmpRoot = new File(path, ".tmp_merge")
+      if (tmpRoot.exists()) rm(tmpRoot)
+      // one job writes every touched bucket; one file per bucket keeps
+      // the view's file count = numBuckets
+      live.repartition(col("__bucket"))
+        .write.partitionBy("__bucket").mode("overwrite").parquet(tmpRoot.toString)
       touched.foreach { b =>
-        recoverBucket(path, b)
         val cur = bucketDir(path, b)
-        val bUpdates = latest.filter(col("__bucket") === b).drop("__bucket")
-        val existing =
-          if (cur.exists() && cur.list().exists(_.endsWith(".parquet")))
-            Some(spark.read.parquet(cur.toString))
-          else None
-        val merged = existing match {
-          case Some(curDf) =>
-            curDf.join(bUpdates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-              .unionByName(bUpdates)
-          case None => bUpdates
-        }
-        val live = merged.filter(col(valueCol).isNotNull)
-        val tmp = tmpDir(path, b)
-        // one rewrite unit per bucket: a single file keeps the view's
-        // file count = numBuckets
-        live.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val tmp = new File(tmpRoot, s"__bucket=$b")
         if (cur.exists()) cur.renameTo(bakDir(path, b))
-        tmp.renameTo(cur)
+        if (tmp.exists()) tmp.renameTo(cur) // absent => bucket fully deleted
         if (bakDir(path, b).exists()) rm(bakDir(path, b))
       }
+      rm(tmpRoot)
     } finally latest.unpersist()
   }
 }
