@@ -11,9 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// keep a runMain's final stdout line as the LAST line sbt prints (the
-// bench driver parses the trailing JSON metrics line)
+// keep a runMain's final stdout line as the LAST line sbt prints and
+// free of the "[info] " logger prefix (the bench driver parses the
+// trailing JSON metrics line)
 Global / showSuccess := false
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
