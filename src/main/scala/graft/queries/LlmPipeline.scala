@@ -222,6 +222,54 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), D.simhash64(col("text")).as("simhash"))
   }
 
+  // -- SimHash near-dup PAIRS: band the 60-bit fingerprint into 4x15-bit
+  //    chunks (pigeonhole: any pair within hamming 3 shares a chunk),
+  //    bucket-join on (band, chunk), rescore candidates by exact hamming
+  //    distance — the banding is mirrored in the oracle, so results stay
+  //    hash-exact while pair generation never goes all-pairs.
+  q("q_dedup_simhash_pairs",
+    s"""WITH t AS (SELECT doc_id, unnest($SqlTokens) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${sqlMd5Long("tok")} AS hv FROM t),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+       |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
+       |  GROUP BY doc_id, b),
+       |fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS h
+       |       FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, (h >> (b * 15)) & 32767 AS chunk, b AS band
+       |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(fa.h, fb.h)) AS hamming
+       |FROM pairs
+       |JOIN fp fa ON fa.doc_id = doc_a
+       |JOIN fp fb ON fb.doc_id = doc_b
+       |WHERE bit_count(xor(fa.h, fb.h)) <= 8""") { (s, dir) =>
+    val fps = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), D.simhash64(col("text")).as("h"))
+    val bands = fps
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
+      .select(col("doc_id"), col("band"),
+        expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
+    val pairs = bands.groupBy("band", "chunk")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val ham = D.hammingDist(col("ha"), col("hb"))
+    pairs
+      .join(fps.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .filter(ham <= 8)
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+  }
+
   // ------------------------------------------------------ text analysis
 
   // -- per-document stats: chars, tokens, subwords, punct/upper ratios.
