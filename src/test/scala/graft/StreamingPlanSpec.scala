@@ -61,6 +61,29 @@ class StreamingPlanSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live stream-table join plans ONE stateful op over a single shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val sMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val tMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = builder.stream[String, String](sMem.toDF(), $"_1", $"_2", $"_3")
+      .joinTable(builder.table[String, String](tMem.toDF(), $"_1", $"_2", $"_3"))(_ + "+" + _)
+    val q = joined.toDF.writeStream.format("memory").queryName("plan_stj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      tMem.addData(("k", "T", ts(500L)))
+      sMem.addData(("k", "S", ts(1000L)))
+      q.processAllAvailable()
+      val plan = lastPlan("plan_stj")
+      assert(plan.contains("FlatMapGroupsWithState"), plan.take(800))
+      // both sides co-group through one exchange of the union — no join
+      // node, no second stateful operator, no extra shuffle stage
+      val physical = plan.substring(plan.indexOf("== Physical Plan =="))
+      assert(physical.split("Exchange hashpartitioning").length - 1 === 1, physical.take(1200))
+      assert(!physical.contains("SortMergeJoin") && !physical.contains("StateStoreSave"),
+        physical.take(1200))
+    } finally q.stop()
+  }
+
   test("streaming changelog aggregation chains stateful operators in one query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, java.sql.Timestamp)]
