@@ -198,7 +198,30 @@ object Bench {
         q.processAllAvailable()
         (System.nanoTime() - t0) / 1e9
       } finally q.stop()
-      Seq(("yahoo-streaming", sec, eventRows, eventRows / sec))
+
+      // live KStream⋈KTable enrichment: every event looks up the table's
+      // current value for its user; the table changelog streams too
+      // (stream-side-only emission through flatMapGroupsWithState)
+      val sMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val tMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val b = graft.api.GraftStreams(spark)
+      val joined = b.stream[Long, Long](sMem.toDF(), col("_1"), col("_2"), col("_3"))
+        .joinTable(b.table[Long, Long](tMem.toDF(), col("_1"), col("_2"), col("_3")))(_ + _)
+      val q2 = joined.toDF.writeStream.format("noop").queryName("bench_stjoin")
+        .outputMode(OutputMode.Append).start()
+      val streamSide = events.map(e => (e._1, e._1 * 2, e._3))
+      val sec2 = try {
+        tMem.addData(events.map(e => (e._1, e._1, e._3)).distinctBy(_._1))
+        sMem.addData(streamSide.take(100))
+        q2.processAllAvailable()
+        val t0 = System.nanoTime()
+        streamSide.grouped(50000).foreach(sMem.addData(_))
+        q2.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      } finally q2.stop()
+
+      Seq(("yahoo-streaming", sec, eventRows, eventRows / sec),
+        ("stream-table-join-live", sec2, eventRows, eventRows / sec2))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming throughput failed: $e")
