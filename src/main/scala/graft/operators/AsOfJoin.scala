@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal as-of (point-in-time) join: every left row picks up the most
+  * recent right row with `right.ts <= left.ts` for its key — the batch
+  * twin of the live stream⋈table enrichment join
+  * (`kstream/internals/KStreamKTableJoinProcessor.java:55-76` semantics
+  * replayed over history).
+  *
+  * Spark has no native ASOF join, and the range-join formulation
+  * (`l JOIN r ON key AND r.ts <= l.ts` + max) explodes to O(|L|·|R|)
+  * pairs per key before pruning. This implementation UNIONS the two
+  * sides and fills the right payload with `last(_, ignoreNulls)` over a
+  * (ts, side)-ordered window — ONE shuffle on the key, linear work, no
+  * pair fan-out, which is what survives at 100 TB. Right rows at equal
+  * ts apply before left rows (inclusive as-of; the same tie rule as the
+  * streaming join).
+  */
+object AsOfJoin {
+
+  /** Backward as-of join. `payload` names the right-side columns to carry
+    * over (they must not collide with left column names); left rows with
+    * no prior right row get nulls — filter them for inner semantics. */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left.select(
+      col(key).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
+        (lCols.map(col) ++
+          payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
+        (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(p => col(p).as(s"__p_$p"))): _*)
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(col("__side") +: (lCols.map(col) ++
+        payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p))): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

@@ -270,6 +270,101 @@ object LlmPipeline extends Catalog {
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
   }
 
+  // ------------------------------------------------- pipeline operators
+
+  // -- batch as-of join (operators.AsOfJoin): each click picks up the
+  //    latest purchase cents at or before its event time — union +
+  //    windowed last_value, ONE shuffle, no range-join pair explosion.
+  //    Same semantics as the live streaming join (q_stream_table_join_live)
+  //    replayed over history; same oracle shape.
+  q("q_asof_join",
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100) AS BIGINT) END AS cents
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |f AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    last_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+      |      ROWS UNBOUNDED PRECEDING) AS cur_cents
+      |  FROM u)
+      |SELECT user_id, event_id AS click_id, cur_cents AS purchase_cents
+      |FROM f WHERE event_type = 'click' AND cur_cents IS NOT NULL""") { (s, dir) =>
+    import graft.operators.AsOfJoin
+    val ev = load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("purchase_cents"))
+    AsOfJoin.backward(clicks, purchases, key = "user_id",
+        leftTs = "ts", rightTs = "p_ts", payload = Seq("purchase_cents"))
+      .filter(col("purchase_cents").isNotNull)
+      .select("user_id", "click_id", "purchase_cents")
+  }
+
+  // -- deterministic stratified sampling (functions.Sampling): keep/drop
+  //    decided by a salted md5 of the row id, so the sample is identical
+  //    across runs, partitionings, and engines (the oracle draws the SAME
+  //    rows); per-language rates downweight over-represented strata.
+  q("q_sample_stratified",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'corpus-v1'), 1, 15) AS BIGINT)
+      |        % 1000000 <
+      |      CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
+      |                      ELSE 0.25 END) * 1000000 AS BIGINT)""") { (s, dir) =>
+    import graft.functions.Sampling
+    val rate = when(col("lang") === "en", 0.5)
+      .when(col("lang") === "zh", 0.1)
+      .otherwise(0.25)
+    load(s, dir, "documents")
+      .filter(Sampling.keep(col("doc_id"), "corpus-v1", rate))
+      .select("doc_id", "lang")
+  }
+
+  // -- C4-style cleanup composite: quality-score filter -> predicted-
+  //    English filter -> exact dedup keep-min-id. The end-to-end corpus
+  //    construction pass, built from the oracle-proven fragments.
+  q("q_pipeline_c4", {
+    val scoreSql = T.LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter(ltoks, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = T.LangMarkers.map(_._1)
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseChain = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ltoks
+       |  FROM documents),
+       |q AS (SELECT doc_id, text, ltoks, round(
+       |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |  greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0) * 0.3 +
+       |  least((CASE WHEN len(ltoks) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) / len(ltoks) END) * 5.0, 1.0) * 0.3
+       |, 6) AS quality FROM t),
+       |s AS (SELECT doc_id, text, quality, $scoreSql FROM q WHERE quality > 0.55),
+       |m AS (SELECT *, $mx AS mx FROM s),
+       |l AS (SELECT doc_id, text, quality FROM m
+       |  WHERE NOT length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) < length(text)
+       |    AND mx > 0 AND (CASE $caseChain ELSE 'und' END) = 'en')
+       |SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies,
+       |  max(quality) AS max_quality
+       |FROM l GROUP BY 1""".stripMargin
+  }) { (s, dir) =>
+    load(s, dir, "documents")
+      .withColumn("quality", T.qualityScore(col("text")))
+      .filter(col("quality") > 0.55)
+      .filter(T.langId(col("text")) === "en")
+      .groupBy(T.fingerprintHex(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        max(col("quality")).as("max_quality"))
+  }
+
   // ------------------------------------------------------ text analysis
 
   // -- per-document stats: chars, tokens, subwords, punct/upper ratios.

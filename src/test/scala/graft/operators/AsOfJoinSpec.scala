@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Batch as-of join: backward point-in-time semantics, inclusive ties,
+  * null on no-prior-row, and the single-shuffle plan shape. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("each left row sees the latest right row at or before its ts") {
+    val left = Seq(
+      ("u1", ts(1000L), "l-early"), // before any right row
+      ("u1", ts(2000L), "l-tie"), // exactly at a right ts (inclusive)
+      ("u1", ts(5000L), "l-late"),
+      ("u2", ts(9000L), "l-other")).toDF("k", "t", "tag")
+    val right = Seq(
+      ("u1", ts(2000L), 20L),
+      ("u1", ts(4000L), 40L),
+      ("u2", ts(1000L), 10L)).toDF("k", "rt", "amount")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("amount"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out === Map(
+      "l-early" -> None, // no prior right row
+      "l-tie" -> Some(20L), // right row at the same ts applies
+      "l-late" -> Some(40L),
+      "l-other" -> Some(10L)))
+  }
+
+  test("plans a single shuffle (no range-join pair explosion)") {
+    val left = Seq(("a", ts(1L), 1)).toDF("k", "t", "x")
+    val right = Seq(("a", ts(1L), 2L)).toDF("k", "rt", "p")
+    val plan = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("p"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan.take(1000))
+    assert(!plan.contains("Join"), plan.take(1000))
+  }
+}
