@@ -76,6 +76,26 @@ object VectorIndex {
     Codebook(centroids)
   }
 
+  /** Persist a codebook as parquet (cell, pos, weight) so a trained index
+    * is reusable across jobs — train once on a sample, assign/search many
+    * times (at 100 TB retraining per query would dominate). */
+  def saveCodebook(spark: SparkSession, cb: Codebook, path: String): Unit = {
+    val rows = cb.centroids.zipWithIndex.flatMap { case (cent, c) =>
+      cent.zipWithIndex.map { case (x, pos) => (c, pos, x) }
+    }.toSeq
+    spark.createDataFrame(rows).toDF("cell", "pos", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebook(spark: SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path).collect() // k x dim doubles — tiny
+    val k = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cents = Array.fill(k)(new Array[Double](dim))
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    Codebook(cents)
+  }
+
   /** Add the IVF cell id column (map-side, broadcast codebook). */
   def assignCells(df: DataFrame, embCol: String, cb: Codebook): DataFrame = {
     val nearestUdf = udf((v: Seq[Float]) => cb.nearest(v))

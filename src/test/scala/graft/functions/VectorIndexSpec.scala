@@ -22,6 +22,21 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(cells.length > 1) // clustering actually splits the corpus
   }
 
+  test("codebook round-trips through parquet (train once, reuse)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("ivf-cb").toString + "/codebook"
+    VectorIndex.saveCodebook(spark, cb, path)
+    val loaded = VectorIndex.loadCodebook(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq === cb.centroids.map(_.toSeq).toSeq)
+    // identical assignments from the reloaded index
+    val a = VectorIndex.assignCells(emb, "embedding", cb)
+      .select("vec_id", "__cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = VectorIndex.assignCells(emb, "embedding", loaded)
+      .select("vec_id", "__cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+  }
+
   test("IVF recall@10 beats the probed-fraction baseline by a wide margin") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
