@@ -1,0 +1,39 @@
+package graft.testkit
+
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.ts
+
+/** TopologyTestDriver parity (`streams/test-utils`): synchronous pipe →
+  * process → read cycles over a stateless chain and a stateful count. */
+class TopologyTestDriverSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stateless chain: outputs drain once per read, in pipe order") {
+    val driver = new TopologyTestDriver[String, String, String, String](
+      spark,
+      s => s.filter((_, v) => v != "drop").mapValues(_.toUpperCase))
+    try {
+      driver.pipe(("k1", "hello", ts(1000L)), ("k2", "drop", ts(1100L)))
+      assert(driver.readOutput().map(r => (r._1, r._2)) === Seq(("k1", "HELLO")))
+      assert(driver.readOutput() === Seq.empty) // queue drained
+      driver.pipe(("k3", "world", ts(2000L)))
+      assert(driver.readOutput().map(r => (r._1, r._2)) === Seq(("k3", "WORLD")))
+    } finally driver.close()
+  }
+
+  test("stateful count topology accumulates across pipes (update mode)") {
+    val driver = new TopologyTestDriver[String, Long, String, Long](
+      spark,
+      s => s.groupByKey.count().toStream,
+      OutputMode.Update)
+    try {
+      driver.pipe(("a", 1L, ts(1000L)), ("a", 1L, ts(2000L)), ("b", 1L, ts(1500L)))
+      driver.pipe(("a", 1L, ts(3000L)))
+      assert(driver.readTable() === Map("a" -> 3L, "b" -> 1L))
+    } finally driver.close()
+  }
+}
