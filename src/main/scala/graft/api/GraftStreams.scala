@@ -47,6 +47,26 @@ final class GraftStreams(val spark: SparkSession) {
     new KStream[Array[Byte], Array[Byte]](df)(Encoders.BINARY, Encoders.BINARY)
   }
 
+  /** `StreamsBuilder.stream(Collection<topic>)` (`StreamsBuilder.java:115`)
+    * — subscribe to several topics in one stream. */
+  def kafkaStreamTopics(bootstrapServers: String, topics: Seq[String],
+      options: Map[String, String] = Map.empty): KStream[Array[Byte], Array[Byte]] =
+    kafkaStream(bootstrapServers, topics.mkString(","), options)
+
+  /** `StreamsBuilder.stream(Pattern)` (`StreamsBuilder.java:159`) — regex
+    * topic subscription (`subscribePattern`). */
+  def kafkaStreamPattern(bootstrapServers: String, pattern: String,
+      options: Map[String, String] = Map.empty): KStream[Array[Byte], Array[Byte]] = {
+    import org.apache.spark.sql.Encoders
+    val df = options.foldLeft(
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrapServers)
+          .option("subscribePattern", pattern)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .select(col("key"), col("value"), col("timestamp").as(TsCol))
+    new KStream[Array[Byte], Array[Byte]](df)(Encoders.BINARY, Encoders.BINARY)
+  }
+
   /** [[kafkaStream]] carrying full consumer-record metadata — topic,
     * partition, offset, headers (`ConsumerRecord.java:37-47`) — in the
     * value as `(payload, RecordMeta)`; headers flow through the DSL like

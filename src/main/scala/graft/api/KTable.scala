@@ -85,6 +85,11 @@ final class KTable[K, V] private[graft] (
     * the final view's rows. */
   def toStream: KStream[K, V] = new KStream[K, V](latestDF)
 
+  /** `KTable.toStream(KeyValueMapper)` (`KTable.java:390`): re-key while
+    * converting to a stream. */
+  def toStream[K2: Encoder](mapper: (K, V) => K2): KStream[K2, V] =
+    toStream.selectKey(mapper)
+
   /** `suppress(untilWindowCloses)` — final results only. */
   def suppressFinal(): KTable[K, V] = new KTable[K, V](df, deduped, suppressed = true)
 
