@@ -36,15 +36,23 @@ final class QueryableStore(view: () => DataFrame, keyCol: String) {
 object QueryableState {
 
   /** Store over a memory-sink table fed by an update-mode table query
-    * (latest row per key wins — the memory sink appends each update). */
-  def memoryStore(spark: SparkSession, queryName: String, keyCol: String): QueryableStore =
+    * (latest row per key wins — the memory sink appends each update).
+    * Ordering is primarily the EVENT TIME carried in the sink (`tsCol`,
+    * present in every DSL record), so the view is stable however the sink
+    * interleaves batches; the insertion sequence only breaks same-ts
+    * ties. Tables without a ts column fall back to insertion order. */
+  def memoryStore(spark: SparkSession, queryName: String, keyCol: String,
+      tsCol: String = "ts"): QueryableStore =
     new QueryableStore(() => {
       val t = spark.table(queryName)
       // latest emitted update per key = current table state
       val cols = t.columns.toIndexedSeq
+      val ord =
+        if (cols.contains(tsCol)) struct(col(tsCol), col("__seq"))
+        else struct(col("__seq"))
       t.withColumn("__seq", monotonically_increasing_id())
         .groupBy(col(keyCol))
-        .agg(max_by(struct(cols.map(col): _*), col("__seq")).as("m"))
+        .agg(max_by(struct(cols.map(col): _*), ord).as("m"))
         .select(cols.map(c => col(s"m.$c").as(c)): _*)
     }, keyCol)
 
