@@ -33,6 +33,32 @@ final class QueryableStore(view: () => DataFrame, keyCol: String) {
   def approximateNumEntries(): Long = view().count()
 }
 
+/** `ReadOnlyWindowStore` (`state/ReadOnlyWindowStore.java:39-107`): IQ
+  * over a windowed aggregation's view — point fetches bounded by window
+  * start time, per-key time ranges, and all-keys range scans. Expects the
+  * windowed agg's sink columns (key, window start, aggregate...). */
+final class QueryableWindowStore(view: () => DataFrame, keyCol: String,
+    windowStartCol: String) {
+
+  /** `fetch(key, timeFrom, timeTo)` — windows of one key whose start
+    * falls in the (inclusive) range, time-ascending. */
+  def fetch(key: Any, from: java.sql.Timestamp, to: java.sql.Timestamp): Array[org.apache.spark.sql.Row] =
+    view().filter(col(keyCol) === lit(key) &&
+        col(windowStartCol) >= lit(from) && col(windowStartCol) <= lit(to))
+      .orderBy(col(windowStartCol)).collect()
+
+  /** `fetch(keyFrom, keyTo, timeFrom, timeTo)` — key+time range scan. */
+  def fetchRange(keyFrom: Any, keyTo: Any, from: java.sql.Timestamp,
+      to: java.sql.Timestamp): Array[org.apache.spark.sql.Row] =
+    view().filter(col(keyCol) >= lit(keyFrom) && col(keyCol) <= lit(keyTo) &&
+        col(windowStartCol) >= lit(from) && col(windowStartCol) <= lit(to))
+      .orderBy(col(keyCol), col(windowStartCol)).collect()
+
+  /** `all()` — every (key, window) entry. */
+  def all(): Array[org.apache.spark.sql.Row] =
+    view().orderBy(col(keyCol), col(windowStartCol)).collect()
+}
+
 object QueryableState {
 
   /** Store over a memory-sink table fed by an update-mode table query
@@ -55,6 +81,20 @@ object QueryableState {
         .agg(max_by(struct(cols.map(col): _*), ord).as("m"))
         .select(cols.map(c => col(s"m.$c").as(c)): _*)
     }, keyCol)
+
+  /** Window store over a memory-sink table fed by a windowed aggregation
+    * in update mode: latest emission per (key, window start) wins, same
+    * event-time-primary ordering as [[memoryStore]]. */
+  def memoryWindowStore(spark: SparkSession, queryName: String, keyCol: String,
+      windowStartCol: String): QueryableWindowStore =
+    new QueryableWindowStore(() => {
+      val t = spark.table(queryName)
+      val cols = t.columns.toIndexedSeq
+      t.withColumn("__seq", monotonically_increasing_id())
+        .groupBy(col(keyCol), col(windowStartCol))
+        .agg(max_by(struct(cols.map(col): _*), col("__seq")).as("m"))
+        .select(cols.map(c => col(s"m.$c").as(c)): _*)
+    }, keyCol, windowStartCol)
 
   /** Store over operator state persisted in a checkpoint — the
     * state-store data source; queryable while the stream runs, from any

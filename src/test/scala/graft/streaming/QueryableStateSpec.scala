@@ -40,6 +40,34 @@ class QueryableStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("window store serves fetch/fetchRange/all over a windowed view") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val counts = mem.toDF().toDF("k", "v", "ts")
+      .groupBy(window(col("ts"), "10 seconds"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("k"), col("window.start").as("wstart"), col("cnt"))
+    val q = counts.writeStream.format("memory").queryName("iqwin")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("a", 1, ts(1000L)), ("a", 1, ts(2000L)), ("b", 1, ts(1000L)))
+      q.processAllAvailable()
+      mem.addData(("a", 1, ts(15000L))) // next window
+      q.processAllAvailable()
+
+      val store = QueryableState.memoryWindowStore(spark, "iqwin", "k", "wstart")
+      val aAll = store.fetch("a", ts(0L), ts(60000L))
+      assert(aAll.map(r => (r.getTimestamp(1).getTime, r.getLong(2))).toSeq ===
+        Seq((0L, 2L), (10000L, 1L))) // time-ascending, latest count per window
+      val aFirst = store.fetch("a", ts(0L), ts(9000L))
+      assert(aFirst.map(_.getLong(2)).toSeq === Seq(2L))
+      val range = store.fetchRange("a", "b", ts(0L), ts(60000L))
+      assert(range.map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSeq ===
+        Seq(("a", 0L), ("a", 10000L), ("b", 0L)))
+      assert(store.all().length === 3)
+    } finally q.stop()
+  }
+
   test("state store data source reads operator state from a checkpoint") {
     val inDir = Files.createTempDirectory("graft-iq-in").toFile
     val ckpt = Files.createTempDirectory("graft-iq-ckpt").toFile.getAbsolutePath
