@@ -37,7 +37,11 @@ object Bench {
     "ann-cosine-topk" -> "q_ann_cosine_topk",
     "ann-ivf" -> "q_ann_ivf",
     "text-stats" -> "q_text_stats",
-    "lang-id" -> "q_lang_id")
+    "lang-id" -> "q_lang_id",
+    "dedup-simhash-pairs" -> "q_dedup_simhash_pairs",
+    "asof-join" -> "q_asof_join",
+    "sample-stratified" -> "q_sample_stratified",
+    "pipeline-c4" -> "q_pipeline_c4")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,7 +75,10 @@ object Bench {
       "dedup-jaccard" -> bytes("documents"),
       "text-stats" -> bytes("documents"), "lang-id" -> bytes("documents"),
       "ann-cosine-topk" -> bytes("embeddings"),
-      "ann-ivf" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "ann-ivf" -> bytes("embeddings"),
+      "dedup-simhash-pairs" -> bytes("documents"),
+      "sample-stratified" -> bytes("documents"),
+      "pipeline-c4" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -79,7 +86,9 @@ object Bench {
       "dedup-minhash-lsh" -> docRows, "dedup-minhash-native" -> docRows,
       "dedup-jaccard" -> docRows,
       "text-stats" -> docRows, "lang-id" -> docRows,
-      "ann-cosine-topk" -> embRows, "ann-ivf" -> embRows).withDefaultValue(eventRows)
+      "ann-cosine-topk" -> embRows, "ann-ivf" -> embRows,
+      "dedup-simhash-pairs" -> docRows, "sample-stratified" -> docRows,
+      "pipeline-c4" -> docRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference
