@@ -39,6 +39,7 @@ object Bench {
     "text-stats" -> "q_text_stats",
     "lang-id" -> "q_lang_id",
     "dedup-simhash-pairs" -> "q_dedup_simhash_pairs",
+    "dedup-simhash-native" -> "q_dedup_simhash_native",
     "asof-join" -> "q_asof_join",
     "sample-stratified" -> "q_sample_stratified",
     "pipeline-c4" -> "q_pipeline_c4")
@@ -77,6 +78,7 @@ object Bench {
       "ann-cosine-topk" -> bytes("embeddings"),
       "ann-ivf" -> bytes("embeddings"),
       "dedup-simhash-pairs" -> bytes("documents"),
+      "dedup-simhash-native" -> bytes("documents"),
       "sample-stratified" -> bytes("documents"),
       "pipeline-c4" -> bytes("documents")).withDefaultValue(bytes("events"))
 
@@ -87,7 +89,8 @@ object Bench {
       "dedup-jaccard" -> docRows,
       "text-stats" -> docRows, "lang-id" -> docRows,
       "ann-cosine-topk" -> embRows, "ann-ivf" -> embRows,
-      "dedup-simhash-pairs" -> docRows, "sample-stratified" -> docRows,
+      "dedup-simhash-pairs" -> docRows, "dedup-simhash-native" -> docRows,
+      "sample-stratified" -> docRows,
       "pipeline-c4" -> docRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and

@@ -84,6 +84,37 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
+  /** One-pass SimHash over FNV-1a token hashes: lowercase, tokenize (same
+    * normalization as [[shingleHashes]]), per-token 64-bit FNV, per-bit
+    * vote, pack the winning bits. Replaces a 3-deep interpreted HOF fold
+    * (tokens → md5 per token → zip_with votes → pack) on the dedup hot
+    * path; the hash family differs from the md5 twin (rows-only query,
+    * overlap pinned by CrossCheckSpec). Every token OCCURRENCE votes
+    * (duplicates count), mirroring `DedupFunctions.simhash64`. */
+  def simhash64(s: UTF8String, bits: Int): Long = {
+    val text = s.toLowerCase.toString
+    val votes = new Array[Int](bits)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isRegexSpace(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isRegexSpace(text.charAt(i))) i += 1
+      if (i > start) {
+        val h = fnv64(UTF8String.fromString(text.substring(start, i)))
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
   /** Java regex `\s`: ASCII whitespace only (unlike Character.isWhitespace). */
   private def isRegexSpace(c: Char): Boolean =
     c == ' ' || (c >= '\t' && c <= '\r') // \t \n VT \f \r
@@ -124,11 +155,26 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash64_native(text, bits)` — one-pass codegen'd SimHash (FNV hash
+  * family); the production fast path beside the oracle-exact md5 variant. */
+case class SimHash64Native(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.simhash64($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Native =
+    copy(child = newChild)
+}
+
 object NativeHash {
   import org.apache.spark.sql.GraftColumns.{column, expression}
 
   def fnv64(c: Column): Column = column(Fnv64(expression(c)))
   def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
+  def simhash64Native(c: Column, bits: Int = 60): Column =
+    column(SimHash64Native(expression(c), bits))
 
   /** Register `fnv64` / `shingle_hashes` for SQL use. */
   def register(spark: SparkSession): Unit = {

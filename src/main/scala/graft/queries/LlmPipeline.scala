@@ -249,7 +249,7 @@ object LlmPipeline extends Catalog {
        |FROM pairs
        |JOIN fp fa ON fa.doc_id = doc_a
        |JOIN fp fb ON fb.doc_id = doc_b
-       |WHERE bit_count(xor(fa.h, fb.h)) <= 8""") { (s, dir) =>
+       |WHERE bit_count(xor(fa.h, fb.h)) <= 5""") { (s, dir) =>
     val fps = spread(load(s, dir, "documents"))
       .select(col("doc_id"), D.simhash64(col("text")).as("h"))
     val bands = fps
@@ -266,7 +266,33 @@ object LlmPipeline extends Catalog {
     pairs
       .join(fps.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
       .join(fps.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
-      .filter(ham <= 8)
+      .filter(ham <= 5)
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+  }
+
+  // -- native-hash SimHash pairing twin (one-pass codegen'd kernel, FNV
+  //    family): same 4x15-bit banding + hamming rescoring as
+  //    q_dedup_simhash_pairs; different hash family => rows-only, overlap
+  //    with the md5 twin pinned by CrossCheckSpec.
+  qNoOracle("q_dedup_simhash_native") { (s, dir) =>
+    import graft.plans.NativeHash
+    val fps = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), NativeHash.simhash64Native(col("text")).as("h"))
+    val bands = fps
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
+      .select(col("doc_id"), col("band"),
+        expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
+    val pairs = bands.groupBy("band", "chunk")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val ham = D.hammingDist(col("ha"), col("hb"))
+    pairs
+      .join(fps.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .filter(ham <= 5)
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
   }
 

@@ -27,6 +27,21 @@ class CrossCheckSpec extends AnyFunSuite {
     assert((truth -- nativePairs).isEmpty, s"native variant missed ${truth -- nativePairs}")
   }
 
+  test("both simhash pairings recall the true near-dup population") {
+    // hash families differ, so the noise band (hamming 4-5) diverges; the
+    // invariant is that each family's banding+rescoring finds the REAL
+    // near-dups (exact jaccard > 0.5 pairs)
+    val truth = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    for (qn <- Seq("q_dedup_simhash_pairs", "q_dedup_simhash_native")) {
+      val pairs = SparkEntry.queries(qn)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & pairs).size.toDouble / truth.size
+      assert(recall > 0.8, s"$qn recall=$recall (|truth|=${truth.size})")
+    }
+  }
+
   test("fnv64 fingerprint partitions documents identically to the md5 fingerprint") {
     // same duplicate structure <=> same grouping of doc_ids by fingerprint
     val byFnv = SparkEntry.queries("q_fingerprint_rolling")(spark, dir)
