@@ -72,6 +72,51 @@ object SessionizeApp {
   }
 }
 
+/** Live enrichment topology — the reference's bread-and-butter
+  * KStream⋈KTable join with a STREAMING changelog table: clicks look up
+  * each user's latest purchase state as both streams flow; table updates
+  * emit nothing. Driven synchronously through the TopologyTestDriver
+  * pattern with a streaming joinTable dispatch under the hood. */
+object LiveEnrichmentApp {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = ExampleSession.spark("live-enrichment")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b = GraftStreams(spark)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+    val clicks = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val enriched = b.stream[Long, String](clicks.toDF(), $"_1", $"_2", $"_3")
+      .joinTable(b.table[Long, Long](purchases.toDF(), $"_1", $"_2", $"_3"))(
+        (page, cents) => s"$page (user spent $cents cents)")
+    val q = enriched.toDF.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    purchases.addData((1L, 999L, ts(1000L)))
+    clicks.addData((1L, "/checkout", ts(2000L)), (2L, "/home", ts(2000L)))
+    q.processAllAvailable()
+    spark.table("enriched").show(false) // user 2 drops: no purchase state
+    q.stop(); spark.stop()
+  }
+}
+
+/** Corpus construction end-to-end: C4-style cleanup (quality -> language
+  * -> exact dedup), then a deterministic stratified sample — every stage
+  * reproducible bit-for-bit across clusters and re-runs. */
+object CorpusBuildApp {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("corpus-build")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val clean = graft.SparkEntry.queries("q_pipeline_c4")(spark, dir)
+    println(s"clean unique docs: ${clean.count()}")
+    val sampled = graft.SparkEntry.queries("q_sample_stratified")(spark, dir)
+    sampled.groupBy("lang").count().show(false)
+    spark.stop()
+  }
+}
+
 /** Corpus hygiene pipeline: exact dedup fingerprints + MinHash-LSH
   * near-dup candidates + quality filter, one job. */
 object CorpusDedupApp {
