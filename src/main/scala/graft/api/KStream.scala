@@ -23,6 +23,7 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
     implicit kEnc: Encoder[K], vEnc: Encoder[V]) {
 
   private implicit def t3: Encoder[(K, V, Timestamp)] = tupleEnc[K, V]
+  private[graft] def keyEncoder: Encoder[K] = kEnc
   private def typed: Dataset[(K, V, Timestamp)] = toTyped[K, V](df)
   private def wrap(ds: Dataset[(K, V, Timestamp)]) = new KStream[K, V](fromTyped(ds))
 

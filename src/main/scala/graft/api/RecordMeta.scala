@@ -46,6 +46,25 @@ object RecordMeta {
       Encoders.BINARY, payloadEnc)
   }
 
+  /** Effectively-exactly-once intake over an at-least-once source: drop
+    * redelivered records by their (topic, partition, offset) identity —
+    * the dedup key the reference's EOS transactions make unnecessary
+    * (SURVEY §2.7); state is bounded by the watermark in streaming. */
+  def dedupDelivery[K](s: KStream[K, (Array[Byte], RecordMeta)],
+      graceMs: Long): KStream[K, (Array[Byte], RecordMeta)] = {
+    val coords = Seq("__topic", "__partition", "__offset")
+    val df = s.toDF
+      .withColumn("__topic", col(s"${Rec.ValueCol}._2.topic"))
+      .withColumn("__partition", col(s"${Rec.ValueCol}._2.partition"))
+      .withColumn("__offset", col(s"${Rec.ValueCol}._2.offset"))
+    val deduped =
+      if (df.isStreaming)
+        Rec.withGrace(df, graceMs).dropDuplicatesWithinWatermark(coords)
+      else df.dropDuplicates(coords)
+    new KStream[K, (Array[Byte], RecordMeta)](
+      deduped.drop(coords: _*))(s.keyEncoder, payloadEnc)
+  }
+
   /** Project a metadata-carrying stream back to Kafka sink columns,
     * forwarding headers (`includeHeaders` write support). */
   def toProducerRecords[K](s: KStream[K, (Array[Byte], RecordMeta)]): DataFrame =

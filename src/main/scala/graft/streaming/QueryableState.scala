@@ -59,6 +59,26 @@ final class QueryableWindowStore(view: () => DataFrame, keyCol: String,
     view().orderBy(col(keyCol), col(windowStartCol)).collect()
 }
 
+/** `ReadOnlySessionStore` (`state/ReadOnlySessionStore.java:33-59`): IQ
+  * over a session-windowed view — all sessions of a key, and sessions
+  * overlapping a time range (`findSessions`). Expects the session agg's
+  * sink columns (key, session start, session end, aggregate...). */
+final class QueryableSessionStore(view: () => DataFrame, keyCol: String,
+    startCol: String, endCol: String) {
+
+  /** `fetch(key)` — every session of the key, start-ascending. */
+  def fetch(key: Any): Array[org.apache.spark.sql.Row] =
+    view().filter(col(keyCol) === lit(key)).orderBy(col(startCol)).collect()
+
+  /** `findSessions(key, earliest, latest)` — sessions OVERLAPPING the
+    * range (start <= latest && end >= earliest), like the reference. */
+  def findSessions(key: Any, earliest: java.sql.Timestamp,
+      latest: java.sql.Timestamp): Array[org.apache.spark.sql.Row] =
+    view().filter(col(keyCol) === lit(key) &&
+        col(startCol) <= lit(latest) && col(endCol) >= lit(earliest))
+      .orderBy(col(startCol)).collect()
+}
+
 object QueryableState {
 
   /** Store over a memory-sink table fed by an update-mode table query
@@ -95,6 +115,24 @@ object QueryableState {
         .agg(max_by(struct(cols.map(col): _*), col("__seq")).as("m"))
         .select(cols.map(c => col(s"m.$c").as(c)): _*)
     }, keyCol, windowStartCol)
+
+  /** Session store over a memory-sink table fed by a session-windowed
+    * aggregation: latest emission per (key, session start) wins — merged
+    * sessions re-emit with the same start and supersede. Caveat for
+    * update-mode feeds: a merge that moves a session's START leaves the
+    * superseded (key, old-start) row behind (the memory sink has no
+    * retractions); feed from `suppressFinal()` (append mode) when exact
+    * final sessions are required. */
+  def memorySessionStore(spark: SparkSession, queryName: String, keyCol: String,
+      startCol: String, endCol: String): QueryableSessionStore =
+    new QueryableSessionStore(() => {
+      val t = spark.table(queryName)
+      val cols = t.columns.toIndexedSeq
+      t.withColumn("__seq", monotonically_increasing_id())
+        .groupBy(col(keyCol), col(startCol))
+        .agg(max_by(struct(cols.map(col): _*), struct(col(endCol), col("__seq"))).as("m"))
+        .select(cols.map(c => col(s"m.$c").as(c)): _*)
+    }, keyCol, startCol, endCol)
 
   /** Store over operator state persisted in a checkpoint — the
     * state-store data source; queryable while the stream runs, from any

@@ -57,6 +57,19 @@ class RecordMetaSpec extends AnyFunSuite {
     assert(new String(m2.lastHeader("trace-id").get, UTF_8) === "t-2b")
   }
 
+  test("dedupDelivery drops redelivered (topic, partition, offset) records") {
+    // at-least-once redelivery: the same coordinates appear twice with
+    // identical payloads; different offsets survive
+    val redelivered = consumerDf.unionByName(consumerDf.filter(col("offset") === 41L))
+    val s = RecordMeta.fromConsumerRecords(redelivered)
+    assert(s.toDataset.count() === 3) // duplicate present pre-dedup
+    val out = RecordMeta.dedupDelivery(s, graceMs = 1000L)
+      .toDataset.collect()
+      .map { case (_, (_, meta), _) => (meta.topic, meta.partition, meta.offset) }
+    assert(out.length === 2)
+    assert(out.toSet === Set(("orders", 0, 41L), ("orders", 2, 99L)))
+  }
+
   test("producer projection emits Kafka sink columns with headers intact") {
     val s = RecordMeta.fromConsumerRecords(consumerDf)
     val sinkDf = RecordMeta.toProducerRecords(s)

@@ -68,6 +68,39 @@ class QueryableStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session store serves fetch/findSessions over a session-windowed view") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    // session streaming aggs require append mode (final sessions after
+    // the watermark) — the suppressFinal path
+    val sessions = GraftStreams(spark)
+      .stream[String, Int](mem.toDF(), $"_1", $"_2", $"_3")
+      .groupByKey
+      .windowedBy(graft.api.SessionWindows.`with`(java.time.Duration.ofSeconds(10))
+        .grace(java.time.Duration.ZERO))
+      .reduce(_ + _)
+    val q = sessions.df
+      .select(col("key.key").as("k"), col("key.start").as("s"),
+        col("key.end").as("e"), col("value").as("total"))
+      .writeStream.format("memory").queryName("iqsess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two separated sessions for "a" (gap > 10s), one for "b"
+      mem.addData(("a", 1, ts(1000L)), ("a", 2, ts(3000L)),
+        ("a", 5, ts(60000L)), ("b", 7, ts(1000L)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit every session
+      mem.addData(("wm", 0, ts(10L * 60 * 1000)))
+      q.processAllAvailable()
+      val store = QueryableState.memorySessionStore(spark, "iqsess", "k", "s", "e")
+      val aSessions = store.fetch("a")
+      assert(aSessions.map(_.getInt(3)).toSeq === Seq(3, 5)) // merged then separate
+      val early = store.findSessions("a", ts(0L), ts(5000L))
+      assert(early.map(_.getInt(3)).toSeq === Seq(3)) // only the overlapping session
+      assert(store.fetch("b").map(_.getInt(3)).toSeq === Seq(7))
+    } finally q.stop()
+  }
+
   test("state store data source reads operator state from a checkpoint") {
     val inDir = Files.createTempDirectory("graft-iq-in").toFile
     val ckpt = Files.createTempDirectory("graft-iq-ckpt").toFile.getAbsolutePath
