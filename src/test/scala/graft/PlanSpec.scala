@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("deterministic sample prunes the scan to (doc_id, lang)") {
+    val plan = planOf("q_sample_stratified")
+    assert(!plan.contains("text"), plan.take(800)) // heavy column not read
+    assert(plan.contains("ReadSchema") && plan.contains("doc_id"), plan.take(800))
+  }
+
+  test("as-of join enriches through one shuffle, no join node") {
+    val plan = planOf("q_asof_join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan.take(1000))
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan.take(1000))
+  }
+
   test("semi/anti joins stay joins (no subquery materialization)") {
     assert(planOf("q_join_semi").contains("LeftSemi"))
     assert(planOf("q_join_anti").contains("LeftAnti"))
