@@ -52,7 +52,7 @@ object StreamingChangelog {
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
         var current: Option[V] = state.getOption.flatten
         val out = scala.collection.mutable.ArrayBuffer.empty[(K2, (V2, Boolean), Timestamp)]
-        rows.toSeq.sortBy(_._3.getTime).foreach { case (_, v, ts) =>
+        rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos)).foreach { case (_, v, ts) =>
           current.foreach { old =>
             val (k2, v2) = sel(key, old)
             out += ((k2, (v2, false), ts)) // subtract the superseded value
