@@ -99,6 +99,11 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
   def repartitionByKey(numPartitions: Int): KStream[K, V] =
     new KStream[K, V](df.repartition(numPartitions, col(KeyCol)))
 
+  /** Custom `StreamPartitioner` (`processor/StreamPartitioner.java`):
+    * route records by arbitrary expressions instead of the key hash. */
+  def repartitionBy(numPartitions: Int, exprs: Column*): KStream[K, V] =
+    new KStream[K, V](df.repartition(numPartitions, exprs: _*))
+
   /** PAPI `process`/`transform` analogue over whole partitions
     * (`kstream/KStream.java:576`); stateless — stateful transforms belong
     * to `flatMapGroupsWithState` on the grouped stream. */
