@@ -97,8 +97,16 @@ final class KTable[K, V] private[graft] (
     * must subtract from the old group and add to the new one
     * (`kstream/internals/KTableRepartitionMap.java`). */
   def groupBy[K2: Encoder, V2: Encoder](selector: (K, V) => (K2, V2)): KGroupedTable[K2, V2] = {
-    require(!df.isStreaming,
-      "streaming table groupBy lands with the transformWithState changelog module")
+    if (df.isStreaming) {
+      // live changelog: ±deltas from flatMapGroupsWithState (append mode,
+      // so the KGroupedTable's downstream aggregation stays legal in one
+      // streaming query) — KTableRepartitionMap.java incrementally
+      val deltas = graft.streaming.StreamingChangelog
+        .deltaStream(new KStream[K, V](df))(selector)
+        .select(col("_1").as(KeyCol), col("_2._1").as(ValueCol),
+          col("_2._2").as("isAdd"), col("_3").as(TsCol))
+      return new KGroupedTable[K2, V2](deltas)
+    }
     // Replay the changelog as (+new, -old) deltas: adds from every live
     // row version, subtracts from every superseded (lagged) version —
     // KTableAggregate.java:72-106 semantics, batch-replayed. Same

@@ -28,15 +28,14 @@ import graft.api.{FoldAggregator, KStream, Rec, RowFoldAdapter}
   */
 object StreamingChangelog {
 
-  /** Re-keyed streaming aggregation with adder/subtractor; returns the
-    * update stream as a DataFrame (key, value, ts). Null changelog values
-    * are tombstones. */
-  def groupByAggregate[K: Encoder, V: Encoder, K2: Encoder, V2: Encoder, VA: Encoder](
-      changelog: KStream[K, V])(selector: (K, V) => (K2, V2))(
-      initializer: => VA)(
-      adder: (K2, V2, VA) => VA, subtractor: (K2, V2, VA) => VA,
-      merger: (VA, VA) => VA): DataFrame = {
-
+  /** Stage 1 alone: the re-keyed ±delta stream as a typed Dataset —
+    * `Change(new, old)` pairs the reference routes through the
+    * repartition topic. Reused by [[groupByAggregate]] and by
+    * `KTable.groupBy` on streaming changelogs (which feeds the columnar
+    * `KGroupedTable` surface with it). */
+  def deltaStream[K: Encoder, V: Encoder, K2: Encoder, V2: Encoder](
+      changelog: KStream[K, V])(
+      selector: (K, V) => (K2, V2)): org.apache.spark.sql.Dataset[(K2, (V2, Boolean), Timestamp)] = {
     implicit val ov: Encoder[Option[V]] = Rec.optionEnc[V]
     implicit val deltaEnc: Encoder[(K2, (V2, Boolean), Timestamp)] =
       Encoders.tuple(implicitly[Encoder[K2]],
@@ -45,8 +44,8 @@ object StreamingChangelog {
     implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
 
     val sel = selector
-    // stage 1: per-original-key latest value; emit ±deltas per update
-    val deltas = changelog.toDataset
+    // per-original-key latest value; emit ±deltas per update
+    changelog.toDataset
       .groupByKey(_._1)
       .flatMapGroupsWithState[Option[V], (K2, (V2, Boolean), Timestamp)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
@@ -66,6 +65,21 @@ object StreamingChangelog {
         state.update(current)
         out.iterator
       }
+  }
+
+  /** Re-keyed streaming aggregation with adder/subtractor; returns the
+    * update stream as a DataFrame (key, value, ts). Null changelog values
+    * are tombstones. */
+  def groupByAggregate[K: Encoder, V: Encoder, K2: Encoder, V2: Encoder, VA: Encoder](
+      changelog: KStream[K, V])(selector: (K, V) => (K2, V2))(
+      initializer: => VA)(
+      adder: (K2, V2, VA) => VA, subtractor: (K2, V2, VA) => VA,
+      merger: (VA, VA) => VA): DataFrame = {
+    implicit val deltaEnc: Encoder[(K2, (V2, Boolean), Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[K2]],
+        Encoders.tuple(implicitly[Encoder[V2]], Encoders.scalaBoolean),
+        Encoders.TIMESTAMP)
+    val deltas = deltaStream(changelog)(selector)
 
     // stage 2: typed delta fold keyed by the new key
     val agg = new FoldAggregator[K2, (V2, Boolean), VA](

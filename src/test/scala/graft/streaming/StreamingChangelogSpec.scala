@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -14,6 +15,34 @@ import graft.api.GraftStreams
 class StreamingChangelogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("KTable.groupBy on a LIVE changelog feeds the columnar delta surface") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val table = GraftStreams(spark)
+      .table[String, Long](mem.toDF(), $"_1", $"_2", $"_3")
+    // the SAME KGroupedTable API a batch caller uses, now streaming:
+    // re-key each user's balance under its parity and sum incrementally
+    val sums = table
+      .groupBy((user, cents) => (if (cents % 2 == 0) "even" else "odd", cents))
+      .aggExpr(("total", col("value"), -col("value")))
+    val q = sums.writeStream.format("memory").queryName("stgb")
+      .outputMode(OutputMode.Update).start()
+    def state(): Map[String, Long] = {
+      val rows = spark.table("stgb").collect()
+      rows.zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getLong(1) }
+    }
+    try {
+      mem.addData(("u1", 10L, ts(1000L)), ("u2", 3L, ts(1000L)))
+      q.processAllAvailable()
+      assert(state() === Map("even" -> 10L, "odd" -> 3L))
+      // u1's update moves it from even to odd: even retracts, odd adds
+      mem.addData(("u1", 7L, ts(2000L)))
+      q.processAllAvailable()
+      assert(state() === Map("even" -> 0L, "odd" -> 10L))
+    } finally q.stop()
+  }
 
   test("streaming groupBy.count subtracts on re-key and delete across batches") {
     implicit val sqlCtx = spark.sqlContext
