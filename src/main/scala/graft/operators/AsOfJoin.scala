@@ -25,22 +25,44 @@ object AsOfJoin {
     * over (they must not collide with left column names); left rows with
     * no prior right row get nulls — filter them for inner semantics. */
   def backward(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    join(left, right, key, leftTs, rightTs, payload, forwardDir = false)
+
+  /** Forward as-of join: every left row picks up the EARLIEST right row
+    * with `right.ts >= left.ts` — "next event after" semantics
+    * (conversion after impression, repair after failure). Same
+    * single-shuffle shape, mirrored window direction. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    join(left, right, key, leftTs, rightTs, payload, forwardDir = true)
+
+  private def join(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      forwardDir: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
+    // tie rule keeps the join inclusive: right rows at equal ts order on
+    // the side of the window the fill reads from (before left rows for
+    // backward, after them for forward)
+    val (lSide, rSide) = if (forwardDir) (0, 1) else (1, 0)
     val l = left.select(
-      col(key).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
+      col(key).as("__k") +: col(leftTs).as("__t") +: lit(lSide).as("__side") +:
         (lCols.map(col) ++
           payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))): _*)
     val r = right.select(
-      col(key).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
+      col(key).as("__k") +: col(rightTs).as("__t") +: lit(rSide).as("__side") +:
         (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map(p => col(p).as(s"__p_$p"))): _*)
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    val w =
+      if (forwardDir) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fill(c: org.apache.spark.sql.Column) =
+      if (forwardDir) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     l.unionByName(r)
       .select(col("__side") +: (lCols.map(col) ++
-        payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p))): _*)
-      .filter(col("__side") === 1)
+        payload.map(p => fill(col(s"__p_$p")).as(p))): _*)
+      .filter(col("__side") === lSide)
       .drop("__side")
   }
 }

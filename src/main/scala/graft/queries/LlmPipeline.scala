@@ -331,6 +331,37 @@ object LlmPipeline extends Catalog {
       .select("user_id", "click_id", "purchase_cents")
   }
 
+  // -- forward as-of join: each click picks up the NEXT purchase at or
+  //    after its event time (conversion attribution) — mirrored window
+  //    direction, same single-shuffle shape.
+  q("q_asof_join_forward",
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100) AS BIGINT) END AS cents
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |f AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    first_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_cents
+      |  FROM u)
+      |SELECT user_id, event_id AS click_id, nxt_cents AS conversion_cents
+      |FROM f WHERE event_type = 'click' AND nxt_cents IS NOT NULL""") { (s, dir) =>
+    import graft.operators.AsOfJoin
+    val ev = load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("conversion_cents"))
+    AsOfJoin.forward(clicks, purchases, key = "user_id",
+        leftTs = "ts", rightTs = "p_ts", payload = Seq("conversion_cents"))
+      .filter(col("conversion_cents").isNotNull)
+      .select("user_id", "click_id", "conversion_cents")
+  }
+
   // -- deterministic stratified sampling (functions.Sampling): keep/drop
   //    decided by a salted md5 of the row id, so the sample is identical
   //    across runs, partitionings, and engines (the oracle draws the SAME

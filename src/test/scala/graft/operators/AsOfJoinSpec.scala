@@ -33,6 +33,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       "l-other" -> Some(10L)))
   }
 
+  test("forward join picks the earliest right row at or after each left ts") {
+    val left = Seq(
+      ("u1", ts(1000L), "l-early"),
+      ("u1", ts(2000L), "l-tie"), // right row exactly at this ts (inclusive)
+      ("u1", ts(5000L), "l-late")).toDF("k", "t", "tag")
+    val right = Seq(
+      ("u1", ts(2000L), 20L),
+      ("u1", ts(4000L), 40L)).toDF("k", "rt", "amount")
+    val out = AsOfJoin.forward(left, right, "k", "t", "rt", Seq("amount"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out === Map(
+      "l-early" -> Some(20L),
+      "l-tie" -> Some(20L), // inclusive at the boundary
+      "l-late" -> None)) // nothing after
+  }
+
   test("matches the brute-force as-of oracle over 15 random scenarios") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 15) {
