@@ -95,6 +95,29 @@ class UpsertSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("random update/delete batches converge to the brute-force map view") {
+    val path = Files.createTempDirectory("graft-upsert-prop").toString + "/view"
+    val rnd = new scala.util.Random(11)
+    val expected = scala.collection.mutable.Map.empty[String, String]
+    var t = 0L
+    for (_ <- 1 to 6) {
+      val batch = (1 to 1 + rnd.nextInt(20)).map { _ =>
+        t += 1000
+        val k = s"k${rnd.nextInt(12)}"
+        val v = if (rnd.nextInt(5) == 0) null else s"v$t" // ~20% deletes
+        (k, v, ts(t))
+      }
+      // brute-force semantics: last write per key wins, null deletes
+      batch.foreach { case (k, v, _) =>
+        if (v == null) expected.remove(k) else expected.update(k, v)
+      }
+      UpsertView.merge(batch.toDF("key", "value", "ts"), path, N, "key", "value", "ts")
+      val view = spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(view === expected.toMap)
+    }
+  }
+
   test("interrupted swaps recover from every crash window") {
     val path = Files.createTempDirectory("graft-upsert3").toString + "/view"
     val b = 0
