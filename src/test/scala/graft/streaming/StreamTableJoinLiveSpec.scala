@@ -72,13 +72,23 @@ class StreamTableJoinLiveSpec extends AnyFunSuite {
   }
 
   test("within one batch: event-time order, table updates win ties before lookups") {
-    val (sMem, tMem, q, emitted) = harness(inner = true)
+    implicit val sqlCtx = spark.sqlContext
+    val sMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val tMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    // data added BEFORE the query starts => both sides land in batch 0
+    // together (adding after start can split them across micro-batches)
+    tMem.addData(("x", "T2", ts(3000L)), ("x", "T1", ts(1000L)))
+    sMem.addData(("x", "S2", ts(4000L)), ("x", "S1", ts(2000L)))
+    val b = GraftStreams(spark)
+    val joined = b.stream[String, String](sMem.toDF(), $"_1", $"_2", $"_3")
+      .joinTable(b.table[String, String](tMem.toDF(), $"_1", $"_2", $"_3"))(_ + "+" + _)
+    val q = joined.toDF.writeStream.format("memory").queryName("stlive_batch")
+      .outputMode(OutputMode.Append).start()
     try {
-      // all in ONE micro-batch, interleaved out of insertion order
-      tMem.addData(("x", "T2", ts(3000L)), ("x", "T1", ts(1000L)))
-      sMem.addData(("x", "S2", ts(4000L)), ("x", "S1", ts(2000L)))
       q.processAllAvailable()
-      assert(emitted().sorted === Seq(("x", "S1+T1"), ("x", "S2+T2")))
+      val emitted = spark.table("stlive_batch").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(emitted.sorted === Seq(("x", "S1+T1"), ("x", "S2+T2")))
     } finally q.stop()
   }
 }
