@@ -422,6 +422,62 @@ object LlmPipeline extends Catalog {
         max(col("quality")).as("max_quality"))
   }
 
+  // -- document chunking: split each doc into fixed-size token windows
+  //    (the pre-tokenization step of sequence packing); 1→N explode with
+  //    chunk index, exact-mirrored via list slicing.
+  q("q_text_chunking",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    CAST(ceil(len(toks) / 50.0) AS INT) AS n_chunks
+      |  FROM t WHERE len(toks) > 0),
+      |idx AS (SELECT CAST(range AS INT) AS chunk_idx FROM range(1000))
+      |SELECT doc_id, chunk_idx,
+      |  array_to_string(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50], ' ') AS chunk,
+      |  len(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50]) AS chunk_tokens
+      |FROM c JOIN idx ON chunk_idx < n_chunks""") { (s, dir) =>
+    val toks = T.tokens(col("text"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), D.bindOnce(toks) { ts =>
+        transform(sequence(lit(0), ceil(size(ts) / 50.0).cast("int") - 1), i =>
+          struct(i.as("chunk_idx"),
+            array_join(slice(ts, i * 50 + 1, lit(50)), " ").as("chunk"),
+            size(slice(ts, i * 50 + 1, lit(50))).as("chunk_tokens")))
+      }.as("chunks"))
+      .filter(size(col("chunks")) > 0)
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.chunk_tokens"))
+  }
+
+  // -- repetition ratio (C4's repeated-lines signal): distinct lines /
+  //    lines and distinct tokens / tokens — high repetition marks
+  //    boilerplate and crawler loops.
+  q("q_text_repetition",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len(lines) = 0 THEN 1.0
+      |       ELSE CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END AS line_uniq,
+      |  CASE WHEN len(toks) = 0 THEN 1.0
+      |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS token_uniq
+      |FROM t""") { (s, dir) =>
+    val lines = filter(split(col("text"), "\n"), x => length(trim(x)) > 0)
+    val toks = T.tokens(col("text"))
+    def uniqRatio(arr: org.apache.spark.sql.Column) =
+      when(size(arr) === 0, 1.0)
+        .otherwise(size(array_distinct(arr)).cast("double") / size(arr))
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      uniqRatio(lines).as("line_uniq"),
+      uniqRatio(toks).as("token_uniq"))
+  }
+
   // ------------------------------------------------------ text analysis
 
   // -- per-document stats: chars, tokens, subwords, punct/upper ratios.
