@@ -452,6 +452,47 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.chunk_tokens"))
   }
 
+  // -- sequence packing: chunks concatenate into fixed-count packs in a
+  //    deterministic global order (doc_id, chunk_idx) — the "pack short
+  //    sequences together" step of training-data prep. The global
+  //    row_number is a range-partitioned sort at scale; packs of 4 chunks
+  //    ≈ 200 tokens.
+  q("q_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, CAST(ceil(len(toks) / 50.0) AS INT) AS n_chunks
+      |  FROM t WHERE len(toks) > 0),
+      |idx AS (SELECT CAST(range AS INT) AS chunk_idx FROM range(1000)),
+      |chunks AS (
+      |  SELECT doc_id, chunk_idx,
+      |    array_to_string(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50], ' ') AS chunk,
+      |    len(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50]) AS chunk_tokens
+      |  FROM c JOIN idx ON chunk_idx < n_chunks),
+      |numbered AS (
+      |  SELECT *, row_number() OVER (ORDER BY doc_id, chunk_idx) - 1 AS rn
+      |  FROM chunks)
+      |SELECT CAST(rn // 4 AS BIGINT) AS pack_id,
+      |  string_agg(chunk, ' ' ORDER BY rn) AS packed,
+      |  CAST(sum(chunk_tokens) AS BIGINT) AS pack_tokens,
+      |  count(*) AS n_chunks
+      |FROM numbered GROUP BY 1""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val chunks = queries("q_text_chunking")(s, dir)
+    val numbered = chunks.withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"), col("chunk_idx"))) - 1)
+    numbered
+      .groupBy((col("rn") / 4).cast("long").as("pack_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("packed"),
+        sum(col("chunk_tokens")).as("pack_tokens"),
+        count(lit(1)).as("n_chunks"))
+  }
+
   // -- repetition ratio (C4's repeated-lines signal): distinct lines /
   //    lines and distinct tokens / tokens — high repetition marks
   //    boilerplate and crawler loops.
