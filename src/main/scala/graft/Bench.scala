@@ -42,7 +42,9 @@ object Bench {
     "dedup-simhash-native" -> "q_dedup_simhash_native",
     "asof-join" -> "q_asof_join",
     "sample-stratified" -> "q_sample_stratified",
-    "pipeline-c4" -> "q_pipeline_c4")
+    "pipeline-c4" -> "q_pipeline_c4",
+    "text-chunking" -> "q_text_chunking",
+    "sequence-packing" -> "q_sequence_packing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +82,9 @@ object Bench {
       "dedup-simhash-pairs" -> bytes("documents"),
       "dedup-simhash-native" -> bytes("documents"),
       "sample-stratified" -> bytes("documents"),
-      "pipeline-c4" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "pipeline-c4" -> bytes("documents"),
+      "text-chunking" -> bytes("documents"),
+      "sequence-packing" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -91,7 +95,9 @@ object Bench {
       "ann-cosine-topk" -> embRows, "ann-ivf" -> embRows,
       "dedup-simhash-pairs" -> docRows, "dedup-simhash-native" -> docRows,
       "sample-stratified" -> docRows,
-      "pipeline-c4" -> docRows).withDefaultValue(eventRows)
+      "pipeline-c4" -> docRows,
+      "text-chunking" -> docRows,
+      "sequence-packing" -> docRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference
