@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.io.File
-
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucketed keyed-upsert materialized view over plain parquet — the
@@ -18,45 +18,55 @@ import org.apache.spark.sql.functions._
   * exposes the `bucket` column, and a point lookup that filters
   * `bucket = bucketOf(key, n)` prunes to one directory.
   *
+  * All filesystem work goes through the Hadoop FileSystem API, so the
+  * view lives wherever the cluster writes (HDFS, local, object stores —
+  * note S3 renames are copies; front it with a consistent store or HDFS
+  * for high-frequency triggers).
+  *
   * Crash safety (per bucket, all dirs Spark-hidden via leading dot):
-  * write merged data to `.tmp_bucket=i`, rename current → `.bak_bucket=i`,
-  * rename tmp into place, delete the backup. Every window recovers:
-  * before the first rename a rerun simply rewrites the tmp; between the
-  * renames the bucket is restored from `.bak` (checked at sink start and
-  * before every bucket merge); after them the stale `.bak` is deleted.
-  * Batch replays after recovery are idempotent — the merge reads the
-  * current bucket content, which may already include this batch.
+  * write merged data to a hidden tmp root, rename current →
+  * `.bak_bucket=i`, rename tmp into place, delete the backup. Every
+  * window recovers: before the first rename a rerun simply rewrites the
+  * tmp; between the renames the bucket is restored from `.bak` (checked
+  * at sink start and before every merge); after them the stale `.bak` is
+  * deleted. Batch replays after recovery are idempotent — the merge reads
+  * the current bucket content, which may already include this batch.
   */
 object UpsertView {
 
   /** Bucket id of a key — Spark's Murmur3 `hash`, stable across runs. */
   def bucketOf(key: Column, numBuckets: Int): Column = pmod(hash(key), lit(numBuckets))
 
-  private def bucketDir(path: String, b: Int) = new File(path, s"bucket=$b")
-  private def bakDir(path: String, b: Int) = new File(path, s".bak_bucket=$b")
-  private def tmpDir(path: String, b: Int) = new File(path, s".tmp_bucket=$b")
-
-  private def rm(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete()
+  private def fileSystem(path: String): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    new Path(path).getFileSystem(conf)
   }
 
+  private def bucketDir(path: String, b: Int) = new Path(path, s"bucket=$b")
+  private def bakDir(path: String, b: Int) = new Path(path, s".bak_bucket=$b")
+
   /** Roll an interrupted swap forward/back so `bucket=<b>` is live. */
-  def recoverBucket(path: String, b: Int): Unit = {
+  def recoverBucket(path: String, b: Int): Unit =
+    recoverBucket(fileSystem(path), path, b)
+
+  private def recoverBucket(fs: FileSystem, path: String, b: Int): Unit = {
     val cur = bucketDir(path, b)
     val bak = bakDir(path, b)
-    if (!cur.exists() && bak.exists()) bak.renameTo(cur) // died between renames
-    else if (cur.exists() && bak.exists()) rm(bak) // died before backup delete
+    if (!fs.exists(cur) && fs.exists(bak)) fs.rename(bak, cur) // died between renames
+    else if (fs.exists(cur) && fs.exists(bak)) fs.delete(bak, true) // died pre-delete
   }
 
   /** Recover every bucket with a leftover backup (sink startup). */
   def recoverAll(path: String): Unit = {
-    val root = new File(path)
-    if (!root.exists()) return
-    root.list().toSeq
+    val fs = fileSystem(path)
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith(".bak_bucket="))
       .map(_.stripPrefix(".bak_bucket=").toInt)
-      .foreach(recoverBucket(path, _))
+      .foreach(recoverBucket(fs, path, _))
   }
 
   /** Merge one micro-batch of (key, value, ts) updates into the view:
@@ -67,6 +77,7 @@ object UpsertView {
   def merge(updates0: DataFrame, path: String, numBuckets: Int,
       keyCol: String, valueCol: String, tsCol: String): Unit = {
     val spark = updates0.sparkSession
+    val fs = fileSystem(path)
     // a non-deduped changelog can carry several updates per key per
     // trigger; only the latest survives in the view (ties on ts broken by
     // value for determinism)
@@ -80,13 +91,14 @@ object UpsertView {
     try {
       val touched = latest.select("__bucket").distinct()
         .collect().map(_.getInt(0)).sorted // <= numBuckets ints
-      touched.foreach(recoverBucket(path, _))
+      touched.foreach(recoverBucket(fs, path, _))
       val existingDirs = touched.map(bucketDir(path, _))
-        .filter(d => d.exists() && d.list().exists(_.endsWith(".parquet")))
+        .filter(d => fs.exists(d) &&
+          fs.listStatus(d).exists(_.getPath.getName.endsWith(".parquet")))
         .map(_.toString)
       val existing =
         if (existingDirs.isEmpty) None
-        else Some(spark.read.parquet(existingDirs: _*)
+        else Some(spark.read.parquet(existingDirs.toIndexedSeq: _*)
           .select(col(keyCol), col(valueCol), col(tsCol))
           .withColumn("__bucket", bucketOf(col(keyCol), numBuckets)))
       val merged = existing match {
@@ -96,20 +108,20 @@ object UpsertView {
         case None => latest
       }
       val live = merged.filter(col(valueCol).isNotNull)
-      val tmpRoot = new File(path, ".tmp_merge")
-      if (tmpRoot.exists()) rm(tmpRoot)
+      val tmpRoot = new Path(path, ".tmp_merge")
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
       // one job writes every touched bucket; one file per bucket keeps
       // the view's file count = numBuckets
       live.repartition(col("__bucket"))
         .write.partitionBy("__bucket").mode("overwrite").parquet(tmpRoot.toString)
       touched.foreach { b =>
         val cur = bucketDir(path, b)
-        val tmp = new File(tmpRoot, s"__bucket=$b")
-        if (cur.exists()) cur.renameTo(bakDir(path, b))
-        if (tmp.exists()) tmp.renameTo(cur) // absent => bucket fully deleted
-        if (bakDir(path, b).exists()) rm(bakDir(path, b))
+        val tmp = new Path(tmpRoot, s"__bucket=$b")
+        if (fs.exists(cur)) fs.rename(cur, bakDir(path, b))
+        if (fs.exists(tmp)) fs.rename(tmp, cur) // absent => bucket fully deleted
+        if (fs.exists(bakDir(path, b))) fs.delete(bakDir(path, b), true)
       }
-      rm(tmpRoot)
+      fs.delete(tmpRoot, true)
     } finally latest.unpersist()
   }
 }
