@@ -40,29 +40,27 @@ object AsOfJoin {
       leftTs: String, rightTs: String, payload: Seq[String],
       forwardDir: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
-    // tie rule keeps the join inclusive: right rows at equal ts order on
-    // the side of the window the fill reads from (before left rows for
-    // backward, after them for forward)
-    val (lSide, rSide) = if (forwardDir) (0, 1) else (1, 0)
     val l = left.select(
-      col(key).as("__k") +: col(leftTs).as("__t") +: lit(lSide).as("__side") +:
+      col(key).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
         (lCols.map(col) ++
           payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))): _*)
     val r = right.select(
-      col(key).as("__k") +: col(rightTs).as("__t") +: lit(rSide).as("__side") +:
+      col(key).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
         (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map(p => col(p).as(s"__p_$p"))): _*)
-    val ordered = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-    val w =
-      if (forwardDir) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fill(c: org.apache.spark.sql.Column) =
-      if (forwardDir) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+    // BOTH directions run an unbounded-PRECEDING running frame (Spark
+    // accumulates it in O(n) per partition; an unbounded-FOLLOWING frame
+    // would recompute per row = O(n^2) on hot keys). Forward direction =
+    // the same accumulation walked in descending event time. Right rows
+    // order before left rows on ts ties (side 0 < 1), keeping the join
+    // inclusive in both directions.
+    val ordered = Window.partitionBy("__k")
+      .orderBy(if (forwardDir) col("__t").desc else col("__t").asc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select(col("__side") +: (lCols.map(col) ++
-        payload.map(p => fill(col(s"__p_$p")).as(p))): _*)
-      .filter(col("__side") === lSide)
+        payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(ordered).as(p))): _*)
+      .filter(col("__side") === 1)
       .drop("__side")
   }
 }
