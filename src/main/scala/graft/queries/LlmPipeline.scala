@@ -479,10 +479,20 @@ object LlmPipeline extends Catalog {
       |  CAST(sum(chunk_tokens) AS BIGINT) AS pack_tokens,
       |  count(*) AS n_chunks
       |FROM numbered GROUP BY 1""") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val chunks = queries("q_text_chunking")(s, dir)
-    val numbered = chunks.withColumn("rn",
-      row_number().over(Window.orderBy(col("doc_id"), col("chunk_idx"))) - 1)
+    // global contiguous numbering WITHOUT a single-partition window: range
+    // partition on the order key, sort within partitions, zipWithIndex
+    // (per-partition offsets) — parallel and deterministic (partition
+    // boundaries don't change the global order)
+    val sorted = chunks
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("doc_id"), col("chunk_idx"))
+      .sortWithinPartitions("doc_id", "chunk_idx")
+    val numbered = s.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      StructType(sorted.schema.fields :+ StructField("rn", LongType, nullable = false)))
     numbered
       .groupBy((col("rn") / 4).cast("long").as("pack_id"))
       .agg(
