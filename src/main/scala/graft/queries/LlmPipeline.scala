@@ -241,9 +241,13 @@ object LlmPipeline extends Catalog {
        |bands AS (
        |  SELECT doc_id, (h >> (b * 15)) & 32767 AS chunk, b AS band
        |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       |small AS (
+       |  SELECT band, chunk FROM bands GROUP BY band, chunk
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |kb AS (SELECT bands.* FROM bands JOIN small USING (band, chunk)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM kb a JOIN kb b
        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(fa.h, fb.h)) AS hamming
        |FROM pairs
@@ -256,9 +260,12 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
       .select(col("doc_id"), col("band"),
         expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
+    // bucket cap mirrors the oracle's HAVING: a hot chunk (e.g. the
+    // fingerprint mass of near-empty docs) must not fan out O(n^2) pairs
+    // in one task; exact-dup groups that large belong to q_dedup_exact
     val pairs = bands.groupBy("band", "chunk")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, 50))
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -282,9 +289,12 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
       .select(col("doc_id"), col("band"),
         expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
+    // bucket cap mirrors the oracle's HAVING: a hot chunk (e.g. the
+    // fingerprint mass of near-empty docs) must not fan out O(n^2) pairs
+    // in one task; exact-dup groups that large belong to q_dedup_exact
     val pairs = bands.groupBy("band", "chunk")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, 50))
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
