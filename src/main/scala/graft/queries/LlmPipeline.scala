@@ -160,10 +160,14 @@ object LlmPipeline extends Catalog {
        |bandkeys AS (
        |  SELECT doc_id, bd,
        |    ${sqlMd5Long("array_to_string(sig[bd*4 + 1 : bd*4 + 4], ',')")} AS bandhash
-       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS bd))
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS bd)),
+       |small AS (
+       |  SELECT bd, bandhash FROM bandkeys GROUP BY bd, bandhash
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |kb AS (SELECT bandkeys.* FROM bandkeys JOIN small USING (bd, bandhash))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bandkeys a
-       |JOIN bandkeys b ON a.bd = b.bd AND a.bandhash = b.bandhash
+       |FROM kb a
+       |JOIN kb b ON a.bd = b.bd AND a.bandhash = b.bandhash
        |  AND a.doc_id < b.doc_id""") { (s, dir) =>
     val sigs = spread(load(s, dir, "documents"))
       .select(col("doc_id"),
@@ -173,7 +177,9 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), explode(D.bandKeys(col("sig"), 4, 4)).as("bk"))
       .groupBy(col("bk.band"), col("bk.bandhash"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      // bucket cap (oracle-mirrored): an exact-dup flood sharing every
+      // band hash must not explode O(n^2) pairs in one task
+      .filter(size(col("ids")).between(2, 50))
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -199,7 +205,7 @@ object LlmPipeline extends Catalog {
         xxhash64(col("band"), expr("slice(sig, band*4 + 1, 4)")).as("bandhash"))
       .groupBy("band", "bandhash")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, 50))
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
