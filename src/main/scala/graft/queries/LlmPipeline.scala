@@ -264,21 +264,22 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), D.simhash64(col("text")).as("h"))
     val bands = fps
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
-      .select(col("doc_id"), col("band"),
+      .select(col("doc_id"), col("h"), col("band"),
         expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
     // bucket cap mirrors the oracle's HAVING: a hot chunk (e.g. the
     // fingerprint mass of near-empty docs) must not fan out O(n^2) pairs
-    // in one task; exact-dup groups that large belong to q_dedup_exact
+    // in one task; exact-dup groups that large belong to q_dedup_exact.
+    // Fingerprints ride through the buckets as structs, so rescoring
+    // needs no join back against the corpus.
     val pairs = bands.groupBy("band", "chunk")
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ids"))
       .filter(size(col("ids")).between(2, 50))
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.h").as("ha"), col("p.b.h").as("hb"))
       .distinct()
     val ham = D.hammingDist(col("ha"), col("hb"))
     pairs
-      .join(fps.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
-      .join(fps.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
       .filter(ham <= 5)
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
   }
@@ -293,21 +294,22 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), NativeHash.simhash64Native(col("text")).as("h"))
     val bands = fps
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
-      .select(col("doc_id"), col("band"),
+      .select(col("doc_id"), col("h"), col("band"),
         expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
     // bucket cap mirrors the oracle's HAVING: a hot chunk (e.g. the
     // fingerprint mass of near-empty docs) must not fan out O(n^2) pairs
-    // in one task; exact-dup groups that large belong to q_dedup_exact
+    // in one task; exact-dup groups that large belong to q_dedup_exact.
+    // Fingerprints ride through the buckets as structs, so rescoring
+    // needs no join back against the corpus.
     val pairs = bands.groupBy("band", "chunk")
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ids"))
       .filter(size(col("ids")).between(2, 50))
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.h").as("ha"), col("p.b.h").as("hb"))
       .distinct()
     val ham = D.hammingDist(col("ha"), col("hb"))
     pairs
-      .join(fps.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
-      .join(fps.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
       .filter(ham <= 5)
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
   }
