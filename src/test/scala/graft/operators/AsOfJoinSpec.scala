@@ -72,6 +72,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward matches the brute-force oracle over 15 random scenarios") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 15) {
+      val lRows = (1 to 3 + rnd.nextInt(20)).map(i =>
+        (rnd.nextInt(5), rnd.nextInt(50) * 100L, i))
+      val rRows = (1 to 3 + rnd.nextInt(20)).map(i =>
+        (rnd.nextInt(5), rnd.nextInt(50) * 100L, i.toLong * 10))
+      val rDistinct = rRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = lRows.map { case (k, t, id) =>
+        val after = rDistinct.filter(r => r._1 == k && r._2 >= t)
+        id -> (if (after.isEmpty) None else Some(after.minBy(_._2)._3))
+      }.toMap
+      val left = lRows.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "t", "lid")
+      val right = rDistinct.map { case (k, t, p) => (k, ts(t), p) }.toDF("k", "rt", "p")
+      val got = AsOfJoin.forward(left, right, "k", "t", "rt", Seq("p"))
+        .collect().map(r => r.getInt(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(got === expected)
+    }
+  }
+
   test("plans a single shuffle (no range-join pair explosion)") {
     val left = Seq(("a", ts(1L), 1)).toDF("k", "t", "x")
     val right = Seq(("a", ts(1L), 2L)).toDF("k", "rt", "p")
