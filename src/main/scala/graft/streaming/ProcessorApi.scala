@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, StatefulProcessorHandle, TimeMode, TimerValues}
+
+import graft.api.{KStream, Rec}
+
+/** The reference's FULL Processor API
+  * (`processor/Processor.java` + `ProcessorContext.java`) on Spark 4's
+  * `transformWithState` — a structurally closer map than
+  * `flatMapGroupsWithState`:
+  *
+  *   - named state stores per processor (`context.getStateStore(name)`,
+  *     `Stores.java:85-315`) ⇒ named `ValueState`/`ListState`/`MapState`
+  *     variables on the [[StatefulProcessorHandle]];
+  *   - `context.schedule(interval, STREAM_TIME | WALL_CLOCK_TIME, ...)`
+  *     (`PunctuationType.java:34-35`) ⇒ `registerTimer` under
+  *     `TimeMode.EventTime()` / `TimeMode.ProcessingTime()` — both live on
+  *     the SAME processor, unlike GroupStateTimeout's either/or;
+  *   - windowed-store retention ⇒ per-state `TTLConfig`;
+  *   - multiple `forward()` calls ⇒ the returned iterators.
+  *
+  * Requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass`), which is also the
+  * reference's store engine — set it on the session before starting the
+  * query.
+  */
+object ProcessorApi {
+
+  /** User-facing processor — `Processor<K,V>` with `init/process/punctuate`. */
+  trait Processor[K, V, OUT] extends Serializable {
+    /** `Processor.init(context)`: create named state handles here. */
+    def init(handle: StatefulProcessorHandle): Unit
+    /** `Processor.process` over this trigger's records for one key;
+      * `forward` = emit through the returned iterator. */
+    def process(key: K, rows: Iterator[(V, Timestamp)],
+        handle: StatefulProcessorHandle, timers: TimerValues): Iterator[OUT]
+    /** Punctuator callback (`Punctuator.punctuate(ts)`). */
+    def onTimer(key: K, info: ExpiredTimerInfo, handle: StatefulProcessorHandle,
+        timers: TimerValues): Iterator[OUT] = Iterator.empty
+  }
+
+  /** Top-level adapter (anonymous subclasses would capture `$outer`). */
+  private final class Adapter[K, V, OUT](proc: Processor[K, V, OUT])
+      extends StatefulProcessor[K, (K, V, Timestamp), OUT] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      proc.init(getHandle)
+    override def handleInputRows(key: K, rows: Iterator[(K, V, Timestamp)],
+        timerValues: TimerValues): Iterator[OUT] =
+      proc.process(key, rows.map(r => (r._2, r._3)), getHandle, timerValues)
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[OUT] =
+      proc.onTimer(key, expiredTimerInfo, getHandle, timerValues)
+  }
+
+  /** `topology.addProcessor` analogue: run the processor per key over the
+    * stream. `timeMode` picks the punctuation clock (STREAM_TIME =
+    * `TimeMode.EventTime()` — watermark the stream via grace). */
+  def process[K: Encoder, V: Encoder, OUT: Encoder](
+      stream: KStream[K, V],
+      proc: Processor[K, V, OUT],
+      timeMode: TimeMode,
+      outputMode: OutputMode = OutputMode.Append,
+      graceMs: Long = 0L): Dataset[OUT] = {
+    implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
+    new KStream[K, V](Rec.withGrace(stream.toDF, graceMs)).toDataset
+      .groupByKey(_._1)
+      .transformWithState(new Adapter[K, V, OUT](proc), timeMode, outputMode)
+  }
+}
