@@ -60,3 +60,57 @@ final class TopologyTestDriver[K: Encoder, V: Encoder, K2: Encoder, V2: Encoder]
 
   def close(): Unit = query.stop()
 }
+
+/** Two-input-topic variant — `driver.createInputTopic` twice in the
+  * reference's tests; the natural harness for join/enrichment topologies
+  * (e.g. a live KStream⋈KTable). Pipes share micro-batch processing, so
+  * `pipeBoth` lands both sides in one batch. */
+final class TopologyTestDriver2[K1: Encoder, V1: Encoder, K2: Encoder, V2: Encoder,
+    K3: Encoder, V3: Encoder](
+    spark: SparkSession,
+    topology: (KStream[K1, V1], KStream[K2, V2]) => KStream[K3, V3],
+    outputMode: OutputMode = OutputMode.Append) {
+
+  private implicit val in1Enc: Encoder[(K1, V1, Timestamp)] = Rec.tupleEnc[K1, V1]
+  private implicit val in2Enc: Encoder[(K2, V2, Timestamp)] = Rec.tupleEnc[K2, V2]
+  private implicit val outEnc: Encoder[(K3, V3, Timestamp)] = Rec.tupleEnc[K3, V3]
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val mem1 = MemoryStream[(K1, V1, Timestamp)]
+  private val mem2 = MemoryStream[(K2, V2, Timestamp)]
+  private val sinkName =
+    s"ttd2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+  private val b = GraftStreams(spark)
+  private val query = topology(
+      b.stream[K1, V1](mem1.toDF(), col("_1"), col("_2"), col("_3")),
+      b.stream[K2, V2](mem2.toDF(), col("_1"), col("_2"), col("_3")))
+    .toDF.writeStream.format("memory").queryName(sinkName)
+    .outputMode(outputMode).start()
+  private var drained = 0
+
+  def pipeLeft(records: (K1, V1, Timestamp)*): Unit = {
+    mem1.addData(records)
+    query.processAllAvailable()
+  }
+
+  def pipeRight(records: (K2, V2, Timestamp)*): Unit = {
+    mem2.addData(records)
+    query.processAllAvailable()
+  }
+
+  /** Enqueue both sides, then process — one micro-batch sees both. */
+  def pipeBoth(left: Seq[(K1, V1, Timestamp)], right: Seq[(K2, V2, Timestamp)]): Unit = {
+    if (left.nonEmpty) mem1.addData(left)
+    if (right.nonEmpty) mem2.addData(right)
+    query.processAllAvailable()
+  }
+
+  def readOutput(): Seq[(K3, V3, Timestamp)] = {
+    val all = spark.table(sinkName).as[(K3, V3, Timestamp)].collect()
+    val fresh = all.drop(drained)
+    drained = all.length
+    fresh.toSeq
+  }
+
+  def close(): Unit = query.stop()
+}

@@ -25,6 +25,20 @@ class TopologyTestDriverSpec extends AnyFunSuite {
     } finally driver.close()
   }
 
+  test("two-topic driver runs a live enrichment join (stream x changelog table)") {
+    val driver = new TopologyTestDriver2[String, String, String, String, String, String](
+      spark,
+      (clicks, purchases) => clicks.joinTable(purchases.toTable)(_ + "@" + _))
+    try {
+      driver.pipeLeft(("u1", "click1", ts(1000L)))
+      assert(driver.readOutput().isEmpty) // no table state yet
+      driver.pipeRight(("u1", "premium", ts(2000L)))
+      assert(driver.readOutput().isEmpty) // table updates emit nothing
+      driver.pipeLeft(("u1", "click2", ts(3000L)))
+      assert(driver.readOutput().map(r => (r._1, r._2)) === Seq(("u1", "click2@premium")))
+    } finally driver.close()
+  }
+
   test("stateful count topology accumulates across pipes (update mode)") {
     val driver = new TopologyTestDriver[String, Long, String, Long](
       spark,
