@@ -52,6 +52,53 @@ class ProcessorApiSpec extends AnyFunSuite {
       }
     }
   }
+  test("MapState works as the processor's attached KV store (seen-id dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+      val stream = GraftStreams(spark).stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+      val out = ProcessorApi.process[String, String, (String, String)](
+        stream, new SeenIdDedup, TimeMode.None(), OutputMode.Append)
+      val q = out.toDF("k", "v").writeStream.format("memory").queryName("papimap")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(("k", "id1", ts(1000L)))
+        q.processAllAvailable()
+        mem.addData(("k", "id1", ts(2000L)), ("k", "id2", ts(2500L))) // id1 redelivered
+        q.processAllAvailable()
+        val got = spark.table("papimap").collect().map(r => r.getString(1)).toSeq
+        assert(got === Seq("id1", "id2")) // each id forwarded exactly once
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
+/** Forwards each (key, id) once — MapState as the processor-attached
+  * KeyValueStore (`Stores.keyValueStoreBuilder`). */
+private[streaming] class SeenIdDedup
+    extends ProcessorApi.Processor[String, String, (String, String)] {
+  import org.apache.spark.sql.streaming.MapState
+  @transient private var seen: MapState[String, Long] = _
+
+  override def init(handle: StatefulProcessorHandle): Unit =
+    seen = handle.getMapState[String, Long]("seen",
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def process(key: String, rows: Iterator[(String, Timestamp)],
+      handle: StatefulProcessorHandle, timers: TimerValues): Iterator[(String, String)] =
+    rows.flatMap { case (id, _) =>
+      if (seen.containsKey(id)) None
+      else { seen.updateValue(id, 1L); Some((key, id)) }
+    }
 }
 
 /** Sums values per key; punctuates (emits + clears) once event time
