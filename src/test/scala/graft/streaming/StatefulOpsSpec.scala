@@ -109,6 +109,26 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded suppress buffer SHUT_DOWN policy fails the query on overflow") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    val suppressed = StatefulOps.suppressUntilTimeLimit(stream, delayMs = 60000L,
+      maxRecordsPerKey = 2L, emitEarlyOnFull = false)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory").queryName("suppshut")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      mem.addData(("A", "v1", ts(1000L)), ("A", "v2", ts(2000L))) // buffer full
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(failed.getMessage.contains("SHUT_DOWN"), failed.getMessage.take(300))
+    } finally q.stop()
+  }
+
   test("event-time suppress punctuates on watermark advance (STREAM_TIME)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, java.sql.Timestamp)]
