@@ -118,6 +118,34 @@ class UpsertSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert view resumes from checkpoint after a restart (no reprocessing)") {
+    import org.apache.spark.sql.functions.{col, current_timestamp}
+    val inDir = Files.createTempDirectory("graft-upres-in").toFile
+    val ckpt = Files.createTempDirectory("graft-upres-ckpt").toString
+    val path = Files.createTempDirectory("graft-upres-view").toString + "/view"
+
+    // file source (checkpoint-recoverable); key = line, value = line
+    def start() = {
+      val table = GraftStreams(spark).table[String, String](
+        spark.readStream.text(inDir.getAbsolutePath),
+        col("value"), col("value"), current_timestamp())
+      GraftSinks.upsertParquet(table, path, ckpt, numBuckets = N)
+    }
+
+    Files.writeString(new File(inDir, "a.txt").toPath, "k1\nk2\n")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(path).collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("k1", "k2"))
+
+    // restart over the same checkpoint; only the NEW file merges in
+    Files.writeString(new File(inDir, "b.txt").toPath, "k3\n")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(path).collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("k1", "k2", "k3"))
+  }
+
   test("interrupted swaps recover from every crash window") {
     val path = Files.createTempDirectory("graft-upsert3").toString + "/view"
     val b = 0
