@@ -44,7 +44,9 @@ object Bench {
     "sample-stratified" -> "q_sample_stratified",
     "pipeline-c4" -> "q_pipeline_c4",
     "text-chunking" -> "q_text_chunking",
-    "sequence-packing" -> "q_sequence_packing")
+    "sequence-packing" -> "q_sequence_packing",
+    "dedup-components" -> "q_dedup_components",
+    "embed-quantize" -> "q_embed_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,7 +86,9 @@ object Bench {
       "sample-stratified" -> bytes("documents"),
       "pipeline-c4" -> bytes("documents"),
       "text-chunking" -> bytes("documents"),
-      "sequence-packing" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "sequence-packing" -> bytes("documents"),
+      "dedup-components" -> bytes("documents"),
+      "embed-quantize" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -97,7 +101,9 @@ object Bench {
       "sample-stratified" -> docRows,
       "pipeline-c4" -> docRows,
       "text-chunking" -> docRows,
-      "sequence-packing" -> docRows).withDefaultValue(eventRows)
+      "sequence-packing" -> docRows,
+      "dedup-components" -> docRows,
+      "embed-quantize" -> embRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference

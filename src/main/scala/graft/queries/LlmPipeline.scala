@@ -146,10 +146,11 @@ object LlmPipeline extends Catalog {
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
-  // -- MinHash + LSH banding: k=16 signature, 4 bands x 4 rows; candidate
-  //    pairs share at least one band hash. Equi-join on (band, bandhash).
-  q("q_dedup_minhash_lsh",
-    s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+  /** DuckDB CTE chain producing MinHash+LSH candidate pairs — shared by
+    * q_dedup_minhash_lsh (emits the pairs) and q_dedup_components (closes
+    * them into dedup groups). */
+  private val SqlMinhashPairCtes =
+    s"""docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
        |sh AS (SELECT doc_id, unnest($SqlShingles3) AS shingle FROM docs),
        |h AS (SELECT doc_id, ${sqlMd5Long("shingle")} % 2147483647 AS hv FROM sh),
        |mh AS (
@@ -164,15 +165,20 @@ object LlmPipeline extends Catalog {
        |small AS (
        |  SELECT bd, bandhash FROM bandkeys GROUP BY bd, bandhash
        |  HAVING count(*) BETWEEN 2 AND 50),
-       |kb AS (SELECT bandkeys.* FROM bandkeys JOIN small USING (bd, bandhash))
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM kb a
-       |JOIN kb b ON a.bd = b.bd AND a.bandhash = b.bandhash
-       |  AND a.doc_id < b.doc_id""") { (s, dir) =>
+       |kb AS (SELECT bandkeys.* FROM bandkeys JOIN small USING (bd, bandhash))""".stripMargin
+
+  private val SqlMinhashPairSelect =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM kb a
+      |JOIN kb b ON a.bd = b.bd AND a.bandhash = b.bandhash
+      |  AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Spark side of the same candidate-pair generation: band buckets ->
+    * in-bucket pairs, one pass (no self-join recompute). */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val sigs = spread(load(s, dir, "documents"))
       .select(col("doc_id"),
         D.minhashSignature(D.wordShingles(col("text"), 3), 16).as("sig"))
-    // band buckets -> in-bucket pairs, one pass (no self-join recompute)
     sigs
       .select(col("doc_id"), explode(D.bandKeys(col("sig"), 4, 4)).as("bk"))
       .groupBy(col("bk.band"), col("bk.bandhash"))
@@ -183,6 +189,35 @@ object LlmPipeline extends Catalog {
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+  }
+
+  // -- MinHash + LSH banding: k=16 signature, 4 bands x 4 rows; candidate
+  //    pairs share at least one band hash. Equi-join on (band, bandhash).
+  q("q_dedup_minhash_lsh",
+    s"WITH $SqlMinhashPairCtes\n$SqlMinhashPairSelect")(minhashPairs)
+
+  // -- dedup-group closure: connected components over the MinHash pair
+  //    graph (A~B, B~C => one group even though A,C never paired), with
+  //    the minimum doc id as the canonical representative to keep. The
+  //    Spark side runs distributed min-label propagation (one shuffle per
+  //    round, rounds = component diameter — small for near-dup cliques);
+  //    the oracle closes the same graph with a recursive CTE.
+  q("q_dedup_components",
+    s"""WITH RECURSIVE $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.n)
+       |SELECT n AS doc_id, min(m) AS component,
+       |  CAST(n = min(m) AS INT) AS is_canonical
+       |FROM reach GROUP BY n""") { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    ConnectedComponents.run(minhashPairs(s, dir), "doc_a", "doc_b")
+      .select(col("n").as("doc_id"), col("label").as("component"),
+        (col("n") === col("label")).cast("int").as("is_canonical"))
   }
 
   // -- native-Expression MinHash+LSH (codegen'd one-pass shingle hashing
@@ -842,5 +877,37 @@ object LlmPipeline extends Catalog {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  // -- int8 symmetric quantization (per-vector max-abs scale): the memory
+  //    compression step for ANN at corpus scale (4x smaller vectors, SIMD
+  //    int dot products). Emitted per-dimension so the oracle checks every
+  //    quantized value; `scale` is the dequantization step. Rounding is
+  //    floor(x+0.5) stated explicitly on both sides (identical IEEE double
+  //    ops => bit-exact, no engine round() semantics involved).
+  q("q_embed_quantize",
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+      |  FROM embeddings),
+      |idx AS (SELECT CAST(range AS INT) AS dim FROM range(4096))
+      |SELECT vec_id, dim,
+      |  CASE WHEN maxabs = 0 THEN 0
+      |       ELSE CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INT)
+      |  END AS q,
+      |  CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127.0 END AS scale
+      |FROM e JOIN idx ON dim < len(embedding)""") { (s, dir) =>
+    spread(load(s, dir, "embeddings"))
+      .withColumn("maxabs",
+        array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+      .select(col("vec_id"), col("maxabs"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(
+        col("vec_id"), col("dim"),
+        when(col("maxabs") === 0.0, lit(0))
+          .otherwise(floor(col("x").cast("double") * (lit(127.0) / col("maxabs")) + 0.5)
+            .cast("int")).as("q"),
+        when(col("maxabs") === 0.0, lit(0.0))
+          .otherwise(col("maxabs") / lit(127.0)).as("scale"))
   }
 }
