@@ -57,6 +57,38 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(fnvGroups === md5Groups)
   }
 
+  test("int8-quantized vectors preserve brute-force cosine top-k neighbors") {
+    // q_embed_quantize is oracle-exact per dimension; this pins its
+    // USEFULNESS: reconstructed (q * scale) vectors must rank neighbors
+    // like the full-precision kernel (the point of the 4x compression)
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    val full = SparkEntry.queries("q_ann_cosine_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val deq = SparkEntry.queries("q_embed_quantize")(spark, dir)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dim"), (col("q") * col("scale")).as("v"))))
+        .as("dv"))
+      .select(col("vec_id"), expr("transform(dv, x -> cast(x.v as float))").as("embedding"))
+    val qs = deq.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val topk = deq.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosine(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    assert(full.keySet === topk.keySet)
+    val recalls = full.map { case (q, ns) => (topk(q) & ns).size.toDouble / ns.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean top-10 recall after int8 quantization = $mean")
+  }
+
   test("approx_count_distinct lands within 3x rsd of the exact count") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
