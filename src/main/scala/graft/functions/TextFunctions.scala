@@ -125,4 +125,30 @@ object TextFunctions {
     * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` exactly. */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------- PII scrubbing
+
+  /** PII patterns written in the common Java-regex/RE2 subset (no
+    * lookaround, ASCII classes, `\b` word boundaries) so Spark and DuckDB
+    * match identical spans. Classes are explicit `[0-9]`, not `\d`, to
+    * dodge engine-specific Unicode class semantics. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Ordered (pattern, replacement) redaction passes: emails first (their
+    * domains contain dotted digit runs an IP pass would half-eat), then
+    * IPs, then bare phone numbers. */
+  val PiiPasses: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", Ipv4Re -> "<IP>", PhoneRe -> "<PHONE>")
+
+  /** Redact all PII matches (global replace per pass, in pass order). */
+  def redactPii(c: Column): Column =
+    PiiPasses.foldLeft(c) { case (acc, (re, tok)) =>
+      regexp_replace(acc, re, tok)
+    }
+
+  /** Count matches of one PII pattern (whole-match group 0). */
+  def piiCount(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 }

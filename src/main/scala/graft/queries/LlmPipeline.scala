@@ -910,4 +910,89 @@ object LlmPipeline extends Catalog {
         when(col("maxabs") === 0.0, lit(0.0))
           .otherwise(col("maxabs") / lit(127.0)).as("scale"))
   }
+
+  // -- eval-set decontamination: flag training docs whose 3-gram shingles
+  //    overlap an eval/benchmark subset too heavily (the train/test-leak
+  //    check every training corpus needs). The eval shingle set is tiny
+  //    relative to the corpus (benchmarks are ~1e6 n-grams) so it
+  //    broadcasts; the train side streams through one broadcast join and
+  //    one hash agg — no corpus shuffle at 100 TB. Shingles travel as
+  //    60-bit md5 hashes (compact broadcast keys), exact on both sides.
+  q("q_decontaminate",
+    s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${sqlMd5Long(s"unnest($SqlShingles3)")} AS hv FROM docs),
+       |ev AS (SELECT DISTINCT hv FROM sh WHERE doc_id % 20 = 0),
+       |tr AS (SELECT doc_id, hv FROM sh WHERE doc_id % 20 <> 0),
+       |j AS (
+       |  SELECT tr.doc_id, count(*) AS n_sh,
+       |    CAST(sum(CASE WHEN ev.hv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |  FROM tr LEFT JOIN ev ON tr.hv = ev.hv
+       |  GROUP BY tr.doc_id)
+       |SELECT doc_id, n_sh, n_overlap,
+       |  round(CAST(n_overlap AS DOUBLE) / n_sh, 6) AS overlap_ratio,
+       |  CAST(CASE WHEN CAST(n_overlap AS DOUBLE) / n_sh > 0.8 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM j""") { (s, dir) =>
+    val sh = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("sval"))
+      .select(col("doc_id"), T.md5Long(col("sval")).as("hv"))
+    val ev = sh.filter(col("doc_id") % 20 === 0)
+      .select("hv").distinct().withColumn("hit", lit(1L))
+    val ratio = col("n_overlap").cast("double") / col("n_sh")
+    sh.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(ev), Seq("hv"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"),
+        round(ratio, 6).as("overlap_ratio"),
+        when(ratio > 0.8, 1L).otherwise(0L).as("contaminated"))
+  }
+
+  // -- PII scrubbing: redact emails / IPv4s / phone numbers and count the
+  //    matches per pass. The synthetic corpus carries no natural PII, so
+  //    both engines append the SAME deterministic contact tail built from
+  //    doc_id — the operator under test is the redaction (pattern parity
+  //    across Java regex and RE2, global replace, pass ordering), a pure
+  //    per-row map that pushes no shuffle at any scale.
+  q("q_pii_redact", {
+    val synth =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN ' cc admin' || CAST(doc_id % 5 AS VARCHAR) || '@ex.org' ELSE '' END ||
+        |  ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+        .stripMargin
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+    val phone = "\\b[0-9]{3}-[0-9]{4}\\b"
+    s"""WITH t AS (SELECT doc_id, $synth AS synth FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(synth, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(synth, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(synth, '$phone')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(synth,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+       |FROM t""".stripMargin
+  }) { (s, dir) =>
+    val id = col("doc_id")
+    val synth = concat(
+      col("text"), lit(" contact user"), id.cast("string"),
+      lit("@mail"), (id % 7).cast("string"), lit(".example.com"),
+      when(id % 3 === 0,
+        concat(lit(" cc admin"), (id % 5).cast("string"), lit("@ex.org")))
+        .otherwise(""),
+      lit(" ip 10."), (id % 256).cast("string"), lit(".0."), (id % 100).cast("string"),
+      when(id % 2 === 0,
+        concat(lit(" tel 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(""))
+    load(s, dir, "documents")
+      .withColumn("synth", synth)
+      .select(id,
+        T.piiCount(col("synth"), T.EmailRe).as("n_emails"),
+        T.piiCount(col("synth"), T.Ipv4Re).as("n_ips"),
+        T.piiCount(col("synth"), T.PhoneRe).as("n_phones"),
+        T.redactPii(col("synth")).as("redacted"))
+  }
 }

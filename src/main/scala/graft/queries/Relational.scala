@@ -254,4 +254,37 @@ object Relational extends Catalog {
     load(s, dir, "lineitem").groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
   }
+
+  // -- Q3-style shipping priority: selective dim filter broadcast into
+  //    orders, then ONE fact-fact shuffle join on the order key, partial
+  //    agg, TakeOrderedAndProject top-k. The canonical "two big tables,
+  //    one small filter" shape — at scale only lineitem⋈orders shuffles,
+  //    and only rows surviving both date filters reach it (pushdown).
+  q("q_join_shipping_priority",
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, dir) =>
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val building = load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = load(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    load(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_orderdate", "revenue")
+  }
 }

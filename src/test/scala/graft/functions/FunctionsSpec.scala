@@ -116,4 +116,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) === r.getString(1))
     assert(r.getString(0).length === 16)
   }
+
+  test("PII redaction: emails, IPs, phones replaced in pass order") {
+    val df = Seq(
+      "mail a.b+c@sub.ex.com or root@ex.io from 192.168.0.1 call 555-0199",
+      "no pii here",
+      "v4 1.2.3.4 but 1.2.3 is not an ip and 12-3456 not a phone").toDF("t")
+    val r = df.select(
+      TextFunctions.redactPii($"t").as("red"),
+      TextFunctions.piiCount($"t", TextFunctions.EmailRe).as("ne"),
+      TextFunctions.piiCount($"t", TextFunctions.Ipv4Re).as("ni"),
+      TextFunctions.piiCount($"t", TextFunctions.PhoneRe).as("np")).collect()
+    assert(r(0).getString(0) === "mail <EMAIL> or <EMAIL> from <IP> call <PHONE>")
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) === ((2L, 1L, 1L)))
+    assert(r(1).getString(0) === "no pii here")
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) === ((0L, 0L, 0L)))
+    assert(r(2).getString(0) === "v4 <IP> but 1.2.3 is not an ip and 12-3456 not a phone")
+  }
 }
