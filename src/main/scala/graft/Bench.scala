@@ -46,7 +46,11 @@ object Bench {
     "text-chunking" -> "q_text_chunking",
     "sequence-packing" -> "q_sequence_packing",
     "dedup-components" -> "q_dedup_components",
-    "embed-quantize" -> "q_embed_quantize")
+    "embed-quantize" -> "q_embed_quantize",
+    "dedup-spans" -> "q_dedup_spans",
+    "decontaminate" -> "q_decontaminate",
+    "pii-redact" -> "q_pii_redact",
+    "shipping-priority" -> "q_join_shipping_priority")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,7 +92,11 @@ object Bench {
       "text-chunking" -> bytes("documents"),
       "sequence-packing" -> bytes("documents"),
       "dedup-components" -> bytes("documents"),
-      "embed-quantize" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "embed-quantize" -> bytes("embeddings"),
+      "dedup-spans" -> bytes("documents"),
+      "decontaminate" -> bytes("documents"),
+      "pii-redact" -> bytes("documents"),
+      "shipping-priority" -> bytes("lineitem")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -103,7 +111,11 @@ object Bench {
       "text-chunking" -> docRows,
       "sequence-packing" -> docRows,
       "dedup-components" -> docRows,
-      "embed-quantize" -> embRows).withDefaultValue(eventRows)
+      "embed-quantize" -> embRows,
+      "dedup-spans" -> docRows,
+      "decontaminate" -> docRows,
+      "pii-redact" -> docRows,
+      "shipping-priority" -> lineitemRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference

@@ -911,6 +911,49 @@ object LlmPipeline extends Catalog {
           .otherwise(col("maxabs") / lit(127.0)).as("scale"))
   }
 
+  // -- span-level exact-substring dedup: every duplicated 8-token span
+  //    with its (doc, position) occurrences — the "cut the repeated
+  //    passage itself" building block (suffix-array dedup's output,
+  //    shaped as an inverted index). One shuffle on the 60-bit span hash;
+  //    occurrences ride through the bucket as structs (no join-back) and
+  //    the 2..50 bucket band bounds fan-out exactly as in the oracle.
+  q("q_dedup_spans",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |idx AS (SELECT CAST(range AS INT) AS pos FROM range(1000)),
+       |s AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(toks[pos + 1 : pos + 8], ' ') AS span
+       |  FROM t JOIN idx ON pos <= len(toks) - 8),
+       |h AS (SELECT doc_id, pos, span, ${sqlMd5Long("span")} AS span_hash FROM s),
+       |g AS (
+       |  SELECT span_hash, count(*) AS n_occ FROM h GROUP BY span_hash
+       |  HAVING count(*) BETWEEN 2 AND 50 AND count(DISTINCT doc_id) >= 2)
+       |SELECT h.span_hash, h.doc_id, h.pos, h.span, g.n_occ
+       |FROM h JOIN g USING (span_hash)""") { (s, dir) =>
+    val occ = spread(load(s, dir, "documents"))
+      // bindOnce: tokenize once per row, not once per lambda element
+      // (CollapseProject would inline the tokenizer into the transform)
+      .select(col("doc_id"), D.bindOnce(T.tokens(col("text"))) { ts =>
+        when(size(ts) >= 8,
+          transform(sequence(lit(0), size(ts) - 8),
+            i => array_join(slice(ts, i + 1, lit(8)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }.as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), col("span"),
+        T.md5Long(col("span")).as("span_hash"))
+    occ.groupBy("span_hash")
+      .agg(collect_list(struct(col("doc_id"), col("pos"), col("span"))).as("os"))
+      .filter(size(col("os")).between(2, 50) &&
+        size(array_distinct(transform(col("os"), _.getField("doc_id")))) >= 2)
+      .select(col("span_hash"), size(col("os")).cast("long").as("n_occ"),
+        explode(col("os")).as("o"))
+      .select(col("span_hash"), col("o.doc_id"), col("o.pos"), col("o.span"), col("n_occ"))
+  }
+
   // -- eval-set decontamination: flag training docs whose 3-gram shingles
   //    overlap an eval/benchmark subset too heavily (the train/test-leak
   //    check every training corpus needs). The eval shingle set is tiny
