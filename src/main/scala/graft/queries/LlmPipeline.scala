@@ -961,7 +961,7 @@ object LlmPipeline extends Catalog {
   //    broadcasts; the train side streams through one broadcast join and
   //    one hash agg — no corpus shuffle at 100 TB. Shingles travel as
   //    60-bit md5 hashes (compact broadcast keys), exact on both sides.
-  q("q_decontaminate",
+  private val SqlDecontaminate =
     s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
        |sh AS (SELECT doc_id, ${sqlMd5Long(s"unnest($SqlShingles3)")} AS hv FROM docs),
        |ev AS (SELECT DISTINCT hv FROM sh WHERE doc_id % 20 = 0),
@@ -974,21 +974,54 @@ object LlmPipeline extends Catalog {
        |SELECT doc_id, n_sh, n_overlap,
        |  round(CAST(n_overlap AS DOUBLE) / n_sh, 6) AS overlap_ratio,
        |  CAST(CASE WHEN CAST(n_overlap AS DOUBLE) / n_sh > 0.8 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-       |FROM j""") { (s, dir) =>
-    val sh = spread(load(s, dir, "documents"))
+       |FROM j""".stripMargin
+
+  /** (doc_id, hv) rows: one 60-bit hash per distinct 3-shingle per doc. */
+  private def shingleHashRows(s: org.apache.spark.sql.SparkSession, dir: String) =
+    spread(load(s, dir, "documents"))
       .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("sval"))
       .select(col("doc_id"), T.md5Long(col("sval")).as("hv"))
+
+  private def decontaminateReport(j: org.apache.spark.sql.DataFrame) = {
+    val ratio = col("n_overlap").cast("double") / col("n_sh")
+    j.select(col("doc_id"), col("n_sh"), col("n_overlap"),
+      round(ratio, 6).as("overlap_ratio"),
+      when(ratio > 0.8, 1L).otherwise(0L).as("contaminated"))
+  }
+
+  q("q_decontaminate", SqlDecontaminate) { (s, dir) =>
+    val sh = shingleHashRows(s, dir)
     val ev = sh.filter(col("doc_id") % 20 === 0)
       .select("hv").distinct().withColumn("hit", lit(1L))
-    val ratio = col("n_overlap").cast("double") / col("n_sh")
-    sh.filter(col("doc_id") % 20 =!= 0)
-      .join(broadcast(ev), Seq("hv"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
-      .select(col("doc_id"), col("n_sh"), col("n_overlap"),
-        round(ratio, 6).as("overlap_ratio"),
-        when(ratio > 0.8, 1L).otherwise(0L).as("contaminated"))
+    decontaminateReport(
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(ev), Seq("hv"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_overlap")))
+  }
+
+  // -- the same decontamination for eval sets too big to broadcast as an
+  //    exact hash set: a distributed-built Bloom filter (no false
+  //    negatives) prefilters the train side, so only the ~overlapping
+  //    fraction reaches the exact shuffle join; false positives die in
+  //    the join, keeping the result — and the oracle — identical to
+  //    q_decontaminate. Costs one extra train scan (the cheap n_sh
+  //    count); saves shuffling ~95% of a 100 TB train side.
+  q("q_decontaminate_bloom", SqlDecontaminate) { (s, dir) =>
+    import graft.plans.GraftBloom
+    val sh = shingleHashRows(s, dir)
+    val ev = sh.filter(col("doc_id") % 20 === 0).select("hv").distinct()
+    val bloom = GraftBloom.build(ev, "hv", numBits = 1 << 18, k = 3)
+    val counts = sh.filter(col("doc_id") % 20 =!= 0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val overlaps = sh.filter(col("doc_id") % 20 =!= 0)
+      .filter(GraftBloom.mightContainCol(col("hv"), bloom, 3))
+      .join(ev, Seq("hv"), "left_semi") // exact: kills bloom false positives
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    decontaminateReport(
+      counts.join(overlaps, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L))))
   }
 
   // -- PII scrubbing: redact emails / IPv4s / phone numbers and count the
