@@ -50,7 +50,8 @@ object Bench {
     "dedup-spans" -> "q_dedup_spans",
     "decontaminate" -> "q_decontaminate",
     "pii-redact" -> "q_pii_redact",
-    "shipping-priority" -> "q_join_shipping_priority")
+    "shipping-priority" -> "q_join_shipping_priority",
+    "ann-pq" -> "q_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,7 +97,8 @@ object Bench {
       "dedup-spans" -> bytes("documents"),
       "decontaminate" -> bytes("documents"),
       "pii-redact" -> bytes("documents"),
-      "shipping-priority" -> bytes("lineitem")).withDefaultValue(bytes("events"))
+      "shipping-priority" -> bytes("lineitem"),
+      "ann-pq" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -115,7 +117,8 @@ object Bench {
       "dedup-spans" -> docRows,
       "decontaminate" -> docRows,
       "pii-redact" -> docRows,
-      "shipping-priority" -> lineitemRows).withDefaultValue(eventRows)
+      "shipping-priority" -> lineitemRows,
+      "ann-pq" -> embRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference

@@ -845,6 +845,18 @@ object LlmPipeline extends Catalog {
       "vec_id", "embedding", cb, nProbe = 4, topK = 10)
   }
 
+  // -- PQ/ADC search: compressed-domain top-k (m=8 codes per vector, 32x
+  //    smaller corpus; per-pair distance = 8 table adds). Rows-only —
+  //    float k-means across engines isn't mirrorable; recall is pinned
+  //    against exact L2 by ProductQuantizerSpec.
+  qNoOracle("q_ann_pq") { (s, dir) =>
+    import graft.functions.ProductQuantizer
+    val emb = spread(load(s, dir, "embeddings"))
+    val cb = ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    ProductQuantizer.search(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", cb, topK = 10)
+  }
+
   // -- LSH-bucketed ANN (the scale path): bucket by the sign pattern of
   //    the first 12 components; exact cosine only within the bucket.
   q("q_ann_lsh_bucket", {
