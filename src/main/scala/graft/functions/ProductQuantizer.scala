@@ -133,4 +133,41 @@ object ProductQuantizer {
       .filter(col("rank") <= topK)
       .select("query_id", "neighbor_id", "adist", "rank")
   }
+
+  /** IVF+PQ: prune candidates to the query's `nProbe` IVF cells, then
+    * score survivors by ADC — the standard billion-scale composition
+    * (cells bound the scan to ~nProbe/k of the corpus, codes bound the
+    * per-candidate cost to m adds). Each corpus row joins only the
+    * queries probing its cell, via an inverted cell→queries map riding
+    * the closure. */
+  def searchWithCells(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, ivf: VectorIndex.Codebook, cb: PqCodebook,
+      nProbe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qData = queries.select(col(idCol), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qTabs = qData.map { case (qid, v) => qid -> cb.distTable(v) }.toMap
+    val cellToQids: Map[Int, Array[Long]] = qData
+      .flatMap { case (qid, v) => ivf.nearestN(v, nProbe).map(_ -> qid) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val m = cb.m
+    val probers = udf((cell: Int) => cellToQids.getOrElse(cell, Array.empty[Long]))
+    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+      val t = qTabs(qid)
+      var d = 0.0
+      var j = 0
+      while (j < m) { d += t(j)(codes(j)); j += 1 }
+      d
+    }
+    val scored = VectorIndex.assignCells(encode(corpus, embCol, cb), embCol, ivf)
+      .select(col(idCol).as("neighbor_id"), col("pq_code"), col("__cell"))
+      .withColumn("query_id", explode(probers(col("__cell"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adc(col("query_id"), col("pq_code")), 6).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
 }

@@ -107,4 +107,36 @@ class PlanSpec extends AnyFunSuite {
     // and no row-level filter remains for the partition predicate
     assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"), plan.take(900))
   }
+
+  test("decontamination broadcasts the eval set; train side joins without shuffle") {
+    val plan = planOf("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"))
+    // only (doc_id, text) read from the documents scan
+    assert(!plan.contains("n_chars") && !plan.contains("source"))
+  }
+
+  test("shipping priority: broadcast dim, partial agg, top-k without global sort") {
+    val plan = planOf("q_join_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("partial_sum"))
+    // both date filters push into their scans
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate"))
+  }
+
+  test("PII redaction is a pure codegen'd projection — no shuffle, no join") {
+    val plan = planOf("q_pii_redact")
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.contains("*(1)"), plan.take(300))
+  }
+
+  test("span dedup: occurrences ride buckets as structs, no corpus re-join") {
+    val plan = planOf("q_dedup_spans")
+    // one hash-partitioned exchange on the span hash for the bucket agg —
+    // and no join node anywhere (the oracle's JOIN g is expressed as the
+    // in-bucket filter + explode instead)
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
 }

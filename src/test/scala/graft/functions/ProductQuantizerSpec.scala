@@ -52,4 +52,24 @@ class ProductQuantizerSpec extends AnyFunSuite {
     // must far exceed that even on near-random synthetic embeddings
     assert(mean > 0.2, s"mean ADC recall@10 $mean")
   }
+
+  test("IVF+PQ composition prunes candidates and still finds neighbors") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val ivf = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val pq = ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+    val res = ProductQuantizer.searchWithCells(
+      emb, queries, "vec_id", "embedding", ivf, pq, nProbe = 4, topK = 10)
+    val byQ = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every query finds a full top-k within its probed cells
+    assert(byQ.size === 10 && byQ.values.forall(_.size == 10))
+    // agreement with full-scan ADC well above the probed-fraction floor:
+    // probing 4/16 cells scans ~25% of the corpus
+    val full = ProductQuantizer.search(emb, queries, "vec_id", "embedding", pq, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val agree = byQ.keys.toSeq.map(q => (byQ(q) & full(q)).size.toDouble / 10)
+    assert(agree.sum / agree.size > 0.5, s"IVF+PQ agreement ${agree.sum / agree.size}")
+  }
 }
