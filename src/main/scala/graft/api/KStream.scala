@@ -64,6 +64,11 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
   def mapValuesExpr(value: Column): KStream[K, V] =
     new KStream[K, V](df.withColumn(ValueCol, value))
 
+  /** Columnar selectKey fast path (key from a column expression — stays
+    * inside whole-stage codegen, no typed round-trip). */
+  def selectKeyExpr[K2: Encoder](key: Column): KStream[K2, V] =
+    new KStream[K2, V](df.withColumn(KeyCol, key))
+
   /** `KStream.flatMap` (`kstream/internals/KStreamFlatMap.java`). */
   def flatMap[K2: Encoder, V2: Encoder](
       f: (K, V) => IterableOnce[(K2, V2)]): KStream[K2, V2] =

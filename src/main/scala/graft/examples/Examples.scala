@@ -117,6 +117,41 @@ object CorpusBuildApp {
   }
 }
 
+/** Live corpus ingest: the cleanup pipeline as a STREAMING topology —
+  * quality gate, PII redaction, fingerprint re-key, exact dedup within
+  * the watermark. Every stage is a column expression (one codegen'd
+  * project); dedup state is watermark-bounded. Swap the memory source
+  * for `kafkaStream` to ingest from a broker. */
+object StreamingIngestApp {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.api.Rec
+    import graft.functions.TextFunctions
+    val spark = ExampleSession.spark("streaming-ingest")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b = GraftStreams(spark)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+
+    val ingested = b.stream[Long, String](mem.toDF(), $"_1", $"_2", $"_3")
+      .where(TextFunctions.qualityScore(col(Rec.ValueCol)) > 0.3)
+      .mapValuesExpr(TextFunctions.redactPii(col(Rec.ValueCol)))
+      .selectKeyExpr[String](TextFunctions.fingerprintHex(col(Rec.ValueCol)))
+      .dedupWithinGrace(Seq(Rec.KeyCol), graceMs = 60000)
+    val q = ingested.toDF.writeStream.format("memory").queryName("corpus")
+      .outputMode(OutputMode.Append).start()
+
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), current_timestamp())
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    mem.addData(docs)
+    q.processAllAvailable()
+    println(s"ingested ${spark.table("corpus").count()} of ${docs.length} docs")
+    q.stop(); spark.stop()
+  }
+}
+
 /** Corpus hygiene pipeline: exact dedup fingerprints + MinHash-LSH
   * near-dup candidates + quality filter, one job. */
 object CorpusDedupApp {

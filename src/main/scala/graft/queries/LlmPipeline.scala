@@ -923,6 +923,45 @@ object LlmPipeline extends Catalog {
           .otherwise(col("maxabs") / lit(127.0)).as("scale"))
   }
 
+  // -- vocabulary build + token-id mapping: rank tokens by corpus
+  //    frequency (tie-break lexicographic), cap the vocab, map every
+  //    token occurrence to its id (-1 = OOV) — the tokenize-for-training
+  //    step. The vocab is capped so the global rank window runs over at
+  //    most vocabSize rows (broadcastable at any corpus scale); the
+  //    corpus side maps through one broadcast join, no shuffle.
+  q("q_vocab_token_ids",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |idx AS (SELECT CAST(range AS INT) AS pos FROM range(4096)),
+      |tok AS (
+      |  SELECT doc_id, pos, toks[pos + 1] AS token
+      |  FROM t JOIN idx ON pos < len(toks)),
+      |v AS (SELECT token, count(*) AS freq FROM tok GROUP BY token
+      |      ORDER BY freq DESC, token LIMIT 1000),
+      |ranked AS (
+      |  SELECT token, freq,
+      |    row_number() OVER (ORDER BY freq DESC, token) - 1 AS tid
+      |  FROM v)
+      |SELECT tok.doc_id, tok.pos, tok.token,
+      |  CAST(coalesce(ranked.tid, -1) AS BIGINT) AS tid
+      |FROM tok LEFT JOIN ranked ON tok.token = ranked.token
+      |WHERE tok.doc_id % 5 = 0""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), posexplode(T.tokens(col("text"))).as(Seq("pos", "token")))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(1000)
+      .withColumn("tid",
+        (row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1)
+          .cast("long"))
+    tok.filter(col("doc_id") % 5 === 0)
+      .join(broadcast(vocab.select("token", "tid")), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), col("token"),
+        coalesce(col("tid"), lit(-1L)).as("tid"))
+  }
+
   // -- span-level exact-substring dedup: every duplicated 8-token span
   //    with its (doc, position) occurrences — the "cut the repeated
   //    passage itself" building block (suffix-array dedup's output,
