@@ -220,6 +220,32 @@ object LlmPipeline extends Catalog {
         (col("n") === col("label")).cast("int").as("is_canonical"))
   }
 
+  // -- apply the closure: the cleaned corpus — drop every non-canonical
+  //    member of a near-dup group, keep everything else. One anti join of
+  //    the corpus against the (tiny) non-canonical id set; at 100 TB the
+  //    loser list is a fraction of the dup mass, broadcast it.
+  q("q_dedup_keep",
+    s"""WITH RECURSIVE $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.n),
+       |losers AS (
+       |  SELECT n AS doc_id FROM reach GROUP BY n HAVING n <> min(m))
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)""") { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    val losers = ConnectedComponents.run(minhashPairs(s, dir), "doc_a", "doc_b")
+      .filter(col("n") =!= col("label"))
+      .select(col("n").as("doc_id"))
+    load(s, dir, "documents")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+  }
+
   // -- native-Expression MinHash+LSH (codegen'd one-pass shingle hashing
   //    via graft.plans.ShingleHashes + xxhash64 band keys): same LSH
   //    structure as q_dedup_minhash_lsh but on the cheap non-crypto hash
@@ -889,6 +915,29 @@ object LlmPipeline extends Catalog {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  // -- L2 normalization (unit vectors): the preprocessing step that turns
+  //    cosine into a plain dot product downstream. Norm accumulates in
+  //    double left-to-right (the native kernel's order); per-dim output so
+  //    the oracle checks every value.
+  q("q_embed_normalize",
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |idx AS (SELECT CAST(range AS INT) AS dim FROM range(4096))
+      |SELECT vec_id, dim,
+      |  CASE WHEN nrm = 0 THEN 0.0
+      |       ELSE round(CAST(embedding[dim + 1] AS DOUBLE) / nrm, 6) END AS xn
+      |FROM e JOIN idx ON dim < len(embedding)""") { (s, dir) =>
+    spread(load(s, dir, "embeddings"))
+      .withColumn("nrm", sqrt(V.dotProduct(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        when(col("nrm") === 0.0, 0.0)
+          .otherwise(round(col("x").cast("double") / col("nrm"), 6)).as("xn"))
   }
 
   // -- int8 symmetric quantization (per-vector max-abs scale): the memory
