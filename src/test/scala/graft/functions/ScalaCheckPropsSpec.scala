@@ -54,4 +54,14 @@ class ScalaCheckPropsSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("bloom filter never false-negatives for arbitrary member hashes") {
+    import spark.implicits._
+    import graft.plans.GraftBloom
+    val members = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(members) { hs =>
+      val bloom = GraftBloom.build(hs.toDF("hv").repartition(3), "hv", 1 << 10, 3)
+      hs.forall(GraftBloom.mightContain(bloom, _, 3))
+    })
+  }
 }
