@@ -147,7 +147,9 @@ object StreamingIngestApp {
       .as[(Long, String, java.sql.Timestamp)].collect()
     mem.addData(docs)
     q.processAllAvailable()
-    println(s"ingested ${spark.table("corpus").count()} of ${docs.length} docs")
+    mem.addData(docs.take(5)) // redelivery: dedup drops all five
+    q.processAllAvailable()
+    println(s"ingested ${spark.table("corpus").count()} of ${docs.length + 5} deliveries")
     q.stop(); spark.stop()
   }
 }
