@@ -259,8 +259,54 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } finally q2.stop()
 
+      // state-store: per-record get+update through keyed state (the
+      // SimpleBenchmark statestore workload — processStreamWithStateStore
+      // does one get and one put per record)
+      val kvMem = MemoryStream[(Long, Double, java.sql.Timestamp)]
+      val b3 = graft.api.GraftStreams(spark)
+      val kvStream = b3.stream[Long, Double](kvMem.toDF(), col("_1"), col("_2"), col("_3"))
+      val stateful = graft.streaming.StatefulOps
+        .flatTransformWithState[Long, Double, Double, (Long, Double)](kvStream) {
+          (key, rows, state) =>
+            var acc = state.getOption.getOrElse(0.0) // get
+            rows.foreach { case (v, _) => acc += v }
+            state.update(acc) // put
+            Iterator.single((key, acc))
+        }
+      val q3 = stateful.writeStream.format("noop").queryName("bench_statestore")
+        .outputMode(OutputMode.Append).start()
+      val kvSide = events.map(e => (e._1, 1.0, e._3))
+      val sec3 = try {
+        kvMem.addData(kvSide.take(100))
+        q3.processAllAvailable()
+        val t0 = System.nanoTime()
+        kvSide.grouped(50000).foreach(kvMem.addData(_))
+        q3.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      } finally q3.stop()
+
+      // window-store: per-record put into (key, window) state — the
+      // windowed-count topology running in true streaming update mode
+      // (the batch twin is the `windowed-count` workload above)
+      val wMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val windowed = wMem.toDF().toDF("user_id", "event_type", "ts")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)))
+      val q4 = windowed.writeStream.format("noop").queryName("bench_windowstore")
+        .outputMode(OutputMode.Update).start()
+      val sec4 = try {
+        wMem.addData(events.take(100))
+        q4.processAllAvailable()
+        val t0 = System.nanoTime()
+        events.grouped(50000).foreach(wMem.addData(_))
+        q4.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      } finally q4.stop()
+
       Seq(("yahoo-streaming", sec, eventRows, eventRows / sec),
-        ("stream-table-join-live", sec2, eventRows, eventRows / sec2))
+        ("stream-table-join-live", sec2, eventRows, eventRows / sec2),
+        ("state-store", sec3, eventRows, eventRows / sec3),
+        ("window-store", sec4, eventRows, eventRows / sec4))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming throughput failed: $e")
