@@ -136,10 +136,24 @@ object Bench {
       (wl, sec, n, inputRows(wl) / sec)
     }
 
+    // consumeproduce: the read->write roundtrip (SimpleBenchmark's
+    // workload with a produce side) — scan events, write parquet
+    val consumeProduce = {
+      val out = java.nio.file.Files.createTempDirectory("bench-cp").toString
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try Tables.load(spark, sfDir, "events")
+          .write.mode("overwrite").parquet(s"$out/events")
+        catch { case e: Throwable => System.err.println(s"[bench] consumeproduce: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(("consumeproduce", secs.min, eventRows, eventRows / secs.min))
+    }
+
     val lat = latencyPercentiles(spark)
     val streaming = streamingThroughput(spark, sfDir, eventRows)
 
-    val allResults = results ++ streaming
+    val allResults = results ++ consumeProduce ++ streaming
     val qs = allResults.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
     val rs = allResults.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
     val ns = allResults.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
