@@ -58,21 +58,23 @@ object TextFunctions {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(c: Column): Column = {
-    val ts = tokens(lower(c))
-    val n = size(ts)
-    val sw = size(filter(ts, t => t.isin(EnStopwords: _*)))
-    when(n === 0, lit(0.0)).otherwise(sw.cast("double") / n)
-  }
+  /** Fraction of tokens that are (English) stopwords. Tokenizes ONCE per
+    * row (bindOnce) — the token subtree would otherwise be duplicated
+    * into both the count and the filter. */
+  def stopwordRatio(c: Column): Column =
+    DedupFunctions.bindOnce(tokens(lower(c))) { ts =>
+      val n = size(ts)
+      val sw = size(filter(ts, t => t.isin(EnStopwords: _*)))
+      when(n === 0, lit(0.0)).otherwise(sw.cast("double") / n)
+    }
 
   /** Mean token length in characters (0 for empty docs). */
-  def meanTokenLen(c: Column): Column = {
-    val ts = tokens(c)
-    val n = size(ts)
-    when(n === 0, lit(0.0)).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
-  }
+  def meanTokenLen(c: Column): Column =
+    DedupFunctions.bindOnce(tokens(c)) { ts =>
+      val n = size(ts)
+      when(n === 0, lit(0.0)).otherwise(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+    }
 
   /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
     * a sane stopword ratio and low punctuation density. Deterministic and
@@ -102,17 +104,28 @@ object TextFunctions {
 
   /** Heuristic language ID: CJK characters => "zh"; otherwise the language
     * with the most marker-word hits ("und" = undetermined when all zero).
-    * Tie-break: first language in [[LangMarkers]] order. */
+    * Tie-break: first language in [[LangMarkers]] order.
+    *
+    * Tokenizes ONCE and computes each score ONCE per row: the tokens and
+    * the score array are lambda-bound, so the argmax/pick chain reads the
+    * bound array instead of duplicating the token-filter subtree ~16×
+    * (this was an 8× term in the C4-pipeline bench at 50k docs). */
   def langId(c: Column): Column = {
     val hasCjk = length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", "")) < length(c)
-    val scores = LangMarkers.map { case (lang, m) => (lang, langScore(c, m)) }
-    val mx = greatest(scores.map(_._2): _*)
-    // first language (in LangMarkers order) reaching the max score wins
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === mx, lit(lang)).otherwise(acc)
+    val scored = DedupFunctions.bindOnce(tokens(lower(c))) { ts =>
+      DedupFunctions.bindOnce(
+        array(LangMarkers.map { case (_, m) =>
+          size(filter(ts, t => t.isin(m: _*)))
+        }: _*)) { scoreArr =>
+        val mx = array_max(scoreArr)
+        // first language (in LangMarkers order) reaching the max wins —
+        // array_position returns the FIRST 1-based match
+        val names = array(LangMarkers.map(l => lit(l._1)): _*)
+        when(mx === 0, lit("und"))
+          .otherwise(element_at(names, array_position(scoreArr, mx).cast("int")))
+      }
     }
-    when(hasCjk, lit("zh"))
-      .otherwise(when(mx === 0, lit("und")).otherwise(pick))
+    when(hasCjk, lit("zh")).otherwise(scored)
   }
 
   /** 64-bit hex document fingerprint over normalized text (first 16 hex
