@@ -76,15 +76,27 @@ object TextFunctions {
         aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
     }
 
+  /** [[qualityScore]] against caller-supplied token arrays — lets a
+    * composite pipeline (q_pipeline_c4) share one tokenization across
+    * quality and language ID. Identical arithmetic to the public form. */
+  private[graft] def qualityScoreOf(c: Column, ts: Column, lts: Column): Column = {
+    val lenScore = least(size(ts).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    val n = size(lts)
+    val sw = size(filter(lts, t => t.isin(EnStopwords: _*)))
+    val swRatio = when(n === 0, lit(0.0)).otherwise(sw.cast("double") / n)
+    round((lenScore * 0.4 + punctPenalty * 0.3 + least(swRatio * 5.0, lit(1.0)) * 0.3), 6)
+  }
+
   /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
     * a sane stopword ratio and low punctuation density. Deterministic and
     * SQL-expressible so it can be oracle-checked. */
-  def qualityScore(c: Column): Column = {
-    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
-    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
-    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
-    round((lenScore * 0.4 + punctPenalty * 0.3 + swScore * 0.3), 6)
-  }
+  def qualityScore(c: Column): Column =
+    DedupFunctions.bindOnce(tokens(c)) { ts =>
+      DedupFunctions.bindOnce(tokens(lower(c))) { lts =>
+        qualityScoreOf(c, ts, lts)
+      }
+    }
 
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Scores = whole-word marker hits; argmax wins, ties broken
@@ -110,20 +122,22 @@ object TextFunctions {
     * the score array are lambda-bound, so the argmax/pick chain reads the
     * bound array instead of duplicating the token-filter subtree ~16×
     * (this was an 8× term in the C4-pipeline bench at 50k docs). */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column =
+    DedupFunctions.bindOnce(tokens(lower(c)))(langIdOf(c, _))
+
+  /** [[langId]] against a caller-supplied lowercased-token array. */
+  private[graft] def langIdOf(c: Column, lts: Column): Column = {
     val hasCjk = length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", "")) < length(c)
-    val scored = DedupFunctions.bindOnce(tokens(lower(c))) { ts =>
-      DedupFunctions.bindOnce(
-        array(LangMarkers.map { case (_, m) =>
-          size(filter(ts, t => t.isin(m: _*)))
-        }: _*)) { scoreArr =>
-        val mx = array_max(scoreArr)
-        // first language (in LangMarkers order) reaching the max wins —
-        // array_position returns the FIRST 1-based match
-        val names = array(LangMarkers.map(l => lit(l._1)): _*)
-        when(mx === 0, lit("und"))
-          .otherwise(element_at(names, array_position(scoreArr, mx).cast("int")))
-      }
+    val scored = DedupFunctions.bindOnce(
+      array(LangMarkers.map { case (_, m) =>
+        size(filter(lts, t => t.isin(m: _*)))
+      }: _*)) { scoreArr =>
+      val mx = array_max(scoreArr)
+      // first language (in LangMarkers order) reaching the max wins —
+      // array_position returns the FIRST 1-based match
+      val names = array(LangMarkers.map(l => lit(l._1)): _*)
+      when(mx === 0, lit("und"))
+        .otherwise(element_at(names, array_position(scoreArr, mx).cast("int")))
     }
     when(hasCjk, lit("zh")).otherwise(scored)
   }

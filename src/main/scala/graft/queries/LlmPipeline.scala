@@ -492,13 +492,22 @@ object LlmPipeline extends Catalog {
        |  max(quality) AS max_quality
        |FROM l GROUP BY 1""".stripMargin
   }) { (s, dir) =>
+    // quality and language ID share ONE tokenization pass (both need the
+    // lowercased tokens) — same arithmetic as the public column functions,
+    // so the oracle is untouched
+    val scored = D.bindOnce(T.tokens(col("text"))) { ts =>
+      D.bindOnce(T.tokens(lower(col("text")))) { lts =>
+        struct(
+          T.qualityScoreOf(col("text"), ts, lts).as("quality"),
+          T.langIdOf(col("text"), lts).as("lang"))
+      }
+    }
     load(s, dir, "documents")
-      .withColumn("quality", T.qualityScore(col("text")))
-      .filter(col("quality") > 0.55)
-      .filter(T.langId(col("text")) === "en")
+      .select(col("doc_id"), col("text"), scored.as("s"))
+      .filter(col("s.quality") > 0.55 && col("s.lang") === "en")
       .groupBy(T.fingerprintHex(col("text")).as("fp"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
-        max(col("quality")).as("max_quality"))
+        max(col("s.quality")).as("max_quality"))
   }
 
   // -- document chunking: split each doc into fixed-size token windows
