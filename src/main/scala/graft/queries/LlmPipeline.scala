@@ -981,6 +981,48 @@ object LlmPipeline extends Catalog {
           .otherwise(col("maxabs") / lit(127.0)).as("scale"))
   }
 
+  // -- TF-IDF top terms: each doc's 3 most characteristic tokens. The
+  //    idf is the RATIONAL form tf * N/df (no log) — monotone-equivalent
+  //    for ranking and bit-exact across engines, where ln() is not
+  //    guaranteed correctly-rounded everywhere. One shuffle for tf, one
+  //    for df, a token-keyed join, per-doc top-3 (window, no global
+  //    sort); the 1-row corpus count rides a broadcast cross join (no
+  //    driver sync).
+  q("q_tfidf_topterms",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token,
+      |    round(CAST(tf AS DOUBLE) * n_docs / df, 6) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, token, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, token, score, rnk FROM ranked WHERE rnk <= 3""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = load(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "token", "score", "rnk")
+  }
+
   // -- vocabulary build + token-id mapping: rank tokens by corpus
   //    frequency (tie-break lexicographic), cap the vocab, map every
   //    token occurrence to its id (-1 = OOV) — the tokenize-for-training
