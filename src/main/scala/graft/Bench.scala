@@ -51,7 +51,10 @@ object Bench {
     "decontaminate" -> "q_decontaminate",
     "pii-redact" -> "q_pii_redact",
     "shipping-priority" -> "q_join_shipping_priority",
-    "ann-pq" -> "q_ann_pq")
+    "ann-pq" -> "q_ann_pq",
+    "dedup-spans-native" -> "q_dedup_spans_native",
+    "tfidf" -> "q_tfidf_topterms",
+    "vocab-ids" -> "q_vocab_token_ids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,7 +101,10 @@ object Bench {
       "decontaminate" -> bytes("documents"),
       "pii-redact" -> bytes("documents"),
       "shipping-priority" -> bytes("lineitem"),
-      "ann-pq" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "ann-pq" -> bytes("embeddings"),
+      "dedup-spans-native" -> bytes("documents"),
+      "tfidf" -> bytes("documents"),
+      "vocab-ids" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -118,7 +124,10 @@ object Bench {
       "decontaminate" -> docRows,
       "pii-redact" -> docRows,
       "shipping-priority" -> lineitemRows,
-      "ann-pq" -> embRows).withDefaultValue(eventRows)
+      "ann-pq" -> embRows,
+      "dedup-spans-native" -> docRows,
+      "tfidf" -> docRows,
+      "vocab-ids" -> docRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference

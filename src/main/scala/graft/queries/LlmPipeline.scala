@@ -1105,6 +1105,30 @@ object LlmPipeline extends Catalog {
       .select(col("span_hash"), col("o.doc_id"), col("o.pos"), col("o.span"), col("n_occ"))
   }
 
+  // -- native span dedup twin: fnv64 instead of md5 on the span hash (the
+  //    production fast path — same spans, same buckets, no oracle tax).
+  //    CrossCheckSpec pins its (doc,pos) population to the md5 twin.
+  qNoOracle("q_dedup_spans_native") { (s, dir) =>
+    import graft.plans.NativeHash
+    val occ = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), D.bindOnce(T.tokens(col("text"))) { ts =>
+        when(size(ts) >= 8,
+          transform(sequence(lit(0), size(ts) - 8),
+            i => array_join(slice(ts, i + 1, lit(8)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }.as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), col("span"),
+        NativeHash.fnv64(col("span")).as("span_hash"))
+    occ.groupBy("span_hash")
+      .agg(collect_list(struct(col("doc_id"), col("pos"), col("span"))).as("os"))
+      .filter(size(col("os")).between(2, 50) &&
+        size(array_distinct(transform(col("os"), _.getField("doc_id")))) >= 2)
+      .select(col("span_hash"), size(col("os")).cast("long").as("n_occ"),
+        explode(col("os")).as("o"))
+      .select(col("span_hash"), col("o.doc_id"), col("o.pos"), col("o.span"), col("n_occ"))
+  }
+
   // -- eval-set decontamination: flag training docs whose 3-gram shingles
   //    overlap an eval/benchmark subset too heavily (the train/test-leak
   //    check every training corpus needs). The eval shingle set is tiny

@@ -57,6 +57,13 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(fnvGroups === md5Groups)
   }
 
+  test("native span dedup finds exactly the md5 twin's (doc,pos) occurrences") {
+    def occs(qn: String) = SparkEntry.queries(qn)(spark, dir)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(occs("q_dedup_spans_native") === occs("q_dedup_spans"))
+  }
+
   test("int8-quantized vectors preserve brute-force cosine top-k neighbors") {
     // q_embed_quantize is oracle-exact per dimension; this pins its
     // USEFULNESS: reconstructed (q * scale) vectors must rank neighbors
