@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // one throwaway action so JVM/codegen warmup doesn't inflate the
+    // first query's reported time (same policy as Bench.warmup)
+    try SparkEntry.queries("q_grouped_count")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
