@@ -138,6 +138,29 @@ object StreamsParity extends Catalog {
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
   }
 
+  // -- trending per window: top-3 event types per tumbling hour (the
+  //    batch twin of TrendingSpec's streaming leaderboard — windowed
+  //    counts then an in-window rank; the rank partitions by window so no
+  //    global sort exists at any scale).
+  q("q_trending_window_topk",
+    """WITH wc AS (
+      |  SELECT ts - to_microseconds(epoch_us(ts) % 3600000000) AS win,
+      |    event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT win, event_type, cnt,
+      |    row_number() OVER (PARTITION BY win ORDER BY cnt DESC, event_type) AS rnk
+      |  FROM wc)
+      |SELECT win, event_type, cnt, rnk FROM ranked WHERE rnk <= 3""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wc = load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win"), col("event_type"), col("cnt"))
+    val w = Window.partitionBy("win").orderBy(col("cnt").desc, col("event_type"))
+    wc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+  }
+
   // -- TimeWindowedKStream hopping windows (TimeWindows.advanceBy): size 10
   //    min, advance 5 min — each record lands in 2 windows.
   q("q_window_hopping_count",
