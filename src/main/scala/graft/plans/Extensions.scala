@@ -26,8 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   */
 object RewriteVectorHof extends Rule[LogicalPlan] {
 
+  // containsNull must be false: the kernel reads raw floats, while the
+  // HOF fold would propagate a null ELEMENT to a null result — rewriting
+  // nullable-element arrays would change semantics for rows with null
+  // entries, so those keep the interpreted path
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+    case ArrayType(FloatType, containsNull) => !containsNull
     case _ => false
   }
 
