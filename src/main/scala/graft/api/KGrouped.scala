@@ -105,6 +105,10 @@ final class KGroupedStream[K, V] private[graft] (private[graft] val df: DataFram
   def windowedBy(w: SessionWindows): SessionWindowedKStream[K, V] =
     new SessionWindowedKStream[K, V](df, w)
 
+  /** `windowedBy(SlidingWindows)` (`kstream/SlidingWindowedKStream.java`). */
+  def windowedBy(w: SlidingWindows): SlidingWindowedKStream[K, V] =
+    new SlidingWindowedKStream[K, V](df, w)
+
   private def maxTs(a: Timestamp, b: Timestamp): Timestamp =
     if (a == null) b else if (b == null) a else if (a.after(b)) a else b
 }
@@ -167,6 +171,82 @@ final class TimeWindowedKStream[K, V] private[graft] (
           .as(KeyCol),
         col("agg._1").as(ValueCol), col("agg._2").as(TsCol))
     new KTable[Windowed[K], VA](out, deduped = true)
+  }
+}
+
+/** Per-record sliding-window aggregation
+  * (`kstream/internals/KStreamSlidingWindowAggregate.java:141-239`): the
+  * final table holds, per key, one window ending at each record timestamp
+  * (`createWindows` left window) plus each non-empty window opening just
+  * after a record (right window, `:196-214`), aggregated over the records
+  * inside.
+  *
+  * Spark-first shape: both window families are RANGE frames over the
+  * per-key timestamp order — one shuffle on the key, one sort, zero
+  * self-joins — then a `dropDuplicates` on (key, window end) removes
+  * right-windows that coincide with another record's left window exactly
+  * as the reference's store dedups by window start. Batch analytics path;
+  * RANGE frames are unsupported over unbounded streams, so the streaming
+  * twin is hopping windows or a flatMapGroupsWithState fold. */
+final class SlidingWindowedKStream[K, V] private[graft] (
+    df: DataFrame, w: SlidingWindows)(implicit kEnc: Encoder[K], vEnc: Encoder[V]) {
+  import org.apache.spark.sql.expressions.Window
+
+  require(!df.isStreaming,
+    "sliding windows are a batch analytics path; use hopping windows or " +
+      "flatMapGroupsWithState for streaming")
+
+  private val sizeUs = w.sizeMs * 1000L
+
+  /** Both window families with an arbitrary columnar aggregate over the
+    * value column, evaluated on each frame.
+    *
+    * Both frames share the partition and sort, so Catalyst plans ONE
+    * WindowExec: one shuffle on the key, one sort, one buffered pass
+    * evaluating both frames — then a 1→2 generator emits (window end,
+    * aggregate) pairs and the by-end dedup drops right windows that
+    * coincide with a later record's left window. */
+  def aggExpr(name: String, agg: Column => Column): DataFrame = {
+    require(name != "n" && name != "end_us" && name != "max_ts_us",
+      s"aggregate name '$name' collides with an internal column")
+    val base = df.withColumn("ts_us", unix_micros(col(TsCol)))
+    val byKey = Window.partitionBy(col(KeyCol)).orderBy(col("ts_us"))
+    // left window (t-size, t]: the trailing frame ending at this record
+    val leftF = byKey.rangeBetween(-(sizeUs - 1), 0)
+    // right window (t, t+size]: opens just after this record; non-empty only
+    val rightF = byKey.rangeBetween(1, sizeUs)
+    // window expressions must resolve in a plain Project (the analyzer
+    // cannot lift them out of a generator) — evaluate both frames first,
+    // then explode the two (end, aggregate) candidates per record
+    val evaluated = base.select(col(KeyCol), col("ts_us"),
+      agg(col(ValueCol)).over(leftF).as("agg_l"),
+      F.count(lit(1)).over(leftF).as("n_l"),
+      max(col("ts_us")).over(leftF).as("max_l"),
+      agg(col(ValueCol)).over(rightF).as("agg_r"),
+      F.count(lit(1)).over(rightF).as("n_r"),
+      max(col("ts_us")).over(rightF).as("max_r"))
+    evaluated.select(col(KeyCol), explode(array(
+        struct(col("ts_us").as("end_us"), col("agg_l").as(name),
+          col("n_l").as("n"), col("max_l").as("max_ts_us")),
+        struct((col("ts_us") + sizeUs).as("end_us"), col("agg_r").as(name),
+          col("n_r").as("n"), col("max_r").as("max_ts_us")))).as("w"))
+      .filter(col("w.n") > 0)
+      .select(col(KeyCol), col("w.end_us").as("end_us"),
+        col(s"w.$name").as(name), col("w.max_ts_us").as("max_ts_us"))
+      .dropDuplicates(KeyCol, "end_us")
+      .select(col(KeyCol),
+        timestamp_micros(col("end_us") - sizeUs).as("window_start"),
+        timestamp_micros(col("end_us")).as("window_end"),
+        col(name), timestamp_micros(col("max_ts_us")).as(TsCol))
+  }
+
+  def count()(implicit wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], Long] = {
+    val out = aggExpr("cnt", v => F.count(lit(1)))
+    val keyed = out.select(
+      struct(col(KeyCol).as("key"), col("window_start").as("start"),
+        col("window_end").as("end")).as(KeyCol),
+      col("cnt").as(ValueCol), col(TsCol))
+    new KTable[Windowed[K], Long](keyed, deduped = true)(wEnc, Encoders.scalaLong)
   }
 }
 

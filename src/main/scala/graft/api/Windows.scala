@@ -43,6 +43,26 @@ object SessionWindows {
   def ofInactivityGap(gap: Duration): SessionWindows = `with`(gap)
 }
 
+/** Per-record sliding windows (`kstream/SlidingWindows.java`, since Kafka
+  * 2.7): one window ends at every record timestamp ("left" window) and one
+  * opens just after it ("right" window, kept only if non-empty), so the
+  * aggregate is exact over the trailing `size` interval — no hopping-window
+  * quantization.
+  *
+  * Divergence: the reference's windows are closed `[start, end]` at ms
+  * resolution; ours are half-open `(end - size, end]` at µs resolution —
+  * identical membership except for a record exactly `size` older than the
+  * window end. */
+final case class SlidingWindows(sizeMs: Long, graceMs: Long) extends WindowSpec {
+  require(sizeMs > 0)
+  def grace(g: Duration): SlidingWindows = copy(graceMs = g.toMillis)
+}
+
+object SlidingWindows {
+  def ofTimeDifference(size: Duration): SlidingWindows =
+    SlidingWindows(size.toMillis, 0L)
+}
+
 /** Interval-join window: right.ts in [left.ts - before, left.ts + after]. */
 final case class JoinWindows(beforeMs: Long, afterMs: Long, graceMs: Long)
     extends WindowSpec {

@@ -1246,4 +1246,32 @@ object LlmPipeline extends Catalog {
         T.piiCount(col("synth"), T.PhoneRe).as("n_phones"),
         T.redactPii(col("synth")).as("redacted"))
   }
+
+  // -- n-gram language-model count table: corpus-wide trigram frequencies,
+  //    the build step for count-based LM scoring / contamination checks.
+  //    Shape at scale: trigram expansion is a per-row generator (no join),
+  //    the count is one hash agg with map-side partials, and the top-k is
+  //    TakeOrderedAndProject — no global sort. Ties break on the trigram
+  //    text so the result set is deterministic.
+  q("q_ngram_lm_counts",
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |idx AS (SELECT CAST(range AS INT) AS pos FROM range(4096)),
+      |g AS (
+      |  SELECT toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3] AS trigram
+      |  FROM t JOIN idx ON pos + 3 <= len(toks))
+      |SELECT trigram, count(*) AS cnt FROM g GROUP BY trigram
+      |ORDER BY cnt DESC, trigram LIMIT 100""") { (s, dir) =>
+    spread(load(s, dir, "documents"))
+      .select(T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("trigram"))
+      .groupBy("trigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("trigram"))
+      .limit(100)
+  }
 }

@@ -287,4 +287,53 @@ object Relational extends Catalog {
       .limit(10)
       .select("o_orderkey", "o_orderdate", "revenue")
   }
+
+  // -- explicit GROUPING SETS: the general form rollup/cube specialize
+  //    ((flag,status), (flag), ()) in ONE pass — Spark expands to a single
+  //    Expand + hash agg, so the fact table streams once at any scale.
+  q("q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""") { (s, dir) =>
+    load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  // -- distribution window functions: ntile buckets + percent_rank +
+  //    cume_dist per customer. The ratios are single IEEE divisions of
+  //    exact integers, so they hash bit-identically across engines.
+  q("q_window_ntile",
+    """SELECT o_custkey, o_orderkey,
+      |  ntile(4)       OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist()    OVER w AS cume
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+    load(s, dir, "orders").filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  // -- correlated scalar subquery through the SQL entry path: Catalyst's
+  //    RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
+  //    join, so the plan is a shuffle agg + equi-join (no per-row re-scan
+  //    at any scale). Each customer's orders at that customer's max value.
+  q("q_subquery_correlated",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)""") { (s, dir) =>
+    load(s, dir, "orders").createOrReplaceTempView("graft_orders_sq")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM graft_orders_sq o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM graft_orders_sq o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
 }

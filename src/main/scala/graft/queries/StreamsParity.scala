@@ -355,6 +355,36 @@ object StreamsParity extends Catalog {
         col("value").as("total_cents"))
   }
 
+  // -- SlidingWindows (KStreamSlidingWindowAggregate.java:141-239): exact
+  //    trailing-interval counts — a window ends at every record and opens
+  //    just after every record (right windows kept when non-empty), no
+  //    hopping quantization. Both families are RANGE frames over one
+  //    per-key sort; the oracle mirrors the two frames and the
+  //    by-window-end dedup.
+  q("q_window_sliding_count",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |l AS (
+      |  SELECT user_id, ts_us AS end_us, count(*) OVER w AS cnt FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |               RANGE BETWEEN 1799999999 PRECEDING AND CURRENT ROW)),
+      |r AS (
+      |  SELECT user_id, ts_us + 1800000000 AS end_us, count(*) OVER w AS cnt FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |               RANGE BETWEEN 1 FOLLOWING AND 1800000000 FOLLOWING)),
+      |u AS (SELECT * FROM l UNION ALL SELECT * FROM r WHERE cnt > 0)
+      |SELECT DISTINCT user_id, make_timestamp(end_us - 1800000000) AS window_start,
+      |  make_timestamp(end_us) AS window_end, cnt
+      |FROM u""") { (s, dir) =>
+    import graft.api._
+    import s.implicits._
+    GraftStreams(s)
+      .stream[Long, Long](load(s, dir, "events"), col("user_id"), col("event_id"), col("ts"))
+      .groupByKey
+      .windowedBy(SlidingWindows.ofTimeDifference(java.time.Duration.ofMinutes(30)))
+      .aggExpr("cnt", _ => count(lit(1)))
+      .select(col("key").as("user_id"), col("window_start"), col("window_end"), col("cnt"))
+  }
+
   // -- KTable⋈KTable (KTableKTableInnerJoin.java): join of two
   //    latest-per-key views (final state of both changelogs).
   q("q_table_table_join",

@@ -139,4 +139,29 @@ class PlanSpec extends AnyFunSuite {
     // in-bucket filter + explode instead)
     assert(!plan.contains("Join"), plan.take(1200))
   }
+
+  test("sliding windows: both frames in ONE Window pass, one key shuffle") {
+    val plan = planOf("q_window_sliding_count")
+    // both RANGE frames share partition+sort, so Catalyst must plan a
+    // single Window operator — a second Window or Exchange over the same
+    // data would double the scan at scale
+    assert("\\bWindow\\b".r.findAllIn(plan).size === 1, plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("ngram LM counts: generator + partial agg + TakeOrdered, no join") {
+    val plan = planOf("q_ngram_lm_counts")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("partial_count") || plan.contains("partial_"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val plan = planOf("q_subquery_correlated")
+    // RewriteCorrelatedScalarSubquery: no per-row subquery execution —
+    // the plan is a hash aggregate joined back on the correlation key
+    assert(!plan.contains("Subquery"), plan.take(1500))
+    assert(plan.contains("Join"), plan.take(800))
+  }
 }
