@@ -54,7 +54,9 @@ object Bench {
     "ann-pq" -> "q_ann_pq",
     "dedup-spans-native" -> "q_dedup_spans_native",
     "tfidf" -> "q_tfidf_topterms",
-    "vocab-ids" -> "q_vocab_token_ids")
+    "vocab-ids" -> "q_vocab_token_ids",
+    "sliding-count" -> "q_window_sliding_count",
+    "ngram-lm" -> "q_ngram_lm_counts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,6 +135,55 @@ object StatefulOps {
     }
   }
 
+  /** Buffered timestamps + the watermark up to which windows have already
+    * been finalized, for [[slidingCountStream]]. */
+  case class SlidingState(tsMs: Seq[Long], emittedUpToMs: Long)
+
+  /** Streaming twin of `SlidingWindowedKStream.count`
+    * (`KStreamSlidingWindowAggregate.java:141-239`, emission finalized as
+    * in suppress-until-window-closes): per-record trailing windows
+    * `(end-size, end]`, where a window end exists at every record
+    * timestamp and just after every record (`t+size`), emitted exactly
+    * once — when the watermark passes the end. Late records beyond
+    * `graceMs` are dropped by the watermark, which is what makes each
+    * window's count final at emission.
+    *
+    * State per key is the record timestamps still inside any open window
+    * (`t > watermark - size`) — bounded by the key's rate × window size,
+    * the same bound as the reference's sliding-window store retention. */
+  def slidingCountStream[K: Encoder, V: Encoder](
+      stream: KStream[K, V], sizeMs: Long, graceMs: Long): Dataset[(K, Timestamp, Long)] = {
+    implicit val outEnc: Encoder[(K, Timestamp, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.TIMESTAMP, Encoders.scalaLong)
+    implicit val stEnc: Encoder[SlidingState] = Encoders.product[SlidingState]
+    val withWm = new KStream[K, V](Rec.withGrace(stream.toDF, graceMs))
+    flatTransformWithState[K, V, SlidingState, (K, Timestamp, Long)](
+      withWm, OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key, rows, state) =>
+        val prev = state.getOption.getOrElse(SlidingState(Nil, Long.MinValue))
+        val buf = prev.tsMs ++ rows.map(_._2.getTime)
+        val wm = state.getCurrentWatermarkMs()
+        // finalize every window end the watermark has newly passed; all
+        // records inside such a window are in the buffer (eviction keeps
+        // t > previousWm - size and emission stops at e <= previousWm)
+        val out = buf.flatMap(t => Seq(t, t + sizeMs)).distinct
+          .filter(e => e <= wm && e > prev.emittedUpToMs).sorted
+          .flatMap { e =>
+            val n = buf.count(t => t > e - sizeMs && t <= e)
+            if (n > 0) Some((key, new Timestamp(e), n.toLong)) else None
+          }
+        val kept = buf.filter(_ > wm - sizeMs)
+        val pending = kept.flatMap(t => Seq(t, t + sizeMs)).filter(_ > wm)
+        if (pending.isEmpty) state.remove()
+        else {
+          state.update(SlidingState(kept, math.max(prev.emittedUpToMs, wm)))
+          // punctuate when the watermark passes the earliest pending end
+          state.setTimeoutTimestamp(math.max(wm + 1L, pending.min))
+        }
+        out.iterator
+    }
+  }
+
   /** Running deduplication over an id expression — keep-first semantics
     * with per-key seen-state; the streaming analogue of exact dedup (for
     * batch, `dropDuplicates` compiles to the same shape). */

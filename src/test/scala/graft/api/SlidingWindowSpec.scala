@@ -68,6 +68,36 @@ class SlidingWindowSpec extends AnyFunSuite {
     assert(run(recs) === model(recs))
   }
 
+  test("streaming twin emits each finalized window once, matching the batch model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, Timestamp)]
+    val out = graft.streaming.StatefulOps.slidingCountStream[String, Int](
+      GraftStreams(spark).stream[String, Int](mem.toDF(),
+        org.apache.spark.sql.functions.col("_1"),
+        org.apache.spark.sql.functions.col("_2"),
+        org.apache.spark.sql.functions.col("_3")),
+      sizeMs = SizeMs, graceMs = 0L)
+    val q = out.toDF("key", "window_end", "cnt").writeStream
+      .format("memory").queryName("slidemem").start()
+    val recs = Seq(("A", 10L), ("A", 14L), ("A", 22L), ("B", 50L))
+    try {
+      mem.addData(recs.map { case (k, t) => (k, 0, ts(t)) }: _*)
+      q.processAllAvailable()
+      // flush: a far-future record advances the watermark past every end
+      mem.addData(("Z", 0, ts(100000L)))
+      q.processAllAvailable()
+      mem.addData(("Z", 0, ts(200000L)))
+      q.processAllAvailable()
+      val got = spark.table("slidemem").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .filter(_._1 != "Z").toSeq
+      // exactly-once: no duplicate (key, end) emissions
+      assert(got.size === got.map(x => (x._1, x._2)).distinct.size)
+      assert(got.toSet === model(recs))
+    } finally q.stop()
+  }
+
   test("random streams match brute force (property)") {
     val gen = Gen.listOfN(40,
       Gen.zip(Gen.oneOf("A", "B", "C"), Gen.choose(0L, 60L)))
