@@ -1247,6 +1247,33 @@ object LlmPipeline extends Catalog {
         T.redactPii(col("synth")).as("redacted"))
   }
 
+  // -- epoch-weighted corpus mixing: per-source weights may exceed 1
+  //    (quality sources repeat across epochs), so each document emits
+  //    floor(w) copies plus a deterministically-sampled extra for the
+  //    fractional part — the standard "data mixture" materialization.
+  //    Shape at scale: pure per-row generator (sequence + explode), no
+  //    shuffle, no join; the copy index rides along so downstream packing
+  //    sees distinct rows.
+  q("q_mixture_upsample",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+      |    + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 15) AS BIGINT) % 1000000 <
+      |            CAST((CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0.25 ELSE 0.4 END) * 1000000 AS BIGINT)
+      |      THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents)
+      |SELECT doc_id, unnest(generate_series(1, n_copies)) AS copy
+      |FROM t WHERE n_copies >= 1""") { (s, dir) =>
+    import graft.functions.Sampling
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val w = when(idx % 2 === 0, 2.25).otherwise(0.4)
+    load(s, dir, "documents")
+      .withColumn("n_copies",
+        floor(w) + Sampling.keep(col("doc_id"), "mix-v1", w - floor(w)).cast("long"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   // -- n-gram language-model count table: corpus-wide trigram frequencies,
   //    the build step for count-based LM scoring / contamination checks.
   //    Shape at scale: trigram expansion is a per-row generator (no join),
