@@ -56,7 +56,8 @@ object Bench {
     "tfidf" -> "q_tfidf_topterms",
     "vocab-ids" -> "q_vocab_token_ids",
     "sliding-count" -> "q_window_sliding_count",
-    "ngram-lm" -> "q_ngram_lm_counts")
+    "ngram-lm" -> "q_ngram_lm_counts",
+    "sliding-live" -> "q_window_sliding_live")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

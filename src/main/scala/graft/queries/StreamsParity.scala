@@ -385,6 +385,43 @@ object StreamsParity extends Catalog {
       .select(col("key").as("user_id"), col("window_start"), col("window_end"), col("cnt"))
   }
 
+  // -- SlidingWindows through the LIVE streaming path: events replay via a
+  //    real file stream; per-record trailing windows finalize as the
+  //    watermark passes their ends (the no-data micro-batch after the last
+  //    file fires the event-time punctuators). The stream works in ms
+  //    (java.sql.Timestamp), so the oracle counts in the ms domain and
+  //    keeps only window ends at or before the final watermark = max
+  //    event time (grace 0).
+  q("q_window_sliding_live",
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+      |l AS (
+      |  SELECT user_id, t AS e_ms, count(*) OVER w AS cnt FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |               RANGE BETWEEN 1799999 PRECEDING AND CURRENT ROW)),
+      |r AS (
+      |  SELECT user_id, t + 1800000 AS e_ms, count(*) OVER w AS cnt FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |               RANGE BETWEEN 1 FOLLOWING AND 1800000 FOLLOWING)),
+      |u AS (SELECT * FROM l UNION ALL SELECT * FROM r WHERE cnt > 0)
+      |SELECT DISTINCT user_id, make_timestamp(e_ms * 1000) AS window_end, cnt
+      |FROM u WHERE e_ms <= (SELECT max(epoch_ms(ts)) FROM events)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val ks = GraftStreams(s).stream[Long, Long](ev, col("user_id"), col("event_id"), col("ts"))
+    val out = graft.streaming.StatefulOps
+      .slidingCountStream[Long, Long](ks, sizeMs = 30L * 60 * 1000, graceMs = 0L)
+    val name = s"swl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    out.toDF("user_id", "window_end", "cnt").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+  }
+
   // -- KTable⋈KTable (KTableKTableInnerJoin.java): join of two
   //    latest-per-key views (final state of both changelogs).
   q("q_table_table_join",
