@@ -63,7 +63,23 @@ object StatefulOps {
   def suppressUntilTimeLimit[K: Encoder, V: Encoder](
       stream: KStream[K, V], delayMs: Long,
       maxRecordsPerKey: Long,
-      emitEarlyOnFull: Boolean): Dataset[(K, V)] = {
+      emitEarlyOnFull: Boolean): Dataset[(K, V)] =
+    suppressUntilTimeLimit(stream, delayMs, maxRecordsPerKey, emitEarlyOnFull,
+      maxBytesPerKey = Long.MaxValue, sizeOf = (_: V) => 0L)
+
+  /** [[suppressUntilTimeLimit]] with BOTH buffer dimensions —
+    * `BufferConfig.maxRecords` AND `maxBytes`
+    * (`kstream/Suppressed.java:36-166`; byte accounting mirrors
+    * `InMemoryTimeOrderedKeyValueBuffer.memBufferSize`): the buffer is
+    * full once either bound trips. `sizeOf` measures a buffered value the
+    * way the reference measures serialized bytes (the buffer holds only
+    * the latest value per key, so absorbed bytes = current value size). */
+  def suppressUntilTimeLimit[K: Encoder, V: Encoder](
+      stream: KStream[K, V], delayMs: Long,
+      maxRecordsPerKey: Long,
+      emitEarlyOnFull: Boolean,
+      maxBytesPerKey: Long,
+      sizeOf: V => Long): Dataset[(K, V)] = {
     implicit val kvEnc: Encoder[(K, V)] =
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
     implicit val stEnc: Encoder[(K, V, Long)] =
@@ -81,7 +97,7 @@ object StatefulOps {
             latest = Some((key, v, latest.map(_._3).getOrElse(0L) + 1L))
           }
           latest match {
-            case Some((k, v, n)) if n >= maxRecordsPerKey =>
+            case Some((k, v, n)) if n >= maxRecordsPerKey || sizeOf(v) >= maxBytesPerKey =>
               if (!emitEarlyOnFull)
                 throw new IllegalStateException(
                   s"suppress buffer full for key $k ($n records) with SHUT_DOWN policy")

@@ -109,6 +109,32 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded suppress buffer EMITs early on the maxBytes dimension") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    // record bound unreachable; only a value of >= 10 bytes trips the buffer
+    val suppressed = StatefulOps.suppressUntilTimeLimit(stream, delayMs = 60000L,
+      maxRecordsPerKey = Long.MaxValue, emitEarlyOnFull = true,
+      maxBytesPerKey = 10L, sizeOf = (v: String) => v.getBytes("UTF-8").length.toLong)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory").queryName("suppbytes")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rowsNow() = spark.table("suppbytes").collect().map(r => (r.getString(0), r.getString(1)))
+    try {
+      mem.addData(("A", "tiny", ts(1000L)))
+      Thread.sleep(500L)
+      assert(rowsNow().isEmpty, "4 bytes < maxBytes must keep holding")
+      mem.addData(("A", "0123456789abc", ts(2000L))) // 13 bytes: full -> EMIT
+      val deadline = System.currentTimeMillis() + 20000L
+      while (rowsNow().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(rowsNow().toSeq === Seq(("A", "0123456789abc")))
+    } finally q.stop()
+  }
+
   test("bounded suppress buffer SHUT_DOWN policy fails the query on overflow") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
