@@ -322,6 +322,33 @@ object Relational extends Catalog {
         cume_dist().over(w).as("cume"))
   }
 
+  // -- value-picking window functions: first/last/nth over explicit
+  //    frames (running vs full partition). Picks are exact value moves —
+  //    no float arithmetic — and the (shipdate, orderkey, linenumber)
+  //    order is a total order, so results are deterministic.
+  q("q_window_firstlast",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  first_value(l_extendedprice) OVER w  AS first_price,
+      |  last_value(l_extendedprice)  OVER w2 AS last_price,
+      |  nth_value(l_extendedprice, 2) OVER w2 AS second_price
+      |FROM lineitem WHERE l_suppkey <= 5
+      |WINDOW
+      |  w  AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |         ROWS UNBOUNDED PRECEDING),
+      |  w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRun = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    load(s, dir, "lineitem").filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        first(col("l_extendedprice")).over(wRun).as("first_price"),
+        last(col("l_extendedprice")).over(wFull).as("last_price"),
+        nth_value(col("l_extendedprice"), 2).over(wFull).as("second_price"))
+  }
+
   // -- correlated scalar subquery through the SQL entry path: Catalyst's
   //    RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
   //    join, so the plan is a shuffle agg + equi-join (no per-row re-scan
