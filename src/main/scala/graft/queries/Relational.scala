@@ -322,6 +322,57 @@ object Relational extends Catalog {
         cume_dist().over(w).as("cume"))
   }
 
+  // -- ordered funnel: view -> click-after-view -> purchase-after-click
+  //    per user, folded to stage counts. Each stage is a per-user min over
+  //    a key-equi join (shuffle on user_id, AQE-sized) — no window over
+  //    the whole event stream and no cross join at any scale.
+  q("q_funnel_stages",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click_after_view,
+      |       (SELECT count(*) FROM p) AS n_purchase_after_funnel""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_funnel")))
+  }
+
+  // -- cohort retention: users bucketed by first-seen day, activity
+  //    counted per day offset. Two hash aggregations + one key join —
+  //    the standard retention matrix at any scale.
+  q("q_retention_cohort",
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+      |SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+      |  count(*) AS active_users
+      |FROM a JOIN f USING (user_id) GROUP BY cohort, day_offset""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+    val active = ev.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    active.join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   // -- value-picking window functions: first/last/nth over explicit
   //    frames (running vs full partition). Picks are exact value moves —
   //    no float arithmetic — and the (shipdate, orderkey, linenumber)
