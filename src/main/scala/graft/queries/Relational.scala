@@ -322,6 +322,22 @@ object Relational extends Catalog {
         cume_dist().over(w).as("cume"))
   }
 
+  // -- skew-salted two-phase aggregation through the correctness gate:
+  //    the salted partial/merge decomposition must be value-identical to
+  //    the plain GROUP BY the oracle runs. event_type has only a handful
+  //    of hot keys — exactly the shape whose single-phase shuffle
+  //    collapses onto few reducers at 100 TB.
+  q("q_skew_salted_agg",
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type""") { (s, dir) =>
+    import graft.functions.SkewOps
+    SkewOps.saltedAggregate(load(s, dir, "events"), "event_type", saltFactor = 16,
+      partialExprs = Seq(count(lit(1)).as("pc"), sum(dec2(col("value"))).as("ps")),
+      mergeExprs = Seq(sum(col("pc")).as("cnt"),
+        sum(col("ps")).cast("double").as("total")))
+  }
+
   // -- ordered funnel: view -> click-after-view -> purchase-after-click
   //    per user, folded to stage counts. Each stage is a per-user min over
   //    a key-equi join (shuffle on user_id, AQE-sized) — no window over
