@@ -1247,6 +1247,25 @@ object LlmPipeline extends Catalog {
         T.redactPii(col("synth")).as("redacted"))
   }
 
+  // -- corpus quality report: per (source, lang) doc counts, token mass,
+  //    distinct fingerprints, and exact-dup counts — the observability
+  //    readout a pipeline run ships with. One hash aggregation (the
+  //    distinct count is a partial-merging HLL-free exact count over the
+  //    64-bit fingerprint space).
+  q("q_corpus_report",
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+      |  count(DISTINCT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)) AS n_unique,
+      |  count(*) - count(DISTINCT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)) AS n_dups
+      |FROM documents GROUP BY source, lang""") { (s, dir) =>
+    load(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        countDistinct(T.fingerprintHex(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(T.fingerprintHex(col("text")))).as("n_dups"))
+  }
+
   // -- epoch-weighted corpus mixing: per-source weights may exceed 1
   //    (quality sources repeat across epochs), so each document emits
   //    floor(w) copies plus a deterministically-sampled extra for the
