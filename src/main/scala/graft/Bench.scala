@@ -105,6 +105,7 @@ object Bench {
       "pii-redact" -> bytes("documents"),
       "shipping-priority" -> bytes("lineitem"),
       "ann-pq" -> bytes("embeddings"),
+      "ann-ivf-search" -> bytes("embeddings"),
       "dedup-spans-native" -> bytes("documents"),
       "tfidf" -> bytes("documents"),
       "vocab-ids" -> bytes("documents")).withDefaultValue(bytes("events"))
@@ -128,6 +129,7 @@ object Bench {
       "pii-redact" -> docRows,
       "shipping-priority" -> lineitemRows,
       "ann-pq" -> embRows,
+      "ann-ivf-search" -> embRows,
       "dedup-spans-native" -> docRows,
       "tfidf" -> docRows,
       "vocab-ids" -> docRows).withDefaultValue(eventRows)
@@ -162,10 +164,36 @@ object Bench {
       Seq(("consumeproduce", secs.min, eventRows, eventRows / secs.min))
     }
 
+    // ann-ivf-search: the production serving shape — codebook trained ONCE
+    // (untimed, persisted/reused in a real pipeline), only the nProbe/k
+    // candidate scan + rescoring is timed (the `ann-ivf` workload above
+    // times build+search together)
+    val ivfSearch = {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.VectorIndex
+      try {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+        val queries = emb.filter(col("vec_id") < 20)
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try VectorIndex.search(emb, queries, "vec_id", "embedding", cb,
+            nProbe = 4, topK = 10).count()
+          catch { case e: Throwable => System.err.println(s"[bench] ann-ivf-search: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        Seq(("ann-ivf-search", secs.min, embRows, embRows / secs.min))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ann-ivf-search setup: $e"); Seq.empty
+      }
+    }
+
     val lat = latencyPercentiles(spark)
     val streaming = streamingThroughput(spark, sfDir, eventRows)
 
-    val allResults = results ++ consumeProduce ++ streaming
+    val allResults = results ++ consumeProduce ++ ivfSearch ++ streaming
     val qs = allResults.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
     val rs = allResults.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
     val ns = allResults.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
