@@ -296,6 +296,39 @@ object StreamsParity extends Catalog {
       .agg(count(lit(1)).as("pairs"))
   }
 
+  // -- KStream⋈KStream interval join through the LIVE streaming path:
+  //    both sides replay from file streams with watermarks; Spark plans a
+  //    stream-stream interval join whose matches emit as found (inner
+  //    join) — the final set equals the batch interval join, pair for
+  //    pair. views ⋈ clicks of the same user within [view, view + 1h].
+  q("q_interval_join_live",
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      |ON v.user_id = c.user_id AND c.ts >= v.ts
+      |  AND c.ts <= v.ts + INTERVAL 1 HOUR""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val b = GraftStreams(s)
+    val views = b.stream[Long, Long](src().filter(col("event_type") === "view"),
+      col("user_id"), col("event_id"), col("ts"))
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts"))
+    val joined = views.join(clicks,
+      JoinWindows(beforeMs = 0L, afterMs = 3600000L, graceMs = 0L))((vid, cid) => (vid, cid))
+    val name = s"ijl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.toDF.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).select(col("key").as("user_id"), col("value._1").as("view_id"),
+      col("value._2").as("click_id"))
+  }
+
   // -- KStream⋈KStream OUTER windowed join (KStream.java:1527): unmatched
   //    records from either side appear with nulls. Counted per user over
   //    purchases ⋈ errors within ±1 h.
