@@ -329,6 +329,40 @@ object StreamsParity extends Catalog {
       col("value._2").as("click_id"))
   }
 
+  // -- suppress(untilWindowCloses) through the LIVE streaming path:
+  //    tumbling counts replayed from a file stream in append mode — only
+  //    windows the final watermark closed are in the sink, exactly once.
+  //    The oracle is the batch tumbling count restricted to closed
+  //    windows (window end <= max event time, grace 0).
+  q("q_window_tumbling_live",
+    """WITH wc AS (
+      |  SELECT ts - to_microseconds(epoch_us(ts) % 600000000) AS window_start,
+      |    event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, event_type, cnt FROM wc
+      |WHERE window_start + INTERVAL 10 MINUTE <= (SELECT max(ts) FROM events)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val counts = GraftStreams(s)
+      .stream[String, Long](ev, col("event_type"), col("event_id"), col("ts"))
+      .groupByKey
+      .windowedBy(TimeWindows.of(java.time.Duration.ofMinutes(10))
+        .grace(java.time.Duration.ZERO))
+      .count()
+      .suppressFinal()
+    val name = s"wtl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    counts.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).select(col("key.start").as("window_start"),
+      col("key.key").as("event_type"), col("value").as("cnt"))
+  }
+
   // -- KStream⋈KStream OUTER windowed join (KStream.java:1527): unmatched
   //    records from either side appear with nulls. Counted per user over
   //    purchases ⋈ errors within ±1 h.
