@@ -363,6 +363,48 @@ object StreamsParity extends Catalog {
       col("key.key").as("event_type"), col("value").as("cnt"))
   }
 
+  // -- session windows through the LIVE streaming path: merging session
+  //    aggregation in append mode over a file-stream replay; a session is
+  //    in the sink iff the final watermark passed its end (last event +
+  //    gap). Spark's watermark is millisecond-floored while event times
+  //    carry microseconds, so the oracle mirrors the floor exactly:
+  //    end_us <= floor_ms(max ts) * 1000.
+  q("q_window_session_live",
+    """WITH s AS (
+      |  SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) < INTERVAL 30 MINUTE
+      |           THEN 0 ELSE 1 END AS new_session
+      |    FROM events)),
+      |g AS (
+      |  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS last_ts,
+      |    count(*) AS cnt
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, session_start, cnt FROM g
+      |WHERE epoch_us(last_ts) + 1800000000 <=
+      |      (SELECT epoch_ms(max(ts)) * 1000 FROM events)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val sessions = GraftStreams(s)
+      .stream[Long, Long](ev, col("user_id"), col("event_id"), col("ts"))
+      .groupByKey
+      .windowedBy(SessionWindows.`with`(java.time.Duration.ofMinutes(30))
+        .grace(java.time.Duration.ZERO))
+      .count()
+    val name = s"wsl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    sessions.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).select(col("key.key").as("user_id"),
+      col("key.start").as("session_start"), col("value").as("cnt"))
+  }
+
   // -- KStream⋈KStream OUTER windowed join (KStream.java:1527): unmatched
   //    records from either side appear with nulls. Counted per user over
   //    purchases ⋈ errors within ±1 h.
