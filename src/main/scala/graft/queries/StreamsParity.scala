@@ -567,6 +567,39 @@ object StreamsParity extends Catalog {
         sum(dec2(col("o_totalprice"))).cast("double").as("total"))
   }
 
+  // -- KGroupedTable aggregation over a LIVE changelog
+  //    (KTableAggregate.java add/subtract), through the real streaming
+  //    path: events replay as a changelog ordered by event_id (encoded as
+  //    the table timestamp, so latest-per-key is strictly determined);
+  //    each user's re-key under user_id % 10 must subtract the old cents
+  //    and add the new as updates flow through. One replay batch -> exactly
+  //    one update-mode emission per shard = the final aggregate.
+  q("q_table_groupby_live",
+    """WITH latest AS (
+      |  SELECT user_id, cents FROM (
+      |    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT user_id % 10 AS shard, CAST(sum(cents) AS BIGINT) AS total
+      |FROM latest GROUP BY user_id % 10""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+    val table = GraftStreams(s).table[Long, Long](ev, col("user_id"),
+      round(col("value") * 100).cast("long"), expr("timestamp_micros(event_id)"))
+    val sums = table
+      .groupBy((user, cents) => (user % 10, cents))
+      .aggExpr(("total", col(graft.api.Rec.ValueCol), -col(graft.api.Rec.ValueCol)))
+    val name = s"tgl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    sums.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).select(col("key").as("shard"), col("total"))
+  }
+
   // -- Connect JSON converter (connect/json/JsonConverter.java → §2.1):
   //    parse the JSON value payload, extract typed fields relationally.
   q("q_json_extract",
