@@ -551,6 +551,47 @@ object StreamsParity extends Catalog {
       .select("user_id", "event_type", "value", "c_mktsegment", "c_acctbal")
   }
 
+  // -- KTable⋈KTable symmetric changelog join over LIVE streams
+  //    (KTableKTableInnerJoin.java:78-106): both sides replay as
+  //    changelogs ordered by event_id; an update on either side re-emits
+  //    the key's joined value. One replay batch -> one final emission per
+  //    key; the oracle is the inner join of both latest-per-key views.
+  q("q_table_table_join_live",
+    """WITH lc AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+      |lp AS (
+      |  SELECT user_id, cents FROM (
+      |    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+      |SELECT lc.user_id, lc.event_id AS click_id, lp.cents AS purchase_cents
+      |FROM lc JOIN lp USING (user_id)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), expr("timestamp_micros(event_id)"))
+    val purchases = b.stream[Long, Long](src().filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"),
+      expr("timestamp_micros(event_id)"))
+    val joined = graft.streaming.StreamingTableJoin
+      .innerJoin[Long, Long, Long, (Long, Long)](clicks, purchases)((c, p) => (c, p))
+    val name = s"ttl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.toDF("user_id", "joined").writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).filter(col("joined").isNotNull)
+      .select(col("user_id"), col("joined._1").as("click_id"),
+        col("joined._2").as("purchase_cents"))
+  }
+
   // -- KGroupedTable.aggregate with adder/subtractor (KTableAggregate.java
   //    :72-106): re-keyed table aggregation. Oracle = aggregate of the
   //    *final* table state (what add/subtract converges to after the full
