@@ -174,6 +174,39 @@ object StreamsParity extends Catalog {
       .select(col("window.start").as("window_start"), col("cnt"))
   }
 
+  // -- hopping windows through the LIVE streaming path: 10-min windows
+  //    every 5 min (each record lands in two), suppressed to final
+  //    results; window ends are ms-aligned so the closed-window filter is
+  //    plain `window_end <= max ts`.
+  q("q_window_hopping_live",
+    """SELECT window_start, cnt FROM (
+      |  SELECT ts - to_microseconds((epoch_us(ts) - off) % 600000000) AS window_start,
+      |    count(*) AS cnt
+      |  FROM events CROSS JOIN (SELECT unnest([0, 300000000]) AS off)
+      |  GROUP BY 1)
+      |WHERE window_start + INTERVAL 10 MINUTE <= (SELECT max(ts) FROM events)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val counts = GraftStreams(s)
+      .stream[String, Long](ev, lit("all"), col("event_id"), col("ts"))
+      .groupByKey
+      .windowedBy(TimeWindows.of(java.time.Duration.ofMinutes(10))
+        .advanceBy(java.time.Duration.ofMinutes(5))
+        .grace(java.time.Duration.ZERO))
+      .count()
+      .suppressFinal()
+    val name = s"whl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    counts.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).select(col("key.start").as("window_start"), col("value").as("cnt"))
+  }
+
   // -- SessionWindowedKStream (KStreamSessionWindowAggregate.java): 30-min
   //    inactivity gap per user; oracle = gaps-and-islands.
   q("q_window_session_count",
