@@ -438,6 +438,57 @@ object StreamsParity extends Catalog {
       col("key.start").as("session_start"), col("value").as("cnt"))
   }
 
+  // -- KStream⋈KStream LEFT join through the LIVE streaming path: matches
+  //    emit eagerly; unmatched views emit with a null click once the
+  //    watermark proves no match can arrive. Spark's unmatched-emission
+  //    boundary derives from the join condition with ms-level adjustments,
+  //    so both the result and the oracle keep only rows strictly inside
+  //    the closed region (view + window + 1s slack <= watermark) — the
+  //    boundary itself is the only excluded sliver. With two watermarked
+  //    inputs the global watermark is the MIN of the per-stream maxima
+  //    (multipleWatermarkPolicy=min), mirrored as least(max view, max click).
+  q("q_stream_stream_left_live",
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id AS cu, event_id AS click_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT v.user_id, v.view_id, c.click_id, v.ts FROM v
+      |  LEFT JOIN c ON v.user_id = c.cu AND c.cts >= v.ts
+      |    AND c.cts <= v.ts + INTERVAL 1 HOUR)
+      |SELECT user_id, view_id, click_id FROM j
+      |WHERE ts + INTERVAL 1 HOUR + INTERVAL 1 SECOND <=
+      |  (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+      |                (SELECT max(ts) FROM events WHERE event_type = 'click')))""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val b = GraftStreams(s)
+    val views = b.stream[Long, Long](src().filter(col("event_type") === "view"),
+      col("user_id"), col("event_id"), col("ts"))
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts"))
+    val joined = views.leftJoin(clicks,
+      JoinWindows(beforeMs = 0L, afterMs = 3600000L, graceMs = 0L)) {
+      (vid, cid: Option[Long]) => (vid, cid.getOrElse(-1L))
+    }
+    val name = s"ssl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.toDF.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val ev = graft.Tables.load(s, dir, "events")
+    val maxTs = ev.agg(least(
+      max(when(col("event_type") === "view", col("ts"))),
+      max(when(col("event_type") === "click", col("ts")))).as("max_ts"))
+    s.table(name).crossJoin(maxTs)
+      .filter(col("ts") + expr("INTERVAL 1 HOUR") + expr("INTERVAL 1 SECOND") <= col("max_ts"))
+      .select(col("key").as("user_id"), col("value._1").as("view_id"),
+        when(col("value._2") === -1L, lit(null)).otherwise(col("value._2"))
+          .cast("long").as("click_id"))
+  }
+
   // -- KStream⋈KStream OUTER windowed join (KStream.java:1527): unmatched
   //    records from either side appear with nulls. Counted per user over
   //    purchases ⋈ errors within ±1 h.
