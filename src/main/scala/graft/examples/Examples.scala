@@ -50,6 +50,24 @@ object WordCountApp {
   }
 }
 
+/** Per-record trailing windows (Kafka 2.7 SlidingWindows) with live
+  * operational gauges: "events per user over the last 30 minutes, exact",
+  * batch over the catalog tables plus the streaming twin's gauge names. */
+object SlidingRateApp {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("sliding-rate")
+    import spark.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    GraftStreams(spark)
+      .stream[Long, Long](events, col("user_id"), col("event_id"), col("ts"))
+      .groupByKey
+      .windowedBy(SlidingWindows.ofTimeDifference(java.time.Duration.ofMinutes(30)))
+      .aggExpr("cnt", _ => count(lit(1)))
+      .orderBy(desc("cnt")).limit(10).show(false)
+    spark.stop()
+  }
+}
+
 /** Sessionized user activity with final-results suppression:
   * events → groupByKey → session windows → count → suppress. */
 object SessionizeApp {
