@@ -169,6 +169,50 @@ final class KTable[K, V] private[graft] (
       tupleEnc[K, VR])), deduped = true, suppressed)
   }
 
+  // ------------------------------------- foreign-key join (KIP-213)
+
+  /** Foreign-key table-table join — Kafka 2.4's
+    * `KTable.join(other, foreignKeyExtractor, joiner)` (KIP-213; lands
+    * just after the reference's 2.2 line, the natural next step of its
+    * `KTableKTableInnerJoin`). The result keeps THIS table's key: each
+    * row joins the `other` row addressed by `fk(value)`, and an update
+    * on the right side re-joins every left row referencing it.
+    *
+    * The reference-lineage implementation routes subscription/response
+    * topics; Spark-first the whole machinery collapses to deriving the
+    * fk column and equi-joining the two latest views — one shuffle on
+    * fk, zero when the right view is small enough for AQE to broadcast.
+    * Live-changelog variant: `streaming.StreamingTableJoin.fkJoin`. */
+  def fkJoin[KO: Encoder, VO: Encoder, VR: Encoder](other: KTable[KO, VO])(
+      fk: V => KO)(joiner: (V, VO) => VR): KTable[K, VR] = {
+    val joined = fkJoined(other, fk, "inner")
+      .as(Encoders.tuple(kEnc, vEnc, implicitly[Encoder[VO]], Encoders.TIMESTAMP))
+    new KTable[K, VR](fromTyped(joined.map(t => (t._1, joiner(t._2, t._3), t._4))(
+      tupleEnc[K, VR])), deduped = true, suppressed)
+  }
+
+  /** Left variant (`KTable.leftJoin(other, foreignKeyExtractor, ...)`):
+    * rows whose fk misses (or is null) join with None. */
+  def fkLeftJoin[KO: Encoder, VO: Encoder, VR: Encoder](other: KTable[KO, VO])(
+      fk: V => KO)(joiner: (V, Option[VO]) => VR): KTable[K, VR] = {
+    val joined = fkJoined(other, fk, "left_outer")
+      .as(Encoders.tuple(kEnc, vEnc, optionEnc[VO], Encoders.TIMESTAMP))
+    new KTable[K, VR](fromTyped(joined.map(t => (t._1, joiner(t._2, t._3), t._4))(
+      tupleEnc[K, VR])), deduped = true, suppressed)
+  }
+
+  private def fkJoined[KO: Encoder, VO: Encoder](other: KTable[KO, VO],
+      fk: V => KO, how: String): DataFrame = {
+    implicit val l4: Encoder[(K, V, KO, Timestamp)] =
+      Encoders.tuple(kEnc, vEnc, implicitly[Encoder[KO]], Encoders.TIMESTAMP)
+    val l = latestTyped.map(r => (r._1, r._2, fk(r._2), r._3))
+      .toDF(KeyCol, ValueCol, "fkey", TsCol)
+    val r = other.latestDF.select(col(KeyCol).as("r_key"), col(ValueCol).as("r_value"))
+    l.join(r, col("fkey") === col("r_key"), how)
+      .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("r_value").as("_3"),
+        col(TsCol).as("_4"))
+  }
+
   /** Typed view of the live rows. */
   def toDataset: Dataset[(K, V, Timestamp)] = latestTyped
 }

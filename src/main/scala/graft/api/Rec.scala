@@ -31,6 +31,19 @@ private[graft] object Rec {
     ExpressionEncoder(AgnosticEncoders.OptionEncoder(agnostic))
   }
 
+  /** Generic Seq encoder (same trick as [[optionEnc]]) — state buffers
+    * holding a variable number of typed elements. */
+  def seqEnc[T](implicit e: Encoder[T]): Encoder[Seq[T]] = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, AgnosticEncoders, ExpressionEncoder}
+    val agnostic = e match {
+      case a: AgnosticEncoder[T @unchecked] => a
+      case ee: ExpressionEncoder[T @unchecked] => ee.encoder
+    }
+    ExpressionEncoder(AgnosticEncoders.IterableEncoder[Seq[T], T](
+      scala.reflect.classTag[Seq[T]], agnostic, containsNull = false,
+      lenientSerialization = false))
+  }
+
   def tupleEnc[K, V](implicit k: Encoder[K], v: Encoder[V]): Encoder[(K, V, Timestamp)] =
     Encoders.tuple(k, v, Encoders.TIMESTAMP)
 

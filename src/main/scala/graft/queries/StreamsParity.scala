@@ -676,6 +676,68 @@ object StreamsParity extends Catalog {
         col("joined._2").as("purchase_cents"))
   }
 
+  // -- KTable foreign-key join (KIP-213, Kafka 2.4 — one release past the
+  //    reference's KTableKTableInnerJoin): result keyed by the LEFT key,
+  //    each row joined with the right row addressed by fk(value). Orders
+  //    fk-join customers on o_custkey; the changelog view collapses to an
+  //    equi-join of the latest views on the derived fk (one shuffle / AQE
+  //    broadcast) — the subscription/response topics fall away.
+  q("q_table_fk_join",
+    """SELECT o_orderkey AS order_key,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  c_mktsegment AS segment
+      |FROM orders JOIN customer ON o_custkey = c_custkey""") { (s, dir) =>
+    import graft.api._
+    import s.implicits._
+    val b = GraftStreams(s)
+    val orders = b.table[Long, (Long, Long)](load(s, dir, "orders"),
+      col("o_orderkey"),
+      struct(col("o_custkey").as("_1"),
+        round(col("o_totalprice") * 100).cast("long").as("_2")),
+      expr("timestamp_micros(o_orderkey)"))
+    val customers = b.table[Long, String](load(s, dir, "customer"),
+      col("c_custkey"), col("c_mktsegment"), expr("timestamp_micros(c_custkey)"))
+    orders.fkJoin(customers)(_._1)((o, seg) => (o._2, seg))
+      .toDataset.toDF("order_key", "v", "ts")
+      .select(col("order_key"), col("v._1").as("cents"), col("v._2").as("segment"))
+  }
+
+  // -- LIVE foreign-key join (StreamingTableJoin.fkJoin): the full
+  //    subscription/response/resolution pipeline over real file-stream
+  //    replay. Events subscribe by user_id; customer rows arrive on a
+  //    second stream and fan out to every subscribed event. Customer ts
+  //    sits far above every event ts, so per key the max-ts emission is
+  //    the final joined value regardless of replay interleaving.
+  q("q_table_fk_join_live",
+    """SELECT event_id, c_mktsegment AS segment FROM events
+      |JOIN customer ON user_id = c_custkey""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val b = GraftStreams(s)
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = b.stream[Long, (Long, Long)](
+      s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*"),
+      col("event_id"), struct(col("user_id").as("_1"), col("event_id").as("_2")),
+      expr("timestamp_micros(event_id)"))
+    val rawC = s.read.parquet(s"$dir/customer.parquet")
+    val cust = b.stream[Long, String](
+      s.readStream.schema(rawC.schema).parquet(s"$dir/customer.parq*"),
+      col("c_custkey"), col("c_mktsegment"),
+      expr("timestamp_micros(10000000000 + c_custkey)"))
+    val joined = graft.streaming.StreamingTableJoin
+      .fkJoin(ev, cust, inner = true)(_._1)((v, seg) => seg.getOrElse(""))
+    val name = s"fkl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.toDF("event_id", "segment", "ts").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+      .groupBy(col("event_id"))
+      .agg(max_by(col("segment"), col("ts")).as("segment"))
+      .filter(col("segment").isNotNull)
+  }
+
   // -- KGroupedTable.aggregate with adder/subtractor (KTableAggregate.java
   //    :72-106): re-keyed table aggregation. Oracle = aggregate of the
   //    *final* table state (what add/subtract converges to after the full

@@ -94,6 +94,121 @@ object StreamingTableJoin {
       }
   }
 
+  /** LIVE foreign-key table-table join — the streaming twin of
+    * `KTable.fkJoin` (KIP-213, Kafka 2.4 `KTable.join(other,
+    * foreignKeyExtractor, joiner)`). Faithful three-stage shape of the
+    * reference-lineage implementation, each topic hop replaced by an
+    * append-mode stateful stage:
+    *
+    *   1. subscriptions — [[StreamingChangelog.deltaStream]] re-keys the
+    *      left changelog by `fk(value)` into ±membership deltas (the
+    *      subscription topic; unsubscribes fire when a row's fk changes
+    *      or the row is tombstoned);
+    *   2. responses — grouped by fk, state = (subscribers, right's
+    *      current value): a subscription delta joins against the current
+    *      right value; a RIGHT update re-emits for EVERY subscriber (the
+    *      response fan-out); right-side updates apply before
+    *      subscription changes at equal ts;
+    *   3. resolution — grouped by the LEFT key, state = the key's
+    *      current fk: a response is emitted only if it came via the fk
+    *      the key currently points at (the reference's
+    *      SubscriptionResolverJoinProcessorSupplier hash check), which
+    *      kills stale responses racing an fk re-point.
+    *
+    * Emits `(K, Some(out), ts)` for live joined rows and `(K, None, ts)`
+    * when the key leaves the view (left tombstone; or, for inner joins,
+    * a right miss/tombstone) — downstream sinks upsert/delete by key.
+    */
+  def fkJoin[K: Encoder, V: Encoder, KO: Encoder, VO: Encoder, OUT: Encoder](
+      left: KStream[K, V], right: KStream[KO, VO], inner: Boolean)(
+      fk: V => KO)(joiner: (V, Option[VO]) => OUT): Dataset[(K, Option[OUT], Timestamp)] = {
+    implicit val kvEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    implicit val subEnc: Encoder[Option[((K, V), Boolean)]] =
+      Rec.optionEnc(Encoders.tuple(kvEnc, Encoders.scalaBoolean))
+    implicit val ovo: Encoder[Option[VO]] = Rec.optionEnc[VO]
+    implicit val oout: Encoder[Option[OUT]] = Rec.optionEnc[OUT]
+    implicit val subsEnc: Encoder[Seq[(K, V)]] = Rec.seqEnc[(K, V)]
+    implicit val s2in: Encoder[(KO, Option[((K, V), Boolean)], Option[VO], Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[KO]], subEnc, ovo, Encoders.TIMESTAMP)
+    implicit val s2state: Encoder[(Seq[(K, V)], Option[VO])] = Encoders.tuple(subsEnc, ovo)
+    implicit val respEnc: Encoder[(K, Option[OUT], KO, Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[K]], oout, implicitly[Encoder[KO]],
+        Encoders.TIMESTAMP)
+    implicit val s3in: Encoder[(K, Boolean, Option[V], Option[(Option[OUT], KO)], Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaBoolean, Rec.optionEnc[V],
+        Rec.optionEnc(Encoders.tuple(oout, implicitly[Encoder[KO]])), Encoders.TIMESTAMP)
+    implicit val s3state: Encoder[Option[KO]] = Rec.optionEnc[KO]
+    implicit val outEnc: Encoder[(K, Option[OUT], Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[K]], oout, Encoders.TIMESTAMP)
+
+    val joinFn = joiner
+    val fkFn = fk
+    val innerFlag = inner
+    def respond(v: V, cur: Option[VO]): Option[OUT] =
+      if (innerFlag) cur.map(c => joinFn(v, Some(c))) // inner: right miss = no row
+      else Some(joinFn(v, cur))
+
+    // stage 1: ±subscription deltas keyed by fk
+    val subs = StreamingChangelog.deltaStream(left)((k, v) => (fkFn(v), (k, v)))
+      .map(d => (d._1, Option((d._2._1, d._2._2)), Option.empty[VO], d._3))
+    val rightTagged = right.toDataset
+      .map(r => (r._1, Option.empty[((K, V), Boolean)], Option(r._2), r._3))
+
+    // stage 2: join subscriptions with the right value; fan right updates out
+    val responses = subs.union(rightTagged)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(K, V)], Option[VO]), (K, Option[OUT], KO, Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (fkey, rows, state) =>
+        var (members, cur) = state.getOption.getOrElse((Seq.empty[(K, V)], Option.empty[VO]))
+        val out = Seq.newBuilder[(K, Option[OUT], KO, Timestamp)]
+        // right updates before subscription changes at equal ts
+        rows.toSeq.sortBy(r => (r._4.getTime, r._4.getNanos, r._2.isDefined)).foreach { r =>
+          r._2 match {
+            case None => // right-side update: re-join every subscriber
+              cur = r._3
+              members.foreach { case (k, v) => out += ((k, respond(v, cur), fkey, r._4)) }
+            case Some(((k, v), isAdd)) =>
+              if (isAdd) {
+                members = members.filterNot(_._1 == k) :+ ((k, v))
+                out += ((k, respond(v, cur), fkey, r._4))
+              } else {
+                members = members.filterNot(_._1 == k)
+                out += ((k, None, fkey, r._4)) // unsubscribe/delete response
+              }
+          }
+        }
+        state.update((members, cur))
+        out.result().iterator
+      }
+
+    // stage 3: drop responses that arrived via a superseded fk
+    val leftTagged = left.toDataset
+      .map(r => (r._1, true, Option(r._2),
+        Option.empty[(Option[OUT], KO)], r._3))
+    val respTagged = responses
+      .map(r => (r._1, false, Option.empty[V], Option((r._2, r._3)), r._4))
+    leftTagged.union(respTagged)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Option[KO], (K, Option[OUT], Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var curFk: Option[KO] = state.getOption.flatten
+        val out = Seq.newBuilder[(K, Option[OUT], Timestamp)]
+        // left re-points before their same-ts responses resolve
+        rows.toSeq.sortBy(r => (r._5.getTime, r._5.getNanos, !r._2)).foreach { r =>
+          if (r._2) curFk = r._3.map(fkFn)
+          else {
+            val (res, via) = r._4.get
+            val live = curFk.contains(via) // response matches current fk
+            val deleted = curFk.isEmpty && res.isEmpty // left-tombstone retraction
+            if (live || deleted) out += ((key, res, r._5))
+          }
+        }
+        state.update(curFk)
+        out.result().iterator
+      }
+  }
+
   /** General form: `view` maps the two current side values to the joined
     * value (None = no row for this key). */
   def fullJoin[K: Encoder, VL: Encoder, VR: Encoder, OUT: Encoder](

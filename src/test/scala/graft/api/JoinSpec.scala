@@ -112,4 +112,24 @@ class JoinSpec extends AnyFunSuite {
       .toDataset.collect().map(r => (r._1, r._2)).sorted
     assert(outer === Seq((0, "L0+null"), (1, "L1+R1"), (2, "null+R2")))
   }
+
+  test("foreign-key join keys result by left key; fk change follows re-point (KIP-213)") {
+    // orders keyed by order id, value = (customer fk, payload); the
+    // changelog re-points o2 from c1 to c2 — only the latest fk joins
+    val orders = builder.table(spark.createDataset(Seq(
+      (10, ("c1", "o10"), ts(0L)), (11, ("c1", "o11"), ts(0L)),
+      (12, ("c2", "o12"), ts(0L)), (12, ("c3", "o12b"), ts(1000L)),
+      (13, ("c9", "o13"), ts(0L)))))
+    val customers = builder.table(spark.createDataset(Seq(
+      ("c1", "gold", ts(0L)), ("c2", "silver", ts(0L)), ("c3", "bronze", ts(0L)))))
+
+    val inner = orders.fkJoin(customers)(_._1)((o, c) => o._2 + "+" + c)
+      .toDataset.collect().map(r => (r._1, r._2)).sorted
+    assert(inner === Seq((10, "o10+gold"), (11, "o11+gold"), (12, "o12b+bronze")))
+
+    val leftJ = orders.fkLeftJoin(customers)(_._1)((o, c) => o._2 + "+" + c.getOrElse("null"))
+      .toDataset.collect().map(r => (r._1, r._2)).sorted
+    assert(leftJ === Seq((10, "o10+gold"), (11, "o11+gold"),
+      (12, "o12b+bronze"), (13, "o13+null")))
+  }
 }

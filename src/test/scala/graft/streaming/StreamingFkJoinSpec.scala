@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.ts
+import graft.api.GraftStreams
+
+/** LIVE foreign-key table-table join (KIP-213 semantics, the
+  * subscription/response/resolution pipeline of Kafka 2.4's
+  * `KTable.join(other, foreignKeyExtractor, joiner)` — one Kafka
+  * release past the reference's 2.2 line).
+  *
+  * Left rows are (key, (fk, payload)); the result is keyed by the LEFT
+  * key and a right-side update must fan out to every subscriber.
+  */
+class StreamingFkJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def harness(inner: Boolean, name: String) = {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(String, (String, String), java.sql.Timestamp)]
+    val rMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val b = GraftStreams(spark)
+    val l = b.stream[String, (String, String)](lMem.toDF(), $"_1", $"_2", $"_3")
+    val r = b.stream[String, String](rMem.toDF(), $"_1", $"_2", $"_3")
+    val joined = StreamingTableJoin.fkJoin(l, r, inner)(_._1)(
+      (v, rv) => v._2 + "+" + rv.getOrElse("null"))
+    val q = joined.toDF("k", "v", "ts").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append).start()
+    (lMem, rMem, q)
+  }
+
+  private def emitted(name: String): Seq[(String, Option[String])] =
+    spark.table(name).collect()
+      .map(row => (row.getString(0), Option(row.getString(1)))).toSeq
+
+  test("right update fans out to every subscriber; inner miss retracts") {
+    val (lMem, rMem, q) = harness(inner = true, "fkfan")
+    try {
+      lMem.addData(("o1", ("cA", "p1"), ts(1000L)), ("o2", ("cA", "p2"), ts(1500L)))
+      q.processAllAvailable()
+      // inner join, right side missing: both keys have no row yet
+      assert(emitted("fkfan").toSet === Set("o1" -> None, "o2" -> None))
+
+      rMem.addData(("cA", "gold", ts(2000L)))
+      q.processAllAvailable()
+      // ONE right update re-joined BOTH subscribers
+      assert(emitted("fkfan").toSet ===
+        Set("o1" -> None, "o2" -> None,
+          "o1" -> Some("p1+gold"), "o2" -> Some("p2+gold")))
+
+      rMem.addData(("cA", null.asInstanceOf[String], ts(3000L)))
+      q.processAllAvailable()
+      // right tombstone: both keys leave the inner view
+      val last = spark.table("fkfan").collect()
+        .filter(_.getTimestamp(2).getTime == 3000L)
+        .map(r0 => (r0.getString(0), Option(r0.getString(1)))).toSet
+      assert(last === Set("o1" -> None, "o2" -> None))
+    } finally q.stop()
+  }
+
+  test("fk re-point unsubscribes the old group and joins the new one") {
+    val (lMem, rMem, q) = harness(inner = true, "fkmove")
+    try {
+      rMem.addData(("cA", "gold", ts(500L)), ("cB", "silver", ts(600L)))
+      q.processAllAvailable()
+      lMem.addData(("o1", ("cA", "p1"), ts(1000L)))
+      q.processAllAvailable()
+      assert(emitted("fkmove").last === ("o1" -> Some("p1+gold")))
+
+      // re-point o1 from cA to cB: the stale unsubscribe response from cA
+      // must NOT clobber the new join result
+      lMem.addData(("o1", ("cB", "p1"), ts(2000L)))
+      q.processAllAvailable()
+      val atMove = spark.table("fkmove").collect()
+        .filter(_.getTimestamp(2).getTime == 2000L)
+        .map(r0 => (r0.getString(0), Option(r0.getString(1)))).toSeq
+      assert(atMove === Seq("o1" -> Some("p1+silver")))
+
+      // a later update to the OLD group no longer reaches o1
+      rMem.addData(("cA", "bronze", ts(3000L)))
+      q.processAllAvailable()
+      assert(spark.table("fkmove").collect()
+        .count(_.getTimestamp(2).getTime == 3000L) === 0)
+    } finally q.stop()
+  }
+
+  test("left tombstone retracts the key") {
+    val (lMem, rMem, q) = harness(inner = true, "fkdel")
+    try {
+      rMem.addData(("cA", "gold", ts(500L)))
+      q.processAllAvailable()
+      lMem.addData(("o1", ("cA", "p1"), ts(1000L)))
+      q.processAllAvailable()
+      lMem.addData(("o1", null.asInstanceOf[(String, String)], ts(2000L)))
+      q.processAllAvailable()
+      assert(emitted("fkdel").last === ("o1" -> None))
+    } finally q.stop()
+  }
+
+  test("left variant joins None on right miss") {
+    val (lMem, rMem, q) = harness(inner = false, "fkleft")
+    try {
+      lMem.addData(("o1", ("cA", "p1"), ts(1000L)))
+      q.processAllAvailable()
+      assert(emitted("fkleft").last === ("o1" -> Some("p1+null")))
+      rMem.addData(("cA", "gold", ts(2000L)))
+      q.processAllAvailable()
+      assert(emitted("fkleft").last === ("o1" -> Some("p1+gold")))
+    } finally q.stop()
+  }
+}
