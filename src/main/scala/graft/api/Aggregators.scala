@@ -87,6 +87,14 @@ private[graft] object ExternalConv {
   }
 }
 
+/** Serializable [[ExternalConv]] wrapper: ships only the Encoder; the
+  * converter (analyzer-bound, not serializable) builds lazily on each
+  * executor. For converters captured directly in task closures. */
+private[graft] final class LazyConv[T](enc: Encoder[T]) extends Serializable {
+  @transient private lazy val conv = ExternalConv.make[T](enc)
+  def apply(x: Any): T = conv(x)
+}
+
 /** Adapts a (K, V, ts)-tuple aggregator to Row input for use on a
   * relational groupBy (the windowed path, where grouping must stay on the
   * native window() column). Row layout: (_1=key, _2=value, _3=ts). */

@@ -97,6 +97,11 @@ final class KGroupedStream[K, V] private[graft] (private[graft] val df: DataFram
       exprs.head._2.as(exprs.head._1),
       exprs.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** `KGroupedStream.cogroup(aggregator)` — start a multi-stream cogroup
+    * (KIP-150, Kafka 2.5); see [[CogroupedKStream]]. */
+  def cogroup[VA](aggregator: (K, V, VA) => VA): CogroupedKStream[K, VA] =
+    new CogroupedKStream[K, VA](Seq(CogroupedKStream.entry(df, aggregator)))
+
   /** `windowedBy(TimeWindows)` (`kstream/TimeWindowedKStream.java`). */
   def windowedBy(w: TimeWindows): TimeWindowedKStream[K, V] =
     new TimeWindowedKStream[K, V](df, w)

@@ -676,6 +676,34 @@ object StreamsParity extends Catalog {
         col("joined._2").as("purchase_cents"))
   }
 
+  // -- Cogroup (KIP-150, Kafka 2.5 CogroupedKStream): clicks and
+  //    purchases fold into ONE (clicks, cents) accumulator per user, each
+  //    stream applying its own aggregator — one shuffle, one state store,
+  //    vs the reference-era aggregate-then-outer-join topology. The
+  //    aggregators here are commutative, so the oracle is a plain
+  //    conditional aggregation over the union.
+  q("q_cogroup",
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY user_id""") { (s, dir) =>
+    import graft.api._
+    import s.implicits._
+    val ev = load(s, dir, "events")
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](ev.filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts")).groupByKey
+    val purchases = b.stream[Long, Long](ev.filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts")).groupByKey
+    clicks.cogroup[(Long, Long)]((_, _, acc) => (acc._1 + 1, acc._2))
+      .cogroup(purchases)((_, cents, acc) => (acc._1, acc._2 + cents))
+      .aggregate((0L, 0L))
+      .toDataset.toDF("user_id", "v", "ts")
+      .select(col("user_id"), col("v._1").as("clicks"), col("v._2").as("cents"))
+  }
+
   // -- KTable foreign-key join (KIP-213, Kafka 2.4 — one release past the
   //    reference's KTableKTableInnerJoin): result keyed by the LEFT key,
   //    each row joined with the right row addressed by fk(value). Orders

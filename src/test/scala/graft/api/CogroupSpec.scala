@@ -1,0 +1,58 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.ts
+
+/** Cogroup (KIP-150 `CogroupedKStream`): several streams, one accumulator
+  * per key, each stream's own aggregator, event-time fold order. */
+class CogroupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def builder = GraftStreams(spark)
+
+  test("three heterogeneous streams fold into one accumulator per key") {
+    // clicks: Long counts; names: String concat; scores: Double sum — all
+    // into a (Long, String, Double) accumulator
+    val clicks = builder.stream(spark.createDataset(Seq(
+      ("u1", 1L, ts(1000L)), ("u1", 1L, ts(3000L)), ("u2", 1L, ts(1000L))))).groupByKey
+    val names = builder.stream(spark.createDataset(Seq(
+      ("u1", "a", ts(2000L)), ("u1", "b", ts(4000L))))).groupByKey
+    val scores = builder.stream(spark.createDataset(Seq(
+      ("u2", 2.5, ts(5000L))))).groupByKey
+
+    val table = clicks
+      .cogroup[(Long, String, Double)]((_, n, acc) => (acc._1 + n, acc._2, acc._3))
+      .cogroup(names)((_, s, acc) => (acc._1, acc._2 + s, acc._3))
+      .cogroup(scores)((_, d, acc) => (acc._1, acc._2, acc._3 + d))
+      .aggregate((0L, "", 0.0))
+
+    val got = table.toDataset.collect().map(r => (r._1, r._2)).sortBy(_._1)
+    // u1 folds click(1s), name a(2s), click(3s), name b(4s) in ts order
+    assert(got === Seq(("u1", (2L, "ab", 0.0)), ("u2", (1L, "", 2.5))))
+  }
+
+  test("fold applies strictly in event-time order across streams") {
+    // order-sensitive accumulator (string trace) proves cross-stream ordering
+    val s1 = builder.stream(spark.createDataset(Seq(
+      ("k", "A1", ts(1000L)), ("k", "A3", ts(3000L))))).groupByKey
+    val s2 = builder.stream(spark.createDataset(Seq(
+      ("k", "B2", ts(2000L)), ("k", "B4", ts(4000L))))).groupByKey
+    val table = s1.cogroup[String]((_, v, acc) => acc + v)
+      .cogroup(s2)((_, v, acc) => acc + v)
+      .aggregate("")
+    assert(table.toDataset.collect().head._2 === "A1B2A3B4")
+  }
+
+  test("table timestamp is the max event time across all streams") {
+    val s1 = builder.stream(spark.createDataset(Seq(("k", 1L, ts(1000L))))).groupByKey
+    val s2 = builder.stream(spark.createDataset(Seq(("k", 2L, ts(9000L))))).groupByKey
+    val table = s1.cogroup[Long]((_, v, acc) => acc + v)
+      .cogroup(s2)((_, v, acc) => acc + v)
+      .aggregate(0L)
+    val row = table.toDataset.collect().head
+    assert(row._2 === 3L && row._3 === ts(9000L))
+  }
+}
