@@ -1320,4 +1320,38 @@ object LlmPipeline extends Catalog {
       .orderBy(col("cnt").desc, col("trigram"))
       .limit(100)
   }
+
+  // -- Count-LM document scoring: each document scored against the corpus
+  //    trigram table built by the q_ngram_lm_counts stage — the "score
+  //    docs by corpus LM, filter the tail" step of a perplexity-style
+  //    quality filter, with exact integer arithmetic (trigram mass, not
+  //    log-prob floats) so the oracle is bit-exact; avg = INT/INT in one
+  //    correctly-rounded IEEE divide, identical in both engines. Shape:
+  //    explode trigrams, count (one shuffle), join doc-trigrams to counts
+  //    on the compact trigram key (second shuffle), re-agg per doc.
+  q("q_lm_score",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |idx AS (SELECT CAST(range AS INT) AS pos FROM range(4096)),
+      |g AS (
+      |  SELECT doc_id, toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3] AS trigram
+      |  FROM t JOIN idx ON pos + 3 <= len(toks)),
+      |c AS (SELECT trigram, count(*) AS cnt FROM g GROUP BY trigram)
+      |SELECT doc_id, count(*) AS n_tri, CAST(sum(cnt) AS BIGINT) AS mass,
+      |  CAST(CAST(sum(cnt) AS DOUBLE) / count(*) AS DOUBLE) AS avg_cnt
+      |FROM g JOIN c USING (trigram) GROUP BY doc_id""") { (s, dir) =>
+    val g = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("trigram"))
+    val counts = g.groupBy("trigram").agg(count(lit(1)).as("cnt"))
+    g.join(counts, "trigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum("cnt").as("mass"),
+        (sum("cnt").cast("double") / count(lit(1))).as("avg_cnt"))
+  }
 }
