@@ -35,22 +35,21 @@ final class CogroupedKStream[K, VA] private[graft] (
 
   /** `CogroupedKStream.aggregate(Initializer)` — the shared fold. Records
     * from every side apply in event-time order (ties: side order, the
-    * deterministic stand-in for the reference's offset order). */
+    * deterministic stand-in for the reference's offset order). Streaming
+    * sides take the live incremental path ([[aggregateUpdates]]). */
   def aggregate(initializer: => VA)(implicit vaEnc: Encoder[VA]): KTable[K, VA] = {
-    val valueTypes = entries.map(_._1.schema(ValueCol).dataType)
-    val sides = entries.zipWithIndex.map { case ((d, _), i) =>
-      val slots = valueTypes.zipWithIndex.map { case (dt, j) =>
-        (if (i == j) col(ValueCol) else lit(null).cast(dt)).as(s"v$j")
-      }
-      d.select(col(KeyCol) +: col(TsCol) +: lit(i).as("src") +: slots: _*)
-    }
-    val all = sides.reduce(_ unionByName _)
-
+    val all = union()
     val kConv = new LazyConv[K](kEnc)
     val folds = entries.map(_._2)
     val init: () => VA = () => initializer
     implicit val outEnc: Encoder[(K, VA, Timestamp)] =
       Encoders.tuple(kEnc, vaEnc, Encoders.TIMESTAMP)
+
+    if (all.isStreaming)
+      return new KTable[K, VA](
+        aggregateUpdates(initializer).toDF(KeyCol, ValueCol, TsCol, "seq")
+          .drop("seq"), deduped = true)
+
     val out = all.groupByKey(row => kConv(row.get(0)))
       .mapGroups { (k, it) =>
         val rows = it.toArray.sortBy { r =>
@@ -64,6 +63,53 @@ final class CogroupedKStream[K, VA] private[graft] (
         (k, acc, rows.last.getAs[Timestamp](1))
       }
     new KTable[K, VA](out.toDF(KeyCol, ValueCol, TsCol), deduped = true)
+  }
+
+  /** Live incremental fold: the accumulator IS the state — records fold
+    * in as they arrive (the reference's per-record processing), one
+    * refreshed emission per updated key per micro-batch (cache-flush
+    * cadence). The monotone per-key `seq` lets sinks pick the final
+    * emission deterministically even under ts ties across batches. */
+  def aggregateUpdates(initializer: => VA)(
+      implicit vaEnc: Encoder[VA]): org.apache.spark.sql.Dataset[(K, VA, Timestamp, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val all = union()
+    val kConv = new LazyConv[K](kEnc)
+    val folds = entries.map(_._2)
+    val init: () => VA = () => initializer
+    implicit val stateEnc: Encoder[(VA, Timestamp, Long)] =
+      Encoders.tuple(vaEnc, Encoders.TIMESTAMP, Encoders.scalaLong)
+    implicit val liveOutEnc: Encoder[(K, VA, Timestamp, Long)] =
+      Encoders.tuple(kEnc, vaEnc, Encoders.TIMESTAMP, Encoders.scalaLong)
+    all.groupByKey(row => kConv(row.get(0)))
+      .flatMapGroupsWithState[(VA, Timestamp, Long), (K, VA, Timestamp, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (k, rows, state) =>
+        var (acc, maxTs, seq) =
+          state.getOption.getOrElse((init(), null: Timestamp, 0L))
+        rows.toSeq.sortBy { r =>
+          val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
+        }.foreach { r =>
+          val i = r.getInt(2)
+          acc = folds(i)(k, r.get(3 + i), acc)
+          maxTs = GroupAggs.maxTs(maxTs, r.getAs[Timestamp](1))
+        }
+        seq += 1
+        state.update((acc, maxTs, seq))
+        Iterator.single((k, acc, maxTs, seq))
+      }
+  }
+
+  /** Tag-union of every side onto one schema: each side's value rides its
+    * own nullable slot (no serialization, no common supertype). */
+  private def union(): DataFrame = {
+    val valueTypes = entries.map(_._1.schema(ValueCol).dataType)
+    val sides = entries.zipWithIndex.map { case ((d, _), i) =>
+      val slots = valueTypes.zipWithIndex.map { case (dt, j) =>
+        (if (i == j) col(ValueCol) else lit(null).cast(dt)).as(s"v$j")
+      }
+      d.select(col(KeyCol) +: col(TsCol) +: lit(i).as("src") +: slots: _*)
+    }
+    sides.reduce(_ unionByName _)
   }
 }
 

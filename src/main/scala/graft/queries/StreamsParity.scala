@@ -704,6 +704,43 @@ object StreamsParity extends Catalog {
       .select(col("user_id"), col("v._1").as("clicks"), col("v._2").as("cents"))
   }
 
+  // -- LIVE cogroup (CogroupedKStream.aggregateUpdates): both sides
+  //    replay as real file streams; the shared accumulator folds
+  //    incrementally across micro-batches and each key's final emission
+  //    (max per-key seq) must equal the batch cogroup — same oracle as
+  //    q_cogroup.
+  q("q_cogroup_live",
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts")).groupByKey
+    val purchases = b.stream[Long, Long](src().filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts")).groupByKey
+    val updates = clicks.cogroup[(Long, Long)]((_, _, acc) => (acc._1 + 1, acc._2))
+      .cogroup(purchases)((_, cents, acc) => (acc._1, acc._2 + cents))
+      .aggregateUpdates((0L, 0L))
+    val name = s"cgl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    updates.toDF("user_id", "v", "ts", "seq").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("v"), col("seq")).as("v"))
+      .select(col("user_id"), col("v._1").as("clicks"), col("v._2").as("cents"))
+  }
+
   // -- KTable foreign-key join (KIP-213, Kafka 2.4 — one release past the
   //    reference's KTableKTableInnerJoin): result keyed by the LEFT key,
   //    each row joined with the right row addressed by fk(value). Orders

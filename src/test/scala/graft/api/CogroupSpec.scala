@@ -46,6 +46,36 @@ class CogroupSpec extends AnyFunSuite {
     assert(table.toDataset.collect().head._2 === "A1B2A3B4")
   }
 
+  test("live cogroup folds incrementally across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val aMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val bMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val b = GraftStreams(spark)
+    val counts = b.stream[String, Long](aMem.toDF(), $"_1", $"_2", $"_3").groupByKey
+    val tags = b.stream[String, String](bMem.toDF(), $"_1", $"_2", $"_3").groupByKey
+
+    val updates = counts.cogroup[(Long, String)]((_, n, acc) => (acc._1 + n, acc._2))
+      .cogroup(tags)((_, s, acc) => (acc._1, acc._2 + s))
+      .aggregateUpdates((0L, ""))
+    val q = updates.toDF("k", "v", "ts", "seq").writeStream.format("memory")
+      .queryName("cgl").outputMode(OutputMode.Update).start()
+    try {
+      aMem.addData(("u", 2L, ts(1000L)))
+      q.processAllAvailable()
+      bMem.addData(("u", "x", ts(2000L)))
+      q.processAllAvailable()
+      aMem.addData(("u", 3L, ts(3000L)))
+      q.processAllAvailable()
+      val rows = spark.table("cgl").collect()
+        .map(r => (r.getLong(3), (r.getStruct(1).getLong(0), r.getStruct(1).getString(1))))
+        .sortBy(_._1)
+      // state carries across batches: (2,""), (2,"x"), (5,"x")
+      assert(rows.map(_._2) === Seq((2L, ""), (2L, "x"), (5L, "x")))
+    } finally q.stop()
+  }
+
   test("table timestamp is the max event time across all streams") {
     val s1 = builder.stream(spark.createDataset(Seq(("k", 1L, ts(1000L))))).groupByKey
     val s2 = builder.stream(spark.createDataset(Seq(("k", 2L, ts(9000L))))).groupByKey
