@@ -99,17 +99,52 @@ final class CogroupedKStream[K, VA] private[graft] (
       }
   }
 
-  /** Tag-union of every side onto one schema: each side's value rides its
-    * own nullable slot (no serialization, no common supertype). */
-  private def union(): DataFrame = {
-    val valueTypes = entries.map(_._1.schema(ValueCol).dataType)
-    val sides = entries.zipWithIndex.map { case ((d, _), i) =>
-      val slots = valueTypes.zipWithIndex.map { case (dt, j) =>
-        (if (i == j) col(ValueCol) else lit(null).cast(dt)).as(s"v$j")
+  private def union(): DataFrame = CogroupedKStream.union(entries)
+
+  /** `CogroupedKStream.windowedBy(TimeWindows)` —
+    * `TimeWindowedCogroupedKStream`: the shared fold per (key, window). */
+  def windowedBy(w: TimeWindows): TimeWindowedCogroup[K, VA] =
+    new TimeWindowedCogroup[K, VA](entries, w)
+}
+
+/** `TimeWindowedCogroupedKStream` (KIP-150): cogroup fold scoped to
+  * tumbling/hopping windows — the window joins the key exactly like
+  * `TimeWindowedKStream`, the fold machinery is the cogroup's. Batch
+  * parity path (the ordered fold is not merge-commutative); a streaming
+  * windowed cogroup rides `aggregateUpdates` with a window-bucketed key. */
+final class TimeWindowedCogroup[K, VA] private[graft] (
+    entries: Seq[(DataFrame, (K, Any, VA) => VA)], w: TimeWindows)(
+    implicit kEnc: Encoder[K]) {
+  import org.apache.spark.sql.Row
+
+  def aggregate(initializer: => VA)(
+      implicit vaEnc: Encoder[VA], wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], VA] = {
+    // window() expands hopping windows (one row per covering window) in
+    // the Project, so the per-(key, window) fold sees every record
+    val all = withGrace(CogroupedKStream.union(entries), w.graceMs)
+      .withColumn("gw", window(col(TsCol), w.sizeExpr, w.slideExpr))
+    val kConv = new LazyConv[K](kEnc)
+    val folds = entries.map(_._2)
+    val init: () => VA = () => initializer
+    val sizeMs = w.sizeMs
+    implicit val gkEnc: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(Windowed[K], VA, Timestamp)] =
+      Encoders.tuple(wEnc, vaEnc, Encoders.TIMESTAMP)
+    val out = all.groupByKey { row =>
+      (kConv(row.get(0)), row.getAs[Row]("gw").getAs[Timestamp]("start").getTime)
+    }.mapGroups { (gk, it) =>
+      val rows = it.toArray.sortBy { r =>
+        val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
       }
-      d.select(col(KeyCol) +: col(TsCol) +: lit(i).as("src") +: slots: _*)
+      var acc = init()
+      rows.foreach { r =>
+        val i = r.getInt(2)
+        acc = folds(i)(gk._1, r.get(3 + i), acc)
+      }
+      (Windowed(gk._1, new Timestamp(gk._2), new Timestamp(gk._2 + sizeMs)),
+        acc, rows.last.getAs[Timestamp](1))
     }
-    sides.reduce(_ unionByName _)
+    new KTable[Windowed[K], VA](out.toDF(KeyCol, ValueCol, TsCol), deduped = true)
   }
 }
 
@@ -119,5 +154,18 @@ private[graft] object CogroupedKStream {
       implicit vEnc: Encoder[V]): (DataFrame, (K, Any, VA) => VA) = {
     val conv = new LazyConv[V](vEnc)
     (df, (k: K, a: Any, acc: VA) => agg(k, conv(a), acc))
+  }
+
+  /** Tag-union of every side onto one schema: each side's value rides its
+    * own nullable slot (no serialization, no common supertype). */
+  def union[K, VA](entries: Seq[(DataFrame, (K, Any, VA) => VA)]): DataFrame = {
+    val valueTypes = entries.map(_._1.schema(ValueCol).dataType)
+    val sides = entries.zipWithIndex.map { case ((d, _), i) =>
+      val slots = valueTypes.zipWithIndex.map { case (dt, j) =>
+        (if (i == j) col(ValueCol) else lit(null).cast(dt)).as(s"v$j")
+      }
+      d.select(col(KeyCol) +: col(TsCol) +: lit(i).as("src") +: slots: _*)
+    }
+    sides.reduce(_ unionByName _)
   }
 }

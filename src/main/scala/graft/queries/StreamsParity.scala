@@ -704,6 +704,34 @@ object StreamsParity extends Catalog {
       .select(col("user_id"), col("v._1").as("clicks"), col("v._2").as("cents"))
   }
 
+  // -- Windowed cogroup (TimeWindowedCogroupedKStream): the shared fold
+  //    scoped to tumbling 10-minute windows — clicks and purchase cents
+  //    accumulate per (user, window).
+  q("q_cogroup_windowed",
+    """SELECT user_id, ts - to_microseconds(epoch_us(ts) % 600000000) AS window_start,
+      |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY 1, 2""") { (s, dir) =>
+    import java.time.Duration
+    import graft.api._
+    import s.implicits._
+    val ev = load(s, dir, "events")
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](ev.filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts")).groupByKey
+    val purchases = b.stream[Long, Long](ev.filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts")).groupByKey
+    clicks.cogroup[(Long, Long)]((_, _, acc) => (acc._1 + 1, acc._2))
+      .cogroup(purchases)((_, cents, acc) => (acc._1, acc._2 + cents))
+      .windowedBy(TimeWindows.of(Duration.ofMinutes(10)))
+      .aggregate((0L, 0L))
+      .toDataset.toDF("wk", "v", "ts")
+      .select(col("wk.key").as("user_id"), col("wk.start").as("window_start"),
+        col("v._1").as("clicks"), col("v._2").as("cents"))
+  }
+
   // -- LIVE cogroup (CogroupedKStream.aggregateUpdates): both sides
   //    replay as real file streams; the shared accumulator folds
   //    incrementally across micro-batches and each key's final emission

@@ -76,6 +76,32 @@ class CogroupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed cogroup folds per (key, window); hopping windows expand") {
+    import java.time.Duration
+    val s1 = builder.stream(spark.createDataset(Seq(
+      ("k", 1L, ts(1000L)), ("k", 2L, ts(11000L))))).groupByKey
+    val s2 = builder.stream(spark.createDataset(Seq(
+      ("k", "a", ts(2000L)), ("k", "b", ts(12000L))))).groupByKey
+
+    val tumbling = s1.cogroup[(Long, String)]((_, n, acc) => (acc._1 + n, acc._2))
+      .cogroup(s2)((_, v, acc) => (acc._1, acc._2 + v))
+      .windowedBy(TimeWindows.of(Duration.ofSeconds(10)))
+      .aggregate((0L, ""))
+    val got = tumbling.toDataset.collect()
+      .map(r => (r._1.start.getTime, r._2)).sortBy(_._1)
+    assert(got === Seq((0L, (1L, "a")), (10000L, (2L, "b"))))
+
+    // hopping 10s/5s: the 2s record lands in windows [-5,5) and [0,10)...
+    val hopping = s1.cogroup[Long]((_, n, acc) => acc + n)
+      .cogroup(s2)((_, _, acc) => acc)
+      .windowedBy(TimeWindows.of(Duration.ofSeconds(10)).advanceBy(Duration.ofSeconds(5)))
+      .aggregate(0L)
+    val starts = hopping.toDataset.collect()
+      .filter(_._2 > 0).map(r => (r._1.start.getTime, r._2)).sortBy(_._1)
+    // 1s record covers windows starting -5s,0s; 11s record covers 5s,10s
+    assert(starts === Seq((-5000L, 1L), (0L, 1L), (5000L, 2L), (10000L, 2L)))
+  }
+
   test("table timestamp is the max event time across all streams") {
     val s1 = builder.stream(spark.createDataset(Seq(("k", 1L, ts(1000L))))).groupByKey
     val s2 = builder.stream(spark.createDataset(Seq(("k", 2L, ts(9000L))))).groupByKey
