@@ -57,7 +57,10 @@ object Bench {
     "vocab-ids" -> "q_vocab_token_ids",
     "sliding-count" -> "q_window_sliding_count",
     "ngram-lm" -> "q_ngram_lm_counts",
-    "sliding-live" -> "q_window_sliding_live")
+    "sliding-live" -> "q_window_sliding_live",
+    "fk-join" -> "q_table_fk_join",
+    "cogroup" -> "q_cogroup",
+    "lm-score" -> "q_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,4 +164,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Subquery"), plan.take(1500))
     assert(plan.contains("Join"), plan.take(800))
   }
+
+  test("fk join is a hash equi-join on the derived fk — no nested loop") {
+    val plan = planOf("q_table_fk_join")
+    assert(plan.contains("HashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
+  test("cogroup: N sides through ONE key shuffle into one fold") {
+    val plan = planOf("q_cogroup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, plan.take(1500))
+    assert(plan.contains("Union"), plan.take(800))
+  }
+
+  test("LM scoring joins doc-trigrams to counts on the compact trigram key") {
+    val plan = planOf("q_lm_score")
+    // partial agg before both shuffles; equi-join, never a cross product
+    assert(plan.contains("partial_"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
 }
