@@ -105,6 +105,12 @@ final class CogroupedKStream[K, VA] private[graft] (
     * `TimeWindowedCogroupedKStream`: the shared fold per (key, window). */
   def windowedBy(w: TimeWindows): TimeWindowedCogroup[K, VA] =
     new TimeWindowedCogroup[K, VA](entries, w)
+
+  /** `CogroupedKStream.windowedBy(SessionWindows)` —
+    * `SessionWindowedCogroupedKStream`: the shared fold per merged
+    * session; session merging requires the Merger at aggregate time. */
+  def windowedBy(w: SessionWindows): SessionWindowedCogroup[K, VA] =
+    new SessionWindowedCogroup[K, VA](entries, w)
 }
 
 /** `TimeWindowedCogroupedKStream` (KIP-150): cogroup fold scoped to
@@ -146,6 +152,53 @@ final class TimeWindowedCogroup[K, VA] private[graft] (
     }
     new KTable[Windowed[K], VA](out.toDF(KeyCol, ValueCol, TsCol), deduped = true)
   }
+}
+
+/** `SessionWindowedCogroupedKStream` (KIP-150): cogroup fold per merged
+  * session — Spark's `session_window` performs the session merging, the
+  * `Merger` combines the merged sessions' accumulators (the same
+  * Initializer+Aggregator+Merger contract as
+  * `SessionWindowedKStream.aggregate`). Rides the relational session
+  * grouping, so watermark eviction works when the sides are streams. */
+final class SessionWindowedCogroup[K, VA] private[graft] (
+    entries: Seq[(DataFrame, (K, Any, VA) => VA)], w: SessionWindows)(
+    implicit kEnc: Encoder[K]) {
+
+  def aggregate(initializer: => VA)(merger: (VA, VA) => VA)(
+      implicit vaEnc: Encoder[VA], wEnc: Encoder[Windowed[K]]): KTable[Windowed[K], VA] = {
+    val all = withGrace(CogroupedKStream.union(entries), w.graceMs)
+    val agg = new CogroupSessionAggregator[K, VA](
+      () => initializer, entries.map(_._2), merger, new LazyConv[K](kEnc), vaEnc)
+    val out = all
+      .groupBy(session_window(col(TsCol), w.gapExpr).as("sw"), col(KeyCol))
+      .agg(agg.toColumn.name("agg"))
+      .select(
+        struct(col(KeyCol).as("key"), col("sw.start").as("start"), col("sw.end").as("end"))
+          .as(KeyCol),
+        col("agg._1").as(ValueCol), col("agg._2").as(TsCol))
+    new KTable[Windowed[K], VA](out, deduped = true)
+  }
+}
+
+/** Row-input cogroup fold for the session path: dispatches each record to
+  * its side's aggregator by the src tag; merge is the session Merger.
+  * Row layout: (key, ts, src, v0..vn). */
+private[graft] final class CogroupSessionAggregator[K, VA](
+    init: () => VA, folds: Seq[(K, Any, VA) => VA], merger: (VA, VA) => VA,
+    kConv: LazyConv[K], vaEnc: Encoder[VA])
+    extends org.apache.spark.sql.expressions.Aggregator[
+      org.apache.spark.sql.Row, (VA, Timestamp), (VA, Timestamp)] {
+  import GroupAggs.maxTs
+  def zero: (VA, Timestamp) = (init(), null)
+  def reduce(b: (VA, Timestamp), r: org.apache.spark.sql.Row): (VA, Timestamp) = {
+    val i = r.getInt(2)
+    (folds(i)(kConv(r.get(0)), r.get(3 + i), b._1), maxTs(b._2, r.getAs[Timestamp](1)))
+  }
+  def merge(a: (VA, Timestamp), b: (VA, Timestamp)): (VA, Timestamp) =
+    (merger(a._1, b._1), maxTs(a._2, b._2))
+  def finish(b: (VA, Timestamp)): (VA, Timestamp) = b
+  def bufferEncoder: Encoder[(VA, Timestamp)] = Encoders.tuple(vaEnc, Encoders.TIMESTAMP)
+  def outputEncoder: Encoder[(VA, Timestamp)] = bufferEncoder
 }
 
 private[graft] object CogroupedKStream {

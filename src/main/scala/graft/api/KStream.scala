@@ -91,6 +91,22 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
       filter((k, v) => p(k, v) && !earlier.exists(q => q(k, v)))
     }
 
+  /** `KStream.split()` named branches (KIP-418, Kafka 2.8 `BranchedKStream`
+    * — parity-plus over the reference's positional `branch`): same
+    * first-match-wins routing, branches addressed by name. */
+  def split(branches: (String, (K, V) => Boolean)*): Map[String, KStream[K, V]] =
+    branches.map(_._1).zip(branch(branches.map(_._2): _*)).toMap
+
+  /** [[split]] plus `Branched.defaultBranch()`: records matching no
+    * predicate land in `defaultName`. */
+  def splitWithDefault(defaultName: String,
+      branches: (String, (K, V) => Boolean)*): Map[String, KStream[K, V]] = {
+    require(!branches.exists(_._1 == defaultName), s"branch named '$defaultName' collides")
+    val preds = branches.map(_._2)
+    split(branches: _*) +
+      (defaultName -> filter((k, v) => !preds.exists(p => p(k, v))))
+  }
+
   /** `KStream.merge` — UNION ALL (`kstream/internals/KStreamImpl.java:328`). */
   def merge(other: KStream[K, V]): KStream[K, V] =
     new KStream[K, V](df.unionByName(other.df))

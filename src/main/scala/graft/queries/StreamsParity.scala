@@ -732,6 +732,42 @@ object StreamsParity extends Catalog {
         col("v._1").as("clicks"), col("v._2").as("cents"))
   }
 
+  // -- Session-windowed cogroup (SessionWindowedCogroupedKStream):
+  //    clicks + purchase cents per (user, 30-minute-gap session) — Spark
+  //    merges sessions over BOTH sides' timestamps, the Merger sums
+  //    accumulators. Oracle: lag-based island detection over the union.
+  q("q_cogroup_session",
+    """SELECT user_id, min(ts) AS session_start,
+      |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents
+      |FROM (
+      |  SELECT user_id, ts, event_type, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type, value,
+      |      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |             < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      |    FROM events WHERE event_type IN ('click', 'purchase')))
+      |GROUP BY user_id, session_id""") { (s, dir) =>
+    import java.time.Duration
+    import graft.api._
+    import s.implicits._
+    val ev = load(s, dir, "events")
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](ev.filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts")).groupByKey
+    val purchases = b.stream[Long, Long](ev.filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts")).groupByKey
+    clicks.cogroup[(Long, Long)]((_, _, acc) => (acc._1 + 1, acc._2))
+      .cogroup(purchases)((_, cents, acc) => (acc._1, acc._2 + cents))
+      .windowedBy(SessionWindows.`with`(Duration.ofMinutes(30)))
+      .aggregate((0L, 0L))((a, b2) => (a._1 + b2._1, a._2 + b2._2))
+      .toDataset.toDF("wk", "v", "ts")
+      .select(col("wk.key").as("user_id"), col("wk.start").as("session_start"),
+        col("v._1").as("clicks"), col("v._2").as("cents"))
+  }
+
   // -- LIVE cogroup (CogroupedKStream.aggregateUpdates): both sides
   //    replay as real file streams; the shared accumulator folds
   //    incrementally across micro-batches and each key's final emission

@@ -102,6 +102,22 @@ class CogroupSpec extends AnyFunSuite {
     assert(starts === Seq((-5000L, 1L), (0L, 1L), (5000L, 2L), (10000L, 2L)))
   }
 
+  test("session cogroup merges sessions across streams via the Merger") {
+    import java.time.Duration
+    // gap 5s: records at 1s,3s (either stream) merge; 20s starts a new one
+    val s1 = builder.stream(spark.createDataset(Seq(
+      ("k", 1L, ts(1000L)), ("k", 10L, ts(20000L))))).groupByKey
+    val s2 = builder.stream(spark.createDataset(Seq(
+      ("k", 100L, ts(3000L))))).groupByKey
+    val table = s1.cogroup[Long]((_, v, acc) => acc + v)
+      .cogroup(s2)((_, v, acc) => acc + v)
+      .windowedBy(SessionWindows.`with`(Duration.ofSeconds(5)))
+      .aggregate(0L)(_ + _)
+    val got = table.toDataset.collect()
+      .map(r => (r._1.start.getTime, r._2)).sortBy(_._1)
+    assert(got === Seq((1000L, 101L), (20000L, 10L)))
+  }
+
   test("table timestamp is the max event time across all streams") {
     val s1 = builder.stream(spark.createDataset(Seq(("k", 1L, ts(1000L))))).groupByKey
     val s2 = builder.stream(spark.createDataset(Seq(("k", 2L, ts(9000L))))).groupByKey

@@ -70,6 +70,15 @@ class StatelessOpsSpec extends AnyFunSuite {
     assert(out(rest) === Seq((3, "X3")))
   }
 
+  test("split routes to named branches; default catches the rest (KIP-418)") {
+    val m = input.splitWithDefault("other",
+      "evens" -> ((k, _) => k % 2 == 0),
+      "small" -> ((k, _) => k < 2))
+    assert(out(m("evens")) === Seq((0, "X0"), (2, "X2")))
+    assert(out(m("small")) === Seq((1, "X1"))) // 0 went to evens first
+    assert(out(m("other")) === Seq((3, "X3")))
+  }
+
   test("merge is UNION ALL (KStreamImpl.merge)") {
     val dup = input.merge(input)
     assert(dup.toDataset.count() === 8)
