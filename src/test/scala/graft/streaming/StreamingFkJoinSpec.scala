@@ -102,6 +102,59 @@ class StreamingFkJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("all three stages' state survives stop + restart from checkpoint") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, split, timestamp_millis}
+    val inDir = Files.createTempDirectory("graft-fkrec-in").toFile
+    val ckpt = Files.createTempDirectory("graft-fkrec-ckpt").toFile.getAbsolutePath
+    val b = GraftStreams(spark)
+
+    // lines: side,key,a,b,tsMs — L carries (fk=a, payload=b), R carries value=a
+    def parsed() = spark.readStream.text(inDir.getAbsolutePath)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as("side"), col("p").getItem(1).as("k"),
+        col("p").getItem(2).as("a"), col("p").getItem(3).as("b"),
+        timestamp_millis(col("p").getItem(4).cast("long")).as("t"))
+    def topology() = {
+      val l = b.stream[String, (String, String)](parsed().filter(col("side") === "L"),
+        col("k"), org.apache.spark.sql.functions.struct(col("a").as("_1"), col("b").as("_2")),
+        col("t"))
+      val r = b.stream[String, String](parsed().filter(col("side") === "R"),
+        col("k"), col("a"), col("t"))
+      StreamingTableJoin.fkJoin(l, r, inner = true)(_._1)(
+        (v, rv) => v._2 + "+" + rv.getOrElse("null"))
+    }
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String])]()
+    def start() = topology().toDF("k", "v", "ts").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => emitted.add((r.getString(0), Option(r.getString(1)))))
+      }
+      .start()
+
+    Files.writeString(new java.io.File(inDir, "a.txt").toPath,
+      "R,cA,gold,-,500\nL,o1,cA,p1,1000\n")
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(emitted.toArray.toSet === Set("o1" -> Some("p1+gold")))
+    } finally q1.stop()
+
+    // restart: a right update must still fan out to the o1 subscription
+    // (stage-2 member set) and pass the resolver (stage-3 fk) — both
+    // restored from checkpoint; a new left row joins the updated value
+    emitted.clear()
+    Files.writeString(new java.io.File(inDir, "b.txt").toPath,
+      "R,cA,plat,-,2000\nL,o2,cA,p2,2500\n")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(emitted.toArray.toSet ===
+        Set("o1" -> Some("p1+plat"), "o2" -> Some("p2+plat")))
+    } finally q2.stop()
+  }
+
   test("left variant joins None on right miss") {
     val (lMem, rMem, q) = harness(inner = false, "fkleft")
     try {
