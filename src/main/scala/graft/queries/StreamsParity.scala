@@ -831,6 +831,31 @@ object StreamsParity extends Catalog {
       .select(col("order_key"), col("v._1").as("cents"), col("v._2").as("segment"))
   }
 
+  // -- fk LEFT join: the right table is restricted to one market segment
+  //    so misses are real; unmatched orders keep their row with a 'none'
+  //    segment (KIP-213 leftJoin semantics).
+  q("q_table_fk_join_left",
+    """SELECT o_orderkey AS order_key,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |  coalesce(c_mktsegment, 'none') AS segment
+      |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ON o_custkey = c_custkey""") { (s, dir) =>
+    import graft.api._
+    import s.implicits._
+    val b = GraftStreams(s)
+    val orders = b.table[Long, (Long, Long)](load(s, dir, "orders"),
+      col("o_orderkey"),
+      struct(col("o_custkey").as("_1"),
+        round(col("o_totalprice") * 100).cast("long").as("_2")),
+      expr("timestamp_micros(o_orderkey)"))
+    val building = b.table[Long, String](
+      load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+      col("c_custkey"), col("c_mktsegment"), expr("timestamp_micros(c_custkey)"))
+    orders.fkLeftJoin(building)(_._1)((o, seg) => (o._2, seg.getOrElse("none")))
+      .toDataset.toDF("order_key", "v", "ts")
+      .select(col("order_key"), col("v._1").as("cents"), col("v._2").as("segment"))
+  }
+
   // -- LIVE foreign-key join (StreamingTableJoin.fkJoin): the full
   //    subscription/response/resolution pipeline over real file-stream
   //    replay. Events subscribe by user_id; customer rows arrive on a
