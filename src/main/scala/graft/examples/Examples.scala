@@ -120,6 +120,36 @@ object LiveEnrichmentApp {
   }
 }
 
+/** Foreign-key enrichment (KIP-213) + cogroup in one topology: orders
+  * address customers by the fk inside their value; clicks and payments
+  * cogroup into one per-user accumulator. */
+object FkCogroupApp {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.spark("fk-cogroup")
+    import spark.implicits._
+    val b = GraftStreams(spark)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+    val customers = b.table[Long, String](spark.createDataset(Seq(
+      (1L, "gold", ts(0L)), (2L, "silver", ts(0L)))))
+    val orders = b.table[Long, (Long, Long)](spark.createDataset(Seq(
+      (100L, (1L, 2500L), ts(1000L)), (101L, (2L, 990L), ts(2000L)),
+      (102L, (1L, 120L), ts(3000L)))))
+    orders.fkJoin(customers)(_._1)((o, seg) => s"${o._2} cents [$seg]")
+      .toDataset.show(false)
+
+    val clicks = b.stream[Long, Long](spark.createDataset(Seq(
+      (1L, 7L, ts(1000L)), (2L, 8L, ts(1500L)), (1L, 9L, ts(4000L))))).groupByKey
+    val payments = b.stream[Long, Long](spark.createDataset(Seq(
+      (1L, 2500L, ts(2000L))))).groupByKey
+    clicks.cogroup[(Long, Long)]((_, _, acc) => (acc._1 + 1, acc._2))
+      .cogroup(payments)((_, cents, acc) => (acc._1, acc._2 + cents))
+      .aggregate((0L, 0L))
+      .toDataset.show(false)
+    spark.stop()
+  }
+}
+
 /** Corpus construction end-to-end: C4-style cleanup (quality -> language
   * -> exact dedup), then a deterministic stratified sample — every stage
   * reproducible bit-for-bit across clusters and re-runs. */

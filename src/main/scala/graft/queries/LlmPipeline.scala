@@ -880,6 +880,27 @@ object LlmPipeline extends Catalog {
       "vec_id", "embedding", cb, nProbe = 4, topK = 10)
   }
 
+  // -- SemDeDup (arXiv:2303.09540): semantic near-dup pairs within
+  //    k-means cells, exact-cosine rescored, then the kept corpus after
+  //    dropping non-representatives. Rows-only — float k-means isn't
+  //    mirrorable in SQL; precision/recall vs brute-force pairs is pinned
+  //    by SemDedupSpec.
+  qNoOracle("q_semdedup_pairs") { (s, dir) =>
+    import graft.functions.{SemDedup, VectorIndex}
+    val emb = spread(load(s, dir, "embeddings"))
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    SemDedup.pairs(emb, "vec_id", "embedding", cb, tau = 0.35)
+      .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  qNoOracle("q_semdedup_keep") { (s, dir) =>
+    import graft.functions.{SemDedup, VectorIndex}
+    val emb = spread(load(s, dir, "embeddings"))
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    SemDedup.keep(emb, "vec_id", "embedding", cb, tau = 0.35)
+      .select("vec_id", "label")
+  }
+
   // -- PQ/ADC search: compressed-domain top-k (m=8 codes per vector, 32x
   //    smaller corpus; per-pair distance = 8 table adds). Rows-only —
   //    float k-means across engines isn't mirrorable; recall is pinned
