@@ -152,6 +152,56 @@ final class TimeWindowedCogroup[K, VA] private[graft] (
     }
     new KTable[Windowed[K], VA](out.toDF(KeyCol, ValueCol, TsCol), deduped = true)
   }
+
+  /** Live incremental windowed fold — the streaming twin of [[aggregate]]
+    * (accumulator-as-state per (key, window), one refreshed emission per
+    * updated window per micro-batch; monotone per-window `seq` for
+    * deterministic final-pick at the sink, as in
+    * `CogroupedKStream.aggregateUpdates`). */
+  def aggregateUpdates(initializer: => VA)(
+      implicit vaEnc: Encoder[VA], wEnc: Encoder[Windowed[K]]):
+      org.apache.spark.sql.Dataset[(Windowed[K], VA, Timestamp, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // assign covering windows arithmetically (TimeWindows.windowsFor):
+    // window() would add a second event-time column next to the
+    // watermarked ts, which stateful ops reject
+    val advUs = w.advanceMs * 1000L
+    val sizeUs = w.sizeMs * 1000L
+    val nWin = (sizeUs - 1) / advUs + 1
+    val base = withGrace(CogroupedKStream.union(entries), w.graceMs)
+    val sMax = expr(s"unix_micros($TsCol) - pmod(unix_micros($TsCol), $advUs)")
+    val all = base
+      .withColumn("wstart_us",
+        explode(sequence(sMax - lit((nWin - 1) * advUs), sMax, lit(advUs))))
+      .filter(col("wstart_us") + sizeUs > expr(s"unix_micros($TsCol)"))
+    val kConv = new LazyConv[K](kEnc)
+    val folds = entries.map(_._2)
+    val init: () => VA = () => initializer
+    val sizeMs = w.sizeMs
+    implicit val gkEnc: Encoder[(K, Long)] = Encoders.tuple(kEnc, Encoders.scalaLong)
+    implicit val stateEnc: Encoder[(VA, Timestamp, Long)] =
+      Encoders.tuple(vaEnc, Encoders.TIMESTAMP, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(Windowed[K], VA, Timestamp, Long)] =
+      Encoders.tuple(wEnc, vaEnc, Encoders.TIMESTAMP, Encoders.scalaLong)
+    all.groupByKey { row =>
+      // wstart_us rides as the LAST column of the exploded row
+      (kConv(row.get(0)), row.getLong(row.length - 1) / 1000L)
+    }.flatMapGroupsWithState[(VA, Timestamp, Long), (Windowed[K], VA, Timestamp, Long)](
+      OutputMode.Update, GroupStateTimeout.NoTimeout) { (gk, rows, state) =>
+      var (acc, maxTs, seq) = state.getOption.getOrElse((init(), null: Timestamp, 0L))
+      rows.toSeq.sortBy { r =>
+        val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
+      }.foreach { r =>
+        val i = r.getInt(2)
+        acc = folds(i)(gk._1, r.get(3 + i), acc)
+        maxTs = GroupAggs.maxTs(maxTs, r.getAs[Timestamp](1))
+      }
+      seq += 1
+      state.update((acc, maxTs, seq))
+      Iterator.single((Windowed(gk._1, new Timestamp(gk._2),
+        new Timestamp(gk._2 + sizeMs)), acc, maxTs, seq))
+    }
+  }
 }
 
 /** `SessionWindowedCogroupedKStream` (KIP-150): cogroup fold per merged

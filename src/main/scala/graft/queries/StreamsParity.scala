@@ -805,6 +805,100 @@ object StreamsParity extends Catalog {
       .select(col("user_id"), col("v._1").as("clicks"), col("v._2").as("cents"))
   }
 
+  // -- LIVE windowed cogroup: the tumbling-window shared fold running
+  //    incrementally over dual file-stream replay; final per-window
+  //    emission (max seq) must equal the batch windowed cogroup.
+  q("q_cogroup_windowed_live",
+    """SELECT user_id, ts - to_microseconds(epoch_us(ts) % 600000000) AS window_start,
+      |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY 1, 2""") { (s, dir) =>
+    import java.time.Duration
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts")).groupByKey
+    val purchases = b.stream[Long, Long](src().filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts")).groupByKey
+    val updates = clicks.cogroup[(Long, Long)]((_, _, acc) => (acc._1 + 1, acc._2))
+      .cogroup(purchases)((_, cents, acc) => (acc._1, acc._2 + cents))
+      .windowedBy(TimeWindows.of(Duration.ofMinutes(10)))
+      .aggregateUpdates((0L, 0L))
+    val name = s"cgwl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    updates.toDF("wk", "v", "ts", "seq").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+      .groupBy(col("wk.key").as("user_id"), col("wk.start").as("window_start"))
+      .agg(max_by(col("v"), col("seq")).as("v"))
+      .select(col("user_id"), col("window_start"),
+        col("v._1").as("clicks"), col("v._2").as("cents"))
+  }
+
+  // -- LIVE full-outer stream-stream interval join: both sides' unmatched
+  //    records surface once the shared watermark (min of the two streams'
+  //    max ts) passes their window. A view at t matches clicks in
+  //    [t, t+1h]; an unmatched view finalizes at t+1h, an unmatched click
+  //    at its own ts.
+  q("q_stream_stream_outer_live",
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id AS cu, event_id AS click_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+      |                    (SELECT max(ts) FROM events WHERE event_type = 'click')) AS wmf),
+      |j AS (
+      |  SELECT coalesce(v.user_id, c.cu) AS user_id, v.view_id, c.click_id, v.ts, c.cts
+      |  FROM v FULL JOIN c ON v.user_id = c.cu AND c.cts >= v.ts
+      |    AND c.cts <= v.ts + INTERVAL 1 HOUR)
+      |SELECT user_id, view_id, click_id FROM j, wm
+      |WHERE (view_id IS NOT NULL AND click_id IS NOT NULL)
+      |   OR (click_id IS NULL AND ts + INTERVAL 1 HOUR + INTERVAL 1 SECOND <= wmf)
+      |   OR (view_id IS NULL AND cts + INTERVAL 1 SECOND <= wmf)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val b = GraftStreams(s)
+    val views = b.stream[Long, Long](src().filter(col("event_type") === "view"),
+      col("user_id"), col("event_id"), col("ts"))
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts"))
+    val joined = views.outerJoin(clicks,
+      JoinWindows(beforeMs = 0L, afterMs = 3600000L, graceMs = 0L)) {
+      (vid: Option[Long], cid: Option[Long]) => (vid.getOrElse(-1L), cid.getOrElse(-1L))
+    }
+    val name = s"sso_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.toDF.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val ev = graft.Tables.load(s, dir, "events")
+    val maxTs = ev.agg(least(
+      max(when(col("event_type") === "view", col("ts"))),
+      max(when(col("event_type") === "click", col("ts")))).as("wmf"))
+    s.table(name).crossJoin(maxTs)
+      .filter(
+        (col("value._1") =!= -1L && col("value._2") =!= -1L) ||
+        (col("value._2") === -1L &&
+          col("ts") + expr("INTERVAL 1 HOUR") + expr("INTERVAL 1 SECOND") <= col("wmf")) ||
+        (col("value._1") === -1L &&
+          col("ts") + expr("INTERVAL 1 SECOND") <= col("wmf")))
+      .select(col("key").as("user_id"),
+        when(col("value._1") === -1L, lit(null)).otherwise(col("value._1"))
+          .cast("long").as("view_id"),
+        when(col("value._2") === -1L, lit(null)).otherwise(col("value._2"))
+          .cast("long").as("click_id"))
+  }
+
   // -- KTable foreign-key join (KIP-213, Kafka 2.4 — one release past the
   //    reference's KTableKTableInnerJoin): result keyed by the LEFT key,
   //    each row joined with the right row addressed by fk(value). Orders

@@ -118,6 +118,35 @@ class CogroupSpec extends AnyFunSuite {
     assert(got === Seq((1000L, 101L), (20000L, 10L)))
   }
 
+  test("live windowed cogroup: hopping windows fold incrementally across batches") {
+    import java.time.Duration
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val aMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val bMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val b = GraftStreams(spark)
+    val s1 = b.stream[String, Long](aMem.toDF(), $"_1", $"_2", $"_3").groupByKey
+    val s2 = b.stream[String, Long](bMem.toDF(), $"_1", $"_2", $"_3").groupByKey
+    val updates = s1.cogroup[Long]((_, n, acc) => acc + n)
+      .cogroup(s2)((_, n, acc) => acc + n)
+      .windowedBy(TimeWindows.of(Duration.ofSeconds(10)).advanceBy(Duration.ofSeconds(5)))
+      .aggregateUpdates(0L)
+    val q = updates.toDF("wk", "v", "ts", "seq").writeStream.format("memory")
+      .queryName("cgwl").outputMode(OutputMode.Update).start()
+    try {
+      aMem.addData(("k", 1L, ts(1000L))) // windows starting -5s and 0s
+      q.processAllAvailable()
+      bMem.addData(("k", 10L, ts(6000L))) // windows starting 0s and 5s
+      q.processAllAvailable()
+      val finalPerWindow = spark.table("cgwl").collect()
+        .map(r => (r.getStruct(0).getTimestamp(1).getTime, r.getLong(1), r.getLong(3)))
+        .groupBy(_._1).map { case (w, rows) => (w, rows.maxBy(_._3)._2) }.toSeq.sortBy(_._1)
+      // window 0s saw BOTH records, folded across two batches
+      assert(finalPerWindow === Seq((-5000L, 1L), (0L, 11L), (5000L, 10L)))
+    } finally q.stop()
+  }
+
   test("table timestamp is the max event time across all streams") {
     val s1 = builder.stream(spark.createDataset(Seq(("k", 1L, ts(1000L))))).groupByKey
     val s2 = builder.stream(spark.createDataset(Seq(("k", 2L, ts(9000L))))).groupByKey
