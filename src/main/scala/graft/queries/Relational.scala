@@ -430,4 +430,65 @@ object Relational extends Catalog {
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM graft_orders_sq o2
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
+
+  // -- time-series similarity search: each user's activity is a 24-dim
+  //    hour-of-day count vector; candidates block on the peak hour
+  //    (users who spike together get compared), rescoring is EXACT
+  //    integer squared distance via the norm/inner-product identity
+  //    ||a-b||² = ||a||² + ||b||² - 2⟨a,b⟩ — so no densify step, the
+  //    inner product joins only shared hours, and every value is a
+  //    BIGINT (bit-exact oracle for free). Top-50 closest pairs,
+  //    id-tie-broken. Scale shape: the blocking key caps candidate
+  //    buckets at n/24-ish; rescoring shuffles on the compact pair key;
+  //    the top-k is TakeOrderedAndProject.
+  q("q_timeseries_similar",
+    """WITH c AS (
+      |  SELECT user_id, extract(hour FROM ts) AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |norms AS (SELECT user_id, sum(n * n) AS norm2 FROM c GROUP BY user_id),
+      |peak AS (
+      |  SELECT user_id, h AS peak_h FROM (
+      |    SELECT user_id, h, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, h DESC) AS rn
+      |    FROM c) WHERE rn = 1),
+      |cand AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, a.peak_h
+      |  FROM peak a JOIN peak b ON a.peak_h = b.peak_h AND a.user_id < b.user_id),
+      |ip AS (
+      |  SELECT cand.ua, cand.ub, sum(ca.n * cb.n) AS inner_p
+      |  FROM cand JOIN c ca ON ca.user_id = cand.ua JOIN c cb
+      |    ON cb.user_id = cand.ub AND cb.h = ca.h
+      |  GROUP BY cand.ua, cand.ub)
+      |SELECT cand.ua AS user_a, cand.ub AS user_b, cand.peak_h,
+      |  CAST(na.norm2 + nb.norm2 - 2 * coalesce(ip.inner_p, 0) AS BIGINT) AS sqdist
+      |FROM cand
+      |JOIN norms na ON na.user_id = cand.ua
+      |JOIN norms nb ON nb.user_id = cand.ub
+      |LEFT JOIN ip ON ip.ua = cand.ua AND ip.ub = cand.ub
+      |ORDER BY sqdist, user_a, user_b LIMIT 50""") { (s, dir) =>
+    val c = load(s, dir, "events")
+      .groupBy(col("user_id"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val norms = c.groupBy("user_id").agg(sum(col("n") * col("n")).as("norm2"))
+    val peak = c
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("h").desc)))
+      .filter(col("rn") === 1).select(col("user_id"), col("h").as("peak_h"))
+    val cand = peak.select(col("user_id").as("ua"), col("peak_h"))
+      .join(peak.select(col("user_id").as("ub"), col("peak_h")), "peak_h")
+      .filter(col("ua") < col("ub"))
+    val ip = cand
+      .join(c.select(col("user_id").as("ua"), col("h"), col("n").as("na")), "ua")
+      .join(c.select(col("user_id").as("ub"), col("h"), col("n").as("nb")), Seq("ub", "h"))
+      .groupBy("ua", "ub").agg(sum(col("na") * col("nb")).as("inner_p"))
+    cand
+      .join(norms.select(col("user_id").as("ua"), col("norm2").as("norm_a")), "ua")
+      .join(norms.select(col("user_id").as("ub"), col("norm2").as("norm_b")), "ub")
+      .join(ip, Seq("ua", "ub"), "left")
+      .select(col("ua").as("user_a"), col("ub").as("user_b"), col("peak_h"),
+        (col("norm_a") + col("norm_b") - lit(2L) * coalesce(col("inner_p"), lit(0L)))
+          .cast("long").as("sqdist"))
+      .orderBy(col("sqdist"), col("user_a"), col("user_b"))
+      .limit(50)
+  }
 }
