@@ -431,6 +431,40 @@ object Relational extends Catalog {
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  // -- CEP-style sequence-pattern matching (Flink-CEP / MATCH_RECOGNIZE
+  //    territory — absent from the reference AND from Spark SQL): encode
+  //    each user's event history as an ordered type-string, match the
+  //    conversion pattern view→clicks*→purchase with a regex, count
+  //    occurrences. Shape: one groupBy to build the per-user string
+  //    (sort inside the aggregated struct array, no window), then a pure
+  //    codegen'd projection; per-user history length bounds the string.
+  q("q_pattern_match",
+    """SELECT user_id, seq_len, n_conversions FROM (
+      |  SELECT user_id, len(s) AS seq_len,
+      |    len(regexp_extract_all(s, 'vc*p')) AS n_conversions
+      |  FROM (
+      |    SELECT user_id,
+      |      string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |                   WHEN 'purchase' THEN 'p' ELSE 'e' END, ''
+      |                 ORDER BY ts, event_id) AS s
+      |    FROM events GROUP BY user_id))
+      |WHERE n_conversions > 0""") { (s, dir) =>
+    val typed = load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("e").as("t"))
+    typed
+      .groupBy("user_id")
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, t))), x -> x.t)"))
+        .as("s"))
+      .select(col("user_id"), length(col("s")).as("seq_len"),
+        size(expr("regexp_extract_all(s, 'vc*p', 0)")).as("n_conversions"))
+      .filter(col("n_conversions") > 0)
+  }
+
   // -- time-series similarity search: each user's activity is a 24-dim
   //    hour-of-day count vector; candidates block on the peak hour
   //    (users who spike together get compared), rescoring is EXACT
