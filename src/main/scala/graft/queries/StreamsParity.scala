@@ -805,6 +805,51 @@ object StreamsParity extends Catalog {
       .select(col("user_id"), col("v._1").as("clicks"), col("v._2").as("cents"))
   }
 
+  // -- LIVE CEP pattern counting (PatternMatch.countStream): the
+  //    view→clicks*→purchase DFA runs over each user's live stream in
+  //    event-time order, automaton state carried across micro-batches;
+  //    final counts must equal the batch regex over the materialized
+  //    type-string (q_pattern_match's oracle, minus the length column).
+  q("q_pattern_match_live",
+    """SELECT user_id, n_conversions FROM (
+      |  SELECT user_id,
+      |    len(regexp_extract_all(s, 'vc*p')) AS n_conversions
+      |  FROM (
+      |    SELECT user_id,
+      |      string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |                   WHEN 'purchase' THEN 'p' ELSE 'e' END, ''
+      |                 ORDER BY ts, event_id) AS s
+      |    FROM events GROUP BY user_id))
+      |WHERE n_conversions > 0""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    // event times are micro-grained and unique per user, so ts alone is
+    // the total order the oracle's ORDER BY (ts, event_id) resolves to
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ots", expr("timestamp_micros(ts DIV 1000)"))
+    val ks = GraftStreams(s).stream[Long, String](ev,
+      col("user_id"), col("event_type"), col("ots"))
+    val counts = graft.streaming.PatternMatch.countStream(ks, init = 0) { (st, t) =>
+      t match {
+        case "view" => (1, false)
+        case "click" => (st, false)
+        case "purchase" => if (st == 1) (0, true) else (0, false)
+        case _ => (0, false)
+      }
+    }
+    val name = s"cep_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    counts.toDF("user_id", "n", "ts", "seq").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max_by(col("n"), col("seq")).as("n_conversions"))
+      .filter(col("n_conversions") > 0)
+  }
+
   // -- LIVE windowed cogroup: the tumbling-window shared fold running
   //    incrementally over dual file-stream replay; final per-window
   //    emission (max seq) must equal the batch windowed cogroup.
