@@ -60,7 +60,10 @@ object Bench {
     "sliding-live" -> "q_window_sliding_live",
     "fk-join" -> "q_table_fk_join",
     "cogroup" -> "q_cogroup",
-    "lm-score" -> "q_lm_score")
+    "lm-score" -> "q_lm_score",
+    "timeseries-similar" -> "q_timeseries_similar",
+    "cep-pattern" -> "q_pattern_match",
+    "semdedup" -> "q_semdedup_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

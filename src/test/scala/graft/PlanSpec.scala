@@ -179,6 +179,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Union"), plan.take(800))
   }
 
+  test("timeseries similarity: equi-joins only, top-k is TakeOrderedAndProject") {
+    val plan = planOf("q_timeseries_similar")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
+  test("CEP pattern match: one key shuffle, no window pass, no join") {
+    val plan = planOf("q_pattern_match")
+    assert(!plan.contains("WindowExec") && !plan.contains("Join"), plan.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, plan.take(1500))
+  }
+
   test("LM scoring joins doc-trigrams to counts on the compact trigram key") {
     val plan = planOf("q_lm_score")
     // partial agg before both shuffles; equi-join, never a cross product
