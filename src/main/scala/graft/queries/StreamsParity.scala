@@ -768,6 +768,58 @@ object StreamsParity extends Catalog {
         col("v._1").as("clicks"), col("v._2").as("cents"))
   }
 
+  // -- LIVE session-windowed cogroup: both sides replay as file streams
+  //    into the relational session aggregation (watermarked union), so
+  //    append mode emits each merged session once it closes; the oracle
+  //    keeps sessions whose last event + gap cleared the ms-floored
+  //    watermark, mirroring q_window_session_live.
+  q("q_cogroup_session_live",
+    """WITH s0 AS (
+      |  SELECT user_id, ts, event_id, event_type, value FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |s AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM (
+      |    SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                     < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      |    FROM s0)),
+      |g AS (
+      |  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS last_ts,
+      |    count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |    CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |      FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, session_start, clicks, cents FROM g
+      |WHERE epoch_us(last_ts) + 1800000000 <=
+      |      (SELECT epoch_ms(max(ts)) * 1000 FROM events
+      |       WHERE event_type IN ('click', 'purchase'))""") { (s, dir) =>
+    import java.time.Duration
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val b = GraftStreams(s)
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts")).groupByKey
+    val purchases = b.stream[Long, Long](src().filter(col("event_type") === "purchase"),
+      col("user_id"), round(col("value") * 100).cast("long"), col("ts")).groupByKey
+    val sessions = clicks.cogroup[(Long, Long)]((_, _, acc) => (acc._1 + 1, acc._2))
+      .cogroup(purchases)((_, cents, acc) => (acc._1, acc._2 + cents))
+      .windowedBy(SessionWindows.`with`(Duration.ofMinutes(30)).grace(Duration.ZERO))
+      .aggregate((0L, 0L))((a, b2) => (a._1 + b2._1, a._2 + b2._2))
+    val name = s"cgsl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    sessions.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).select(col("key.key").as("user_id"),
+      col("key.start").as("session_start"),
+      col("value._1").as("clicks"), col("value._2").as("cents"))
+  }
+
   // -- LIVE cogroup (CogroupedKStream.aggregateUpdates): both sides
   //    replay as real file streams; the shared accumulator folds
   //    incrementally across micro-batches and each key's final emission
