@@ -147,6 +147,26 @@ class CogroupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("single-side session cogroup degenerates to SessionWindowedKStream.aggregate") {
+    import java.time.Duration
+    import scala.util.Random
+    val rnd = new Random(99)
+    val data = (1 to 40).map { i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(50).toLong, ts(rnd.nextInt(100) * 1000L))
+    }
+    val w = SessionWindows.`with`(Duration.ofSeconds(7))
+    def normalize(t: KTable[Windowed[String], Long]) =
+      t.toDataset.collect().map(r => ((r._1.key, r._1.start.getTime, r._1.end.getTime), r._2))
+        .sortBy(_._1.toString)
+
+    val grouped = builder.stream(spark.createDataset(data)).groupByKey
+    val viaCogroup = grouped.cogroup[Long]((_, v, acc) => acc + v)
+      .windowedBy(w).aggregate(0L)(_ + _)
+    val viaAggregate = grouped.windowedBy(w)
+      .aggregate(0L)((_, v, acc) => acc + v, _ + _)
+    assert(normalize(viaCogroup) === normalize(viaAggregate))
+  }
+
   test("table timestamp is the max event time across all streams") {
     val s1 = builder.stream(spark.createDataset(Seq(("k", 1L, ts(1000L))))).groupByKey
     val s2 = builder.stream(spark.createDataset(Seq(("k", 2L, ts(9000L))))).groupByKey
