@@ -431,6 +431,34 @@ object Relational extends Catalog {
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  // -- band (theta) join: facts classified into value ranges via a
+  //    BETWEEN join against a tiny band dimension — the OLAP banding
+  //    pattern. The non-equi condition forces a nested-loop join, which
+  //    is exactly right WHEN the band side broadcasts (5 rows replicated
+  //    everywhere, fact side never shuffles); integer cent bounds keep
+  //    the oracle exact.
+  q("q_band_join",
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('micro', 0, 5000000), ('small', 5000000, 10000000),
+      |  ('mid', 10000000, 20000000), ('large', 20000000, 30000000),
+      |  ('jumbo', 30000000, 4611686018427387904))
+      |SELECT band, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |JOIN bands ON cents >= lo AND cents < hi
+      |GROUP BY band""") { (s, dir) =>
+    import s.implicits._
+    val bands = Seq(
+      ("micro", 0L, 5000000L), ("small", 5000000L, 10000000L),
+      ("mid", 10000000L, 20000000L), ("large", 20000000L, 30000000L),
+      ("jumbo", 30000000L, Long.MaxValue / 2 + 1)).toDF("band", "lo", "hi")
+    load(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(broadcast(bands), col("cents") >= col("lo") && col("cents") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+  }
+
   // -- CEP-style sequence-pattern matching (Flink-CEP / MATCH_RECOGNIZE
   //    territory — absent from the reference AND from Spark SQL): encode
   //    each user's event history as an ordered type-string, match the
