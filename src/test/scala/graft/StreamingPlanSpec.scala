@@ -84,6 +84,59 @@ class StreamingPlanSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live fk join plans its three stateful stages, each over one shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(String, (String, String), java.sql.Timestamp)]
+    val rMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamingTableJoin.fkJoin(
+      builder.stream[String, (String, String)](lMem.toDF(), $"_1", $"_2", $"_3"),
+      builder.stream[String, String](rMem.toDF(), $"_1", $"_2", $"_3"),
+      inner = true)(_._1)((v, rv) => v._2 + rv.getOrElse(""))
+    val q = joined.toDF("k", "v", "ts").writeStream.format("memory")
+      .queryName("plan_fk").outputMode(OutputMode.Append).start()
+    try {
+      lMem.addData(("o", ("c", "p"), ts(1000L)))
+      q.processAllAvailable()
+      val physical = lastPlan("plan_fk")
+        .substring(lastPlan("plan_fk").indexOf("== Physical Plan =="))
+      // subscription deltas + fk-group join + resolver = exactly three
+      // stateful stages (the reference topology's three topic hops), no
+      // join node anywhere
+      assert("FlatMapGroupsWithState".r.findAllIn(physical).size === 3, physical.take(1500))
+      assert(physical.split("Exchange hashpartitioning").length - 1 === 3, physical.take(1500))
+      assert(!physical.contains("SortMergeJoin") && !physical.contains("BroadcastHashJoin"),
+        physical.take(1500))
+    } finally q.stop()
+  }
+
+  test("live cogroup plans ONE stateful op over one shuffle of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val aMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val bMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val updates = builder.stream[String, Long](aMem.toDF(), $"_1", $"_2", $"_3").groupByKey
+      .cogroup[Long]((_, n, acc) => acc + n)
+      .cogroup(builder.stream[String, String](bMem.toDF(), $"_1", $"_2", $"_3").groupByKey)(
+        (_, _, acc) => acc)
+      .aggregateUpdates(0L)
+    val q = updates.toDF("k", "v", "ts", "seq").writeStream.format("memory")
+      .queryName("plan_cg").outputMode(OutputMode.Update).start()
+    try {
+      aMem.addData(("k", 1L, ts(1000L)))
+      bMem.addData(("k", "x", ts(2000L)))
+      q.processAllAvailable()
+      val physical = lastPlan("plan_cg")
+        .substring(lastPlan("plan_cg").indexOf("== Physical Plan =="))
+      // ONE stateful fold; each side's rows cross the network exactly once
+      // (the micro-batch planner shuffles each union branch straight into
+      // the stateful operator's partitioning — no extra stage, no join)
+      assert("FlatMapGroupsWithState".r.findAllIn(physical).size === 1, physical.take(1200))
+      val exchanges = physical.split("Exchange hashpartitioning").length - 1
+      assert(exchanges <= 2, physical.take(1200))
+      assert(!physical.contains("SortMergeJoin") && !physical.contains("StateStoreSave"),
+        physical.take(1200))
+    } finally q.stop()
+  }
+
   test("streaming changelog aggregation chains stateful operators in one query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, java.sql.Timestamp)]
