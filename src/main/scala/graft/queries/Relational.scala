@@ -501,8 +501,10 @@ object Relational extends Catalog {
   //    inner product joins only shared hours, and every value is a
   //    BIGINT (bit-exact oracle for free). Top-50 closest pairs,
   //    id-tie-broken. Scale shape: the blocking key caps candidate
-  //    buckets at n/24-ish; rescoring shuffles on the compact pair key;
-  //    the top-k is TakeOrderedAndProject.
+  //    buckets at n/24-ish — quadratic again at extreme user counts, so
+  //    the key is the knob (add the 2nd-peak hour / a norm band for
+  //    550+ buckets, same equi-join shape); rescoring shuffles on the
+  //    compact pair key; the top-k is TakeOrderedAndProject.
   q("q_timeseries_similar",
     """WITH c AS (
       |  SELECT user_id, extract(hour FROM ts) AS h, count(*) AS n
