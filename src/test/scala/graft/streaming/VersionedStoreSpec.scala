@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorHandle, TimeMode, TimerValues, TTLConfig}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.ts
+import graft.api.GraftStreams
+
+/** VersionedKeyValueStore (KIP-889) semantics on the Processor API:
+  * timestamped puts (in and out of order), as-of reads across
+  * micro-batches, and history retention with the horizon-straddling
+  * version kept readable. */
+class VersionedStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("as-of reads see the version valid at the requested time; retention trims") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+      val stream = GraftStreams(spark).stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+      val out = ProcessorApi.process[String, String, (String, String)](
+        stream, new VersionedLookup, TimeMode.None(), OutputMode.Append)
+      val q = out.toDF("k", "res").writeStream.format("memory").queryName("vstore")
+        .outputMode(OutputMode.Append).start()
+      def results() = spark.table("vstore").collect().map(_.getString(1)).toSeq
+      try {
+        // batch 1: two puts (valid from their record times)
+        mem.addData(("k", "P:v1", ts(1000L)), ("k", "P:v2", ts(5000L)))
+        q.processAllAvailable()
+        // batch 2: as-of reads resolve against state from batch 1
+        mem.addData(("k", "G:500", ts(6000L)), ("k", "G:1000", ts(6001L)),
+          ("k", "G:3000", ts(6002L)), ("k", "G:7000", ts(6003L)))
+        q.processAllAvailable()
+        assert(results() === Seq("none", "v1@1000", "v1@1000", "v2@5000"))
+
+        // batch 3: retention (10s) drops v1 when 20s arrives, but v2 —
+        // straddling the horizon — stays readable at the horizon
+        mem.addData(("k", "P:v3", ts(20000L)))
+        q.processAllAvailable()
+        mem.addData(("k", "G:9000", ts(21000L)), ("k", "G:25000", ts(21001L)),
+          ("k", "SIZE", ts(21002L)))
+        q.processAllAvailable()
+        assert(results().drop(4) === Seq("v2@5000", "v3@20000", "n=2"))
+
+        // batch 4: out-of-order put lands in timestamp position
+        mem.addData(("k", "P:v2b", ts(15000L)))
+        q.processAllAvailable()
+        mem.addData(("k", "G:18000", ts(22000L)))
+        q.processAllAvailable()
+        assert(results().last === "v2b@15000")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
+/** P:<v> = put at record time; G:<ms> = as-of read; SIZE = version count. */
+private[streaming] class VersionedLookup
+    extends ProcessorApi.Processor[String, String, (String, String)] {
+  @transient private var store: VersionedStore[String] = _
+
+  override def init(handle: StatefulProcessorHandle): Unit =
+    store = new VersionedStore[String](
+      handle.getListState[(Long, String)]("versions",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE),
+      historyRetentionMs = 10000L)
+
+  override def process(key: String, rows: Iterator[(String, Timestamp)],
+      handle: StatefulProcessorHandle,
+      timers: TimerValues): Iterator[(String, String)] =
+    rows.toSeq.sortBy(_._2.getTime).iterator.flatMap { case (cmd, t) =>
+      if (cmd.startsWith("P:")) { store.put(t.getTime, cmd.drop(2)); None }
+      else if (cmd == "SIZE") Some((key, s"n=${store.size}"))
+      else Some((key, store.get(cmd.drop(2).toLong)
+        .map(v => s"${v._2}@${v._1}").getOrElse("none")))
+    }
+}
