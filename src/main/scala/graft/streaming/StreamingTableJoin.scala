@@ -21,6 +21,43 @@ import graft.api.{KStream, KTable, Rec}
   * tombstones. Emitted `None` joined values mean "key left the join view"
   * — downstream sinks upsert/delete by key.
   */
+/** Per-key processor behind [[StreamingTableJoin.streamTableJoinVersioned]]:
+  * table rows populate the [[VersionedStore]] in timestamp position;
+  * stream rows emit joined against the as-of version. Null table values
+  * put a tombstone version (as-of reads after it see None via the
+  * None-valued slot), mirroring the reference's versioned-store deletes. */
+private[streaming] final class VersionedJoinProcessor[K, V, VT, VR](
+    joiner: (V, Option[VT]) => VR, inner: Boolean, retentionMs: Long,
+    vtEnc: Encoder[VT])
+    extends ProcessorApi.Processor[K, (Boolean, Option[V], Option[VT]), (K, VR, Timestamp)] {
+  import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TimerValues, TTLConfig}
+
+  @transient private var store: VersionedStore[Option[VT]] = _
+
+  override def init(handle: StatefulProcessorHandle): Unit =
+    store = new VersionedStore[Option[VT]](
+      handle.getListState[(Long, Option[VT])]("versions",
+        Encoders.tuple(Encoders.scalaLong, Rec.optionEnc(vtEnc)), TTLConfig.NONE),
+      retentionMs)
+
+  override def process(key: K,
+      rows: Iterator[((Boolean, Option[V], Option[VT]), Timestamp)],
+      handle: StatefulProcessorHandle,
+      timers: TimerValues): Iterator[(K, VR, Timestamp)] = {
+    val out = Seq.newBuilder[(K, VR, Timestamp)]
+    // event-time order; table versions land before stream lookups at ties
+    rows.toSeq.sortBy { case (tagged, ts) => (ts.getTime, ts.getNanos, tagged._1) }
+      .foreach { case ((isStream, sv, tv), ts) =>
+        if (!isStream) store.put(ts.getTime, tv)
+        else sv.foreach { v =>
+          val asOf = store.get(ts.getTime).flatMap(_._2)
+          if (!inner || asOf.isDefined) out += ((key, joiner(v, asOf), ts))
+        }
+      }
+    out.result().iterator
+  }
+}
+
 object StreamingTableJoin {
 
   /** Update stream of the joined table: one record per (batch, updated
@@ -207,6 +244,41 @@ object StreamingTableJoin {
         state.update(curFk)
         out.result().iterator
       }
+  }
+
+  /** VERSIONED stream-table join — Kafka 3.5's temporal join against a
+    * versioned table (KIP-914, the follow-on to [[streamTableJoin]]'s
+    * 2.2-era semantics): each stream record joins the table version
+    * valid AS OF the record's event time, so an out-of-order stream
+    * record arriving in a LATER micro-batch still joins the historical
+    * value instead of the table's current one. Table updates (including
+    * out-of-order ones) land in timestamp position in a per-key
+    * [[VersionedStore]]; history retention bounds state.
+    *
+    * Runs on the Processor API (transformWithState) — requires the
+    * RocksDB state store provider like every ProcessorApi topology. */
+  def streamTableJoinVersioned[K: Encoder, V: Encoder, VT: Encoder, VR: Encoder](
+      stream: KStream[K, V], table: KTable[K, VT], historyRetentionMs: Long,
+      inner: Boolean)(joiner: (V, Option[VT]) => VR): Dataset[(K, VR, Timestamp)] = {
+    implicit val ov: Encoder[Option[V]] = Rec.optionEnc[V]
+    implicit val ovt: Encoder[Option[VT]] = Rec.optionEnc[VT]
+    implicit val taggedEnc: Encoder[(Boolean, Option[V], Option[VT])] =
+      Encoders.tuple(Encoders.scalaBoolean, ov, ovt)
+    implicit val t3: Encoder[(K, (Boolean, Option[V], Option[VT]), Timestamp)] =
+      Rec.tupleEnc[K, (Boolean, Option[V], Option[VT])]
+    implicit val outEnc: Encoder[(K, VR, Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[VR]], Encoders.TIMESTAMP)
+
+    val s = stream.toDataset.map(r => (r._1, (true, Option(r._2), Option.empty[VT]), r._3))
+    val t = new KStream[K, VT](table.df).toDataset
+      .map(r => (r._1, (false, Option.empty[V], Option(r._2)), r._3))
+    val tagged = new KStream[K, (Boolean, Option[V], Option[VT])](
+      s.union(t).toDF(Rec.KeyCol, Rec.ValueCol, Rec.TsCol))
+    ProcessorApi.process(tagged,
+      new VersionedJoinProcessor[K, V, VT, VR](joiner, inner, historyRetentionMs,
+        implicitly[Encoder[VT]]),
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      org.apache.spark.sql.streaming.OutputMode.Append)
   }
 
   /** General form: `view` maps the two current side values to the joined

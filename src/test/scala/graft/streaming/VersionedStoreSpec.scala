@@ -67,6 +67,58 @@ class VersionedStoreSpec extends AnyFunSuite {
   }
 }
 
+/** KIP-914 temporal join: a LATE stream record (arriving batches after a
+  * newer table version) must join the table version valid at ITS event
+  * time — the exact case the non-versioned join gets wrong. */
+class VersionedJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("late stream record joins the historical table version, not the current one") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sMem = MemoryStream[(String, String, java.sql.Timestamp)]
+      val tMem = MemoryStream[(String, String, java.sql.Timestamp)]
+      val b = GraftStreams(spark)
+      val joined = StreamingTableJoin.streamTableJoinVersioned(
+        b.stream[String, String](sMem.toDF(), $"_1", $"_2", $"_3"),
+        b.table[String, String](tMem.toDF(), $"_1", $"_2", $"_3"),
+        historyRetentionMs = 60000L, inner = true)((v, tv) => v + "+" + tv.getOrElse("none"))
+      val q = joined.toDF("k", "v", "ts").writeStream.format("memory")
+        .queryName("vjoin").outputMode(OutputMode.Append).start()
+      def rows() = spark.table("vjoin").collect().map(_.getString(1)).toSeq
+      try {
+        tMem.addData(("k", "old", ts(1000L)), ("k", "new", ts(10000L)))
+        q.processAllAvailable()
+        // late stream record at t=5000 arrives AFTER the t=10000 version:
+        // versioned join resolves to "old" (valid at 5000)
+        sMem.addData(("k", "s1", ts(5000L)))
+        q.processAllAvailable()
+        assert(rows() === Seq("s1+old"))
+        // an on-time record at t=20000 joins the current version
+        sMem.addData(("k", "s2", ts(20000L)))
+        q.processAllAvailable()
+        assert(rows() === Seq("s1+old", "s2+new"))
+        // a tombstone version at t=30000: later stream records drop (inner)
+        tMem.addData(("k", null.asInstanceOf[String], ts(30000L)))
+        q.processAllAvailable()
+        sMem.addData(("k", "s3", ts(35000L)), ("k", "s4", ts(25000L)))
+        q.processAllAvailable()
+        // s4 (as-of 25000) still sees "new"; s3 (as-of 35000) sees the delete
+        assert(rows() === Seq("s1+old", "s2+new", "s4+new"))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
 /** P:<v> = put at record time; G:<ms> = as-of read; SIZE = version count. */
 private[streaming] class VersionedLookup
     extends ProcessorApi.Processor[String, String, (String, String)] {
