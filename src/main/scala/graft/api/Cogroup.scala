@@ -45,6 +45,13 @@ final class CogroupedKStream[K, VA] private[graft] (
     implicit val outEnc: Encoder[(K, VA, Timestamp)] =
       Encoders.tuple(kEnc, vaEnc, Encoders.TIMESTAMP)
 
+    // streaming: the table IS an update stream (one refreshed row per
+    // updated key per micro-batch — KTable changelog semantics; sinks
+    // upsert by key, e.g. GraftSinks.upsertParquet). A downstream
+    // latest-per-key re-aggregation would be illegal after the update-mode
+    // stateful fold, so the df stays the raw update stream (deduped);
+    // sinks needing the guaranteed-final row under exact ts ties use
+    // [[aggregateUpdates]] and pick max-seq per key.
     if (all.isStreaming)
       return new KTable[K, VA](
         aggregateUpdates(initializer).toDF(KeyCol, ValueCol, TsCol, "seq")
@@ -52,14 +59,9 @@ final class CogroupedKStream[K, VA] private[graft] (
 
     val out = all.groupByKey(row => kConv(row.get(0)))
       .mapGroups { (k, it) =>
-        val rows = it.toArray.sortBy { r =>
-          val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
-        }
+        val rows = CogroupedKStream.sortedByTs(it)
         var acc = init()
-        rows.foreach { r =>
-          val i = r.getInt(2)
-          acc = folds(i)(k, r.get(3 + i), acc)
-        }
+        rows.foreach(r => acc = CogroupedKStream.applyRow(folds, k, r, acc))
         (k, acc, rows.last.getAs[Timestamp](1))
       }
     new KTable[K, VA](out.toDF(KeyCol, ValueCol, TsCol), deduped = true)
@@ -86,11 +88,8 @@ final class CogroupedKStream[K, VA] private[graft] (
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (k, rows, state) =>
         var (acc, maxTs, seq) =
           state.getOption.getOrElse((init(), null: Timestamp, 0L))
-        rows.toSeq.sortBy { r =>
-          val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
-        }.foreach { r =>
-          val i = r.getInt(2)
-          acc = folds(i)(k, r.get(3 + i), acc)
+        CogroupedKStream.sortedByTs(rows).foreach { r =>
+          acc = CogroupedKStream.applyRow(folds, k, r, acc)
           maxTs = GroupAggs.maxTs(maxTs, r.getAs[Timestamp](1))
         }
         seq += 1
@@ -139,14 +138,9 @@ final class TimeWindowedCogroup[K, VA] private[graft] (
     val out = all.groupByKey { row =>
       (kConv(row.get(0)), row.getAs[Row]("gw").getAs[Timestamp]("start").getTime)
     }.mapGroups { (gk, it) =>
-      val rows = it.toArray.sortBy { r =>
-        val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
-      }
+      val rows = CogroupedKStream.sortedByTs(it)
       var acc = init()
-      rows.foreach { r =>
-        val i = r.getInt(2)
-        acc = folds(i)(gk._1, r.get(3 + i), acc)
-      }
+      rows.foreach(r => acc = CogroupedKStream.applyRow(folds, gk._1, r, acc))
       (Windowed(gk._1, new Timestamp(gk._2), new Timestamp(gk._2 + sizeMs)),
         acc, rows.last.getAs[Timestamp](1))
     }
@@ -189,11 +183,8 @@ final class TimeWindowedCogroup[K, VA] private[graft] (
     }.flatMapGroupsWithState[(VA, Timestamp, Long), (Windowed[K], VA, Timestamp, Long)](
       OutputMode.Update, GroupStateTimeout.NoTimeout) { (gk, rows, state) =>
       var (acc, maxTs, seq) = state.getOption.getOrElse((init(), null: Timestamp, 0L))
-      rows.toSeq.sortBy { r =>
-        val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
-      }.foreach { r =>
-        val i = r.getInt(2)
-        acc = folds(i)(gk._1, r.get(3 + i), acc)
+      CogroupedKStream.sortedByTs(rows).foreach { r =>
+        acc = CogroupedKStream.applyRow(folds, gk._1, r, acc)
         maxTs = GroupAggs.maxTs(maxTs, r.getAs[Timestamp](1))
       }
       seq += 1
@@ -240,10 +231,9 @@ private[graft] final class CogroupSessionAggregator[K, VA](
       org.apache.spark.sql.Row, (VA, Timestamp), (VA, Timestamp)] {
   import GroupAggs.maxTs
   def zero: (VA, Timestamp) = (init(), null)
-  def reduce(b: (VA, Timestamp), r: org.apache.spark.sql.Row): (VA, Timestamp) = {
-    val i = r.getInt(2)
-    (folds(i)(kConv(r.get(0)), r.get(3 + i), b._1), maxTs(b._2, r.getAs[Timestamp](1)))
-  }
+  def reduce(b: (VA, Timestamp), r: org.apache.spark.sql.Row): (VA, Timestamp) =
+    (CogroupedKStream.applyRow(folds, kConv(r.get(0)), r, b._1),
+      maxTs(b._2, r.getAs[Timestamp](1)))
   def merge(a: (VA, Timestamp), b: (VA, Timestamp)): (VA, Timestamp) =
     (merger(a._1, b._1), maxTs(a._2, b._2))
   def finish(b: (VA, Timestamp)): (VA, Timestamp) = b
@@ -252,6 +242,22 @@ private[graft] final class CogroupSessionAggregator[K, VA](
 }
 
 private[graft] object CogroupedKStream {
+  import org.apache.spark.sql.Row
+
+  /** Union rows in event-time order; ties resolve by side order (the
+    * deterministic stand-in for the reference's offset order). */
+  def sortedByTs(rows: IterableOnce[Row]): Seq[Row] =
+    rows.iterator.toSeq.sortBy { r =>
+      val ts = r.getAs[Timestamp](1); (ts.getTime, ts.getNanos, r.getInt(2))
+    }
+
+  /** Dispatch one union row to its side's aggregator (layout:
+    * key, ts, src, v0..vn). */
+  def applyRow[K, VA](folds: Seq[(K, Any, VA) => VA], k: K, r: Row, acc: VA): VA = {
+    val i = r.getInt(2)
+    folds(i)(k, r.get(3 + i), acc)
+  }
+
   /** Erase one side's value type behind its decoded aggregator. */
   def entry[K, V, VA](df: DataFrame, agg: (K, V, VA) => VA)(
       implicit vEnc: Encoder[V]): (DataFrame, (K, Any, VA) => VA) = {

@@ -94,8 +94,12 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
   /** `KStream.split()` named branches (KIP-418, Kafka 2.8 `BranchedKStream`
     * — parity-plus over the reference's positional `branch`): same
     * first-match-wins routing, branches addressed by name. */
-  def split(branches: (String, (K, V) => Boolean)*): Map[String, KStream[K, V]] =
-    branches.map(_._1).zip(branch(branches.map(_._2): _*)).toMap
+  def split(branches: (String, (K, V) => Boolean)*): Map[String, KStream[K, V]] = {
+    val names = branches.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate branch names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    names.zip(branch(branches.map(_._2): _*)).toMap
+  }
 
   /** [[split]] plus `Branched.defaultBranch()`: records matching no
     * predicate land in `defaultName`. */

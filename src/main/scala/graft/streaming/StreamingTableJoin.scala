@@ -38,7 +38,12 @@ private[streaming] final class VersionedJoinProcessor[K, V, VT, VR](
     store = new VersionedStore[Option[VT]](
       handle.getListState[(Long, Option[VT])]("versions",
         Encoders.tuple(Encoders.scalaLong, Rec.optionEnc(vtEnc)), TTLConfig.NONE),
-      retentionMs)
+      retentionMs * 1000L) // store keys are micros
+
+  /** Full-precision version key: ms-truncated getTime would collapse
+    * distinct micro-grained versions onto one key. */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
   override def process(key: K,
       rows: Iterator[((Boolean, Option[V], Option[VT]), Timestamp)],
@@ -48,9 +53,9 @@ private[streaming] final class VersionedJoinProcessor[K, V, VT, VR](
     // event-time order; table versions land before stream lookups at ties
     rows.toSeq.sortBy { case (tagged, ts) => (ts.getTime, ts.getNanos, tagged._1) }
       .foreach { case ((isStream, sv, tv), ts) =>
-        if (!isStream) store.put(ts.getTime, tv)
+        if (!isStream) store.put(micros(ts), tv)
         else sv.foreach { v =>
-          val asOf = store.get(ts.getTime).flatMap(_._2)
+          val asOf = store.get(micros(ts)).flatMap(_._2)
           if (!inner || asOf.isDefined) out += ((key, joiner(v, asOf), ts))
         }
       }

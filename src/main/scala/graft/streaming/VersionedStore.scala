@@ -14,23 +14,27 @@ import org.apache.spark.sql.streaming.ListState
   *   - `get()` returns the latest version, `get(asOf)` the newest version
   *     with `validFrom <= asOf` (a read before the first version is
   *     empty);
-  *   - history older than `historyRetentionMs` before the NEWEST version
+  *   - history older than `historyRetention` before the NEWEST version
   *     is dropped on write — except the one version straddling the
   *     horizon, which stays readable for as-of queries at the horizon
   *     (the reference keeps it in the latest-value store).
   *
-  * State size per key = versions inside the retention window — the same
-  * bound the reference's segmented version store enforces.
+  * Timestamps are opaque longs — pass milliseconds or microseconds
+  * consistently; `historyRetention` is in the same unit. State size per
+  * key = versions inside the retention window — the same bound the
+  * reference's segmented version store enforces.
   */
-final class VersionedStore[V](state: ListState[(Long, V)], historyRetentionMs: Long)
+final class VersionedStore[V](state: ListState[(Long, V)], historyRetention: Long)
     extends Serializable {
 
   private def versions: IndexedSeq[(Long, V)] = state.get().toIndexedSeq
 
-  /** Insert a version valid from `ts`; enforce history retention. */
+  /** Insert a version valid from `ts` — a put at an existing timestamp
+    * REPLACES that version (KIP-889 single-writer-per-instant semantics);
+    * enforce history retention. */
   def put(ts: Long, value: V): Unit = {
-    val all = (versions :+ ((ts, value))).sortBy(_._1)
-    val horizon = all.last._1 - historyRetentionMs
+    val all = (versions.filterNot(_._1 == ts) :+ ((ts, value))).sortBy(_._1)
+    val horizon = all.last._1 - historyRetention
     val (older, recent) = all.partition(_._1 < horizon)
     val kept = older.lastOption.toIndexedSeq ++ recent
     state.put(kept.toArray)

@@ -76,6 +76,32 @@ class CogroupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming aggregate returns the refreshed update stream (KTable changelog contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val aMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val bMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val b = GraftStreams(spark)
+    val table = b.stream[String, Long](aMem.toDF(), $"_1", $"_2", $"_3").groupByKey
+      .cogroup[Long]((_, n, acc) => acc + n)
+      .cogroup(b.stream[String, Long](bMem.toDF(), $"_1", $"_2", $"_3").groupByKey)(
+        (_, n, acc) => acc + 10 * n)
+      .aggregate(0L)
+    val q = table.df.writeStream.format("memory").queryName("cgagg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      aMem.addData(("u", 2L, ts(1000L)))
+      q.processAllAvailable()
+      bMem.addData(("u", 3L, ts(2000L)))
+      q.processAllAvailable()
+      val rows = spark.table("cgagg").collect()
+        .map(r => (r.getLong(1), r.getTimestamp(2).getTime)).sortBy(_._2)
+      // one refreshed row per batch; per-key upsert by ts converges to 32
+      assert(rows === Seq((2L, 1000L), (32L, 2000L)))
+    } finally q.stop()
+  }
+
   test("windowed cogroup folds per (key, window); hopping windows expand") {
     import java.time.Duration
     val s1 = builder.stream(spark.createDataset(Seq(

@@ -79,6 +79,12 @@ class StatelessOpsSpec extends AnyFunSuite {
     assert(out(m("other")) === Seq((3, "X3")))
   }
 
+  test("split rejects duplicate branch names (BranchedKStream contract)") {
+    intercept[IllegalArgumentException] {
+      input.split("a" -> ((k, _) => k % 2 == 0), "a" -> ((_, _) => true))
+    }
+  }
+
   test("merge is UNION ALL (KStreamImpl.merge)") {
     val dup = input.merge(input)
     assert(dup.toDataset.count() === 8)

@@ -57,6 +57,14 @@ class VersionedStoreSpec extends AnyFunSuite {
         mem.addData(("k", "G:18000", ts(22000L)))
         q.processAllAvailable()
         assert(results().last === "v2b@15000")
+
+        // batch 5: a put at an EXISTING timestamp replaces that version
+        // (KIP-889 single-writer-per-instant) — no duplicate accumulates
+        mem.addData(("k", "P:v2c", ts(15000L)))
+        q.processAllAvailable()
+        mem.addData(("k", "G:18000", ts(23000L)), ("k", "SIZE", ts(23001L)))
+        q.processAllAvailable()
+        assert(results().takeRight(2) === Seq("v2c@15000", "n=3"))
       } finally q.stop()
     } finally {
       prev match {
@@ -128,7 +136,7 @@ private[streaming] class VersionedLookup
     store = new VersionedStore[String](
       handle.getListState[(Long, String)]("versions",
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE),
-      historyRetentionMs = 10000L)
+      historyRetention = 10000L)
 
   override def process(key: String, rows: Iterator[(String, Timestamp)],
       handle: StatefulProcessorHandle,
