@@ -49,6 +49,21 @@ class PatternMatchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DFA count equals the vc*p regex on random symbol strings (oracle equivalence)") {
+    val rnd = new scala.util.Random(31)
+    val symbols = "vcpe"
+    for (_ <- 1 to 2000) {
+      val s = Seq.fill(rnd.nextInt(20))(symbols(rnd.nextInt(4))).mkString
+      val regexCount = "vc*p".r.findAllIn(s).size
+      var (st, n) = (0, 0)
+      s.foreach { ch =>
+        val (next, acc) = step(st, ch.toString)
+        st = next; if (acc) n += 1
+      }
+      assert(n === regexCount, s"input '$s'")
+    }
+  }
+
   test("within a batch the DFA replays in event-time order, not arrival order") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, java.sql.Timestamp)]
