@@ -138,8 +138,19 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
 
   // ------------------------------------------------- grouping (§2.3)
 
-  /** `KStream.groupByKey` (`kstream/KGroupedStreamImpl.java`). */
-  def groupByKey: KGroupedStream[K, V] = new KGroupedStream[K, V](df)
+  /** Reference null-handling at stateful/join boundaries
+    * (`kstream/internals/KStreamKStreamJoin.java:86-89`,
+    * `KStreamAggregate.java` null-skip, `KStreamKTableJoinProcessor
+    * .java:56-62`): records with a null key or null value are
+    * logged-and-skipped (droppedRecordsSensor), never grouped or joined.
+    * A no-op for non-nullable columns — Catalyst prunes the
+    * trivially-true filter. */
+  private def droppingNulls: DataFrame =
+    df.filter(col(KeyCol).isNotNull && col(ValueCol).isNotNull)
+
+  /** `KStream.groupByKey` (`kstream/KGroupedStreamImpl.java`); null
+    * key/value records drop (the aggregate processor's null-skip). */
+  def groupByKey: KGroupedStream[K, V] = new KGroupedStream[K, V](droppingNulls)
 
   /** `KStream.groupBy(selector)` — key change; the downstream shuffle
     * replaces the reference's `-repartition` topic
@@ -150,9 +161,12 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
   // ------------------------------------------------- joins (§2.5)
 
   private def sides[VO: Encoder](other: KStream[K, VO]) = {
-    val l = df.select(col(KeyCol), col(ValueCol).as("l_value"), col(TsCol).as("l_ts"))
-    val r = other.df.select(col(KeyCol).as("r_key"), col(ValueCol).as("r_value"),
-      col(TsCol).as("r_ts"))
+    // both join sides drop null key/value records (KStreamKStreamJoin's
+    // null-skip applies before the window store on each side)
+    val l = droppingNulls
+      .select(col(KeyCol), col(ValueCol).as("l_value"), col(TsCol).as("l_ts"))
+    val r = other.droppingNulls.select(col(KeyCol).as("r_key"),
+      col(ValueCol).as("r_value"), col(TsCol).as("r_ts"))
     (l, r)
   }
 
@@ -225,10 +239,11 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
       joiner: (V, VT) => VR): KStream[K, VR] = {
     if (df.isStreaming && table.df.isStreaming)
       return new KStream[K, VR](fromTyped(
-        graft.streaming.StreamingTableJoin.streamTableJoin(this, table, inner = true)(
+        graft.streaming.StreamingTableJoin.streamTableJoin(
+          new KStream[K, V](droppingNulls), table, inner = true)(
           (v, t) => joiner(v, t.get))))
     val t = table.latestDF.select(col(KeyCol).as("t_key"), col(ValueCol).as("t_value"))
-    val joined = df.join(t, col(KeyCol) === col("t_key"))
+    val joined = droppingNulls.join(t, col(KeyCol) === col("t_key"))
       .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("t_value").as("_3"),
         col(TsCol).as("_4"))
       .as(Encoders.tuple(kEnc, vEnc, implicitly[Encoder[VT]], Encoders.TIMESTAMP))
@@ -242,10 +257,10 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
       joiner: (V, Option[VT]) => VR): KStream[K, VR] = {
     if (df.isStreaming && table.df.isStreaming)
       return new KStream[K, VR](fromTyped(
-        graft.streaming.StreamingTableJoin.streamTableJoin(this, table, inner = false)(
-          joiner)))
+        graft.streaming.StreamingTableJoin.streamTableJoin(
+          new KStream[K, V](droppingNulls), table, inner = false)(joiner)))
     val t = table.latestDF.select(col(KeyCol).as("t_key"), col(ValueCol).as("t_value"))
-    val joined = df.join(t, col(KeyCol) === col("t_key"), "left_outer")
+    val joined = droppingNulls.join(t, col(KeyCol) === col("t_key"), "left_outer")
       .select(col(KeyCol).as("_1"), col(ValueCol).as("_2"), col("t_value").as("_3"),
         col(TsCol).as("_4"))
       .as(Encoders.tuple(kEnc, vEnc, optionEnc[VT], Encoders.TIMESTAMP))
@@ -259,7 +274,8 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
     * join. */
   def joinGlobal[GK: Encoder, GV: Encoder, VR: Encoder](global: GlobalKTable[GK, GV])(
       keyMapper: (K, V) => GK)(joiner: (V, GV) => VR): KStream[K, VR] = {
-    val keyed = fromTyped(typed.map(r => ((r._1, r._2, r._3), keyMapper(r._1, r._2), r._3))(
+    val keyed = fromTyped(toTyped[K, V](droppingNulls)
+      .map(r => ((r._1, r._2, r._3), keyMapper(r._1, r._2), r._3))(
       Encoders.tuple(t3, implicitly[Encoder[GK]], Encoders.TIMESTAMP)))
       .toDF("rec", "gk", "gts")
     val g = global.df.select(col(KeyCol).as("g_key"), col(ValueCol).as("g_value"))
@@ -273,7 +289,8 @@ final class KStream[K, V] private[graft] (private[graft] val df: DataFrame)(
 
   def leftJoinGlobal[GK: Encoder, GV: Encoder, VR: Encoder](global: GlobalKTable[GK, GV])(
       keyMapper: (K, V) => GK)(joiner: (V, Option[GV]) => VR): KStream[K, VR] = {
-    val keyed = fromTyped(typed.map(r => ((r._1, r._2, r._3), keyMapper(r._1, r._2), r._3))(
+    val keyed = fromTyped(toTyped[K, V](droppingNulls)
+      .map(r => ((r._1, r._2, r._3), keyMapper(r._1, r._2), r._3))(
       Encoders.tuple(t3, implicitly[Encoder[GK]], Encoders.TIMESTAMP)))
       .toDF("rec", "gk", "gts")
     val g = global.df.select(col(KeyCol).as("g_key"), col(ValueCol).as("g_value"))
