@@ -146,13 +146,14 @@ object Bench {
     val results = workloads.map { case (wl, qname) =>
       val fn = SparkEntry.queries(qname)
       var n = -1L
-      val secs = (1 to 2).map { _ =>
+      // failed iterations yield NO timing sample (a fast failure would
+      // otherwise win secs.min and report absurd throughput)
+      val secs = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try n = fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $wl: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try { n = fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => System.err.println(s"[bench] $wl: $e"); None }
       }
-      val sec = secs.min
+      val sec = if (secs.nonEmpty) secs.min else Double.NaN
       (wl, sec, n, inputRows(wl) / sec)
     }
 
@@ -160,14 +161,17 @@ object Bench {
     // workload with a produce side) — scan events, write parquet
     val consumeProduce = {
       val out = java.nio.file.Files.createTempDirectory("bench-cp").toString
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try Tables.load(spark, sfDir, "events")
-          .write.mode("overwrite").parquet(s"$out/events")
-        catch { case e: Throwable => System.err.println(s"[bench] consumeproduce: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          Tables.load(spark, sfDir, "events")
+            .write.mode("overwrite").parquet(s"$out/events")
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] consumeproduce: $e"); None }
       }
-      Seq(("consumeproduce", secs.min, eventRows, eventRows / secs.min))
+      if (secs.isEmpty) Seq.empty
+      else Seq(("consumeproduce", secs.min, eventRows, eventRows / secs.min))
     }
 
     // ann-ivf-search: the production serving shape — codebook trained ONCE
@@ -182,14 +186,17 @@ object Bench {
           .repartition(spark.sparkContext.defaultParallelism)
         val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
         val queries = emb.filter(col("vec_id") < 20)
-        val secs = (1 to 2).map { _ =>
+        val secs = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try VectorIndex.search(emb, queries, "vec_id", "embedding", cb,
-            nProbe = 4, topK = 10).count()
-          catch { case e: Throwable => System.err.println(s"[bench] ann-ivf-search: $e") }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            VectorIndex.search(emb, queries, "vec_id", "embedding", cb,
+              nProbe = 4, topK = 10).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ann-ivf-search: $e"); None }
         }
-        Seq(("ann-ivf-search", secs.min, embRows, embRows / secs.min))
+        if (secs.isEmpty) Seq.empty
+        else Seq(("ann-ivf-search", secs.min, embRows, embRows / secs.min))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ann-ivf-search setup: $e"); Seq.empty

@@ -74,6 +74,8 @@ object ProductQuantizer {
     val subDim = dim / m
     val init = df.orderBy(col(idCol)).limit(ksub)
       .select(col(embCol)).collect().map(_.getSeq[Float](0))
+    require(init.length >= ksub,
+      s"corpus has ${init.length} vectors; ksub=$ksub centroids need at least that many")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (j, c) =>
       Array.tabulate(subDim)(i => init(c)(j * subDim + i).toDouble)
     }

@@ -53,6 +53,8 @@ object VectorIndex {
       .orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.length >= k,
+      s"corpus has ${centroids.length} vectors; k=$k cells need at least that many")
     for (_ <- 1 to iters) {
       val cb = Codebook(centroids)
       val assigned = assignCells(df, embCol, cb)

@@ -39,15 +39,20 @@ object AsOfJoin {
   private def join(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String],
       forwardDir: Boolean): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
     val lCols = left.columns.toSeq
+    // the payload travels as ONE struct so the as-of pick is atomic per
+    // right row — independent per-column last() would compose a row out
+    // of different right rows whenever a payload value is null
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val l = left.select(
       col(key).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
-        (lCols.map(col) ++
-          payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))): _*)
+        (lCols.map(col) :+ lit(null).cast(pType).as("__p")): _*)
     val r = right.select(
       col(key).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
-        (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(p => col(p).as(s"__p_$p"))): _*)
+        (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(payload.map(col): _*).as("__p")): _*)
     // BOTH directions run an unbounded-PRECEDING running frame (Spark
     // accumulates it in O(n) per partition; an unbounded-FOLLOWING frame
     // would recompute per row = O(n^2) on hot keys). Forward direction =
@@ -58,9 +63,9 @@ object AsOfJoin {
       .orderBy(if (forwardDir) col("__t").desc else col("__t").asc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(col("__side") +: (lCols.map(col) ++
-        payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(ordered).as(p))): _*)
+      .select(col("__side") +: (lCols.map(col) :+
+        last(col("__p"), ignoreNulls = true).over(ordered).as("__p")): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(lCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 }

@@ -22,13 +22,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 object VectorKernels {
 
   /** Dot product accumulated in double, left-to-right; null on length
-    * mismatch (boxed so generated code can branch on it). */
+    * mismatch (boxed so generated code can branch on it) or on any null
+    * element — the HOF fold's null propagation (a null product nulls the
+    * whole aggregate), so nullable-element arrays stay correct instead
+    * of silently reading zeroed slots. */
   def dotF32(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -44,13 +48,15 @@ object VectorKernels {
     if (denom == 0.0) 0.0 else dab.doubleValue() / denom
   }
 
-  /** Squared euclidean distance, (x-y)^2 per element, left-to-right. */
+  /** Squared euclidean distance, (x-y)^2 per element, left-to-right;
+    * same null-element propagation as [[dotF32]]. */
   def sqDistF32(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       acc += d * d
       i += 1
@@ -60,13 +66,32 @@ object VectorKernels {
 }
 
 /** Base for the binary array<float> -> double kernels: null-safe, nullable
-  * (length mismatch yields null), codegen'd as a single static call. */
+  * (length mismatch yields null), codegen'd as a single static call.
+  *
+  * Inputs must be array<float> (any element nullability — the kernels
+  * null-check elements and propagate null like the HOF fold); a
+  * non-float array would read garbage bytes, so it is an analysis
+  * error. */
 abstract class Float32VectorExpression extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+
   /** Fully-qualified static kernel method invoked from generated code. */
   protected def kernel: String
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val r = evalKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -294,6 +294,29 @@ object LlmPipeline extends Catalog {
   //    bucket-join on (band, chunk), rescore candidates by exact hamming
   //    distance — the banding is mirrored in the oracle, so results stay
   //    hash-exact while pair generation never goes all-pairs.
+  /** Banded SimHash pairing shared by the md5 (oracle) and native-FNV
+    * twins: 4x15-bit chunks, the 2..50 bucket cap mirroring the oracle's
+    * HAVING (a hot chunk — e.g. the fingerprint mass of near-empty docs —
+    * must not fan out O(n^2) pairs in one task; exact-dup groups that
+    * large belong to q_dedup_exact), fingerprints riding the buckets as
+    * structs, hamming <= 5 rescore. One body so the twins cannot
+    * silently diverge. */
+  private def simhashBandPairs(fps: org.apache.spark.sql.DataFrame) = {
+    val bands = fps
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
+      .select(col("doc_id"), col("h"), col("band"),
+        expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
+    val pairs = bands.groupBy("band", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.h").as("ha"), col("p.b.h").as("hb"))
+      .distinct()
+    val ham = D.hammingDist(col("ha"), col("hb"))
+    pairs.filter(ham <= 5).select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+  }
+
   q("q_dedup_simhash_pairs",
     s"""WITH t AS (SELECT doc_id, unnest($SqlTokens) AS tok FROM documents),
        |h AS (SELECT doc_id, ${sqlMd5Long("tok")} AS hv FROM t),
@@ -321,28 +344,8 @@ object LlmPipeline extends Catalog {
        |JOIN fp fa ON fa.doc_id = doc_a
        |JOIN fp fb ON fb.doc_id = doc_b
        |WHERE bit_count(xor(fa.h, fb.h)) <= 5""") { (s, dir) =>
-    val fps = spread(load(s, dir, "documents"))
-      .select(col("doc_id"), D.simhash64(col("text")).as("h"))
-    val bands = fps
-      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
-      .select(col("doc_id"), col("h"), col("band"),
-        expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
-    // bucket cap mirrors the oracle's HAVING: a hot chunk (e.g. the
-    // fingerprint mass of near-empty docs) must not fan out O(n^2) pairs
-    // in one task; exact-dup groups that large belong to q_dedup_exact.
-    // Fingerprints ride through the buckets as structs, so rescoring
-    // needs no join back against the corpus.
-    val pairs = bands.groupBy("band", "chunk")
-      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ids"))
-      .filter(size(col("ids")).between(2, 50))
-      .select(explode(D.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.h").as("ha"), col("p.b.h").as("hb"))
-      .distinct()
-    val ham = D.hammingDist(col("ha"), col("hb"))
-    pairs
-      .filter(ham <= 5)
-      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+    simhashBandPairs(spread(load(s, dir, "documents"))
+      .select(col("doc_id"), D.simhash64(col("text")).as("h")))
   }
 
   // -- native-hash SimHash pairing twin (one-pass codegen'd kernel, FNV
@@ -351,28 +354,8 @@ object LlmPipeline extends Catalog {
   //    with the md5 twin pinned by CrossCheckSpec.
   qNoOracle("q_dedup_simhash_native") { (s, dir) =>
     import graft.plans.NativeHash
-    val fps = spread(load(s, dir, "documents"))
-      .select(col("doc_id"), NativeHash.simhash64Native(col("text")).as("h"))
-    val bands = fps
-      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("h"))
-      .select(col("doc_id"), col("h"), col("band"),
-        expr("shiftright(h, band * 15)").bitwiseAND(lit(32767L)).as("chunk"))
-    // bucket cap mirrors the oracle's HAVING: a hot chunk (e.g. the
-    // fingerprint mass of near-empty docs) must not fan out O(n^2) pairs
-    // in one task; exact-dup groups that large belong to q_dedup_exact.
-    // Fingerprints ride through the buckets as structs, so rescoring
-    // needs no join back against the corpus.
-    val pairs = bands.groupBy("band", "chunk")
-      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ids"))
-      .filter(size(col("ids")).between(2, 50))
-      .select(explode(D.orderedPairs(col("ids"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.h").as("ha"), col("p.b.h").as("hb"))
-      .distinct()
-    val ham = D.hammingDist(col("ha"), col("hb"))
-    pairs
-      .filter(ham <= 5)
-      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+    simhashBandPairs(spread(load(s, dir, "documents"))
+      .select(col("doc_id"), NativeHash.simhash64Native(col("text")).as("h")))
   }
 
   // ------------------------------------------------- pipeline operators
@@ -1089,6 +1072,32 @@ object LlmPipeline extends Catalog {
   //    shaped as an inverted index). One shuffle on the 60-bit span hash;
   //    occurrences ride through the bucket as structs (no join-back) and
   //    the 2..50 bucket band bounds fan-out exactly as in the oracle.
+  /** Repeated-span occurrences shared by the md5 (oracle) and native-FNV
+    * twins: 8-token spans, one shuffle on the span hash, occurrences
+    * riding the buckets as structs, 2..50 band + >= 2 distinct docs. One
+    * body so the twins cannot silently diverge. */
+  private def spanOccurrences(s: org.apache.spark.sql.SparkSession, dir: String,
+      spanHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val occ = spread(load(s, dir, "documents"))
+      // bindOnce: tokenize once per row, not once per lambda element
+      // (CollapseProject would inline the tokenizer into the transform)
+      .select(col("doc_id"), D.bindOnce(T.tokens(col("text"))) { ts =>
+        when(size(ts) >= 8,
+          transform(sequence(lit(0), size(ts) - 8),
+            i => array_join(slice(ts, i + 1, lit(8)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }.as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), col("span"), spanHash(col("span")).as("span_hash"))
+    occ.groupBy("span_hash")
+      .agg(collect_list(struct(col("doc_id"), col("pos"), col("span"))).as("os"))
+      .filter(size(col("os")).between(2, 50) &&
+        size(array_distinct(transform(col("os"), _.getField("doc_id")))) >= 2)
+      .select(col("span_hash"), size(col("os")).cast("long").as("n_occ"),
+        explode(col("os")).as("o"))
+      .select(col("span_hash"), col("o.doc_id"), col("o.pos"), col("o.span"), col("n_occ"))
+  }
+
   q("q_dedup_spans",
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -1105,25 +1114,7 @@ object LlmPipeline extends Catalog {
        |  HAVING count(*) BETWEEN 2 AND 50 AND count(DISTINCT doc_id) >= 2)
        |SELECT h.span_hash, h.doc_id, h.pos, h.span, g.n_occ
        |FROM h JOIN g USING (span_hash)""") { (s, dir) =>
-    val occ = spread(load(s, dir, "documents"))
-      // bindOnce: tokenize once per row, not once per lambda element
-      // (CollapseProject would inline the tokenizer into the transform)
-      .select(col("doc_id"), D.bindOnce(T.tokens(col("text"))) { ts =>
-        when(size(ts) >= 8,
-          transform(sequence(lit(0), size(ts) - 8),
-            i => array_join(slice(ts, i + 1, lit(8)), " ")))
-          .otherwise(array().cast("array<string>"))
-      }.as("spans"))
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-      .select(col("doc_id"), col("pos"), col("span"),
-        T.md5Long(col("span")).as("span_hash"))
-    occ.groupBy("span_hash")
-      .agg(collect_list(struct(col("doc_id"), col("pos"), col("span"))).as("os"))
-      .filter(size(col("os")).between(2, 50) &&
-        size(array_distinct(transform(col("os"), _.getField("doc_id")))) >= 2)
-      .select(col("span_hash"), size(col("os")).cast("long").as("n_occ"),
-        explode(col("os")).as("o"))
-      .select(col("span_hash"), col("o.doc_id"), col("o.pos"), col("o.span"), col("n_occ"))
+    spanOccurrences(s, dir, T.md5Long)
   }
 
   // -- native span dedup twin: fnv64 instead of md5 on the span hash (the
@@ -1131,23 +1122,7 @@ object LlmPipeline extends Catalog {
   //    CrossCheckSpec pins its (doc,pos) population to the md5 twin.
   qNoOracle("q_dedup_spans_native") { (s, dir) =>
     import graft.plans.NativeHash
-    val occ = spread(load(s, dir, "documents"))
-      .select(col("doc_id"), D.bindOnce(T.tokens(col("text"))) { ts =>
-        when(size(ts) >= 8,
-          transform(sequence(lit(0), size(ts) - 8),
-            i => array_join(slice(ts, i + 1, lit(8)), " ")))
-          .otherwise(array().cast("array<string>"))
-      }.as("spans"))
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-      .select(col("doc_id"), col("pos"), col("span"),
-        NativeHash.fnv64(col("span")).as("span_hash"))
-    occ.groupBy("span_hash")
-      .agg(collect_list(struct(col("doc_id"), col("pos"), col("span"))).as("os"))
-      .filter(size(col("os")).between(2, 50) &&
-        size(array_distinct(transform(col("os"), _.getField("doc_id")))) >= 2)
-      .select(col("span_hash"), size(col("os")).cast("long").as("n_occ"),
-        explode(col("os")).as("o"))
-      .select(col("span_hash"), col("o.doc_id"), col("o.pos"), col("o.span"), col("n_occ"))
+    spanOccurrences(s, dir, NativeHash.fnv64)
   }
 
   // -- eval-set decontamination: flag training docs whose 3-gram shingles

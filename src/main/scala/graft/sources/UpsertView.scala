@@ -58,6 +58,24 @@ object UpsertView {
     else if (fs.exists(cur) && fs.exists(bak)) fs.delete(bak, true) // died pre-delete
   }
 
+  /** The view's bucket count is part of its on-disk layout: merging with
+    * a different count would rehash existing rows into buckets outside
+    * the touched set and silently drop them. A `.nbuckets` marker pins
+    * the layout at first write and every merge validates against it. */
+  private def checkBucketCount(fs: FileSystem, path: String, n: Int): Unit = {
+    val marker = new Path(path, ".nbuckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val existing = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      require(existing == n,
+        s"upsert view at $path was built with $existing buckets; merge called with $n")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Recover every bucket with a leftover backup (sink startup). */
   def recoverAll(path: String): Unit = {
     val fs = fileSystem(path)
@@ -78,13 +96,20 @@ object UpsertView {
       keyCol: String, valueCol: String, tsCol: String): Unit = {
     val spark = updates0.sparkSession
     val fs = fileSystem(path)
+    checkBucketCount(fs, path, numBuckets)
     // a non-deduped changelog can carry several updates per key per
     // trigger; only the latest survives in the view (ties on ts broken by
-    // value for determinism)
+    // value for determinism — ts-only for unorderable value types, the
+    // same guard as KTable.latestDF)
+    val tieOrder = {
+      import org.apache.spark.sql.catalyst.expressions.RowOrdering
+      if (RowOrdering.isOrderable(updates0.schema(valueCol).dataType))
+        struct(col(tsCol), col(valueCol))
+      else struct(col(tsCol))
+    }
     val latest = updates0
       .groupBy(col(keyCol))
-      .agg(max_by(struct(col(tsCol), col(valueCol)), struct(col(tsCol), col(valueCol)))
-        .as("m"))
+      .agg(max_by(struct(col(tsCol), col(valueCol)), tieOrder).as("m"))
       .select(col(keyCol), col(s"m.$valueCol").as(valueCol), col(s"m.$tsCol").as(tsCol))
       .withColumn("__bucket", bucketOf(col(keyCol), numBuckets))
       .persist()

@@ -33,6 +33,8 @@ final class GraftMetrics private () extends StreamingQueryListener {
       running: Boolean)
 
   private val byQuery = TrieMap.empty[String, QueryMetrics]
+  // terminate events carry only the id; started events map it to the name
+  private val nameById = TrieMap.empty[String, String]
 
   /** All registered gauges — `KafkaStreams.metrics()`. */
   def metrics: Map[String, QueryMetrics] = byQuery.toMap
@@ -41,6 +43,7 @@ final class GraftMetrics private () extends StreamingQueryListener {
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = {
     val name = Option(event.name).getOrElse(event.id.toString)
+    nameById.put(event.id.toString, name)
     byQuery.put(name, QueryMetrics(0L, 0.0, 0.0, 0L, 0L, 0L, running = true))
   }
 
@@ -62,8 +65,8 @@ final class GraftMetrics private () extends StreamingQueryListener {
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
-    // name is not carried on the terminate event; flag by id fallback only
-    val name = event.id.toString
+    // the terminate event carries only the id — resolve the started name
+    val name = nameById.getOrElse(event.id.toString, event.id.toString)
     byQuery.updateWith(name)(_.map(_.copy(running = false)))
   }
 }

@@ -110,9 +110,14 @@ object QueryableState {
     new QueryableWindowStore(() => {
       val t = spark.table(queryName)
       val cols = t.columns.toIndexedSeq
+      // event-time-primary like memoryStore when a ts column rides along;
+      // insertion order only breaks ties
+      val ord =
+        if (cols.contains("ts")) struct(col("ts"), col("__seq"))
+        else struct(col("__seq"))
       t.withColumn("__seq", monotonically_increasing_id())
         .groupBy(col(keyCol), col(windowStartCol))
-        .agg(max_by(struct(cols.map(col): _*), col("__seq")).as("m"))
+        .agg(max_by(struct(cols.map(col): _*), ord).as("m"))
         .select(cols.map(c => col(s"m.$c").as(c)): _*)
     }, keyCol, windowStartCol)
 
