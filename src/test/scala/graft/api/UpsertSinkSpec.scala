@@ -118,6 +118,21 @@ class UpsertSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("merge refuses a bucket count different from the view's layout") {
+    val path = Files.createTempDirectory("graft-upsert-nb").toString + "/view"
+    UpsertView.merge(Seq(("k1", "v1", ts(1000L))).toDF("key", "value", "ts"),
+      path, N, "key", "value", "ts")
+    val e = intercept[IllegalArgumentException] {
+      UpsertView.merge(Seq(("k2", "v2", ts(2000L))).toDF("key", "value", "ts"),
+        path, N + 1, "key", "value", "ts")
+    }
+    assert(e.getMessage.contains("built with"))
+    // the original layout still merges fine
+    UpsertView.merge(Seq(("k2", "v2", ts(2000L))).toDF("key", "value", "ts"),
+      path, N, "key", "value", "ts")
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
   test("upsert view resumes from checkpoint after a restart (no reprocessing)") {
     import org.apache.spark.sql.functions.{col, current_timestamp}
     val inDir = Files.createTempDirectory("graft-upres-in").toFile

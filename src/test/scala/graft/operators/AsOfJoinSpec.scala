@@ -33,6 +33,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       "l-other" -> Some(10L)))
   }
 
+  test("multi-column payload is atomic: a null in the latest right row wins as null") {
+    // latest right row (ts=1000) has b=null; an independent per-column
+    // pick would steal b=5 from the OLDER row — the payload must come
+    // from exactly one right row
+    val left = Seq(("u1", ts(2000L), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      ("u1", ts(0L), Some(0L), Some(5L)),
+      ("u1", ts(1000L), Some(1L), None)).toDF("k", "rt", "a", "b")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("a", "b"))
+      .select("a", "b").collect().head
+    assert(Option(out.get(0)) === Some(1L) && Option(out.get(1)) === None)
+  }
+
   test("forward join picks the earliest right row at or after each left ts") {
     val left = Seq(
       ("u1", ts(1000L), "l-early"),
