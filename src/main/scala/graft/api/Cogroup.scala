@@ -177,20 +177,38 @@ final class TimeWindowedCogroup[K, VA] private[graft] (
       Encoders.tuple(vaEnc, Encoders.TIMESTAMP, Encoders.scalaLong)
     implicit val outEnc: Encoder[(Windowed[K], VA, Timestamp, Long)] =
       Encoders.tuple(wEnc, vaEnc, Encoders.TIMESTAMP, Encoders.scalaLong)
+    val graceMs = w.graceMs
     all.groupByKey { row =>
       // wstart_us rides as the LAST column of the exploded row
       (kConv(row.get(0)), row.getLong(row.length - 1) / 1000L)
     }.flatMapGroupsWithState[(VA, Timestamp, Long), (Windowed[K], VA, Timestamp, Long)](
-      OutputMode.Update, GroupStateTimeout.NoTimeout) { (gk, rows, state) =>
-      var (acc, maxTs, seq) = state.getOption.getOrElse((init(), null: Timestamp, 0L))
-      CogroupedKStream.sortedByTs(rows).foreach { r =>
-        acc = CogroupedKStream.applyRow(folds, gk._1, r, acc)
-        maxTs = GroupAggs.maxTs(maxTs, r.getAs[Timestamp](1))
+      OutputMode.Update, GroupStateTimeout.EventTimeTimeout) { (gk, rows, state) =>
+      // per-(key, window) state is evicted once the watermark passes the
+      // window end + grace (the reference's windowed-store retention);
+      // without the timeout a long-running stream accumulates one state
+      // row per closed window forever
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val windowEndMs = gk._2 + sizeMs
+        val wm = state.getCurrentWatermarkMs()
+        if (!state.exists && windowEndMs + graceMs <= wm) {
+          // window already closed: late records are DROPPED
+          // (KStreamWindowAggregate's observedStreamTime check), never
+          // re-opened with a partial accumulator
+          Iterator.empty
+        } else {
+          var (acc, maxTs, seq) = state.getOption.getOrElse((init(), null: Timestamp, 0L))
+          CogroupedKStream.sortedByTs(rows).foreach { r =>
+            acc = CogroupedKStream.applyRow(folds, gk._1, r, acc)
+            maxTs = GroupAggs.maxTs(maxTs, r.getAs[Timestamp](1))
+          }
+          seq += 1
+          state.update((acc, maxTs, seq))
+          state.setTimeoutTimestamp(math.max(windowEndMs + graceMs, wm + 1))
+          Iterator.single((Windowed(gk._1, new Timestamp(gk._2),
+            new Timestamp(gk._2 + sizeMs)), acc, maxTs, seq))
+        }
       }
-      seq += 1
-      state.update((acc, maxTs, seq))
-      Iterator.single((Windowed(gk._1, new Timestamp(gk._2),
-        new Timestamp(gk._2 + sizeMs)), acc, maxTs, seq))
     }
   }
 }

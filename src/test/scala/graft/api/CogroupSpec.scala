@@ -173,6 +173,39 @@ class CogroupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live windowed cogroup evicts closed windows; late records are dropped") {
+    import java.time.Duration
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val aMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val bMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val b = GraftStreams(spark)
+    val updates = b.stream[String, Long](aMem.toDF(), $"_1", $"_2", $"_3").groupByKey
+      .cogroup[Long]((_, n, acc) => acc + n)
+      .cogroup(b.stream[String, Long](bMem.toDF(), $"_1", $"_2", $"_3").groupByKey)(
+        (_, n, acc) => acc + n)
+      .windowedBy(TimeWindows.of(Duration.ofSeconds(10)))
+      .aggregateUpdates(0L)
+    val q = updates.toDF("wk", "v", "ts", "seq").writeStream.format("memory")
+      .queryName("cgev").outputMode(OutputMode.Update).start()
+    def window0Rows() = spark.table("cgev").collect()
+      .filter(_.getStruct(0).getTimestamp(1).getTime == 0L)
+    try {
+      aMem.addData(("k", 1L, ts(1000L)))
+      q.processAllAvailable()
+      assert(window0Rows().map(_.getLong(1)).toSeq === Seq(1L))
+      // advance the watermark far past window [0s,10s); its state evicts
+      aMem.addData(("k", 5L, ts(60000L)))
+      q.processAllAvailable()
+      // a LATE record for the closed window must be dropped — NOT folded
+      // into a fresh partial accumulator
+      aMem.addData(("k", 9L, ts(2000L)))
+      q.processAllAvailable()
+      assert(window0Rows().map(_.getLong(1)).toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("single-side session cogroup degenerates to SessionWindowedKStream.aggregate") {
     import java.time.Duration
     import scala.util.Random
