@@ -153,9 +153,9 @@ object Bench {
         try { n = fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => System.err.println(s"[bench] $wl: $e"); None }
       }
-      val sec = if (secs.nonEmpty) secs.min else Double.NaN
-      (wl, sec, n, inputRows(wl) / sec)
-    }
+      if (secs.isEmpty) None // no sample: omit rather than emit NaN JSON
+      else Some((wl, secs.min, n, inputRows(wl) / secs.min))
+    }.flatten
 
     // consumeproduce: the read->write roundtrip (SimpleBenchmark's
     // workload with a produce side) — scan events, write parquet

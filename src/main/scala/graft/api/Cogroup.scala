@@ -156,6 +156,9 @@ final class TimeWindowedCogroup[K, VA] private[graft] (
       implicit vaEnc: Encoder[VA], wEnc: Encoder[Windowed[K]]):
       org.apache.spark.sql.Dataset[(Windowed[K], VA, Timestamp, Long)] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(entries.exists(_._1.isStreaming),
+      "aggregateUpdates is the live incremental path (event-time state " +
+        "eviction needs a watermark); use aggregate for batch")
     // assign covering windows arithmetically (TimeWindows.windowsFor):
     // window() would add a second event-time column next to the
     // watermarked ts, which stateful ops reject
@@ -191,10 +194,11 @@ final class TimeWindowedCogroup[K, VA] private[graft] (
       else {
         val windowEndMs = gk._2 + sizeMs
         val wm = state.getCurrentWatermarkMs()
-        if (!state.exists && windowEndMs + graceMs <= wm) {
+        if (windowEndMs + graceMs <= wm) {
           // window already closed: late records are DROPPED
-          // (KStreamWindowAggregate's observedStreamTime check), never
-          // re-opened with a partial accumulator
+          // (KStreamWindowAggregate's observedStreamTime check) even when
+          // the state hasn't timed out yet — folding them would re-emit a
+          // closed window; eviction follows via the pending timeout
           Iterator.empty
         } else {
           var (acc, maxTs, seq) = state.getOption.getOrElse((init(), null: Timestamp, 0L))

@@ -85,6 +85,7 @@ abstract class Float32VectorExpression extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType, _) => true
+      case org.apache.spark.sql.types.NullType => true // NULL literal -> null result
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess

@@ -373,13 +373,14 @@ object LlmPipeline extends Catalog {
       |  FROM events WHERE event_type IN ('click', 'purchase')),
       |f AS (
       |  SELECT user_id, ts, event_id, event_type,
-      |    last_value(cents IGNORE NULLS) OVER (
+      |    last_value(CASE WHEN event_type = 'purchase' THEN struct_pack(c := cents) END
+      |               IGNORE NULLS) OVER (
       |      PARTITION BY user_id
       |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
-      |      ROWS UNBOUNDED PRECEDING) AS cur_cents
+      |      ROWS UNBOUNDED PRECEDING) AS cur
       |  FROM u)
-      |SELECT user_id, event_id AS click_id, cur_cents AS purchase_cents
-      |FROM f WHERE event_type = 'click' AND cur_cents IS NOT NULL""") { (s, dir) =>
+      |SELECT user_id, event_id AS click_id, cur.c AS purchase_cents
+      |FROM f WHERE event_type = 'click' AND cur.c IS NOT NULL""") { (s, dir) =>
     import graft.operators.AsOfJoin
     val ev = load(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
@@ -404,13 +405,14 @@ object LlmPipeline extends Catalog {
       |  FROM events WHERE event_type IN ('click', 'purchase')),
       |f AS (
       |  SELECT user_id, ts, event_id, event_type,
-      |    first_value(cents IGNORE NULLS) OVER (
+      |    first_value(CASE WHEN event_type = 'purchase' THEN struct_pack(c := cents) END
+      |                IGNORE NULLS) OVER (
       |      PARTITION BY user_id
       |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_cents
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
       |  FROM u)
-      |SELECT user_id, event_id AS click_id, nxt_cents AS conversion_cents
-      |FROM f WHERE event_type = 'click' AND nxt_cents IS NOT NULL""") { (s, dir) =>
+      |SELECT user_id, event_id AS click_id, nxt.c AS conversion_cents
+      |FROM f WHERE event_type = 'click' AND nxt.c IS NOT NULL""") { (s, dir) =>
     import graft.operators.AsOfJoin
     val ev = load(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")

@@ -71,6 +71,21 @@ object UpsertView {
       require(existing == n,
         s"upsert view at $path was built with $existing buckets; merge called with $n")
     } else {
+      // a marker-less view with data has an UNKNOWN layout (pre-marker
+      // build) — refuse rather than guess and silently drop rehashed rows
+      val root = new Path(path)
+      val hasBuckets = fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
+      require(!hasBuckets,
+        s"upsert view at $path predates the .nbuckets marker; write the " +
+          "original bucket count to that file before merging")
+    }
+  }
+
+  /** Record the layout once the first merge has fully succeeded. */
+  private def writeBucketCount(fs: FileSystem, path: String, n: Int): Unit = {
+    val marker = new Path(path, ".nbuckets")
+    if (!fs.exists(marker)) {
       val out = fs.create(marker, true)
       try out.write(n.toString.getBytes("UTF-8")) finally out.close()
     }
@@ -147,6 +162,7 @@ object UpsertView {
         if (fs.exists(bakDir(path, b))) fs.delete(bakDir(path, b), true)
       }
       fs.delete(tmpRoot, true)
+      writeBucketCount(fs, path, numBuckets)
     } finally latest.unpersist()
   }
 }

@@ -66,7 +66,7 @@ final class GraftMetrics private () extends StreamingQueryListener {
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
     // the terminate event carries only the id — resolve the started name
-    val name = nameById.getOrElse(event.id.toString, event.id.toString)
+    val name = nameById.remove(event.id.toString).getOrElse(event.id.toString)
     byQuery.updateWith(name)(_.map(_.copy(running = false)))
   }
 }

@@ -106,14 +106,14 @@ object QueryableState {
     * in update mode: latest emission per (key, window start) wins, same
     * event-time-primary ordering as [[memoryStore]]. */
   def memoryWindowStore(spark: SparkSession, queryName: String, keyCol: String,
-      windowStartCol: String): QueryableWindowStore =
+      windowStartCol: String, tsCol: String = "ts"): QueryableWindowStore =
     new QueryableWindowStore(() => {
       val t = spark.table(queryName)
       val cols = t.columns.toIndexedSeq
       // event-time-primary like memoryStore when a ts column rides along;
       // insertion order only breaks ties
       val ord =
-        if (cols.contains("ts")) struct(col("ts"), col("__seq"))
+        if (cols.contains(tsCol)) struct(col(tsCol), col("__seq"))
         else struct(col("__seq"))
       t.withColumn("__seq", monotonically_increasing_id())
         .groupBy(col(keyCol), col(windowStartCol))
