@@ -206,6 +206,57 @@ class CogroupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live windowed cogroup state survives stop + restart from checkpoint") {
+    import java.nio.file.Files
+    import java.time.Duration
+    import org.apache.spark.sql.functions.{col, split, timestamp_millis}
+    import org.apache.spark.sql.streaming.OutputMode
+    val dirA = Files.createTempDirectory("graft-cgrec-a").toFile
+    val dirB = Files.createTempDirectory("graft-cgrec-b").toFile
+    val ckpt = Files.createTempDirectory("graft-cgrec-ckpt").toFile.getAbsolutePath
+    val b = GraftStreams(spark)
+
+    def src(dir: java.io.File) = spark.readStream.text(dir.getAbsolutePath)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as("k"), col("p").getItem(1).cast("long").as("n"),
+        timestamp_millis(col("p").getItem(2).cast("long")).as("t"))
+    def topology() =
+      b.stream[String, Long](src(dirA), col("k"), col("n"), col("t")).groupByKey
+        .cogroup[Long]((_, n, acc) => acc + n)
+        .cogroup(b.stream[String, Long](src(dirB), col("k"), col("n"), col("t")).groupByKey)(
+          (_, n, acc) => acc + 100 * n)
+        .windowedBy(TimeWindows.of(Duration.ofSeconds(10)))
+        .aggregateUpdates(0L)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start() = topology().toDF("wk", "v", "ts", "seq").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          emitted.add((r.getStruct(0).getTimestamp(1).getTime, r.getLong(1), r.getLong(3))))
+      }
+      .start()
+
+    Files.writeString(new java.io.File(dirA, "a.txt").toPath, "k,1,1000\n")
+    Files.writeString(new java.io.File(dirB, "b.txt").toPath, "k,2,2000\n")
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(emitted.toArray.map(_.asInstanceOf[(Long, Long, Long)])
+        .filter(_._1 == 0L).maxBy(_._3)._2 === 201L)
+    } finally q1.stop()
+
+    // restart: the window-0 accumulator continues from the checkpoint
+    emitted.clear()
+    Files.writeString(new java.io.File(dirA, "c.txt").toPath, "k,5,3000\n")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(emitted.toArray.map(_.asInstanceOf[(Long, Long, Long)])
+        .filter(_._1 == 0L).maxBy(_._3)._2 === 206L)
+    } finally q2.stop()
+  }
+
   test("single-side session cogroup degenerates to SessionWindowedKStream.aggregate") {
     import java.time.Duration
     import scala.util.Random
