@@ -65,6 +65,15 @@ object ProcessorApi {
       outputMode: OutputMode = OutputMode.Append,
       graceMs: Long = 0L): Dataset[OUT] = {
     implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
+    // providerClass is read at query START, so upgrading the session's
+    // still-default HDFS provider here (topology build time) is in time;
+    // an explicit non-default user choice is left alone
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val session = stream.toDF.sparkSession
+    if (session.conf.get(key, "").endsWith("HDFSBackedStateStoreProvider") ||
+        session.conf.get(key, "").isEmpty)
+      session.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     new KStream[K, V](Rec.withGrace(stream.toDF, graceMs)).toDataset
       .groupByKey(_._1)
       .transformWithState(new Adapter[K, V, OUT](proc), timeMode, outputMode)

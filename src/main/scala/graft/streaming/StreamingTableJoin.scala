@@ -63,6 +63,60 @@ private[streaming] final class VersionedJoinProcessor[K, V, VT, VR](
   }
 }
 
+/** Stage 2 of [[StreamingTableJoin.fkJoin]] — the KIP-213 subscription
+  * store. State is ONE store entry PER SUBSCRIBER: a `MapState` keyed by
+  * the left key (Spark persists each map entry under a composite
+  * (fk, leftKey) store key — the reference's subscription-store prefix
+  * scan, `SubscriptionStoreReceiveProcessorSupplier` lineage), plus a
+  * `ValueState` holding the right side's current value. A subscription
+  * change touches only its own entry; a right-side update streams the
+  * map iterator (the prefix scan) instead of deserializing a monolithic
+  * subscriber Seq — no single state value grows with fk popularity. */
+private[streaming] final class FkSubscriptionProcessor[K, V, KO, VO, OUT](
+    respond: (V, Option[VO]) => Option[OUT],
+    kEnc: Encoder[K], vEnc: Encoder[V], voEnc: Encoder[VO])
+    extends ProcessorApi.Processor[KO, (Option[((K, V), Boolean)], Option[VO]),
+      (K, Option[OUT], KO, Timestamp)] {
+  import org.apache.spark.sql.streaming.{MapState, StatefulProcessorHandle, TimerValues, TTLConfig, ValueState}
+
+  @transient private var subs: MapState[K, V] = _
+  @transient private var right: ValueState[Option[VO]] = _
+
+  override def init(handle: StatefulProcessorHandle): Unit = {
+    subs = handle.getMapState[K, V]("subs", kEnc, vEnc, TTLConfig.NONE)
+    right = handle.getValueState[Option[VO]]("right", Rec.optionEnc(voEnc), TTLConfig.NONE)
+  }
+
+  override def process(fkey: KO,
+      rows: Iterator[((Option[((K, V), Boolean)], Option[VO]), Timestamp)],
+      handle: StatefulProcessorHandle,
+      timers: TimerValues): Iterator[(K, Option[OUT], KO, Timestamp)] = {
+    var cur: Option[VO] = if (right.exists()) right.get() else None
+    val out = Seq.newBuilder[(K, Option[OUT], KO, Timestamp)]
+    // right updates before subscription changes at equal ts
+    rows.toSeq.sortBy { case ((sub, _), ts) => (ts.getTime, ts.getNanos, sub.isDefined) }
+      .foreach { case ((sub, rv), ts) =>
+        sub match {
+          case None => // right-side update: re-join every subscriber
+            cur = rv
+            subs.iterator().foreach { case (k, v) =>
+              out += ((k, respond(v, cur), fkey, ts))
+            }
+          case Some(((k, v), isAdd)) =>
+            if (isAdd) {
+              subs.updateValue(k, v)
+              out += ((k, respond(v, cur), fkey, ts))
+            } else {
+              subs.removeKey(k)
+              out += ((k, None, fkey, ts)) // unsubscribe/delete response
+            }
+        }
+      }
+    right.update(cur)
+    out.result().iterator
+  }
+}
+
 object StreamingTableJoin {
 
   /** Update stream of the joined table: one record per (batch, updated
@@ -170,10 +224,10 @@ object StreamingTableJoin {
       Rec.optionEnc(Encoders.tuple(kvEnc, Encoders.scalaBoolean))
     implicit val ovo: Encoder[Option[VO]] = Rec.optionEnc[VO]
     implicit val oout: Encoder[Option[OUT]] = Rec.optionEnc[OUT]
-    implicit val subsEnc: Encoder[Seq[(K, V)]] = Rec.seqEnc[(K, V)]
-    implicit val s2in: Encoder[(KO, Option[((K, V), Boolean)], Option[VO], Timestamp)] =
-      Encoders.tuple(implicitly[Encoder[KO]], subEnc, ovo, Encoders.TIMESTAMP)
-    implicit val s2state: Encoder[(Seq[(K, V)], Option[VO])] = Encoders.tuple(subsEnc, ovo)
+    implicit val s2val: Encoder[(Option[((K, V), Boolean)], Option[VO])] =
+      Encoders.tuple(subEnc, ovo)
+    implicit val s2in: Encoder[(KO, (Option[((K, V), Boolean)], Option[VO]), Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[KO]], s2val, Encoders.TIMESTAMP)
     implicit val respEnc: Encoder[(K, Option[OUT], KO, Timestamp)] =
       Encoders.tuple(implicitly[Encoder[K]], oout, implicitly[Encoder[KO]],
         Encoders.TIMESTAMP)
@@ -193,36 +247,20 @@ object StreamingTableJoin {
 
     // stage 1: ±subscription deltas keyed by fk
     val subs = StreamingChangelog.deltaStream(left)((k, v) => (fkFn(v), (k, v)))
-      .map(d => (d._1, Option((d._2._1, d._2._2)), Option.empty[VO], d._3))
+      .map(d => (d._1, (Option((d._2._1, d._2._2)), Option.empty[VO]), d._3))
     val rightTagged = right.toDataset
-      .map(r => (r._1, Option.empty[((K, V), Boolean)], Option(r._2), r._3))
+      .map(r => (r._1, (Option.empty[((K, V), Boolean)], Option(r._2)), r._3))
 
-    // stage 2: join subscriptions with the right value; fan right updates out
-    val responses = subs.union(rightTagged)
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[(K, V)], Option[VO]), (K, Option[OUT], KO, Timestamp)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (fkey, rows, state) =>
-        var (members, cur) = state.getOption.getOrElse((Seq.empty[(K, V)], Option.empty[VO]))
-        val out = Seq.newBuilder[(K, Option[OUT], KO, Timestamp)]
-        // right updates before subscription changes at equal ts
-        rows.toSeq.sortBy(r => (r._4.getTime, r._4.getNanos, r._2.isDefined)).foreach { r =>
-          r._2 match {
-            case None => // right-side update: re-join every subscriber
-              cur = r._3
-              members.foreach { case (k, v) => out += ((k, respond(v, cur), fkey, r._4)) }
-            case Some(((k, v), isAdd)) =>
-              if (isAdd) {
-                members = members.filterNot(_._1 == k) :+ ((k, v))
-                out += ((k, respond(v, cur), fkey, r._4))
-              } else {
-                members = members.filterNot(_._1 == k)
-                out += ((k, None, fkey, r._4)) // unsubscribe/delete response
-              }
-          }
-        }
-        state.update((members, cur))
-        out.result().iterator
-      }
+    // stage 2: the subscription store — one MapState entry per (fk, leftKey)
+    // subscriber; right updates fan out by scanning the map (KIP-213's
+    // prefix scan), never by rewriting a per-fk subscriber blob
+    val responses = ProcessorApi.process(
+      new KStream[KO, (Option[((K, V), Boolean)], Option[VO])](
+        subs.union(rightTagged).toDF(Rec.KeyCol, Rec.ValueCol, Rec.TsCol)),
+      new FkSubscriptionProcessor[K, V, KO, VO, OUT](respond,
+        implicitly[Encoder[K]], implicitly[Encoder[V]], implicitly[Encoder[VO]]),
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      OutputMode.Append)
 
     // stage 3: drop responses that arrived via a superseded fk
     val leftTagged = left.toDataset

@@ -101,8 +101,10 @@ class StreamingPlanSpec extends AnyFunSuite {
         .substring(lastPlan("plan_fk").indexOf("== Physical Plan =="))
       // subscription deltas + fk-group join + resolver = exactly three
       // stateful stages (the reference topology's three topic hops), no
-      // join node anywhere
-      assert("FlatMapGroupsWithState".r.findAllIn(physical).size === 3, physical.take(1500))
+      // join node anywhere; stage 2 is the TransformWithState subscription
+      // store (MapState — one entry per subscriber)
+      assert("FlatMapGroupsWithState".r.findAllIn(physical).size === 2, physical.take(1500))
+      assert("TransformWithState".r.findAllIn(physical).nonEmpty, physical.take(1500))
       assert(physical.split("Exchange hashpartitioning").length - 1 === 3, physical.take(1500))
       assert(!physical.contains("SortMergeJoin") && !physical.contains("BroadcastHashJoin"),
         physical.take(1500))

@@ -155,6 +155,48 @@ class StreamingFkJoinSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("hot fk: stage-2 state is one entry PER SUBSCRIBER, not a per-fk blob") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-fkhot-ckpt").toFile.getAbsolutePath
+    val lMem = MemoryStream[(String, (String, String), java.sql.Timestamp)]
+    val rMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val b = GraftStreams(spark)
+    val joined = StreamingTableJoin.fkJoin(
+      b.stream[String, (String, String)](lMem.toDF(), $"_1", $"_2", $"_3"),
+      b.stream[String, String](rMem.toDF(), $"_1", $"_2", $"_3"),
+      inner = true)(_._1)((v, rv) => v._2 + "+" + rv.getOrElse("null"))
+    val q = joined.toDF("k", "v", "ts").writeStream.format("memory")
+      .queryName("fkhot").option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 100 subscribers, ALL pointing at the one hot fk
+      lMem.addData((1 to 100).map(i => (f"o$i%03d", ("hot", s"p$i"), ts(1000L + i))))
+      q.processAllAvailable()
+      rMem.addData(("hot", "gold", ts(5000L)))
+      q.processAllAvailable()
+      // the right update fanned out to every subscriber
+      val joinedRows = spark.table("fkhot").collect()
+        .filter(r0 => Option(r0.getString(1)).exists(_.endsWith("+gold")))
+      assert(joinedRows.length === 100)
+    } finally q.stop()
+
+    // state-store layout audit: the subscription store ("subs" MapState)
+    // must hold 100 individual (fk, leftKey) entries — the KIP-213
+    // prefix-scan shape — never a single Seq value per fk
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    val twsOp = meta.filter(col("operatorName").contains("transformWithState"))
+      .select("operatorId").head.getLong(0)
+    val subsRows = spark.read.format("statestore")
+      .option("path", ckpt).option("operatorId", twsOp)
+      .option("stateVarName", "subs").load()
+    assert(subsRows.count() === 100L)
+    // and each entry is keyed by (grouping key, user map key) — per subscriber
+    val userKeys = subsRows.select("user_map_key.*").distinct().count()
+    assert(userKeys === 100L)
+  }
+
   test("left variant joins None on right miss") {
     val (lMem, rMem, q) = harness(inner = false, "fkleft")
     try {
