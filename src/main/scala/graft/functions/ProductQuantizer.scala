@@ -111,7 +111,6 @@ object ProductQuantizer {
     * (query, vector) pair. */
   def search(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       cb: PqCodebook, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qTabs: Map[Long, Array[Array[Double]]] = queries
       .select(col(idCol), col(embCol)).collect()
       .map(r => r.getLong(0) -> cb.distTable(r.getSeq[Float](1))).toMap
@@ -130,10 +129,11 @@ object ProductQuantizer {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adc(col("query_id"), col("pq_code")), 6).as("adist"))
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "neighbor_id", "adist", "rank")
+    // bounded-buffer top-k (graft.operators.TopK): distances rank
+    // ascending; no rank window — a query's full-scan candidate list
+    // never lands in one task
+    graft.operators.TopK.perGroup(scored, "query_id", "neighbor_id", "adist",
+      topK, ascending = true)
   }
 
   /** IVF+PQ: prune candidates to the query's `nProbe` IVF cells, then
@@ -145,7 +145,6 @@ object ProductQuantizer {
   def searchWithCells(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, ivf: VectorIndex.Codebook, cb: PqCodebook,
       nProbe: Int, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qData = queries.select(col(idCol), col(embCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val qTabs = qData.map { case (qid, v) => qid -> cb.distTable(v) }.toMap
@@ -167,9 +166,7 @@ object ProductQuantizer {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adc(col("query_id"), col("pq_code")), 6).as("adist"))
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "neighbor_id", "adist", "rank")
+    graft.operators.TopK.perGroup(scored, "query_id", "neighbor_id", "adist",
+      topK, ascending = true)
   }
 }

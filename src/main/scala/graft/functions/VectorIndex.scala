@@ -104,10 +104,12 @@ object VectorIndex {
     df.withColumn("__cell", nearestUdf(col(embCol)))
   }
 
-  /** Top-k cosine neighbors for each query, probing nProbe cells. */
+  /** Top-k cosine neighbors for each query, probing nProbe cells. The
+    * per-query cut is a bounded-buffer partial aggregation
+    * ([[graft.operators.TopK]]) — a rank window here would sort a query's
+    * whole candidate list (~nProbe/k × corpus) in one task. */
   def search(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       cb: Codebook, nProbe: Int, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val probeUdf = udf((v: Seq[Float]) => cb.nearestN(v, nProbe))
     val indexed = assignCells(corpus, embCol, cb)
       .select(col("__cell"), col(idCol).as("neighbor_id"), col(embCol).as("ce"))
@@ -118,9 +120,7 @@ object VectorIndex {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(col("qe"), col("ce")), 4).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    graft.operators.TopK.perGroup(sims, "query_id", "neighbor_id", "sim",
+      topK, ascending = false)
   }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.col
+
+import graft.api.Rec
+
+/** Exact per-group top-k WITHOUT a rank window. A
+  * `Window.partitionBy(group)` ships every scored candidate of a group to
+  * one task and sorts the lot — at ANN scale (candidates ≈ nProbe/k ×
+  * corpus per query) that single task sorts billions of rows. This
+  * bounded-buffer `Aggregator` instead partial-aggregates map-side: every
+  * task reduces its slice of a group to ≤ k rows, the ≤ k-row partials
+  * merge exactly (top-k merge is exact — the true top-k of a union is
+  * contained in the union of per-part top-ks), and no task ever holds
+  * more than k rows per group.
+  *
+  * Determinism contract (matches the rank-window + oracle semantics):
+  * strict order by (score best-first, id ascending) — callers must round
+  * scores BEFORE aggregating, same as before top-k ordering anywhere else
+  * (see memory: oracle tie-breaks). Output ranks are 1-based in that
+  * order, bit-identical to `row_number()` over the same ordering.
+  */
+object TopK {
+
+  /** Bounded top-k fold over (id, score) pairs; buffer = best-first
+    * sorted Seq of at most k entries. O(k) insert keeps the hot path
+    * allocation-light at small k (the ANN use: k ≤ 100). */
+  private[graft] final class BoundedTopK(k: Int, ascending: Boolean)
+      extends Aggregator[(Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, s"top-k needs k > 0, got $k")
+
+    /** Strict "a ranks before b": score best-first, then id asc. */
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
+      if (a._1 != b._1) { if (ascending) a._1 < b._1 else a._1 > b._1 }
+      else a._2 < b._2
+
+    def zero: Seq[(Double, Long)] = Vector.empty
+
+    def reduce(buf: Seq[(Double, Long)], r: (Long, Long, Double)): Seq[(Double, Long)] = {
+      val e = (r._3, r._2)
+      if (buf.size >= k && before(buf.last, e)) buf // full and e loses to the worst kept
+      else {
+        val i = buf.indexWhere(x => before(e, x)) // insert position keeps buf sorted
+        val at = if (i < 0) buf.size else i
+        ((buf.take(at) :+ e) ++ buf.drop(at)).take(k)
+      }
+    }
+
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      // merge of two sorted runs, cut at k
+      val out = Vector.newBuilder[(Double, Long)]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < a.size || j < b.size)) {
+        if (j >= b.size || (i < a.size && before(a(i), b(j)))) { out += a(i); i += 1 }
+        else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      Rec.seqEnc(Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Per-group exact top-k of `scored` by `scoreCol` (desc when
+    * `ascending=false` — similarities; asc for distances), ties on
+    * `idCol` asc; emits (groupCol, idCol, scoreCol, rank) with 1-based
+    * ranks — the drop-in replacement for
+    * `row_number().over(Window.partitionBy(groupCol))` + `rank <= k`. */
+  def perGroup(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int, ascending: Boolean): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new BoundedTopK(k, ascending).toColumn.name("topk")
+    scored
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg)
+      .flatMap { case (g, top) =>
+        top.iterator.zipWithIndex.map { case ((score, id), i) => (g, id, score, i + 1) }
+      }
+      .toDF(groupCol, idCol, scoreCol, "rank")
+  }
+}

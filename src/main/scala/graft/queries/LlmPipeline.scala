@@ -847,10 +847,10 @@ object LlmPipeline extends Catalog {
     val sims = corpus.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(V.cosine(col("qe"), col("ce")), 4).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    // bounded-buffer top-k, not a rank window: each task keeps <=10 per
+    // query, partials merge exactly (same output as row_number())
+    graft.operators.TopK.perGroup(sims, "query_id", "neighbor_id", "sim",
+      k = 10, ascending = false)
   }
 
   // -- IVF ANN (the other scale path): k-means cells + nProbe search.
@@ -926,10 +926,8 @@ object LlmPipeline extends Catalog {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(V.cosine(col("qe"), col("embedding")), 4).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    graft.operators.TopK.perGroup(sims, "query_id", "neighbor_id", "sim",
+      k = 5, ascending = false)
   }
 
   // -- L2 normalization (unit vectors): the preprocessing step that turns

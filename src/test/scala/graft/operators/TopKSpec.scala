@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bounded-buffer per-group top-k: must be bit-identical to the rank
+  * window it replaces (top-k merge is exact), while planning as a partial
+  * aggregation with NO Window node (the scale fix: a window ships every
+  * candidate of a group to one task). */
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomScored(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (rnd.nextInt(7).toLong, i.toLong, math.rint(rnd.nextDouble() * 20) / 4.0)
+    }.toDF("g", "id", "score")
+  }
+
+  test("matches row_number() over (score desc, id) on 20 random frames") {
+    for (seed <- 1 to 20) {
+      val df = randomScored(seed, 300)
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+      val expect = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select("g", "id", "score", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val got = TopK.perGroup(df, "g", "id", "score", k = 4, ascending = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got === expect, s"seed=$seed")
+    }
+  }
+
+  test("ascending mode matches the distance-ordered window") {
+    val df = randomScored(99, 500)
+    val w = Window.partitionBy("g").orderBy(col("score"), col("id"))
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select("g", "id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = TopK.perGroup(df, "g", "id", "score", k = 7, ascending = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === expect)
+  }
+
+  test("k larger than any group returns every row, still ranked") {
+    val df = Seq((1L, 10L, 3.0), (1L, 11L, 1.0), (2L, 12L, 2.0)).toDF("g", "id", "score")
+    val got = TopK.perGroup(df, "g", "id", "score", k = 100, ascending = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1)))
+  }
+
+  test("plans as a partial aggregation with no Window node") {
+    val df = randomScored(7, 100)
+    val plan = TopK.perGroup(df, "g", "id", "score", k = 5, ascending = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("partial_"), plan.take(1200)) // map-side combine
+  }
+}
