@@ -494,29 +494,33 @@ object Relational extends Catalog {
   }
 
   // -- time-series similarity search: each user's activity is a 24-dim
-  //    hour-of-day count vector; candidates block on the peak hour
-  //    (users who spike together get compared), rescoring is EXACT
-  //    integer squared distance via the norm/inner-product identity
-  //    ||a-b||² = ||a||² + ||b||² - 2⟨a,b⟩ — so no densify step, the
-  //    inner product joins only shared hours, and every value is a
-  //    BIGINT (bit-exact oracle for free). Top-50 closest pairs,
-  //    id-tie-broken. Scale shape: the blocking key caps candidate
-  //    buckets at n/24-ish — quadratic again at extreme user counts, so
-  //    the key is the knob (add the 2nd-peak hour / a norm band for
-  //    550+ buckets, same equi-join shape); rescoring shuffles on the
-  //    compact pair key; the top-k is TakeOrderedAndProject.
+  //    hour-of-day count vector; candidates block on the COMPOSED
+  //    (peak hour, 2nd-peak hour) key (functions.TimeSeriesBlocking —
+  //    users whose two busiest hours both match get compared; single
+  //    peak hour alone is only ~24 buckets, quadratic again at extreme
+  //    user counts, the composed key gives up to 576 with the same
+  //    equi-join shape). Rescoring is EXACT integer squared distance via
+  //    the norm/inner-product identity ||a-b||² = ||a||² + ||b||² -
+  //    2⟨a,b⟩ — so no densify step, the inner product joins only shared
+  //    hours, and every value is a BIGINT (bit-exact oracle for free).
+  //    Top-50 closest pairs, id-tie-broken; the top-k is
+  //    TakeOrderedAndProject.
   q("q_timeseries_similar",
     """WITH c AS (
       |  SELECT user_id, extract(hour FROM ts) AS h, count(*) AS n
       |  FROM events GROUP BY 1, 2),
       |norms AS (SELECT user_id, sum(n * n) AS norm2 FROM c GROUP BY user_id),
       |peak AS (
-      |  SELECT user_id, h AS peak_h FROM (
+      |  SELECT user_id,
+      |    max(CASE WHEN rn = 1 THEN h END) AS peak_h,
+      |    coalesce(max(CASE WHEN rn = 2 THEN h END), -1) AS peak2_h
+      |  FROM (
       |    SELECT user_id, h, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, h DESC) AS rn
-      |    FROM c) WHERE rn = 1),
+      |    FROM c) WHERE rn <= 2 GROUP BY user_id),
       |cand AS (
       |  SELECT a.user_id AS ua, b.user_id AS ub, a.peak_h
-      |  FROM peak a JOIN peak b ON a.peak_h = b.peak_h AND a.user_id < b.user_id),
+      |  FROM peak a JOIN peak b ON a.peak_h = b.peak_h AND a.peak2_h = b.peak2_h
+      |    AND a.user_id < b.user_id),
       |ip AS (
       |  SELECT cand.ua, cand.ub, sum(ca.n * cb.n) AS inner_p
       |  FROM cand JOIN c ca ON ca.user_id = cand.ua JOIN c cb
@@ -533,14 +537,8 @@ object Relational extends Catalog {
       .groupBy(col("user_id"), hour(col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
     val norms = c.groupBy("user_id").agg(sum(col("n") * col("n")).as("norm2"))
-    val peak = c
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-          .orderBy(col("n").desc, col("h").desc)))
-      .filter(col("rn") === 1).select(col("user_id"), col("h").as("peak_h"))
-    val cand = peak.select(col("user_id").as("ua"), col("peak_h"))
-      .join(peak.select(col("user_id").as("ub"), col("peak_h")), "peak_h")
-      .filter(col("ua") < col("ub"))
+    val cand = graft.functions.TimeSeriesBlocking.candidates(
+      graft.functions.TimeSeriesBlocking.peaks(c))
     val ip = cand
       .join(c.select(col("user_id").as("ua"), col("h"), col("n").as("na")), "ua")
       .join(c.select(col("user_id").as("ub"), col("h"), col("n").as("nb")), Seq("ub", "h"))

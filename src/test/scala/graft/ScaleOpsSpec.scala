@@ -63,6 +63,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((58L, 59L)))
   }
 
+  test("composed time-series blocking key bounds buckets on a skewed corpus") {
+    import graft.functions.TimeSeriesBlocking
+    // 240 users, ALL peaking at hour 12 (a flash-crowd corpus); second
+    // peaks spread over the other 23 hours. Single-hour blocking puts
+    // every user in ONE bucket (240*239/2 = 28,680 pairs); the composed
+    // key must split them so no bucket goes quadratic.
+    val counts = (0 until 240).flatMap { u =>
+      Seq((u.toLong, 12, 100L), (u.toLong, u % 23, 10L)) // peak2 varies
+    }.toDF("user_id", "h", "n")
+    val peaks = TimeSeriesBlocking.peaks(counts)
+    val cand = TimeSeriesBlocking.candidates(peaks)
+    val largestBucket = peaks.groupBy("peak_h", "peak2_h").count()
+      .agg(max("count")).head().getLong(0)
+    assert(largestBucket <= 240 / 23 + 1, s"largest bucket $largestBucket")
+    val pairs = cand.count()
+    assert(pairs < 28680 / 10, s"pairs $pairs still near-quadratic")
+    // single-distinct-hour users still compare among themselves (peak2=-1)
+    val solo = Seq((900L, 5, 7L), (901L, 5, 9L)).toDF("user_id", "h", "n")
+    val soloCand = TimeSeriesBlocking.candidates(TimeSeriesBlocking.peaks(solo))
+    assert(soloCand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((900L, 901L)))
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = Seq.tabulate(1000)(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toLong))
       .toDF("k", "v")
