@@ -38,7 +38,10 @@ private[streaming] final class VersionedJoinProcessor[K, V, VT, VR](
     store = new VersionedStore[Option[VT]](
       handle.getListState[(Long, Option[VT])]("versions",
         Encoders.tuple(Encoders.scalaLong, Rec.optionEnc(vtEnc)), TTLConfig.NONE),
-      retentionMs * 1000L) // store keys are micros
+      // store keys are micros; saturate so retentionMs=Long.MaxValue
+      // means "unbounded" instead of overflowing the horizon
+      if (retentionMs > Long.MaxValue / 1000L) Long.MaxValue
+      else retentionMs * 1000L)
 
   /** Full-precision version key: ms-truncated getTime would collapse
     * distinct micro-grained versions onto one key. */

@@ -27,29 +27,58 @@ import org.apache.spark.sql.streaming.ListState
 final class VersionedStore[V](state: ListState[(Long, V)], historyRetention: Long)
     extends Serializable {
 
+  // ascending-by-validFrom at all times: put() maintains it with a binary
+  // insert, so reads can rely on it too
   private def versions: IndexedSeq[(Long, V)] = state.get().toIndexedSeq
 
   /** Insert a version valid from `ts` — a put at an existing timestamp
     * REPLACES that version (KIP-889 single-writer-per-instant semantics);
-    * enforce history retention. */
+    * enforce history retention. Binary insert into the already-sorted
+    * list (O(log V) search + one copy) — a full re-sort per put would be
+    * O(V log V) on every hot-key update. */
   def put(ts: Long, value: V): Unit = {
-    val all = (versions.filterNot(_._1 == ts) :+ ((ts, value))).sortBy(_._1)
-    val horizon = all.last._1 - historyRetention
-    val (older, recent) = all.partition(_._1 < horizon)
-    val kept = older.lastOption.toIndexedSeq ++ recent
+    val v = versions
+    // first index with validFrom >= ts
+    var lo = 0
+    var hi = v.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v(mid)._1 < ts) lo = mid + 1 else hi = mid
+    }
+    val replaced = lo < v.length && v(lo)._1 == ts
+    val all = new scala.collection.mutable.ArrayBuffer[(Long, V)](v.length + 1)
+    all ++= v.view.slice(0, lo)
+    all += ((ts, value))
+    all ++= v.view.slice(if (replaced) lo + 1 else lo, v.length)
+    // saturating horizon: retention near Long.MaxValue means "unbounded",
+    // not an underflow that silently drops every version
+    val newest = all.last._1
+    val horizon =
+      try math.subtractExact(newest, historyRetention)
+      catch { case _: ArithmeticException => Long.MinValue }
+    // drop versions strictly older than the horizon, except the single
+    // version straddling it (stays readable for as-of at the horizon)
+    var cut = 0
+    while (cut < all.length && all(cut)._1 < horizon) cut += 1
+    val kept = if (cut > 1) all.slice(cut - 1, all.length) else all
     state.put(kept.toArray)
   }
 
-  /** Latest version: (validFrom, value). */
-  def getLatest: Option[(Long, V)] = {
-    val v = versions
-    if (v.isEmpty) None else Some(v.maxBy(_._1))
-  }
+  /** Latest version: (validFrom, value) — the list is sorted, so it's
+    * the last element. */
+  def getLatest: Option[(Long, V)] = versions.lastOption
 
-  /** As-of read: newest version with validFrom <= asOf. */
+  /** As-of read: newest version with validFrom <= asOf (binary search on
+    * the sorted list). */
   def get(asOf: Long): Option[(Long, V)] = {
-    val eligible = versions.filter(_._1 <= asOf)
-    if (eligible.isEmpty) None else Some(eligible.maxBy(_._1))
+    val v = versions
+    var lo = 0
+    var hi = v.length
+    while (lo < hi) { // first index with validFrom > asOf
+      val mid = (lo + hi) >>> 1
+      if (v(mid)._1 <= asOf) lo = mid + 1 else hi = mid
+    }
+    if (lo == 0) None else Some(v(lo - 1))
   }
 
   /** Tombstone the key entirely. */

@@ -75,6 +75,71 @@ class VersionedStoreSpec extends AnyFunSuite {
   }
 }
 
+/** Pure-store properties over random out-of-order puts: the binary-insert
+  * fast path must behave exactly like the sort-per-put it replaced, and a
+  * Long.MaxValue retention must mean "unbounded" (no horizon underflow
+  * silently dropping versions). */
+class VersionedStorePropertySpec extends AnyFunSuite {
+
+  /** In-memory ListState — the store's only state dependency. */
+  private final class FakeListState[S] extends org.apache.spark.sql.streaming.ListState[S] {
+    private var data: Vector[S] = Vector.empty
+    override def exists(): Boolean = data.nonEmpty
+    override def get(): Iterator[S] = data.iterator
+    override def put(values: Array[S]): Unit = data = values.toVector
+    override def appendValue(v: S): Unit = data :+= v
+    override def appendList(values: Array[S]): Unit = data ++= values
+    override def clear(): Unit = data = Vector.empty
+  }
+
+  /** Reference model: keep every (ts, v) in a sorted map, apply the same
+    * retention rule (drop strictly-older-than-horizon except the last
+    * straddler) after each put. */
+  private def modelPut(m: Vector[(Long, String)], ts: Long, v: String,
+      retention: Long): Vector[(Long, String)] = {
+    val all = (m.filterNot(_._1 == ts) :+ ((ts, v))).sortBy(_._1)
+    val horizon =
+      try math.subtractExact(all.last._1, retention)
+      catch { case _: ArithmeticException => Long.MinValue }
+    val (older, recent) = all.partition(_._1 < horizon)
+    older.lastOption.toVector ++ recent
+  }
+
+  test("random out-of-order puts match the sort-per-put model") {
+    for (seed <- 1 to 30) {
+      val rnd = new scala.util.Random(seed)
+      val retention = Seq(10L, 100L, 1000L, Long.MaxValue)(seed % 4)
+      val store = new VersionedStore[String](new FakeListState, retention)
+      var model = Vector.empty[(Long, String)]
+      for (i <- 1 to 200) {
+        val t = rnd.nextLong(500) // dense → collisions exercise replace
+        val v = s"v$i"
+        store.put(t, v)
+        model = modelPut(model, t, v, retention)
+        if (i % 50 == 0) {
+          assert(store.size === model.size, s"seed=$seed i=$i")
+          assert(store.getLatest === model.lastOption, s"seed=$seed i=$i")
+          val asOf = rnd.nextLong(600)
+          assert(store.get(asOf) === model.filter(_._1 <= asOf).lastOption,
+            s"seed=$seed i=$i asOf=$asOf")
+        }
+      }
+    }
+  }
+
+  test("Long.MaxValue retention keeps every version (no horizon underflow)") {
+    val store = new VersionedStore[String](new FakeListState, Long.MaxValue)
+    store.put(-1000L, "a")
+    store.put(Long.MaxValue - 1, "z")
+    store.put(0L, "m")
+    assert(store.size === 3)
+    assert(store.get(-1001L) === None)
+    assert(store.get(-1000L) === Some((-1000L, "a")))
+    assert(store.get(5L) === Some((0L, "m")))
+    assert(store.getLatest === Some((Long.MaxValue - 1, "z")))
+  }
+}
+
 /** KIP-914 temporal join: a LATE stream record (arriving batches after a
   * newer table version) must join the table version valid at ITS event
   * time — the exact case the non-versioned join gets wrong. */
