@@ -507,11 +507,11 @@ object LlmPipeline extends Catalog {
       |  SELECT doc_id, toks,
       |    CAST(ceil(len(toks) / 50.0) AS INT) AS n_chunks
       |  FROM t WHERE len(toks) > 0),
-      |idx AS (SELECT CAST(range AS INT) AS chunk_idx FROM range(1000))
-      |SELECT doc_id, chunk_idx,
-      |  array_to_string(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50], ' ') AS chunk,
-      |  len(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50]) AS chunk_tokens
-      |FROM c JOIN idx ON chunk_idx < n_chunks""") { (s, dir) =>
+      |p AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS ci FROM c)
+      |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  array_to_string(toks[ci * 50 + 1 : ci * 50 + 50], ' ') AS chunk,
+      |  len(toks[ci * 50 + 1 : ci * 50 + 50]) AS chunk_tokens
+      |FROM p""") { (s, dir) =>
     val toks = T.tokens(col("text"))
     load(s, dir, "documents")
       .select(col("doc_id"), D.bindOnce(toks) { ts =>
@@ -538,12 +538,12 @@ object LlmPipeline extends Catalog {
       |c AS (
       |  SELECT doc_id, toks, CAST(ceil(len(toks) / 50.0) AS INT) AS n_chunks
       |  FROM t WHERE len(toks) > 0),
-      |idx AS (SELECT CAST(range AS INT) AS chunk_idx FROM range(1000)),
+      |p AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM c),
       |chunks AS (
       |  SELECT doc_id, chunk_idx,
       |    array_to_string(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50], ' ') AS chunk,
       |    len(toks[chunk_idx * 50 + 1 : chunk_idx * 50 + 50]) AS chunk_tokens
-      |  FROM c JOIN idx ON chunk_idx < n_chunks),
+      |  FROM p),
       |numbered AS (
       |  SELECT *, row_number() OVER (ORDER BY doc_id, chunk_idx) - 1 AS rn
       |  FROM chunks)
@@ -1299,10 +1299,12 @@ object LlmPipeline extends Catalog {
     """WITH t AS (
       |  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
       |  FROM documents),
-      |idx AS (SELECT CAST(range AS INT) AS pos FROM range(4096)),
+      |p AS (
+      |  SELECT toks, unnest(range(len(toks) - 2)) AS pos
+      |  FROM t WHERE len(toks) >= 3),
       |g AS (
       |  SELECT toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3] AS trigram
-      |  FROM t JOIN idx ON pos + 3 <= len(toks))
+      |  FROM p)
       |SELECT trigram, count(*) AS cnt FROM g GROUP BY trigram
       |ORDER BY cnt DESC, trigram LIMIT 100""") { (s, dir) =>
     spread(load(s, dir, "documents"))
@@ -1330,10 +1332,12 @@ object LlmPipeline extends Catalog {
       |  SELECT doc_id,
       |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
       |  FROM documents),
-      |idx AS (SELECT CAST(range AS INT) AS pos FROM range(4096)),
+      |p AS (
+      |  SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS pos
+      |  FROM t WHERE len(toks) >= 3),
       |g AS (
       |  SELECT doc_id, toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3] AS trigram
-      |  FROM t JOIN idx ON pos + 3 <= len(toks)),
+      |  FROM p),
       |c AS (SELECT trigram, count(*) AS cnt FROM g GROUP BY trigram)
       |SELECT doc_id, count(*) AS n_tri, CAST(sum(cnt) AS BIGINT) AS mass,
       |  CAST(CAST(sum(cnt) AS DOUBLE) / count(*) AS DOUBLE) AS avg_cnt

@@ -82,7 +82,11 @@ object UpsertView {
     }
   }
 
-  /** Record the layout once the first merge has fully succeeded. */
+  /** Record the layout BEFORE any bucket commits: the count is decided
+    * once checkBucketCount passes, so an early marker is always
+    * consistent — while a late one leaves a crash window (buckets
+    * committed, marker missing) that checkBucketCount would then
+    * permanently refuse as an unknown pre-marker layout. */
   private def writeBucketCount(fs: FileSystem, path: String, n: Int): Unit = {
     val marker = new Path(path, ".nbuckets")
     if (!fs.exists(marker)) {
@@ -112,6 +116,7 @@ object UpsertView {
     val spark = updates0.sparkSession
     val fs = fileSystem(path)
     checkBucketCount(fs, path, numBuckets)
+    writeBucketCount(fs, path, numBuckets)
     // a non-deduped changelog can carry several updates per key per
     // trigger; only the latest survives in the view (ties on ts broken by
     // value for determinism — ts-only for unorderable value types, the
@@ -162,7 +167,6 @@ object UpsertView {
         if (fs.exists(bakDir(path, b))) fs.delete(bakDir(path, b), true)
       }
       fs.delete(tmpRoot, true)
-      writeBucketCount(fs, path, numBuckets)
     } finally latest.unpersist()
   }
 }

@@ -133,6 +133,34 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 2)
   }
 
+  test("layout marker is committed before any bucket data (crash window)") {
+    import org.apache.spark.sql.functions.udf
+    val path = Files.createTempDirectory("graft-upsert-mk").toString + "/view"
+    // first merge DIES mid-job (executor failure) — after the layout
+    // check but before any bucket commits
+    val boom = udf((s: String) => {
+      if (s != null) throw new RuntimeException("injected crash"); s
+    })
+    intercept[Exception] {
+      UpsertView.merge(
+        Seq(("k1", "v1", ts(1000L))).toDF("key", "value", "ts")
+          .withColumn("value", boom($"value")),
+        path, N, "key", "value", "ts")
+    }
+    // the marker survived the crash, so the view is NOT the refused
+    // "pre-marker layout" case — the retry with the same count succeeds
+    assert(Files.exists(java.nio.file.Paths.get(path, ".nbuckets")))
+    UpsertView.merge(Seq(("k1", "v1", ts(1000L))).toDF("key", "value", "ts"),
+      path, N, "key", "value", "ts")
+    assert(spark.read.parquet(path).count() === 1)
+    // and a retry with a DIFFERENT count is still refused
+    val e = intercept[IllegalArgumentException] {
+      UpsertView.merge(Seq(("k2", "v2", ts(2000L))).toDF("key", "value", "ts"),
+        path, N + 1, "key", "value", "ts")
+    }
+    assert(e.getMessage.contains("built with"))
+  }
+
   test("upsert view resumes from checkpoint after a restart (no reprocessing)") {
     import org.apache.spark.sql.functions.{col, current_timestamp}
     val inDir = Files.createTempDirectory("graft-upres-in").toFile
