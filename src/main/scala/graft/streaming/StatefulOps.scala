@@ -113,6 +113,101 @@ object StatefulOps {
     }
   }
 
+  /** Per-JVM budget registry for [[suppressUntilTimeLimitGlobal]] — the
+    * WHOLE-buffer `BufferConfig` accounting of the reference
+    * (`state/internals/InMemoryTimeOrderedKeyValueBuffer.java` bounds ALL
+    * keys of an instance together, not each key separately). A Spark
+    * executor JVM is the closest analogue of a streams instance, so the
+    * budget is JVM-global: in local mode it is truly global; on a cluster
+    * each executor enforces the budget over the state partitions it
+    * hosts. Accounting is advisory-exact: it resets with the JVM
+    * (checkpoint recovery re-fills it only as buffered keys are next
+    * touched), which can transiently over-admit after a restart — the
+    * same class of slack the reference accepts between commit points. */
+  object SuppressBudget {
+    import java.util.concurrent.atomic.AtomicLong
+    import scala.collection.concurrent.TrieMap
+    private val records = TrieMap.empty[String, AtomicLong]
+    private val bytes = TrieMap.empty[String, AtomicLong]
+    private[streaming] def recordsOf(id: String): AtomicLong =
+      records.getOrElseUpdate(id, new AtomicLong)
+    private[streaming] def bytesOf(id: String): AtomicLong =
+      bytes.getOrElseUpdate(id, new AtomicLong)
+    /** Currently-buffered keys under this budget (gauge). */
+    def currentRecords(id: String): Long = recordsOf(id).get()
+    def currentBytes(id: String): Long = bytesOf(id).get()
+    /** Test/shutdown hook: forget a budget. */
+    def reset(id: String): Unit = { records.remove(id); bytes.remove(id) }
+  }
+
+  /** [[suppressUntilTimeLimit]] with the reference's GLOBAL (cross-key)
+    * buffer bound instead of the per-key one — EMIT-only: when admitting
+    * a key would exceed `maxRecordsTotal` buffered keys or
+    * `maxBytesTotal` buffered bytes across ALL keys of this JVM, the
+    * arriving update flushes straight through instead of buffering
+    * (suppression degrades, no data is lost or delayed indefinitely).
+    * Divergence from the reference, documented in COVERAGE.md: overflow
+    * flushes the ARRIVING record, while the reference evicts the OLDEST
+    * buffered one — per-key GroupState cannot reach another key's buffer
+    * to evict it; liveness and at-least-once emission are the same. */
+  def suppressUntilTimeLimitGlobal[K: Encoder, V: Encoder](
+      stream: KStream[K, V], delayMs: Long,
+      maxRecordsTotal: Long,
+      budgetId: String,
+      maxBytesTotal: Long = Long.MaxValue,
+      sizeOf: V => Long = (_: V) => 0L): Dataset[(K, V)] = {
+    implicit val kvEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    implicit val stEnc: Encoder[(K, V, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]], Encoders.scalaLong)
+    flatTransformWithState[K, V, (K, V, Long), (K, V)](
+      stream, OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (key, rows, state) =>
+        val rec = SuppressBudget.recordsOf(budgetId)
+        val byt = SuppressBudget.bytesOf(budgetId)
+        if (state.hasTimedOut) {
+          val out = state.getOption.map { s =>
+            rec.decrementAndGet(); byt.addAndGet(-s._3); (s._1, s._2)
+          }.iterator
+          state.remove()
+          out
+        } else {
+          var latest: Option[V] = None
+          rows.foreach { case (v, _) => latest = Some(v) }
+          latest match {
+            case None => Iterator.empty
+            case Some(v) =>
+              val sz = sizeOf(v)
+              state.getOption match {
+                case Some((_, _, sz0)) => // already buffered: replace value
+                  if (byt.addAndGet(sz - sz0) > maxBytesTotal) {
+                    byt.addAndGet(-sz); rec.decrementAndGet()
+                    state.remove() // EMIT: flush and release the slot
+                    Iterator.single((key, v))
+                  } else {
+                    state.update((key, v, sz))
+                    state.setTimeoutDuration(delayMs)
+                    Iterator.empty
+                  }
+                case None => // admitting a new key needs budget
+                  val recOver = rec.incrementAndGet() > maxRecordsTotal
+                  // bytes only accrue once the record check passed
+                  val bytOver = !recOver && byt.addAndGet(sz) > maxBytesTotal
+                  if (recOver || bytOver) {
+                    rec.decrementAndGet()
+                    if (bytOver) byt.addAndGet(-sz)
+                    Iterator.single((key, v)) // EMIT: flush through, no buffer
+                  } else {
+                    state.update((key, v, sz))
+                    state.setTimeoutDuration(delayMs)
+                    Iterator.empty
+                  }
+              }
+          }
+        }
+    }
+  }
+
   /** Event-time (STREAM_TIME) variant of [[suppressUntilTimeLimit]] —
     * `PunctuationType.STREAM_TIME` (`processor/PunctuationType.java:34`):
     * a key's latest value emits once the WATERMARK passes its last update

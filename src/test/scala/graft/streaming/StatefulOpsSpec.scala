@@ -135,6 +135,35 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("GLOBAL suppress budget bounds buffered keys ACROSS keys (whole-buffer BufferConfig)") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val budgetId = s"supp-global-${java.util.UUID.randomUUID()}"
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    // 60s delay: only the overflow flush-through can emit within the test
+    val suppressed = StatefulOps.suppressUntilTimeLimitGlobal(stream,
+      delayMs = 60000L, maxRecordsTotal = 3L, budgetId = budgetId)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory").queryName("suppglob")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rowsNow() = spark.table("suppglob").collect().map(_.getString(0)).toSet
+    try {
+      // 10 DISTINCT keys, one update each — a per-key bound would buffer
+      // all 10; the global bound admits 3 and flushes the other 7 through
+      mem.addData((1 to 10).map(i => (f"k$i%02d", "v", ts(1000L + i))))
+      val deadline = System.currentTimeMillis() + 20000L
+      while (rowsNow().size < 7 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(rowsNow().size === 7, s"got ${rowsNow()}")
+      assert(StatefulOps.SuppressBudget.currentRecords(budgetId) === 3L)
+    } finally {
+      q.stop()
+      StatefulOps.SuppressBudget.reset(budgetId)
+    }
+  }
+
   test("bounded suppress buffer SHUT_DOWN policy fails the query on overflow") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
