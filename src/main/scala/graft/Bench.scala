@@ -221,12 +221,16 @@ object Bench {
     val latJson = lat.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"latency_ms":$latJson,"sf":"$sfDir"}"""
-    // dedicated artifact + final stdout line (build.sbt disables sbt's
-    // [success] trailer so the line stays last for the driver's parser)
+    // full artifact on disk; stdout gets the COMPACT contract line
+    // ({"metric",...,"queries","sf"}) as the very last thing printed —
+    // the driver tail-parses stdout and a 53-workload × 4-map line has
+    // proven long enough to truncate there (build.sbt already disables
+    // sbt's [success] trailer so nothing follows it)
     val w = new java.io.PrintWriter("BENCH.json")
     try w.write(json + "\n") finally w.close()
     spark.stop()
-    println(json)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 
   /** End-to-end micro-batch latency percentiles — the `EndToEndLatency`

@@ -42,6 +42,31 @@ class CrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("q_semdedup_keep = corpus minus non-representatives of q_semdedup_pairs' closure") {
+    import org.apache.spark.sql.functions.col
+    // the two catalog entries train the k-means codebook independently;
+    // deterministic training (init by id, double means) makes the cell
+    // assignment — and therefore the pair graph — identical, so keep()
+    // must equal the corpus minus the q_dedup_components-style closure
+    // of the REPORTED pair set
+    val pairs = SparkEntry.queries("q_semdedup_pairs")(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+    val drops = comps.filter(col("n") =!= col("label"))
+      .collect().map(_.getLong(0)).toSet
+    val reps = comps.filter(col("n") === col("label"))
+      .collect().map(_.getLong(0)).toSet
+    val corpus = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = SparkEntry.queries("q_semdedup_keep")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(drops.nonEmpty, "corpus produced no semantic dup groups — test is vacuous")
+    assert(kept.subsetOf(corpus))
+    assert(kept === (corpus diff drops), "keep() != corpus minus closure non-reps")
+    // exactly one representative per dup group survives — the min id
+    assert(reps.subsetOf(kept))
+  }
+
   test("fnv64 fingerprint partitions documents identically to the md5 fingerprint") {
     // same duplicate structure <=> same grouping of doc_ids by fingerprint
     val byFnv = SparkEntry.queries("q_fingerprint_rolling")(spark, dir)
