@@ -56,6 +56,62 @@ object LlmPipeline extends Catalog {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  // -- STREAMING exact dedup — the incremental twin of q_dedup_exact: a
+  //    crawl stream deduped AS IT ARRIVES. Per-fingerprint (keep_id,
+  //    n_copies) is an update-mode streaming aggregation; its state is
+  //    the fingerprint table itself (the inherent floor for exact dedup —
+  //    the reference's picture too: a compacted keep-first KTable).
+  //    Update-mode emissions reconcile WITHOUT a timestamp because both
+  //    gauges are monotone per key: keep_id only falls (min), n_copies
+  //    only rises (count) — so the final view is min/max over emissions,
+  //    batch-split-proof. Oracle = the batch GROUP BY.
+  q("q_dedup_exact_live",
+    """SELECT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val name = s"ddl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    docs.groupBy(T.fingerprintHex(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name).groupBy("fp")
+      .agg(min("keep_id").as("keep_id"), max("n_copies").as("n_copies"))
+  }
+
+  // -- STREAMING decontamination — train docs flow as a stream, the eval
+  //    set's fingerprints are the STATIC side of a stream-static LEFT
+  //    ANTI join (broadcast at this cardinality): contaminated docs drop
+  //    in-flight with NO streaming state at all — the right shape for
+  //    "filter the crawl against the benchmark" at 100 TB, where the eval
+  //    set is tiny and the train side never needs to buffer.
+  q("q_decontaminate_exact_live",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS f
+      |  FROM documents)
+      |SELECT d.doc_id FROM fp d
+      |WHERE d.doc_id % 20 <> 0
+      |  AND d.f NOT IN (SELECT f FROM fp WHERE doc_id % 20 = 0)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val evalFps = raw.filter(col("doc_id") % 20 === 0)
+      .select(T.fingerprintHex(col("text")).as("f")).distinct()
+    val train = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), T.fingerprintHex(col("text")).as("f"))
+    val name = s"dcl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    train.join(broadcast(evalFps), Seq("f"), "left_anti")
+      .select("doc_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+  }
+
   // -- n-gram Jaccard near-dup pairs, inverted-index style with a
   //    doc-frequency cut: shingles shared by >50 docs (stop-shingles) are
   //    dropped BEFORE pair generation, bounding every bucket's O(n^2) pair
