@@ -139,6 +139,28 @@ class StreamingPlanSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static decontamination plans a broadcast join with ZERO streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val mem = MemoryStream[(Long, String)]
+    val evalFps = Seq("bad1", "bad2").toDF("f")
+    val cleaned = mem.toDF().toDF("doc_id", "f")
+      .join(broadcast(evalFps), Seq("f"), "left_anti")
+    val q = cleaned.writeStream.format("memory").queryName("plan_dc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, "ok"), (2L, "bad1"))
+      q.processAllAvailable()
+      val physical = lastPlan("plan_dc")
+        .substring(lastPlan("plan_dc").indexOf("== Physical Plan =="))
+      assert(physical.contains("BroadcastHashJoin"), physical.take(1200))
+      // the train side streams through unbuffered — no state store at all
+      assert(!physical.contains("StateStore") &&
+        !physical.contains("FlatMapGroupsWithState"), physical.take(1200))
+      assert(spark.table("plan_dc").collect().map(_.getLong(1)).toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming changelog aggregation chains stateful operators in one query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, java.sql.Timestamp)]
