@@ -16,6 +16,10 @@ object TestSpark {
       // store engine)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch deltas instead of full RocksDB
+      // snapshot uploads (the production setting; cuts commit latency)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
