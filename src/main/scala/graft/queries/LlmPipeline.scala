@@ -56,6 +56,32 @@ object LlmPipeline extends Catalog {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  // -- deterministic corpus shuffle — the "globally shuffle the corpus
+  //    before training" step: every doc gets a pseudo-random but
+  //    REPRODUCIBLE position (md5 of the salted id — reshuffling = new
+  //    salt). Scale shape: NO single-partition global sort — range
+  //    partition on the shuffle key, sort within partitions, then
+  //    per-partition offsets via zipWithIndex (partition boundaries don't
+  //    change the global order), same machinery as q_sequence_packing.
+  q("q_corpus_shuffle",
+    s"""SELECT row_number() OVER (
+       |    ORDER BY ${sqlMd5Long("'shuf-0|' || CAST(doc_id AS VARCHAR)")}, doc_id)
+       |  - 1 AS pos, doc_id, source
+       |FROM documents""") { (s, dir) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val keyed = load(s, dir, "documents")
+      .select(T.md5Long(concat(lit("shuf-0|"), col("doc_id").cast("string"))).as("k"),
+        col("doc_id"), col("source"))
+    val sorted = keyed
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("k"), col("doc_id"))
+      .sortWithinPartitions("k", "doc_id")
+    val numbered = s.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(i +: row.toSeq) },
+      StructType(StructField("pos", LongType, nullable = false) +: sorted.schema.fields))
+    numbered.select("pos", "doc_id", "source")
+  }
+
   // -- STREAMING exact dedup — the incremental twin of q_dedup_exact: a
   //    crawl stream deduped AS IT ARRIVES. Per-fingerprint (keep_id,
   //    n_copies) is an update-mode streaming aggregation; its state is
@@ -251,6 +277,41 @@ object LlmPipeline extends Catalog {
   //    pairs share at least one band hash. Equi-join on (band, bandhash).
   q("q_dedup_minhash_lsh",
     s"WITH $SqlMinhashPairCtes\n$SqlMinhashPairSelect")(minhashPairs)
+
+  // -- priority dedup keep — cross-source dedup where each duplicate
+  //    group keeps the doc from the PREFERRED source (min (source,
+  //    doc_id)), not the min id: the C4/Dolma-style "prefer the curated
+  //    source over the crawl copy" rule. Same pair graph and closure as
+  //    q_dedup_keep; only representative selection changes — a min_by
+  //    per group, still one partial-agg'd shuffle.
+  q("q_dedup_priority_keep",
+    s"""WITH RECURSIVE $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.n),
+       |comp AS (SELECT n, min(m) AS label FROM reach GROUP BY n),
+       |ranked AS (
+       |  SELECT c.label, d.doc_id,
+       |    row_number() OVER (PARTITION BY c.label ORDER BY d.source, d.doc_id) AS rn
+       |  FROM comp c JOIN documents d ON d.doc_id = c.n),
+       |losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |SELECT d.doc_id, d.source FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)""") { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val members = ConnectedComponents.run(minhashPairs(s, dir), "doc_a", "doc_b")
+      .join(docs, col("n") === col("doc_id"))
+    val winners = members.groupBy("label")
+      .agg(min_by(col("n"), struct(col("source"), col("n"))).as("win"))
+    val losers = members.join(winners, "label")
+      .filter(col("n") =!= col("win"))
+      .select(col("n").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id", "source")
+  }
 
   // -- dedup-group closure: connected components over the MinHash pair
   //    graph (A~B, B~C => one group even though A,C never paired), with
