@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * activity vectors. The candidate key is COMPOSED: (peak hour, 2nd-peak
   * hour) — a single peak hour yields only ~24 buckets (n/24 users each,
   * pair generation quadratic again at extreme user counts); the composed
-  * key yields up to 24×24 = 576 buckets with the same equi-join shape,
-  * and users with genuinely similar activity shapes still collide (both
-  * top hours must match). Users active in a single distinct hour get
-  * peak2 = -1, so they remain comparable among themselves. Rescoring
-  * after blocking is exact integer distance — blocking only bounds who
-  * gets compared, not how. */
+  * key yields up to 24×24 = 576 buckets with the same equi-join shape.
+  * Tighter blocking is the standard recall trade: a pair whose 2nd/3rd
+  * busiest hours are a one-count near-tie can land in different buckets
+  * and never be compared, even though single-peak blocking would have
+  * caught it — acceptable for "find similar users", and the knob
+  * composes (drop back to the single-peak key, or add a norm band, per
+  * corpus). Users active in a single distinct hour get peak2 = -1, so
+  * they remain comparable among themselves. Rescoring after blocking is
+  * exact integer distance — blocking only bounds who gets compared, not
+  * how. */
 object TimeSeriesBlocking {
 
   /** (user_id, peak_h, peak2_h) from hourly counts (user_id, h, n).

@@ -31,10 +31,17 @@ object TopK {
       extends Aggregator[(Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
     require(k > 0, s"top-k needs k > 0, got $k")
 
-    /** Strict "a ranks before b": score best-first, then id asc. */
-    private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-      if (a._1 != b._1) { if (ascending) a._1 < b._1 else a._1 > b._1 }
+    /** Strict "a ranks before b": score best-first, then id asc.
+      * Matches Spark's SQL ordering exactly: NaN sorts as the LARGEST
+      * double (java.lang.Double.compare) and -0.0 equals 0.0 (Spark
+      * normalizes signed zeros before sorting) — a plain `!=`/`<` would
+      * silently evict NaN rows the rank window ranks first. */
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d // -0.0 -> 0.0
+      val cmp = java.lang.Double.compare(norm(a._1), norm(b._1))
+      if (cmp != 0) { if (ascending) cmp < 0 else cmp > 0 }
       else a._2 < b._2
+    }
 
     def zero: Seq[(Double, Long)] = Vector.empty
 

@@ -68,8 +68,16 @@ object UpsertView {
       val in = fs.open(marker)
       val existing = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
         finally in.close()
-      require(existing == n,
-        s"upsert view at $path was built with $existing buckets; merge called with $n")
+      if (existing != n) {
+        // the marker commits BEFORE data, so a failed/aborted first merge
+        // can leave a marker on a still-EMPTY view — no rows means no
+        // layout yet, and the retry's count may replace it freely
+        val hasBuckets = fs.exists(new Path(path)) &&
+          fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("bucket="))
+        require(!hasBuckets,
+          s"upsert view at $path was built with $existing buckets; merge called with $n")
+        fs.delete(marker, false)
+      }
     } else {
       // a marker-less view with data has an UNKNOWN layout (pre-marker
       // build) — refuse rather than guess and silently drop rehashed rows

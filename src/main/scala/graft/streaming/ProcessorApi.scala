@@ -65,13 +65,17 @@ object ProcessorApi {
       outputMode: OutputMode = OutputMode.Append,
       graceMs: Long = 0L): Dataset[OUT] = {
     implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
-    // providerClass is read at query START, so upgrading the session's
-    // still-default HDFS provider here (topology build time) is in time;
-    // an explicit non-default user choice is left alone
+    // providerClass is read at query START, so defaulting the session's
+    // UNSET provider here (topology build time) is in time. An explicit
+    // user choice — even explicit HDFS — is never overridden: the session
+    // may be running other queries whose checkpoints were laid out by
+    // that provider (restarts read the provider persisted in their own
+    // checkpoint, but the user's session-level intent stays theirs).
+    // transformWithState itself rejects non-RocksDB providers at start
+    // with a clear error, so a wrong explicit setting fails loudly.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val session = stream.toDF.sparkSession
-    if (session.conf.get(key, "").endsWith("HDFSBackedStateStoreProvider") ||
-        session.conf.get(key, "").isEmpty)
+    if (session.conf.get(key, "").isEmpty)
       session.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     new KStream[K, V](Rec.withGrace(stream.toDF, graceMs)).toDataset

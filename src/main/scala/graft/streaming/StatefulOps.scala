@@ -120,10 +120,13 @@ object StatefulOps {
     * executor JVM is the closest analogue of a streams instance, so the
     * budget is JVM-global: in local mode it is truly global; on a cluster
     * each executor enforces the budget over the state partitions it
-    * hosts. Accounting is advisory-exact: it resets with the JVM
-    * (checkpoint recovery re-fills it only as buffered keys are next
-    * touched), which can transiently over-admit after a restart — the
-    * same class of slack the reference accepts between commit points. */
+    * hosts. Accounting is advisory-exact, bounded-slack in BOTH
+    * directions: releases clamp at 0 (a post-restart emit of a key the
+    * reset counter never admitted cannot permanently widen the budget),
+    * and a retried task's discarded increments can transiently consume
+    * phantom slots until its keys next emit — EMIT-only overflow makes
+    * both failure modes degrade to "suppress less", never to data loss,
+    * the same slack class the reference accepts between commit points. */
   object SuppressBudget {
     import java.util.concurrent.atomic.AtomicLong
     import scala.collection.concurrent.TrieMap
@@ -133,6 +136,19 @@ object StatefulOps {
       records.getOrElseUpdate(id, new AtomicLong)
     private[streaming] def bytesOf(id: String): AtomicLong =
       bytes.getOrElseUpdate(id, new AtomicLong)
+    /** Clamped release: emits of keys admitted BEFORE a JVM restart (the
+      * counter reset to 0, the buffered state survived in the checkpoint)
+      * must not drive the budget negative — that would permanently widen
+      * it by the pre-restart population. Floor at 0: post-restart the
+      * budget is conservative-correct (recovered keys occupy no slots, so
+      * it may transiently over-admit, never under-release forever). */
+    private[streaming] def release(counter: AtomicLong, by: Long): Unit = {
+      var done = false
+      while (!done) {
+        val cur = counter.get()
+        done = counter.compareAndSet(cur, math.max(0L, cur - by))
+      }
+    }
     /** Currently-buffered keys under this budget (gauge). */
     def currentRecords(id: String): Long = recordsOf(id).get()
     def currentBytes(id: String): Long = bytesOf(id).get()
@@ -167,7 +183,8 @@ object StatefulOps {
         val byt = SuppressBudget.bytesOf(budgetId)
         if (state.hasTimedOut) {
           val out = state.getOption.map { s =>
-            rec.decrementAndGet(); byt.addAndGet(-s._3); (s._1, s._2)
+            SuppressBudget.release(rec, 1L); SuppressBudget.release(byt, s._3)
+            (s._1, s._2)
           }.iterator
           state.remove()
           out
@@ -180,8 +197,11 @@ object StatefulOps {
               val sz = sizeOf(v)
               state.getOption match {
                 case Some((_, _, sz0)) => // already buffered: replace value
-                  if (byt.addAndGet(sz - sz0) > maxBytesTotal) {
-                    byt.addAndGet(-sz); rec.decrementAndGet()
+                  val newBytes =
+                    if (sz >= sz0) byt.addAndGet(sz - sz0)
+                    else { SuppressBudget.release(byt, sz0 - sz); byt.get() }
+                  if (newBytes > maxBytesTotal) {
+                    SuppressBudget.release(byt, sz); SuppressBudget.release(rec, 1L)
                     state.remove() // EMIT: flush and release the slot
                     Iterator.single((key, v))
                   } else {
@@ -194,8 +214,8 @@ object StatefulOps {
                   // bytes only accrue once the record check passed
                   val bytOver = !recOver && byt.addAndGet(sz) > maxBytesTotal
                   if (recOver || bytOver) {
-                    rec.decrementAndGet()
-                    if (bytOver) byt.addAndGet(-sz)
+                    SuppressBudget.release(rec, 1L)
+                    if (bytOver) SuppressBudget.release(byt, sz)
                     Iterator.single((key, v)) // EMIT: flush through, no buffer
                   } else {
                     state.update((key, v, sz))

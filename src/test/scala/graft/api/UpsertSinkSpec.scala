@@ -161,6 +161,33 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("built with"))
   }
 
+  test("a failed FIRST merge does not pin a wrong bucket count on an empty view") {
+    import org.apache.spark.sql.functions.udf
+    val path = Files.createTempDirectory("graft-upsert-mk0").toString + "/view"
+    val boom = udf((s: String) => {
+      if (s != null) throw new RuntimeException("injected crash"); s
+    })
+    // first merge with the WRONG count dies before writing any data —
+    // only the early marker lands
+    intercept[Exception] {
+      UpsertView.merge(
+        Seq(("k1", "v1", ts(1000L))).toDF("key", "value", "ts")
+          .withColumn("value", boom($"value")),
+        path, N + 7, "key", "value", "ts")
+    }
+    // no rows ever committed => no layout yet: the intended count merges
+    // fine and re-pins the marker
+    UpsertView.merge(Seq(("k1", "v1", ts(1000L))).toDF("key", "value", "ts"),
+      path, N, "key", "value", "ts")
+    assert(spark.read.parquet(path).count() === 1)
+    // NOW the layout is real data — a different count is refused again
+    val e = intercept[IllegalArgumentException] {
+      UpsertView.merge(Seq(("k2", "v2", ts(2000L))).toDF("key", "value", "ts"),
+        path, N + 7, "key", "value", "ts")
+    }
+    assert(e.getMessage.contains("built with"))
+  }
+
   test("upsert view resumes from checkpoint after a restart (no reprocessing)") {
     import org.apache.spark.sql.functions.{col, current_timestamp}
     val inDir = Files.createTempDirectory("graft-upres-in").toFile

@@ -54,6 +54,24 @@ class TopKSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1)))
   }
 
+  test("NaN scores rank exactly as the window does (largest; -0.0 == 0.0)") {
+    val df = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 5.0), (1L, 12L, -0.0),
+      (1L, 13L, 0.0), (1L, 14L, Double.NaN), (1L, 15L, 1.0)
+    ).toDF("g", "id", "score")
+    for (asc <- Seq(true, false)) {
+      val order = if (asc) Seq(col("score"), col("id"))
+                  else Seq(col("score").desc, col("id"))
+      val w = Window.partitionBy("g").orderBy(order: _*)
+      val expect = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select("g", "id", "rank")
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+      val got = TopK.perGroup(df, "g", "id", "score", k = 3, ascending = asc)
+        .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+      assert(got === expect, s"ascending=$asc")
+    }
+  }
+
   test("plans as a partial aggregation with no Window node") {
     val df = randomScored(7, 100)
     val plan = TopK.perGroup(df, "g", "id", "score", k = 5, ascending = false)
