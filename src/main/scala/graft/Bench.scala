@@ -63,7 +63,9 @@ object Bench {
     "lm-score" -> "q_lm_score",
     "timeseries-similar" -> "q_timeseries_similar",
     "cep-pattern" -> "q_pattern_match",
-    "semdedup" -> "q_semdedup_pairs")
+    "semdedup" -> "q_semdedup_pairs",
+    "corpus-shuffle" -> "q_corpus_shuffle",
+    "dedup-priority-keep" -> "q_dedup_priority_keep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,7 +123,9 @@ object Bench {
       "ann-ivf-search" -> bytes("embeddings"),
       "dedup-spans-native" -> bytes("documents"),
       "tfidf" -> bytes("documents"),
-      "vocab-ids" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "vocab-ids" -> bytes("documents"),
+      "corpus-shuffle" -> bytes("documents"),
+      "dedup-priority-keep" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -145,7 +149,9 @@ object Bench {
       "ann-ivf-search" -> embRows,
       "dedup-spans-native" -> docRows,
       "tfidf" -> docRows,
-      "vocab-ids" -> docRows).withDefaultValue(eventRows)
+      "vocab-ids" -> docRows,
+      "corpus-shuffle" -> docRows,
+      "dedup-priority-keep" -> docRows).withDefaultValue(eventRows)
 
     // two runs per workload, report the steady-state (best) — codegen and
     // JIT caches are part of steady-state throughput, like the reference

@@ -36,12 +36,13 @@ object TopK {
       * double (java.lang.Double.compare) and -0.0 equals 0.0 (Spark
       * normalizes signed zeros before sorting) — a plain `!=`/`<` would
       * silently evict NaN rows the rank window ranks first. */
-    private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+    private[TopK] def rankBefore(a: (Double, Long), b: (Double, Long)): Boolean = {
       def norm(d: Double): Double = if (d == 0.0) 0.0 else d // -0.0 -> 0.0
       val cmp = java.lang.Double.compare(norm(a._1), norm(b._1))
       if (cmp != 0) { if (ascending) cmp < 0 else cmp > 0 }
       else a._2 < b._2
     }
+    private def before(a: (Double, Long), b: (Double, Long)): Boolean = rankBefore(a, b)
 
     def zero: Seq[(Double, Long)] = Vector.empty
 
@@ -74,6 +75,50 @@ object TopK {
     def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
   }
 
+  /** [[BoundedTopK]] with a string payload riding each buffer entry
+    * (SCALE rule #3: payloads ride the buckets — no rejoin against the
+    * corpus to recover the winners' attributes). Ordering is identical:
+    * (score best-first, id asc); the payload never participates. */
+  private[graft] final class BoundedTopKPayload(k: Int, ascending: Boolean)
+      extends Aggregator[(Long, Long, Double, String), Seq[(Double, Long, String)],
+        Seq[(Double, Long, String)]] {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    private val ord = new BoundedTopK(k, ascending)
+    private def before(a: (Double, Long, String), b: (Double, Long, String)): Boolean =
+      ord.rankBefore((a._1, a._2), (b._1, b._2))
+
+    def zero: Seq[(Double, Long, String)] = Vector.empty
+
+    def reduce(buf: Seq[(Double, Long, String)],
+        r: (Long, Long, Double, String)): Seq[(Double, Long, String)] = {
+      val e = (r._3, r._2, r._4)
+      if (buf.size >= k && before(buf.last, e)) buf
+      else {
+        val i = buf.indexWhere(x => before(e, x))
+        val at = if (i < 0) buf.size else i
+        ((buf.take(at) :+ e) ++ buf.drop(at)).take(k)
+      }
+    }
+
+    def merge(a: Seq[(Double, Long, String)],
+        b: Seq[(Double, Long, String)]): Seq[(Double, Long, String)] = {
+      val out = Vector.newBuilder[(Double, Long, String)]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < a.size || j < b.size)) {
+        if (j >= b.size || (i < a.size && before(a(i), b(j)))) { out += a(i); i += 1 }
+        else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    def finish(buf: Seq[(Double, Long, String)]): Seq[(Double, Long, String)] = buf
+
+    def bufferEncoder: Encoder[Seq[(Double, Long, String)]] =
+      Rec.seqEnc(Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.STRING))
+    def outputEncoder: Encoder[Seq[(Double, Long, String)]] = bufferEncoder
+  }
+
   /** Per-group exact top-k of `scored` by `scoreCol` (desc when
     * `ascending=false` — similarities; asc for distances), ties on
     * `idCol` asc; emits (groupCol, idCol, scoreCol, rank) with 1-based
@@ -94,5 +139,26 @@ object TopK {
         top.iterator.zipWithIndex.map { case ((score, id), i) => (g, id, score, i + 1) }
       }
       .toDF(groupCol, idCol, scoreCol, "rank")
+  }
+
+  /** [[perGroup]] carrying `payloadCol` (string) through the bounded
+    * buffer — emits (groupCol, idCol, scoreCol, payloadCol, rank). */
+  def perGroupWithPayload(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, payloadCol: String, k: Int, ascending: Boolean): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new BoundedTopKPayload(k, ascending).toColumn.name("topk")
+    scored
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"), col(payloadCol).cast("string"))
+      .as[(Long, Long, Double, String)]
+      .groupByKey(_._1)
+      .agg(agg)
+      .flatMap { case (g, top) =>
+        top.iterator.zipWithIndex.map { case ((score, id, p), i) =>
+          (g, id, score, p, i + 1)
+        }
+      }
+      .toDF(groupCol, idCol, scoreCol, payloadCol, "rank")
   }
 }

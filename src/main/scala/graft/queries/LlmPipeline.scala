@@ -56,6 +56,43 @@ object LlmPipeline extends Catalog {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  // -- T5-style span corruption: each token masks independently with
+  //    P=15% decided by md5(doc_id|pos) — deterministic, reproducible,
+  //    and oracle-exact (the same md5 arithmetic on both engines). Emits
+  //    the corrupted text and the extraction targets. Scale shape: a
+  //    PURE MAP — per-doc lambda pipeline (sequence/zip_with/filter), no
+  //    explode, no shuffle anywhere.
+  q("q_span_mask",
+    s"""WITH t AS (SELECT doc_id, $SqlTokens AS toks FROM documents),
+       |p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+       |      FROM t WHERE len(toks) > 0),
+       |m AS (
+       |  SELECT doc_id, pos, toks[pos + 1] AS tok,
+       |    (${sqlMd5Long("doc_id || '|' || pos")} % 100) < 15 AS masked
+       |  FROM p)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  string_agg(CASE WHEN masked THEN '<X>' ELSE tok END, ' ' ORDER BY pos)
+       |    AS masked_text,
+       |  coalesce(string_agg(CASE WHEN masked THEN tok END, ' ' ORDER BY pos), '')
+       |    AS targets
+       |FROM m GROUP BY doc_id""") { (s, dir) =>
+    spread(load(s, dir, "documents"))
+      .withColumn("toks", T.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("flags", expr(
+        """transform(sequence(0, size(toks) - 1), i ->
+          |  cast(conv(substring(md5(concat(cast(doc_id as string), '|',
+          |    cast(i as string))), 1, 15), 16, 10) as bigint) % 100 < 15""".stripMargin + ")"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("cast(size(filter(flags, x -> x)) as bigint)").as("n_masked"),
+        expr("array_join(zip_with(toks, flags, (t, f) -> if(f, '<X>', t)), ' ')")
+          .as("masked_text"),
+        expr("""array_join(filter(zip_with(toks, flags, (t, f) -> if(f, t, null)),
+          |x -> x is not null), ' ')""".stripMargin).as("targets"))
+  }
+
   // -- deterministic corpus shuffle — the "globally shuffle the corpus
   //    before training" step: every doc gets a pseudo-random but
   //    REPRODUCIBLE position (md5 of the salted id — reshuffling = new

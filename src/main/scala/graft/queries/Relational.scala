@@ -493,6 +493,36 @@ object Relational extends Catalog {
       .filter(col("n_conversions") > 0)
   }
 
+  // -- per-user event sequences for sequence-model training: each user's
+  //    LAST 20 events in time order, rendered as an event-type string.
+  //    Scale shape: the last-N cut is TopK.perGroupWithPayload (bounded
+  //    buffer, event_type rides the buffer — SCALE rule #3) so a
+  //    mega-user never materializes their full history in one task; the
+  //    final per-user assembly folds <= 20 rows. Event times are unique
+  //    per user (TESTDATA), so the order is total.
+  q("q_user_sequences",
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, count(*) AS seq_len,
+      |  string_agg(event_type, ' ' ORDER BY ts) AS seq
+      |FROM e WHERE rn <= 20 GROUP BY user_id""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+    val last20 = graft.operators.TopK.perGroupWithPayload(
+      ev, "user_id", "event_id", "tsu", "event_type", k = 20, ascending = false)
+    // rank 1 = newest; sequence renders oldest-first
+    last20.groupBy("user_id")
+      .agg(count(lit(1)).as("seq_len"),
+        array_join(
+          reverse(transform(
+            array_sort(collect_list(struct(col("rank"), col("event_type")))),
+            x => x.getField("event_type"))),
+          " ").as("seq"))
+  }
+
   // -- time-series similarity search: each user's activity is a 24-dim
   //    hour-of-day count vector; candidates block on the COMPOSED
   //    (peak hour, 2nd-peak hour) key (functions.TimeSeriesBlocking —

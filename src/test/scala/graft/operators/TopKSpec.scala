@@ -72,6 +72,21 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("payload variant matches the window and carries the payload through") {
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, math.rint(rnd.nextDouble() * 12) / 3.0, s"p$i")
+    }.toDF("g", "id", "score", "tag")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getInt(4))).toSet
+    val got = TopK.perGroupWithPayload(df, "g", "id", "score", "tag",
+        k = 6, ascending = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getInt(4))).toSet
+    assert(got === expect)
+  }
+
   test("plans as a partial aggregation with no Window node") {
     val df = randomScored(7, 100)
     val plan = TopK.perGroup(df, "g", "id", "score", k = 5, ascending = false)
