@@ -679,6 +679,39 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.chunk_tokens"))
   }
 
+  // -- OVERLAPPING chunking (stride < size — the RAG-retrieval variant of
+  //    q_text_chunking): 50-token windows every 25 tokens, so each chunk
+  //    shares half its tokens with the next and no boundary sentence is
+  //    ever split away from its context. Same pure 1→N per-doc map shape.
+  q("q_text_chunking_overlap",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    CAST(ceil(greatest(len(toks) - 25, 1) / 25.0) AS INT) AS n_chunks
+      |  FROM t WHERE len(toks) > 0),
+      |p AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS ci FROM c)
+      |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |  array_to_string(toks[ci * 25 + 1 : ci * 25 + 50], ' ') AS chunk,
+      |  len(toks[ci * 25 + 1 : ci * 25 + 50]) AS chunk_tokens
+      |FROM p""") { (s, dir) =>
+    val toks = T.tokens(col("text"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), D.bindOnce(toks) { ts =>
+        transform(
+          sequence(lit(0),
+            ceil(greatest(size(ts) - 25, lit(1)) / 25.0).cast("int") - 1),
+          i => struct(i.as("chunk_idx"),
+            array_join(slice(ts, i * 25 + 1, lit(50)), " ").as("chunk"),
+            size(slice(ts, i * 25 + 1, lit(50))).as("chunk_tokens")))
+      }.as("chunks"))
+      .filter(size(col("chunks")) > 0)
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.chunk_tokens"))
+  }
+
   // -- sequence packing: chunks concatenate into fixed-count packs in a
   //    deterministic global order (doc_id, chunk_idx) — the "pack short
   //    sequences together" step of training-data prep. The global
@@ -1423,6 +1456,39 @@ object LlmPipeline extends Catalog {
   //    Shape at scale: pure per-row generator (sequence + explode), no
   //    shuffle, no join; the copy index rides along so downstream packing
   //    sees distinct rows.
+  // -- mixture token budget — the "how much of each source, and what
+  //    upsample factor reaches a uniform mix" planning report that
+  //    precedes any weighted sampling run. All counts are exact BIGINTs;
+  //    the two ratios are each ONE IEEE divide of identical integer
+  //    operands in both engines (correctly rounded — see oracle rules),
+  //    so the report hash-matches. Shape: one partial-agg'd groupBy over
+  //    the corpus, then a scalar broadcast of (total, n_sources) — the
+  //    cross join is a 1-row side.
+  q("q_mixture_budget",
+    s"""WITH t AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len($SqlTokens)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS n_sources
+       |  FROM t)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / total AS token_share,
+       |  CAST(total AS DOUBLE) / (n_sources * n_tokens) AS uniform_upsample
+       |FROM t CROSS JOIN tot""") { (s, dir) =>
+    val t = load(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(T.tokens(col("text")))).cast("long").as("n_tokens"))
+    val tot = t.agg(sum("n_tokens").cast("long").as("total"),
+      count(lit(1)).as("n_sources"))
+    t.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total")).as("token_share"),
+        (col("total").cast("double") / (col("n_sources") * col("n_tokens")))
+          .as("uniform_upsample"))
+  }
+
   q("q_mixture_upsample",
     """WITH t AS (
       |  SELECT doc_id,
