@@ -1117,6 +1117,48 @@ object LlmPipeline extends Catalog {
       k = 5, ascending = false)
   }
 
+  // -- contrastive pair mining — training-data prep for embedding
+  //    models: per query, the best POSITIVE (same label, highest cosine)
+  //    and the HARDEST NEGATIVE (different label, highest cosine — the
+  //    pairs that actually move a contrastive loss). One corpus scan
+  //    against the broadcast query batch; the per-(query, pair-type)
+  //    top-1 is the bounded TopK buffer over a composite group key, so
+  //    no candidate list ever lands in one task.
+  q("q_contrastive_pairs",
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      |  FROM embeddings WHERE vec_id < 50),
+      |s AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN c.label = ql THEN 'pos' ELSE 'neg' END AS pair_type,
+      |    round(list_dot_product(CAST(qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4) AS sim
+      |  FROM q JOIN embeddings c ON c.vec_id <> query_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id, pair_type ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM s)
+      |SELECT query_id, pair_type, neighbor_id, sim FROM r WHERE rn = 1""") { (s, dir) =>
+    val emb = load(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("ql"))
+    val scored = spread(emb).join(broadcast(qs), col("query_id") =!= col("vec_id"))
+      .select(
+        // composite (query, same-label?) group key for the bounded top-1
+        (col("query_id") * 2 +
+          when(col("label") === col("ql"), 1).otherwise(0)).as("grp"),
+        col("vec_id").as("neighbor_id"),
+        when(col("label") === col("ql"), lit("pos")).otherwise(lit("neg"))
+          .as("pair_type"),
+        round(V.cosine(col("qe"), col("embedding")), 4).as("sim"))
+    graft.operators.TopK.perGroupWithPayload(scored, "grp", "neighbor_id", "sim",
+        "pair_type", k = 1, ascending = false)
+      .select(expr("CAST(grp DIV 2 AS BIGINT)").as("query_id"), col("pair_type"),
+        col("neighbor_id"), col("sim"))
+  }
+
   // -- L2 normalization (unit vectors): the preprocessing step that turns
   //    cosine into a plain dot product downstream. Norm accumulates in
   //    double left-to-right (the native kernel's order); per-dim output so
