@@ -523,6 +523,53 @@ object Relational extends Catalog {
           " ").as("seq"))
   }
 
+  // -- LIVE per-user sequences — the incremental twin of
+  //    q_user_sequences over real file-stream replay: per user, state is
+  //    a BOUNDED buffer of the latest 20 (ts, event_type) (the window
+  //    store retention analogue — state never grows with history), and
+  //    each batch emits the refreshed sequence. Emissions reconcile by
+  //    n_seen (events absorbed — strictly monotone per user), so the
+  //    final view equals the batch query regardless of batch splits or
+  //    arrival order.
+  q("q_user_sequences_live",
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, count(*) AS seq_len,
+      |  string_agg(event_type, ' ' ORDER BY ts) AS seq
+      |FROM e WHERE rn <= 20 GROUP BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = GraftStreams(s)
+      .stream[Long, String](ev, col("user_id"), col("event_type"), col("ts"))
+    val updates = graft.streaming.StatefulOps
+      .flatTransformWithState[Long, String, (Long, Seq[(Long, String)]),
+        (Long, Long, Long, String)](stream) { (user, rows, state) =>
+        var (nSeen, buf) = state.getOption.getOrElse((0L, Seq.empty[(Long, String)]))
+        rows.foreach { case (et, t) =>
+          val tu = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L // micros
+          nSeen += 1L
+          buf = ((buf :+ ((tu, et))).sortBy(_._1)).takeRight(20)
+        }
+        state.update((nSeen, buf))
+        Iterator.single((user, nSeen, buf.size.toLong, buf.map(_._2).mkString(" ")))
+      }
+    val name = s"usl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    updates.toDF("user_id", "n_seen", "seq_len", "seq")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name).groupBy("user_id")
+      .agg(max_by(struct(col("seq_len"), col("seq")), col("n_seen")).as("m"))
+      .select(col("user_id"), col("m.seq_len").as("seq_len"), col("m.seq").as("seq"))
+  }
+
   // -- time-series similarity search: each user's activity is a 24-dim
   //    hour-of-day count vector; candidates block on the COMPOSED
   //    (peak hour, 2nd-peak hour) key (functions.TimeSeriesBlocking —
