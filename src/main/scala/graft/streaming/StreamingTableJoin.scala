@@ -96,8 +96,17 @@ private[streaming] final class FkSubscriptionProcessor[K, V, KO, VO, OUT](
       timers: TimerValues): Iterator[(K, Option[OUT], KO, Timestamp)] = {
     var cur: Option[VO] = if (right.exists()) right.get() else None
     val out = Seq.newBuilder[(K, Option[OUT], KO, Timestamp)]
-    // right updates before subscription changes at equal ts
-    rows.toSeq.sortBy { case ((sub, _), ts) => (ts.getTime, ts.getNanos, sub.isDefined) }
+    // right updates before subscription changes at equal ts; among
+    // subscriptions, REMOVES before ADDS — a left value update with an
+    // unchanged fk arrives as an unsubscribe+subscribe pair at ONE
+    // timestamp (deltaStream's -old/+new), and the shuffle loses their
+    // relative order: applying the add first would let the remove erase
+    // the fresh subscription (the reference relies on subscription-topic
+    // offset order here; remove-first is the only pair shape possible at
+    // equal (ts, key), so the tiebreak is exact)
+    rows.toSeq.sortBy { case ((sub, _), ts) =>
+      (ts.getTime, ts.getNanos, sub.isDefined, sub.exists(_._2))
+    }
       .foreach { case ((sub, rv), ts) =>
         sub match {
           case None => // right-side update: re-join every subscriber

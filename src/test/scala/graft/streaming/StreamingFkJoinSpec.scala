@@ -197,6 +197,60 @@ class StreamingFkJoinSpec extends AnyFunSuite {
     assert(userKeys === 100L)
   }
 
+  test("random multi-batch replays converge to the batch view (property)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // random changelogs: left keys o0..o9 re-point across fks c0..c3 and
+      // tombstone; right keys update and tombstone. All ts distinct.
+      val leftOps = (1 to 30).map { i =>
+        val v = if (rnd.nextInt(8) == 0) null.asInstanceOf[(String, String)]
+                else (s"c${rnd.nextInt(4)}", s"p${seed}_$i")
+        (s"o${rnd.nextInt(10)}", v, ts(1000L * i))
+      }
+      val rightOps = (1 to 15).map { i =>
+        val v = if (rnd.nextInt(8) == 0) null.asInstanceOf[String] else s"v${seed}_$i"
+        (s"c${rnd.nextInt(4)}", v, ts(1000L * i + 500L))
+      }
+      // batch expectation: latest-per-key views, inner-joined on the fk
+      val lView = leftOps.groupBy(_._1).view
+        .mapValues(_.maxBy(_._3.getTime)._2).filter(_._2 != null).toMap
+      val rView = rightOps.groupBy(_._1).view
+        .mapValues(_.maxBy(_._3.getTime)._2).filter(_._2 != null).toMap
+      val expected = lView.flatMap { case (k, (fk, p)) =>
+        rView.get(fk).map(v => k -> (p + "+" + v))
+      }
+
+      val (lMem, rMem, q) = harness(inner = true, s"fkprop$seed")
+      try {
+        // replay in ts order, split into random contiguous batches
+        val merged = (leftOps.map(scala.util.Left(_)) ++ rightOps.map(scala.util.Right(_)))
+          .sortBy {
+            case scala.util.Left(op) => op._3.getTime
+            case scala.util.Right(op) => op._3.getTime
+          }
+        val nBatches = 1 + rnd.nextInt(5)
+        merged.grouped(math.max(1, merged.size / nBatches)).foreach { chunk =>
+          val ls = chunk.collect { case scala.util.Left(op) => op }
+          val rs = chunk.collect { case scala.util.Right(op) => op }
+          if (ls.nonEmpty) lMem.addData(ls)
+          if (rs.nonEmpty) rMem.addData(rs)
+          q.processAllAvailable()
+        }
+        // final view per key = the max-ts emission; a same-fk re-point
+        // emits (None, Some) at ONE ts — the add response supersedes the
+        // remove, so Some wins the tie
+        val finalByKey = spark.table(s"fkprop$seed").collect()
+          .map(r => (r.getString(0), Option(r.getString(1)), r.getTimestamp(2).getTime))
+          .groupBy(_._1).view.mapValues { es =>
+            val atMax = es.filter(_._3 == es.map(_._3).max).map(_._2)
+            atMax.find(_.isDefined).getOrElse(None)
+          }.toMap
+        val live = finalByKey.collect { case (k, Some(v)) => k -> v }
+        assert(live === expected, s"seed=$seed")
+      } finally q.stop()
+    }
+  }
+
   test("left variant joins None on right miss") {
     val (lMem, rMem, q) = harness(inner = false, "fkleft")
     try {
