@@ -50,6 +50,61 @@ class StreamingTableJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("random multi-batch replays converge to the batch view (property)") {
+    implicit val sqlCtx = spark.sqlContext
+    val b = GraftStreams(spark)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val leftOps = (1 to 25).map { i =>
+        (s"k${rnd.nextInt(8)}",
+          if (rnd.nextInt(7) == 0) null.asInstanceOf[String] else s"L${seed}_$i",
+          ts(1000L * i))
+      }
+      val rightOps = (1 to 25).map { i =>
+        (s"k${rnd.nextInt(8)}",
+          if (rnd.nextInt(7) == 0) null.asInstanceOf[String] else s"R${seed}_$i",
+          ts(1000L * i + 500L))
+      }
+      val lView = leftOps.groupBy(_._1).view
+        .mapValues(_.maxBy(_._3.getTime)._2).filter(_._2 != null).toMap
+      val rView = rightOps.groupBy(_._1).view
+        .mapValues(_.maxBy(_._3.getTime)._2).filter(_._2 != null).toMap
+      val expected = lView.flatMap { case (k, lv) =>
+        rView.get(k).map(rv => k -> (lv + "+" + rv))
+      }
+
+      val lMem = MemoryStream[(String, String, java.sql.Timestamp)]
+      val rMem = MemoryStream[(String, String, java.sql.Timestamp)]
+      val joined = StreamingTableJoin.innerJoin(
+        b.stream[String, String](lMem.toDF(), $"_1", $"_2", $"_3"),
+        b.stream[String, String](rMem.toDF(), $"_1", $"_2", $"_3"))(_ + "+" + _)
+      val name = s"ttprop$seed"
+      val q = joined.toDF("k", "v").writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        val merged = (leftOps.map(scala.util.Left(_)) ++ rightOps.map(scala.util.Right(_)))
+          .sortBy {
+            case scala.util.Left(op) => op._3.getTime
+            case scala.util.Right(op) => op._3.getTime
+          }
+        merged.grouped(math.max(1, merged.size / (1 + rnd.nextInt(5)))).foreach { chunk =>
+          val ls = chunk.collect { case scala.util.Left(op) => op }
+          val rs = chunk.collect { case scala.util.Right(op) => op }
+          if (ls.nonEmpty) lMem.addData(ls)
+          if (rs.nonEmpty) rMem.addData(rs)
+          q.processAllAvailable()
+        }
+        // update-mode emissions: the LAST row per key is the final view
+        val live = spark.table(name).collect()
+          .foldLeft(Map.empty[String, Option[String]]) { (m, r) =>
+            m + (r.getString(0) -> Option(r.getString(1)))
+          }
+          .collect { case (k, Some(v)) => k -> v }
+        assert(live === expected, s"seed=$seed")
+      } finally q.stop()
+    }
+  }
+
   test("left join emits as soon as left exists, tracks right arrival") {
     implicit val sqlCtx = spark.sqlContext
     val lMem = MemoryStream[(String, String, java.sql.Timestamp)]
