@@ -67,15 +67,34 @@ object Bench {
     "corpus-shuffle" -> "q_corpus_shuffle",
     "dedup-priority-keep" -> "q_dedup_priority_keep")
 
+  /** Timing samples for one workload: `secs` holds one wall-clock sample
+    * per successful iteration (failed iterations contribute none). */
+  private final case class Sample(wl: String, secs: Seq[Double], rows: Long) {
+    private val sorted = secs.sorted
+    def median: Double = sorted(sorted.size / 2)
+    def min: Double = sorted.head
+    def max: Double = sorted.last
+    def n: Int = sorted.size
+  }
+
+  /** Iterations per workload (median reported; ≥3 for error bars). */
+  private def benchRuns: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B knob for attributing state-store cost: "rocksdb" (default; the
+    // production/durability setting, required by transformWithState stages)
+    // vs "hdfs" (the in-heap HDFSBackedStateStoreProvider)
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (stateStore == "rocksdb") builder
       // transformWithState stages (live fk join) require the RocksDB store
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -83,7 +102,7 @@ object Bench {
       // snapshot uploads (the production setting; cuts commit latency)
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
-      .getOrCreate()
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // input cardinality + on-disk bytes per source table, for rec/sec and
@@ -153,28 +172,28 @@ object Bench {
       "corpus-shuffle" -> docRows,
       "dedup-priority-keep" -> docRows).withDefaultValue(eventRows)
 
-    // two runs per workload, report the steady-state (best) — codegen and
-    // JIT caches are part of steady-state throughput, like the reference
-    // benchmark's warmed measurement loop
-    val results = workloads.map { case (wl, qname) =>
+    // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
+    // against one-off GC/JIT hiccups, still a warmed steady-state number
+    // (iteration 1 pays codegen; the median discards it when later runs
+    // are faster). Failed iterations yield NO timing sample (a fast
+    // failure would otherwise skew the stats and report absurd throughput).
+    val results: Seq[Sample] = workloads.flatMap { case (wl, qname) =>
       val fn = SparkEntry.queries(qname)
       var n = -1L
-      // failed iterations yield NO timing sample (a fast failure would
-      // otherwise win secs.min and report absurd throughput)
-      val secs = (1 to 2).flatMap { _ =>
+      val secs = (1 to benchRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try { n = fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => System.err.println(s"[bench] $wl: $e"); None }
       }
       if (secs.isEmpty) None // no sample: omit rather than emit NaN JSON
-      else Some((wl, secs.min, n, inputRows(wl) / secs.min))
-    }.flatten
+      else Some(Sample(wl, secs, n))
+    }
 
     // consumeproduce: the read->write roundtrip (SimpleBenchmark's
     // workload with a produce side) — scan events, write parquet
     val consumeProduce = {
       val out = java.nio.file.Files.createTempDirectory("bench-cp").toString
-      val secs = (1 to 2).flatMap { _ =>
+      val secs = (1 to benchRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           Tables.load(spark, sfDir, "events")
@@ -184,7 +203,7 @@ object Bench {
           System.err.println(s"[bench] consumeproduce: $e"); None }
       }
       if (secs.isEmpty) Seq.empty
-      else Seq(("consumeproduce", secs.min, eventRows, eventRows / secs.min))
+      else Seq(Sample("consumeproduce", secs, eventRows))
     }
 
     // ann-ivf-search: the production serving shape — codebook trained ONCE
@@ -199,7 +218,7 @@ object Bench {
           .repartition(spark.sparkContext.defaultParallelism)
         val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
         val queries = emb.filter(col("vec_id") < 20)
-        val secs = (1 to 2).flatMap { _ =>
+        val secs = (1 to benchRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             VectorIndex.search(emb, queries, "vec_id", "embedding", cb,
@@ -209,7 +228,7 @@ object Bench {
             System.err.println(s"[bench] ann-ivf-search: $e"); None }
         }
         if (secs.isEmpty) Seq.empty
-        else Seq(("ann-ivf-search", secs.min, embRows, embRows / secs.min))
+        else Seq(Sample("ann-ivf-search", secs, embRows))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ann-ivf-search setup: $e"); Seq.empty
@@ -220,22 +239,29 @@ object Bench {
     val streaming = streamingThroughput(spark, sfDir, eventRows)
 
     val allResults = results ++ consumeProduce ++ ivfSearch ++ streaming
-    val qs = allResults.map { case (wl, sec, _, _) => s""""$wl":$sec""" }.mkString("{", ",", "}")
-    val rs = allResults.map { case (wl, _, _, r) => s""""$wl":${r.round}""" }.mkString("{", ",", "}")
-    val ns = allResults.map { case (wl, _, n, _) => s""""$wl":$n""" }.mkString("{", ",", "}")
-    val mb = allResults.map { case (wl, sec, _, _) =>
-      val mbs = inputBytes(wl) / 1e6 / sec
-      f""""$wl":$mbs%.2f"""
+    val qs = allResults.map(s => s""""${s.wl}":${s.median}""").mkString("{", ",", "}")
+    val rs = allResults.map(s => s""""${s.wl}":${(s.rows / s.median).round}""")
+      .mkString("{", ",", "}")
+    val ns = allResults.map(s => s""""${s.wl}":${s.rows}""").mkString("{", ",", "}")
+    val mb = allResults.map { s =>
+      val mbs = inputBytes(s.wl) / 1e6 / s.median
+      f""""${s.wl}":$mbs%.2f"""
     }.mkString("{", ",", "}")
-    val total = allResults.map(_._2).sum
+    // per-workload error bars: median/min/max over n successful runs
+    val stats = allResults.map { s =>
+      f""""${s.wl}":{"median":${s.median}%.4f,"min":${s.min}%.4f,"max":${s.max}%.4f,"n":${s.n}}"""
+    }.mkString("{", ",", "}")
+    val total = allResults.map(_.median).sum
     val latJson = lat.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"latency_ms":$latJson,"sf":"$sfDir"}"""
-    // full artifact on disk; stdout gets the COMPACT contract line
-    // ({"metric",...,"queries","sf"}) as the very last thing printed —
-    // the driver tail-parses stdout and a 53-workload × 4-map line has
-    // proven long enough to truncate there (build.sbt already disables
-    // sbt's [success] trailer so nothing follows it)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"sf":"$sfDir"}"""
+    // STDOUT CONTRACT (driver tail-parses the LAST stdout line): compact
+    // {"metric","value","unit","queries","sf"} only — per-workload secs are
+    // the MEDIAN of benchRuns runs. Detailed metrics (rec_sec, mb_sec,
+    // rows, stats with min/max/n, latency_ms) live in the BENCH.json
+    // artifact ONLY; a 55-workload × 5-map line has proven long enough to
+    // truncate in the driver's tail window (build.sbt already disables
+    // sbt's [success] trailer so nothing follows the compact line).
     val w = new java.io.PrintWriter("BENCH.json")
     try w.write(json + "\n") finally w.close()
     spark.stop()
@@ -290,7 +316,7 @@ object Bench {
     * apples number against the reference's continuously-running Streams
     * workloads; the batch workloads above measure the analytic engine. */
   private def streamingThroughput(spark: SparkSession, sfDir: String,
-      eventRows: Long): Seq[(String, Double, Long, Double)] = {
+      eventRows: Long): Seq[Sample] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
@@ -305,96 +331,116 @@ object Bench {
         .select(col("user_id"), col("event_type"), col("ts"))
         .as[(Long, String, java.sql.Timestamp)]
         .collect()
-      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
-      val counts = mem.toDF().toDF("user_id", "event_type", "ts")
-        .filter(col("event_type") === "view")
-        .groupBy(window(col("ts"), "1 hour"), col("user_id") % 25)
-        .agg(count(lit(1)))
-      val q = counts.writeStream.format("memory").queryName("bench_streaming")
-        .outputMode(OutputMode.Update).start()
-      val sec = try {
-        // warm the query machinery with one tiny batch before timing
-        mem.addData(events.take(100))
-        q.processAllAvailable()
-        val t0 = System.nanoTime()
-        events.grouped(50000).foreach(mem.addData(_))
-        q.processAllAvailable()
-        (System.nanoTime() - t0) / 1e9
-      } finally q.stop()
+
+      // each call builds a FRESH query (fresh state/checkpoint), warms it
+      // with a tiny batch, times one full replay, stops — so benchRuns
+      // samples are independent and the median is an honest steady-state
+      def yahooStreamingOnce(): Double = {
+        val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+        val counts = mem.toDF().toDF("user_id", "event_type", "ts")
+          .filter(col("event_type") === "view")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id") % 25)
+          .agg(count(lit(1)))
+        val q = counts.writeStream.format("memory").queryName("bench_streaming")
+          .outputMode(OutputMode.Update).start()
+        try {
+          mem.addData(events.take(100))
+          q.processAllAvailable()
+          val t0 = System.nanoTime()
+          events.grouped(50000).foreach(mem.addData(_))
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally q.stop()
+      }
 
       // live KStream⋈KTable enrichment: every event looks up the table's
       // current value for its user; the table changelog streams too
       // (stream-side-only emission through flatMapGroupsWithState)
-      val sMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val tMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val b = graft.api.GraftStreams(spark)
-      val joined = b.stream[Long, Long](sMem.toDF(), col("_1"), col("_2"), col("_3"))
-        .joinTable(b.table[Long, Long](tMem.toDF(), col("_1"), col("_2"), col("_3")))(_ + _)
-      val q2 = joined.toDF.writeStream.format("noop").queryName("bench_stjoin")
-        .outputMode(OutputMode.Append).start()
-      val streamSide = events.map(e => (e._1, e._1 * 2, e._3))
-      val sec2 = try {
-        tMem.addData(events.map(e => (e._1, e._1, e._3)).distinctBy(_._1))
-        sMem.addData(streamSide.take(100))
-        q2.processAllAvailable()
-        val t0 = System.nanoTime()
-        streamSide.grouped(50000).foreach(sMem.addData(_))
-        q2.processAllAvailable()
-        (System.nanoTime() - t0) / 1e9
-      } finally q2.stop()
+      def stJoinOnce(): Double = {
+        val sMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val tMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val b = graft.api.GraftStreams(spark)
+        val joined = b.stream[Long, Long](sMem.toDF(), col("_1"), col("_2"), col("_3"))
+          .joinTable(b.table[Long, Long](tMem.toDF(), col("_1"), col("_2"), col("_3")))(_ + _)
+        val q2 = joined.toDF.writeStream.format("noop").queryName("bench_stjoin")
+          .outputMode(OutputMode.Append).start()
+        val streamSide = events.map(e => (e._1, e._1 * 2, e._3))
+        try {
+          tMem.addData(events.map(e => (e._1, e._1, e._3)).distinctBy(_._1))
+          sMem.addData(streamSide.take(100))
+          q2.processAllAvailable()
+          val t0 = System.nanoTime()
+          streamSide.grouped(50000).foreach(sMem.addData(_))
+          q2.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally q2.stop()
+      }
 
       // state-store: per-record get+update through keyed state (the
       // SimpleBenchmark statestore workload — processStreamWithStateStore
       // does one get and one put per record)
-      val kvMem = MemoryStream[(Long, Double, java.sql.Timestamp)]
-      val b3 = graft.api.GraftStreams(spark)
-      val kvStream = b3.stream[Long, Double](kvMem.toDF(), col("_1"), col("_2"), col("_3"))
-      val stateful = graft.streaming.StatefulOps
-        .flatTransformWithState[Long, Double, Double, (Long, Double)](kvStream) {
-          (key, rows, state) =>
-            var acc = state.getOption.getOrElse(0.0) // get
-            rows.foreach { case (v, _) => acc += v }
-            state.update(acc) // put
-            Iterator.single((key, acc))
-        }
-      val q3 = stateful.writeStream.format("noop").queryName("bench_statestore")
-        .outputMode(OutputMode.Append).start()
-      val kvSide = events.map(e => (e._1, 1.0, e._3))
-      val sec3 = try {
-        kvMem.addData(kvSide.take(100))
-        q3.processAllAvailable()
-        val t0 = System.nanoTime()
-        kvSide.grouped(50000).foreach(kvMem.addData(_))
-        q3.processAllAvailable()
-        (System.nanoTime() - t0) / 1e9
-      } finally q3.stop()
+      def stateStoreOnce(): Double = {
+        val kvMem = MemoryStream[(Long, Double, java.sql.Timestamp)]
+        val b3 = graft.api.GraftStreams(spark)
+        val kvStream = b3.stream[Long, Double](kvMem.toDF(), col("_1"), col("_2"), col("_3"))
+        val stateful = graft.streaming.StatefulOps
+          .flatTransformWithState[Long, Double, Double, (Long, Double)](kvStream) {
+            (key, rows, state) =>
+              var acc = state.getOption.getOrElse(0.0) // get
+              rows.foreach { case (v, _) => acc += v }
+              state.update(acc) // put
+              Iterator.single((key, acc))
+          }
+        val q3 = stateful.writeStream.format("noop").queryName("bench_statestore")
+          .outputMode(OutputMode.Append).start()
+        val kvSide = events.map(e => (e._1, 1.0, e._3))
+        try {
+          kvMem.addData(kvSide.take(100))
+          q3.processAllAvailable()
+          val t0 = System.nanoTime()
+          kvSide.grouped(50000).foreach(kvMem.addData(_))
+          q3.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally q3.stop()
+      }
 
       // window-store: per-record put into (key, window) state — the
       // windowed-count topology running in true streaming update mode
       // (the batch twin is the `windowed-count` workload above)
-      val wMem = MemoryStream[(Long, String, java.sql.Timestamp)]
-      val windowed = wMem.toDF().toDF("user_id", "event_type", "ts")
-        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
-        .agg(count(lit(1)))
-      val q4 = windowed.writeStream.format("noop").queryName("bench_windowstore")
-        .outputMode(OutputMode.Update).start()
-      val sec4 = try {
-        wMem.addData(events.take(100))
-        q4.processAllAvailable()
-        val t0 = System.nanoTime()
-        events.grouped(50000).foreach(wMem.addData(_))
-        q4.processAllAvailable()
-        (System.nanoTime() - t0) / 1e9
-      } finally q4.stop()
+      def windowStoreOnce(): Double = {
+        val wMem = MemoryStream[(Long, String, java.sql.Timestamp)]
+        val windowed = wMem.toDF().toDF("user_id", "event_type", "ts")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)))
+        val q4 = windowed.writeStream.format("noop").queryName("bench_windowstore")
+          .outputMode(OutputMode.Update).start()
+        try {
+          wMem.addData(events.take(100))
+          q4.processAllAvailable()
+          val t0 = System.nanoTime()
+          events.grouped(50000).foreach(wMem.addData(_))
+          q4.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally q4.stop()
+      }
 
-      Seq(("yahoo-streaming", sec, eventRows, eventRows / sec),
-        ("stream-table-join-live", sec2, eventRows, eventRows / sec2),
-        ("state-store", sec3, eventRows, eventRows / sec3),
-        ("window-store", sec4, eventRows, eventRows / sec4))
+      def sample(wl: String)(once: () => Double): Seq[Sample] = {
+        val secs = (1 to benchRuns).flatMap { _ =>
+          try Some(once())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $wl: $e"); None }
+        }
+        if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, eventRows))
+      }
+
+      sample("yahoo-streaming")(yahooStreamingOnce) ++
+        sample("stream-table-join-live")(stJoinOnce) ++
+        sample("state-store")(stateStoreOnce) ++
+        sample("window-store")(windowStoreOnce)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming throughput failed: $e")
-        Seq(("yahoo-streaming", -1.0, -1L, -1.0))
+        Seq.empty
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 

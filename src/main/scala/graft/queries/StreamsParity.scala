@@ -117,12 +117,16 @@ object StreamsParity extends Catalog {
       |  SELECT user_id, event_id, event_type, value,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1""") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    // arg-max, not a rank window: (ts, event_id) is a TOTAL order per key,
+    // so max_by picks the identical row — but as a partial-aggregable,
+    // map-side-combining hash agg (a hot key with 10⁹ updates folds in
+    // parallel instead of sorting in one task). PlanSpec pins no-Window.
     load(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_id", "event_type", "value")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
   }
 
   // -- TimeWindowedKStream.count, tumbling (KStreamWindowAggregate.java):
@@ -625,12 +629,14 @@ object StreamsParity extends Catalog {
       |    FROM events) WHERE rn = 1)
       |SELECT user_id, event_type, value, c_mktsegment, c_acctbal
       |FROM latest JOIN customer ON user_id = c_custkey""") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    // latest-per-key as an arg-max partial agg (same pick as rn=1: the
+    // (ts, event_id) order is total), skew-proof vs the rank window
     val latest = load(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_type", "value")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("event_type"),
+        col("m.value").as("value"))
     latest.join(broadcast(load(s, dir, "customer")), col("user_id") === col("c_custkey"))
       .select("user_id", "event_type", "value", "c_mktsegment", "c_acctbal")
   }
@@ -1189,11 +1195,11 @@ object StreamsParity extends Catalog {
       |    FROM events) WHERE rn = 1)
       |SELECT coalesce(user_id, c_custkey) AS id, event_type, c_mktsegment
       |FROM latest FULL OUTER JOIN customer ON user_id = c_custkey""") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    // latest-per-key via arg-max partial agg (identical pick to rn=1 —
+    // total (ts, event_id) order), no rank window on an unbounded key
     val latest = load(s, dir, "events")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("user_id", "event_type")
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("event_type"))
     latest.join(load(s, dir, "customer"), col("user_id") === col("c_custkey"), "full_outer")
       .select(coalesce(col("user_id"), col("c_custkey")).as("id"),
         col("event_type"), col("c_mktsegment"))

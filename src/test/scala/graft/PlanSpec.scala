@@ -200,4 +200,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(1200))
   }
+
+  test("latest-per-key is a max_by partial agg, NOT a rank window") {
+    // a rank window shuffles every update of a key into ONE task and sorts
+    // it — a hot key with 10⁹ updates becomes a straggler; the arg-max
+    // partial agg map-side-combines and is skew-proof with identical output
+    for (q <- Seq("q_ktable_latest_per_key", "q_table_table_join", "q_table_outer_join")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q: ${plan.take(1200)}")
+      assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+        s"$q: ${plan.take(1200)}")
+    }
+  }
 }
