@@ -68,8 +68,11 @@ object Bench {
     "dedup-priority-keep" -> "q_dedup_priority_keep")
 
   /** Timing samples for one workload: `secs` holds one wall-clock sample
-    * per successful iteration (failed iterations contribute none). */
-  private final case class Sample(wl: String, secs: Seq[Double], rows: Long) {
+    * per successful iteration (failed iterations contribute none);
+    * `inRows` is the input cardinality (rec/sec basis), `outRows` the
+    * result cardinality. */
+  private final case class Sample(wl: String, secs: Seq[Double],
+      inRows: Long, outRows: Long) {
     private val sorted = secs.sorted
     def median: Double = sorted(sorted.size / 2)
     def min: Double = sorted.head
@@ -186,7 +189,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $wl: $e"); None }
       }
       if (secs.isEmpty) None // no sample: omit rather than emit NaN JSON
-      else Some(Sample(wl, secs, n))
+      else Some(Sample(wl, secs, inputRows(wl), n))
     }
 
     // consumeproduce: the read->write roundtrip (SimpleBenchmark's
@@ -203,7 +206,7 @@ object Bench {
           System.err.println(s"[bench] consumeproduce: $e"); None }
       }
       if (secs.isEmpty) Seq.empty
-      else Seq(Sample("consumeproduce", secs, eventRows))
+      else Seq(Sample("consumeproduce", secs, eventRows, eventRows))
     }
 
     // ann-ivf-search: the production serving shape — codebook trained ONCE
@@ -228,7 +231,7 @@ object Bench {
             System.err.println(s"[bench] ann-ivf-search: $e"); None }
         }
         if (secs.isEmpty) Seq.empty
-        else Seq(Sample("ann-ivf-search", secs, embRows))
+        else Seq(Sample("ann-ivf-search", secs, embRows, embRows))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ann-ivf-search setup: $e"); Seq.empty
@@ -240,9 +243,9 @@ object Bench {
 
     val allResults = results ++ consumeProduce ++ ivfSearch ++ streaming
     val qs = allResults.map(s => s""""${s.wl}":${s.median}""").mkString("{", ",", "}")
-    val rs = allResults.map(s => s""""${s.wl}":${(s.rows / s.median).round}""")
+    val rs = allResults.map(s => s""""${s.wl}":${(s.inRows / s.median).round}""")
       .mkString("{", ",", "}")
-    val ns = allResults.map(s => s""""${s.wl}":${s.rows}""").mkString("{", ",", "}")
+    val ns = allResults.map(s => s""""${s.wl}":${s.outRows}""").mkString("{", ",", "}")
     val mb = allResults.map { s =>
       val mbs = inputBytes(s.wl) / 1e6 / s.median
       f""""${s.wl}":$mbs%.2f"""
@@ -430,7 +433,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $wl: $e"); None }
         }
-        if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, eventRows))
+        if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, eventRows, eventRows))
       }
 
       sample("yahoo-streaming")(yahooStreamingOnce) ++

@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** REAL image codec paths, JDK-only (`javax.imageio`) — no native or
+  * third-party libraries. PNG/JPEG/BMP/GIF bytes decode for real here;
+  * the deterministic fakes in [[MediaStubs]] remain only for the
+  * modalities the JDK cannot decode (audio/video).
+  *
+  * Reference frame: the reference ships media as opaque Kafka record
+  * values and leaves interpretation to the consumer; this layer is the
+  * consumer-side decode a training-data pipeline needs.
+  */
+object MediaCodec {
+
+  /** Real header decode: (width, height, format) sniffed by the JDK's
+    * registered ImageReaders WITHOUT decoding the full raster — the
+    * reader parses the actual container header (PNG IHDR / JPEG SOF),
+    * so truncated or fake bytes return None. */
+  def imageMeta(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** Real full decode to block-averaged luminance features: the image
+    * rasterizes through the JDK codec, then a `gridDim × gridDim` grid of
+    * mean luma values (0..1) — the shape a vision-model preprocessing
+    * stage produces. Returns None when no registered reader accepts the
+    * bytes. */
+  def decodeLumaGrid(bytes: Array[Byte], gridDim: Int): Option[Array[Float]] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val sums = new Array[Double](gridDim * gridDim)
+      val counts = new Array[Long](gridDim * gridDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+            (rgb & 0xff) * 114L) / 1000.0 / 255.0
+          val cell = math.min(gridDim - 1, y * gridDim / h) * gridDim +
+            math.min(gridDim - 1, x * gridDim / w)
+          sums(cell) += luma; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(gridDim * gridDim)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+    }
+  }
+
+  /** Real PNG encode of a deterministic test pattern: a `w × h` image
+    * whose pixel (x, y) carries a value derived from `seed` — the
+    * in-pipeline source of REAL image bytes for specs and the
+    * q_multimodal_real_meta round-trip (the sandbox has no image files
+    * on disk; a production job reads bytes from its object store
+    * instead). */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (seed + x * 31L + y * 17L) & 0xff
+        im.setRGB(x, y, (v << 16 | v << 8 | v).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+}

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * pair fan-out, which is what survives at 100 TB. Right rows at equal
   * ts apply before left rows (inclusive as-of; the same tie rule as the
   * streaming join).
+  *
+  * Recorded bound (SCALE.md "As-of join"): one KEY's full history lands
+  * in one task — inherent to as-of ordering, same bound as the
+  * reference's single-thread scan; the frame is running (linear) and
+  * spillable. Escape hatch for ≫10⁸-row keys: (key, ts-range) bucketing
+  * with a boundary-row carry-over between buckets.
   */
 object AsOfJoin {
 

@@ -119,15 +119,40 @@ object TopK {
     def outputEncoder: Encoder[Seq[(Double, Long, String)]] = bufferEncoder
   }
 
+  /** INPUT CONTRACT (both perGroup variants): `groupCol`/`idCol` must be
+    * integral (they ride the buffer as Long — a string id would silently
+    * become NULL under the cast) and `scoreCol` numeric with NO null
+    * scores (the non-nullable Double tuple encoder fails the job on one;
+    * the rank window this replaces ordered nulls last instead — drop
+    * null-score rows upstream if they can occur). Violations of the
+    * column types fail fast here with a clear message. */
+  private def checkContract(scored: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
+    def tpe(c: String) = scored.schema(c).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(groupCol, idCol))
+      require(integral(tpe(c)),
+        s"TopK.perGroup: column '$c' must be integral (byte/short/int/long), " +
+          s"got ${tpe(c).simpleString} — a non-numeric id would cast to NULL")
+    require(tpe(scoreCol).isInstanceOf[NumericType],
+      s"TopK.perGroup: score column '$scoreCol' must be numeric, " +
+        s"got ${tpe(scoreCol).simpleString}")
+  }
+
   /** Per-group exact top-k of `scored` by `scoreCol` (desc when
     * `ascending=false` — similarities; asc for distances), ties on
     * `idCol` asc; emits (groupCol, idCol, scoreCol, rank) with 1-based
     * ranks — the drop-in replacement for
-    * `row_number().over(Window.partitionBy(groupCol))` + `rank <= k`. */
+    * `row_number().over(Window.partitionBy(groupCol))` + `rank <= k`.
+    * See [[checkContract]] for the integral-id / non-null-score input
+    * contract. */
   def perGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int, ascending: Boolean): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    checkContract(scored, groupCol, idCol, scoreCol)
     val agg = new BoundedTopK(k, ascending).toColumn.name("topk")
     scored
       .select(col(groupCol).cast("long"), col(idCol).cast("long"),
@@ -147,6 +172,7 @@ object TopK {
       scoreCol: String, payloadCol: String, k: Int, ascending: Boolean): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    checkContract(scored, groupCol, idCol, scoreCol)
     val agg = new BoundedTopKPayload(k, ascending).toColumn.name("topk")
     scored
       .select(col(groupCol).cast("long"), col(idCol).cast("long"),

@@ -71,22 +71,32 @@ object UpsertView {
       if (existing != n) {
         // the marker commits BEFORE data, so a failed/aborted first merge
         // can leave a marker on a still-EMPTY view — no rows means no
-        // layout yet, and the retry's count may replace it freely
-        val hasBuckets = fs.exists(new Path(path)) &&
-          fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("bucket="))
-        require(!hasBuckets,
+        // layout yet, and the retry's count may replace it freely. A
+        // `.bak_bucket=` entry counts as data: a crash mid-swap renames
+        // cur -> .bak before the tmp rename, so a view whose only live
+        // bucket is mid-swap shows zero `bucket=` dirs yet its rows are
+        // recoverable — re-pinning a different count here would let
+        // recoverAll restore them hashed under the OLD count.
+        require(!hasBucketData(fs, path),
           s"upsert view at $path was built with $existing buckets; merge called with $n")
         fs.delete(marker, false)
       }
     } else {
       // a marker-less view with data has an UNKNOWN layout (pre-marker
       // build) — refuse rather than guess and silently drop rehashed rows
-      val root = new Path(path)
-      val hasBuckets = fs.exists(root) &&
-        fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
-      require(!hasBuckets,
+      require(!hasBucketData(fs, path),
         s"upsert view at $path predates the .nbuckets marker; write the " +
           "original bucket count to that file before merging")
+    }
+  }
+
+  /** Committed OR recoverable bucket data: live `bucket=` dirs plus
+    * `.bak_bucket=` backups from an interrupted swap. */
+  private def hasBucketData(fs: FileSystem, path: String): Boolean = {
+    val root = new Path(path)
+    fs.exists(root) && fs.listStatus(root).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("bucket=") || n.startsWith(".bak_bucket=")
     }
   }
 

@@ -136,6 +136,25 @@ object StatefulOps {
       records.getOrElseUpdate(id, new AtomicLong)
     private[streaming] def bytesOf(id: String): AtomicLong =
       bytes.getOrElseUpdate(id, new AtomicLong)
+    /** Budgets are scoped per streaming query (`budgetId@queryId`, read
+      * from the task's `sql.streaming.queryId` local property) so a
+      * long-lived JVM reusing a budgetId across query lifetimes never
+      * inherits another query's stale gauge; a terminated query's scope
+      * is dropped by the listener in [[ensureBudgetListener]]. */
+    private[streaming] def scopedId(id: String): String = {
+      val qid = Option(org.apache.spark.TaskContext.get())
+        .flatMap(tc => Option(tc.getLocalProperty("sql.streaming.queryId")))
+        .getOrElse("")
+      if (qid.isEmpty) id else s"$id@$qid"
+    }
+    private def inScope(key: String, id: String): Boolean =
+      key == id || key.startsWith(id + "@")
+    /** Drop every budget scope of a terminated query. */
+    private[streaming] def resetQuery(queryId: String): Unit = {
+      val suffix = "@" + queryId
+      records.keys.filter(_.endsWith(suffix)).foreach(records.remove)
+      bytes.keys.filter(_.endsWith(suffix)).foreach(bytes.remove)
+    }
     /** Clamped release: emits of keys admitted BEFORE a JVM restart (the
       * counter reset to 0, the buffered state survived in the checkpoint)
       * must not drive the budget negative — that would permanently widen
@@ -149,12 +168,44 @@ object StatefulOps {
         done = counter.compareAndSet(cur, math.max(0L, cur - by))
       }
     }
-    /** Currently-buffered keys under this budget (gauge). */
-    def currentRecords(id: String): Long = recordsOf(id).get()
-    def currentBytes(id: String): Long = bytesOf(id).get()
-    /** Test/shutdown hook: forget a budget. */
-    def reset(id: String): Unit = { records.remove(id); bytes.remove(id) }
+    /** Currently-buffered keys under this budget (gauge; sums every
+      * query scope of the id). */
+    def currentRecords(id: String): Long =
+      records.collect { case (k, v) if inScope(k, id) => v.get() }.sum
+    def currentBytes(id: String): Long =
+      bytes.collect { case (k, v) if inScope(k, id) => v.get() }.sum
+    /** Test/shutdown hook: forget a budget (all query scopes). */
+    def reset(id: String): Unit = {
+      records.keys.filter(inScope(_, id)).foreach(records.remove)
+      bytes.keys.filter(inScope(_, id)).foreach(bytes.remove)
+    }
   }
+
+  // one budget-cleanup listener per SparkSession (keyed by identity)
+  private val budgetListenerSessions =
+    scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+
+  /** Register (once per session) a listener that forgets a terminated
+    * query's budget scopes — gauges must not leak across query lifetimes
+    * in one JVM. Driver-side; in local mode this clears the real
+    * counters, on a cluster each executor's leftover scope is inert (a
+    * new run of the query reuses the same queryId and its clamped-at-0
+    * releases keep the budget conservative-correct). */
+  private[streaming] def ensureBudgetListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (budgetListenerSessions.putIfAbsent(
+        System.identityHashCode(spark), true).isEmpty) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          SuppressBudget.resetQuery(e.id.toString)
+      })
+    }
 
   /** [[suppressUntilTimeLimit]] with the reference's GLOBAL (cross-key)
     * buffer bound instead of the per-key one — EMIT-only: when admitting
@@ -176,11 +227,15 @@ object StatefulOps {
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
     implicit val stEnc: Encoder[(K, V, Long)] =
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]], Encoders.scalaLong)
+    ensureBudgetListener(stream.toDF.sparkSession)
     flatTransformWithState[K, V, (K, V, Long), (K, V)](
       stream, OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
       (key, rows, state) =>
-        val rec = SuppressBudget.recordsOf(budgetId)
-        val byt = SuppressBudget.bytesOf(budgetId)
+        // query-scoped (executor-side): a reused budgetId never shares a
+        // gauge with another query's buffer population
+        val sid = SuppressBudget.scopedId(budgetId)
+        val rec = SuppressBudget.recordsOf(sid)
+        val byt = SuppressBudget.bytesOf(sid)
         if (state.hasTimedOut) {
           val out = state.getOption.map { s =>
             SuppressBudget.release(rec, 1L); SuppressBudget.release(byt, s._3)

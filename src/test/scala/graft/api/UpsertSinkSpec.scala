@@ -3,6 +3,8 @@ package graft.api
 import java.io.File
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{lit, max_by, struct}
 import org.scalatest.funsuite.AnyFunSuite
@@ -186,6 +188,35 @@ class UpsertSinkSpec extends AnyFunSuite {
         path, N + 7, "key", "value", "ts")
     }
     assert(e.getMessage.contains("built with"))
+  }
+
+  test("a mid-swap backup still refuses a different bucket count") {
+    val path = Files.createTempDirectory("graft-upsert-bak").toString + "/view"
+    UpsertView.merge(Seq(("k1", "v1", ts(1000L))).toDF("key", "value", "ts"),
+      path, N, "key", "value", "ts")
+    // simulate a crash mid-swap: cur renamed to .bak, tmp rename not yet
+    // done — the view now shows ZERO live bucket= dirs, but the backup
+    // holds committed rows recoverable under the ORIGINAL count
+    val root = java.nio.file.Paths.get(path)
+    val live = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("bucket=")).toList
+    assert(live.nonEmpty)
+    live.foreach { d =>
+      Files.move(d, d.resolveSibling("." + d.getFileName.toString.replace(
+        "bucket=", "bak_bucket=")))
+    }
+    // a retry with a DIFFERENT count must still refuse (re-pinning would
+    // restore the backup hashed under the old count)
+    val e = intercept[IllegalArgumentException] {
+      UpsertView.merge(Seq(("k2", "v2", ts(2000L))).toDF("key", "value", "ts"),
+        path, N + 3, "key", "value", "ts")
+    }
+    assert(e.getMessage.contains("built with"))
+    // recovery + the original count still works and keeps the old row
+    UpsertView.recoverAll(path)
+    UpsertView.merge(Seq(("k2", "v2", ts(2000L))).toDF("key", "value", "ts"),
+      path, N, "key", "value", "ts")
+    assert(spark.read.parquet(path).count() === 2)
   }
 
   test("upsert view resumes from checkpoint after a restart (no reprocessing)") {
