@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * cluster processes shards independently (the Scala analogue of
   * `mapInPandas` batch processing).
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment) behind [[MediaStubs.decodeBytes]] — a clearly-marked,
-  * deterministic fake. Everything around the stub is real: schemas,
+  * IMAGE decode is REAL (JDK `javax.imageio` via [[MediaCodec]]: header
+  * sniff for width/height/format, full raster decode for features —
+  * PNG/JPEG/BMP/GIF). Audio/video decode remains a clearly-marked
+  * deterministic fake in [[MediaStubs.decodeBytes]] (no ffmpeg-class
+  * library exists in the JDK); everything around it is real: schemas,
   * magic-byte sniffing, batch iteration, 1→N frame explosion, metadata
   * propagation, feature vectors.
   */
@@ -62,27 +64,32 @@ object MediaFunctions {
   def contentHash(bytes: Column): Column = md5(bytes)
 }
 
-/** Partition-wise decode/transform pipeline with the codec boundary
-  * stubbed. Batch shape mirrors `mapInPandas`: the iterator is consumed
-  * lazily per partition, never materialized on the driver. */
+/** Partition-wise decode/transform pipeline. Batch shape mirrors
+  * `mapInPandas`: the iterator is consumed lazily per partition, never
+  * materialized on the driver. Image bytes decode for REAL through
+  * [[MediaCodec]]; only audio/video fall back to the deterministic
+  * fake. */
 object MediaStubs {
   import MediaModel._
 
-  /** STUB — deterministic fake decode. A real implementation would call
-    * an image/audio codec here (e.g. libjpeg/ffmpeg via JNI); this fake
-    * derives a reproducible pseudo-signal from the byte content so the
-    * surrounding pipeline (shapes, determinism, tests, oracles) is fully
-    * exercisable without the native libraries. It hashes the uppercase
-    * hex rendering of the bytes (not the raw blob) so engines without
-    * blob-md5 can mirror it exactly (`md5(hex(blob))` in DuckDB), and
-    * each component is k/128 — a power-of-two quotient, bit-exact in
-    * float and double across engines. */
+  /** Decode bytes to a `dim`-length feature vector. Bytes a JDK image
+    * reader accepts (PNG/JPEG/BMP/GIF) decode for REAL — a block-mean
+    * luma grid over the actual raster ([[MediaCodec.decodeLumaGrid]]).
+    * Everything else (audio/video — no JDK codec exists) takes the
+    * deterministic fake: a reproducible pseudo-signal hashed from the
+    * uppercase hex rendering of the bytes, mirrorable exactly as
+    * `md5(hex(blob))` in DuckDB, each component k/128 (a power-of-two
+    * quotient, bit-exact in float and double across engines). */
   def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec call goes here; deterministic fake below
-    val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(hex.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    Array.tabulate(dim)(i => ((h(i % 16) & 0xff) - 128) / 128.0f)
+    val grid = math.sqrt(dim.toDouble).toInt
+    val real =
+      if (grid * grid == dim) MediaCodec.decodeLumaGrid(bytes, grid) else None
+    real.getOrElse {
+      val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      Array.tabulate(dim)(i => ((h(i % 16) & 0xff) - 128) / 128.0f)
+    }
   }
 
   /** Number of frames the stub "decoder" samples from a video clip. */
@@ -116,9 +123,11 @@ object MediaStubs {
       else rec
     }
 
-  /** Lift a DataFrame with (id, bytes) columns into typed media records,
-    * sniffing the modality and synthesizing metadata (the real pipeline
-    * reads metadata from container headers — also a codec concern). */
+  /** Lift a DataFrame with (id, bytes) columns into typed media records.
+    * Image metadata is REAL — width/height/format parsed from the actual
+    * container header ([[MediaCodec.imageMeta]]); bytes no JDK reader
+    * accepts keep the sniffed kind with synthesized placeholder metadata
+    * (audio/video container parsing is a codec concern the JDK lacks). */
   def toMediaRecords(df: DataFrame, idCol: String, bytesCol: String): Dataset[MediaRecord] = {
     val withKind = df.select(
       col(idCol).cast("long").as("mediaId"),
@@ -127,12 +136,19 @@ object MediaStubs {
     withKind.as[(Long, String, Array[Byte])](
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
       .map { case (id, kind, bytes) =>
-        val durMs = if (kind.startsWith("video/") || kind.startsWith("audio/"))
-          1000L * (1 + (bytes.length % 10)) else 0L
-        MediaRecord(id, kind, bytes,
-          MediaMeta(width = 64, height = 64, channels = 3,
-            sampleRate = if (kind.startsWith("audio/")) 16000 else 0,
-            durationMs = durMs, codec = kind))
+        MediaCodec.imageMeta(bytes) match {
+          case Some((w, h, fmt)) =>
+            MediaRecord(id, s"image/$fmt", bytes,
+              MediaMeta(width = w, height = h, channels = 3,
+                sampleRate = 0, durationMs = 0L, codec = s"image/$fmt"))
+          case None =>
+            val durMs = if (kind.startsWith("video/") || kind.startsWith("audio/"))
+              1000L * (1 + (bytes.length % 10)) else 0L
+            MediaRecord(id, kind, bytes,
+              MediaMeta(width = 64, height = 64, channels = 3,
+                sampleRate = if (kind.startsWith("audio/")) 16000 else 0,
+                durationMs = durMs, codec = kind))
+        }
       }
   }
 }

@@ -1008,6 +1008,32 @@ object LlmPipeline extends Catalog {
         element_at(col("features"), 1).cast("double").as("f0"))
   }
 
+  // -- REAL image codec round-trip (javax.imageio, JDK-only): encode a
+  //    deterministic PNG per doc in-pipeline, then decode width/height/
+  //    format back FROM THE BYTES through the JDK's registered
+  //    ImageReader (a real container-header parse, not a lookup). The
+  //    oracle mirrors the dimensions arithmetically — the decoder must
+  //    recover exactly what was encoded or the hash mismatches. Scale
+  //    shape: pure partition-wise 1→1 map, zero shuffle; a production
+  //    job reads image bytes from its object store instead of encoding.
+  q("q_multimodal_real_meta",
+    """SELECT doc_id, 'png' AS format,
+      |  CAST(8 + doc_id % 32 AS INT) AS width,
+      |  CAST(8 + doc_id % 24 AS INT) AS height
+      |FROM documents""") { (s, dir) =>
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = MediaCodec.encodePng((8 + id % 32).toInt, (8 + id % 24).toInt, id)
+          val (w, h, fmt) = MediaCodec.imageMeta(bytes).getOrElse(
+            sys.error(s"JDK reader rejected its own png for doc $id"))
+          (id, fmt, w, h)
+        }
+      }.toDF("doc_id", "format", "width", "height")
+  }
+
   // ---------------------------------------------------- similarity search
 
   // -- brute-force cosine top-10 for a query batch (vec_id < 20) against
