@@ -65,7 +65,8 @@ object Bench {
     "cep-pattern" -> "q_pattern_match",
     "semdedup" -> "q_semdedup_pairs",
     "corpus-shuffle" -> "q_corpus_shuffle",
-    "dedup-priority-keep" -> "q_dedup_priority_keep")
+    "dedup-priority-keep" -> "q_dedup_priority_keep",
+    "contrastive-self" -> "q_contrastive_pairs_self")
 
   /** Timing samples for one workload: `secs` holds one wall-clock sample
     * per successful iteration (failed iterations contribute none);
@@ -147,7 +148,8 @@ object Bench {
       "tfidf" -> bytes("documents"),
       "vocab-ids" -> bytes("documents"),
       "corpus-shuffle" -> bytes("documents"),
-      "dedup-priority-keep" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "dedup-priority-keep" -> bytes("documents"),
+      "contrastive-self" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -173,7 +175,8 @@ object Bench {
       "tfidf" -> docRows,
       "vocab-ids" -> docRows,
       "corpus-shuffle" -> docRows,
-      "dedup-priority-keep" -> docRows).withDefaultValue(eventRows)
+      "dedup-priority-keep" -> docRows,
+      "contrastive-self" -> embRows).withDefaultValue(eventRows)
 
     // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
     // against one-off GC/JIT hiccups, still a warmed steady-state number

@@ -123,4 +123,65 @@ object VectorIndex {
     graft.operators.TopK.perGroup(sims, "query_id", "neighbor_id", "sim",
       topK, ascending = false)
   }
+
+  /** Corpus-scale self search: EVERY corpus vector is also a query — the
+    * shape of whole-corpus neighbor mining, where [[search]]'s broadcast
+    * query batch would OOM (queries = corpus). Both sides take
+    * [[assignCells]] and meet in a plain shuffled EQUI-JOIN on the cell
+    * id: no broadcast, no driver collect, pair fan-out bounded per cell
+    * at (N/k)·nProbe — size k to the block budget as the corpus grows.
+    * `nProbe = cb.centroids.length` degenerates to exact all-pairs
+    * (every pair meets in the corpus vector's one cell), which is the
+    * oracle-checkable configuration. */
+  def searchSelf(corpus: DataFrame, idCol: String, embCol: String,
+      cb: Codebook, nProbe: Int, topK: Int): DataFrame = {
+    val sims = selfScored(corpus, idCol, embCol, cb, nProbe)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    graft.operators.TopK.perGroup(sims, "query_id", "neighbor_id", "sim",
+      topK, ascending = false)
+  }
+
+  /** Contrastive pair mining over the WHOLE corpus: per vector, the
+    * hardest positive (nearest same-label) and hardest negative (nearest
+    * other-label) among its probed cells — one row per (query,
+    * pair_type). Same no-broadcast cell equi-join as [[searchSelf]];
+    * the per-(query, type) top-1 is a bounded-buffer partial
+    * aggregation, never a per-query candidate list in one task. */
+  def minePairs(corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, cb: Codebook, nProbe: Int): DataFrame = {
+    val scored = selfScored(corpus, idCol, embCol, cb, nProbe,
+      extra = Seq(labelCol))
+      .select(
+        // composite (query, same-label?) key for the bounded top-1
+        (col("query_id") * 2 +
+          when(col(s"n_$labelCol") === col(s"q_$labelCol"), 1).otherwise(0)).as("grp"),
+        col("neighbor_id"),
+        when(col(s"n_$labelCol") === col(s"q_$labelCol"), lit("pos"))
+          .otherwise(lit("neg")).as("pair_type"),
+        col("sim"))
+    graft.operators.TopK.perGroupWithPayload(scored, "grp", "neighbor_id",
+        "sim", "pair_type", k = 1, ascending = false)
+      .select(expr("CAST(grp DIV 2 AS BIGINT)").as("query_id"),
+        col("pair_type"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Shared self-join core: (query_id, neighbor_id, sim [, q_/n_extra]).
+    * Corpus side sits in its ONE nearest cell; query side (the same
+    * rows) explodes to its nProbe nearest cells; the equi-join on
+    * `__cell` shuffles both sides — by construction each (q, c) pair
+    * meets at most once (in c's cell). */
+  private def selfScored(corpus: DataFrame, idCol: String, embCol: String,
+      cb: Codebook, nProbe: Int, extra: Seq[String] = Nil): DataFrame = {
+    val probeUdf = udf((v: Seq[Float]) => cb.nearestN(v, nProbe))
+    val indexed = assignCells(corpus, embCol, cb)
+      .select(col("__cell") +: col(idCol).as("neighbor_id") +:
+        col(embCol).as("ce") +: extra.map(c => col(c).as(s"n_$c")): _*)
+    val probed = corpus
+      .select(col(idCol).as("query_id") +: col(embCol).as("qe") +:
+        extra.map(c => col(c).as(s"q_$c")): _*)
+      .withColumn("__cell", explode(probeUdf(col("qe"))))
+    indexed.join(probed, Seq("__cell")) // shuffled equi-join — NO broadcast
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("qe"), col("ce")), 4))
+  }
 }

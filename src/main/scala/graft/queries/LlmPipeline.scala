@@ -1185,6 +1185,35 @@ object LlmPipeline extends Catalog {
         col("neighbor_id"), col("sim"))
   }
 
+  // -- corpus-scale contrastive mining twin: queries = THE WHOLE CORPUS.
+  //    The broadcast-query-batch shape above would OOM here (broadcasting
+  //    the corpus to itself); this path routes BOTH sides through IVF
+  //    cell assignment and a plain shuffled equi-join on the cell id —
+  //    no broadcast, no driver collect (VectorIndex.minePairs). Run with
+  //    nProbe = k the cell routing is EXACT (each pair meets once, in
+  //    the corpus vector's cell), so the brute-force SQL self-join
+  //    mirrors it bit-for-bit; production uses nProbe << k (recall
+  //    pinned by VectorIndexSpec) and trains/persists the codebook once.
+  q("q_contrastive_pairs_self",
+    """WITH s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS pair_type,
+      |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4) AS sim
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id, pair_type ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM s)
+      |SELECT query_id, pair_type, neighbor_id, sim FROM r WHERE rn = 1""") { (s, dir) =>
+    import graft.functions.VectorIndex
+    val emb = spread(load(s, dir, "embeddings"))
+    val k = 8
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = k, iters = 2)
+    VectorIndex.minePairs(emb, "vec_id", "embedding", "label", cb, nProbe = k)
+  }
+
   // -- L2 normalization (unit vectors): the preprocessing step that turns
   //    cosine into a plain dot product downstream. Norm accumulates in
   //    double left-to-right (the native kernel's order); per-dim output so

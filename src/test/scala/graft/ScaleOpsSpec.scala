@@ -86,6 +86,42 @@ class ScaleOpsSpec extends AnyFunSuite {
       Seq((900L, 901L)))
   }
 
+  test("corpus-scale self mining: no broadcast of the corpus, cells bound the blocks") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val k = 8
+    val cb = graft.functions.VectorIndex.train(emb, "vec_id", "embedding", k, iters = 2)
+
+    // the corpus must NEVER ride a broadcast in the self-join shape
+    // (queries = corpus would broadcast the whole corpus); assert on the
+    // plan with AQE-at-toy-scale's small-table conversion disabled
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val mined = graft.functions.VectorIndex.minePairs(
+        emb, "vec_id", "embedding", "label", cb, nProbe = 2)
+      val plan = mined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Broadcast"), plan.take(1500))
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+
+    // per-cell block bound: pair fan-out per cell is |cell| × (probes
+    // into it) — the cells must actually split the corpus, or the
+    // "bounded block" claim is vacuous
+    val sizes = graft.functions.VectorIndex.assignCells(emb, "embedding", cb)
+      .groupBy("__cell").count().collect().map(_.getLong(1))
+    val n = emb.count()
+    assert(sizes.sum === n)
+    assert(sizes.length > 1)
+    assert(sizes.max <= n / 2,
+      s"largest IVF cell ${sizes.max} of $n — cells do not bound the block")
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = Seq.tabulate(1000)(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toLong))
       .toDF("k", "v")

@@ -61,4 +61,35 @@ class VectorIndexSpec extends AnyFunSuite {
     // concentrate in the query's cells so recall must far exceed that
     assert(mean > 0.5, s"mean recall $mean")
   }
+
+  test("searchSelf(nProbe = k) equals the exact brute-force per-query top-k") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val k = 8
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = k, iters = 2)
+    val self = VectorIndex.searchSelf(emb, "vec_id", "embedding", cb,
+        nProbe = k, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    // ground truth: the oracle-checked broadcast search over the same
+    // corpus with queries = corpus (small sf makes this affordable)
+    val brute = VectorIndex.search(emb, emb, "vec_id", "embedding", cb,
+        nProbe = k, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    assert(self.toSeq === brute.toSeq)
+  }
+
+  test("searchSelf with nProbe < k keeps recall against its exact twin") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    def sets(nProbe: Int) =
+      VectorIndex.searchSelf(emb, "vec_id", "embedding", cb, nProbe, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(16)
+    val approx = sets(4)
+    val recalls = exact.keys.toSeq.map { q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.5, s"mean self-search recall $mean")
+  }
 }
