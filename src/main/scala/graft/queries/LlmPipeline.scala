@@ -502,6 +502,57 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), D.simhash64(col("text")).as("h")))
   }
 
+  // -- STREAMING SimHash near-dup twin — "dedup the crawl as it arrives".
+  //    Docs replay as a stream; per-(band, chunk) MapState buckets emit a
+  //    qualifying pair the moment its second member arrives, a cross-band
+  //    once-only stage mirrors the batch `.distinct()`
+  //    (streaming/StreamingNearDup.scala; cross-batch arrival + overflow
+  //    semantics pinned by StreamingNearDupSpec). One replay batch hits
+  //    the exact batch bucket cut, so the oracle is the batch
+  //    q_dedup_simhash_pairs SQL.
+  q("q_dedup_simhash_live",
+    s"""WITH t AS (SELECT doc_id, unnest($SqlTokens) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${sqlMd5Long("tok")} AS hv FROM t),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+       |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
+       |  GROUP BY doc_id, b),
+       |fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS h
+       |       FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, (h >> (b * 15)) & 32767 AS chunk, b AS band
+       |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       |small AS (
+       |  SELECT band, chunk FROM bands GROUP BY band, chunk
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |kb AS (SELECT bands.* FROM bands JOIN small USING (band, chunk)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kb a JOIN kb b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(fa.h, fb.h)) AS hamming
+       |FROM pairs
+       |JOIN fp fa ON fa.doc_id = doc_a
+       |JOIN fp fb ON fb.doc_id = doc_b
+       |WHERE bit_count(xor(fa.h, fb.h)) <= 5""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val ks = graft.api.GraftStreams(s).stream[Long, Long](docs,
+      col("doc_id"), D.simhash64(col("text")), expr("timestamp_micros(doc_id)"))
+    val name = s"dsl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    graft.streaming.StreamingNearDup.simhashPairs(ks)
+      .toDF("doc_a", "doc_b", "hamming", "ts")
+      .select("doc_a", "doc_b", "hamming")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+  }
+
   // -- native-hash SimHash pairing twin (one-pass codegen'd kernel, FNV
   //    family): same 4x15-bit banding + hamming rescoring as
   //    q_dedup_simhash_pairs; different hash family => rows-only, overlap

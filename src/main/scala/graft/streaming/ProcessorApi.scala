@@ -63,7 +63,8 @@ object ProcessorApi {
       proc: Processor[K, V, OUT],
       timeMode: TimeMode,
       outputMode: OutputMode = OutputMode.Append,
-      graceMs: Long = 0L): Dataset[OUT] = {
+      graceMs: Long = 0L,
+      watermark: Boolean = true): Dataset[OUT] = {
     implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
     // providerClass is read at query START, so defaulting the session's
     // UNSET provider here (topology build time) is in time. An explicit
@@ -78,7 +79,11 @@ object ProcessorApi {
     if (session.conf.get(key, "").isEmpty)
       session.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    new KStream[K, V](Rec.withGrace(stream.toDF, graceMs)).toDataset
+    // watermark=false for a processor CHAINED onto another stateful
+    // stage's output — the source stage already defined the stream's
+    // watermark and Spark forbids redefining it mid-chain
+    val in = if (watermark) Rec.withGrace(stream.toDF, graceMs) else stream.toDF
+    new KStream[K, V](in).toDataset
       .groupByKey(_._1)
       .transformWithState(new Adapter[K, V, OUT](proc), timeMode, outputMode)
   }

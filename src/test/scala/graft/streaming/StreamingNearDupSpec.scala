@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.ts
+import graft.api.GraftStreams
+
+/** Streaming banded-SimHash near-dup pairs: cross-batch duplicate
+  * arrival, cross-band once-only emission, bucket overflow semantics,
+  * and single-batch parity against a brute-force model of the batch
+  * banding rules. */
+class StreamingNearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def harness(name: String, maxBucket: Int = 50) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ks = GraftStreams(spark).stream[Long, Long](mem.toDF(), $"_1", $"_2", $"_3")
+    val q = StreamingNearDup.simhashPairs(ks, maxBucket = maxBucket)
+      .toDF("a", "b", "ham", "ts")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    (mem, q)
+  }
+
+  private def pairs(name: String): Seq[(Long, Long, Int)] =
+    spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  test("a duplicate arriving in a LATER batch pairs with the earlier doc, once") {
+    val (mem, q) = harness("snd_cross")
+    try {
+      mem.addData((1L, 0x123456789ABCDL, ts(1000L)))
+      q.processAllAvailable()
+      assert(pairs("snd_cross").isEmpty) // nothing to pair with yet
+
+      // identical fingerprint shares ALL 4 chunks — still exactly one pair
+      mem.addData((2L, 0x123456789ABCDL, ts(2000L)))
+      q.processAllAvailable()
+      assert(pairs("snd_cross") === Seq((1L, 2L, 0)))
+
+      // a third copy pairs with BOTH earlier docs (new pairs only)
+      mem.addData((3L, 0x123456789ABCDL, ts(3000L)))
+      q.processAllAvailable()
+      assert(pairs("snd_cross").toSet === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+    } finally q.stop()
+  }
+
+  test("hamming filter is exact: <=5 pairs, >5 does not even when chunks match") {
+    val (mem, q) = harness("snd_ham")
+    try {
+      val base = 0x0FFFFFFFFFFFFFFL & ((1L << 60) - 1)
+      val near = base ^ 0x1FL // 5 bits flipped, all inside chunk 0
+      val far = base ^ ((0x3FL << 15) | 0x7L) // 9 bits over two chunks — chunks 2,3 still match
+      mem.addData((10L, base, ts(1000L)), (11L, near, ts(1000L)), (12L, far, ts(1000L)))
+      q.processAllAvailable()
+      val got = pairs("snd_ham").toSet
+      assert(got.contains((10L, 11L, 5)))
+      assert(!got.exists(p => p._1 == 12L || p._2 == 12L),
+        s"far fingerprint must be hamming-filtered: $got")
+    } finally q.stop()
+  }
+
+  test("bucket overflow goes dead: no pairs from a flooded bucket, earlier pairs stand") {
+    val (mem, q) = harness("snd_flood", maxBucket = 3)
+    try {
+      // batch 1: two members -> one pair
+      mem.addData((1L, 7L, ts(1000L)), (2L, 7L, ts(1000L)))
+      q.processAllAvailable()
+      assert(pairs("snd_flood") === Seq((1L, 2L, 0)))
+
+      // batch 2: two more copies overflow every shared bucket (4 > 3) —
+      // the buckets die, no new pairs; the emitted pair stands
+      mem.addData((3L, 7L, ts(2000L)), (4L, 7L, ts(2000L)))
+      q.processAllAvailable()
+      assert(pairs("snd_flood") === Seq((1L, 2L, 0)))
+
+      // and the bucket STAYS dead for later arrivals
+      mem.addData((5L, 7L, ts(3000L)))
+      q.processAllAvailable()
+      assert(pairs("snd_flood") === Seq((1L, 2L, 0)))
+    } finally q.stop()
+  }
+
+  test("single-batch replay equals the brute-force batch banding model") {
+    val rnd = new scala.util.Random(42)
+    // clustered fingerprints so near-dups actually occur
+    val centers = Array.fill(6)(rnd.nextLong() & ((1L << 60) - 1))
+    val docs = (0 until 80).map { i =>
+      val c = centers(rnd.nextInt(centers.length))
+      val flips = rnd.nextInt(8) // 0..7 bit flips
+      val fp = (0 until flips).foldLeft(c)((h, _) => h ^ (1L << rnd.nextInt(60)))
+      (i.toLong, fp)
+    }
+
+    // brute-force model of the batch rules: per (band, chunk) buckets,
+    // 2..50 size cut, pairs among members, hamming <= 5, distinct
+    val buckets = docs
+      .flatMap { case (id, h) =>
+        (0 until 4).map(b => ((b, (h >> (b * 15)) & 32767L), (id, h)))
+      }
+      .groupBy(_._1).values.map(_.map(_._2))
+      .filter(m => m.size >= 2 && m.size <= 50)
+    val expected = buckets.flatMap { m =>
+      for {
+        x <- m; y <- m
+        if x._1 < y._1 && java.lang.Long.bitCount(x._2 ^ y._2) <= 5
+      } yield (x._1, y._1, java.lang.Long.bitCount(x._2 ^ y._2))
+    }.toSet
+
+    val (mem, q) = harness("snd_prop")
+    try {
+      mem.addData(docs.map { case (id, fp) => (id, fp, ts(1000L + id)) })
+      q.processAllAvailable()
+      assert(pairs("snd_prop").toSet === expected)
+      assert(expected.nonEmpty, "degenerate fuzz input: no expected pairs")
+    } finally q.stop()
+  }
+}
