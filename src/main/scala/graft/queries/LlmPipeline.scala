@@ -553,6 +553,33 @@ object LlmPipeline extends Catalog {
     s.table(name)
   }
 
+  // -- STREAMING MinHash-LSH twin — the other live near-dup family: the
+  //    crawl's MinHash signatures band into per-(band, bandhash) MapState
+  //    buckets; docs meeting in a bucket emit a candidate pair the moment
+  //    the second member arrives (streaming/StreamingNearDup.minhashPairs;
+  //    cross-batch arrival pinned by StreamingNearDupSpec). One replay
+  //    batch hits the exact batch bucket cut, so the oracle is the batch
+  //    q_dedup_minhash_lsh SQL.
+  q("q_dedup_minhash_live",
+    s"WITH $SqlMinhashPairCtes\n$SqlMinhashPairSelect") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val ks = graft.api.GraftStreams(s).stream[Long, Seq[Long]](docs,
+      col("doc_id"),
+      D.minhashSignature(D.wordShingles(col("text"), 3), 16),
+      expr("timestamp_micros(doc_id)"))
+    val name = s"dsl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    graft.streaming.StreamingNearDup.minhashPairs(ks)
+      .toDF("doc_a", "doc_b", "ts")
+      .select("doc_a", "doc_b")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+  }
+
   // -- native-hash SimHash pairing twin (one-pass codegen'd kernel, FNV
   //    family): same 4x15-bit banding + hamming rescoring as
   //    q_dedup_simhash_pairs; different hash family => rows-only, overlap
@@ -1117,6 +1144,56 @@ object LlmPipeline extends Catalog {
       k = 10, ascending = false)
   }
 
+  // -- kNN label propagation: auto-label an unlabeled query batch by
+  //    majority vote of its 5 nearest labeled neighbors (cosine) — the
+  //    "grow a seed label set over the corpus" step of semi-supervised
+  //    training-data curation. Same scan shape as q_ann_cosine_topk
+  //    (corpus streams once vs broadcast query batch, bounded top-k, no
+  //    rank window); the vote is a partial-agg'd count over <= 5 rows per
+  //    query and the winner an arg-max via max_by (votes desc, then
+  //    smallest label — a total order, so both engines pick the same
+  //    label).
+  q("q_knn_classify",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
+      |      FROM embeddings WHERE vec_id >= 20),
+      |sims AS (
+      |  SELECT query_id, neighbor_id, label,
+      |    round(list_dot_product(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(ce AS DOUBLE[]), CAST(ce AS DOUBLE[])))), 4) AS sim
+      |  FROM q CROSS JOIN c),
+      |ranked AS (
+      |  SELECT query_id, label, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims),
+      |votes AS (
+      |  SELECT query_id, label, count(*) AS votes FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+      |best AS (
+      |  SELECT query_id, label, votes,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r
+      |  FROM votes)
+      |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes
+      |FROM best WHERE r = 1""") { (s, dir) =>
+    val emb = load(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = spread(emb.filter(col("vec_id") >= 20))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label"))
+    val sims = corpus.join(broadcast(qs))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        round(V.cosine(col("qe"), col("ce")), 4).as("sim"))
+    val top = graft.operators.TopK.perGroupWithPayload(
+      sims, "query_id", "neighbor_id", "sim", "label", k = 5, ascending = false)
+    top.groupBy(col("query_id"), col("label").cast("long").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max_by(
+        struct(col("pred_label"), col("votes")),
+        struct(col("votes"), (lit(0L) - col("pred_label")).as("nl"))).as("w"))
+      .select(col("query_id"), col("w.pred_label"), col("w.votes"))
+  }
+
   // -- IVF ANN (the other scale path): k-means cells + nProbe search.
   //    Approximation depends on float summation order in centroid
   //    training, so the oracle is rows-only; recall vs brute force is
@@ -1399,6 +1476,57 @@ object LlmPipeline extends Catalog {
       .join(broadcast(vocab.select("token", "tid")), Seq("token"), "left")
       .select(col("doc_id"), col("pos"), col("token"),
         coalesce(col("tid"), lit(-1L)).as("tid"))
+  }
+
+  // -- DSIR-style data selection (arXiv:2302.03169): importance-weight
+  //    every raw doc by how target-like its hashed-unigram bag is
+  //    (target = the 'en' slice), keep docs whose weight clears the
+  //    raw average. The paper's log-likelihood ratio over hashed n-gram
+  //    buckets is re-expressed as an exact integer mass ratio (same
+  //    trick as the trigram LM): num/den are BIGINT products, so the
+  //    selection bit is integer-exact and the reported score is one
+  //    correctly-rounded divide — no float sums anywhere. Scale shape:
+  //    the bucket tables are <= 256 rows (broadcast), the per-doc sums
+  //    are partial-agg'd, one shuffle on doc_id; the explode is the
+  //    same 1->N tokenization every text op pays.
+  q("q_dsir_weights",
+    s"""WITH t AS (SELECT doc_id, lang, unnest($SqlTokens) AS tok FROM documents),
+       |h AS (SELECT doc_id, lang, ${sqlMd5Long("tok")} % 256 AS b FROM t),
+       |ct AS (SELECT b, count(*) AS c_t FROM h WHERE lang = 'en' GROUP BY b),
+       |cr AS (SELECT b, count(*) AS c_r FROM h GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM ct) AS t_tot,
+       |         (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS r_tot),
+       |m AS (
+       |  SELECT h.doc_id, count(*) AS n_toks,
+       |    CAST(sum(coalesce(ct.c_t, 0)) AS BIGINT) AS t_mass,
+       |    CAST(sum(cr.c_r) AS BIGINT) AS r_mass
+       |  FROM h LEFT JOIN ct USING (b) JOIN cr USING (b)
+       |  GROUP BY h.doc_id)
+       |SELECT doc_id, n_toks, t_mass, r_mass,
+       |  round(CAST((t_mass + 1) * (r_tot + 256) AS DOUBLE) /
+       |        CAST((r_mass + 1) * (t_tot + 256) AS DOUBLE), 6) AS score,
+       |  CAST(CASE WHEN (t_mass + 1) * (r_tot + 256) > (r_mass + 1) * (t_tot + 256)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM m CROSS JOIN tot""") { (s, dir) =>
+    val h = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), explode(T.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), (T.md5Long(col("tok")) % 256).as("b"))
+    val ct = h.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("c_t"))
+    val cr = h.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tot = ct.agg(sum("c_t").as("t_tot")).crossJoin(cr.agg(sum("c_r").as("r_tot")))
+    val num = (col("t_mass") + 1) * (col("r_tot") + 256)
+    val den = (col("r_mass") + 1) * (col("t_tot") + 256)
+    h.join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("c_t"), lit(0L))).as("t_mass"),
+        sum(col("c_r")).as("r_mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"), col("t_mass"), col("r_mass"),
+        round(num.cast("double") / den.cast("double"), 6).as("score"),
+        when(num > den, 1L).otherwise(0L).as("selected"))
   }
 
   // -- span-level exact-substring dedup: every duplicated 8-token span

@@ -78,6 +78,50 @@ object StreamingNearDup {
     ProcessorApi.process(keyed, new PairOnceProcessor,
       TimeMode.None(), OutputMode.Append, watermark = false)
   }
+
+  /** Live MinHash-LSH candidate pairing — the signature-banding twin of
+    * [[simhashPairs]], mirroring the batch `q_dedup_minhash_lsh` shape
+    * (reference lineage: the same banded-LSH family; here docs meeting
+    * in a per-(band, bandhash) bucket ARE the output, no distance
+    * rescore). `sigs`: key = doc id, value = the k-element MinHash
+    * signature (compute with `DedupFunctions.minhashSignature`
+    * upstream). Each band's hash and index pack into one compact long
+    * bucket id (bandhash is 60-bit, band < 8 — no collision across
+    * bands), so stage 1 shuffles once on a long key exactly like the
+    * SimHash twin; the same once-only stage collapses pairs that meet
+    * in several bands (the live `.distinct()`), and the same 2..maxBucket
+    * overflow cut voids flooded buckets. */
+  def minhashPairs(sigs: KStream[Long, Seq[Long]], bands: Int = 4,
+      rowsPerBand: Int = 4, maxBucket: Int = 50): Dataset[(Long, Long, Timestamp)] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+    implicit val pairKeyEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val pairEnc: Encoder[(Long, Long, Int, Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaInt, Encoders.TIMESTAMP)
+    implicit val outEnc: Encoder[(Long, Long, Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.TIMESTAMP)
+
+    val bandRows = sigs.toDF
+      .select(col(Rec.KeyCol).as("doc_id"), col(Rec.TsCol).as("ts"),
+        explode(graft.functions.DedupFunctions.bandKeys(
+          col(Rec.ValueCol), bands, rowsPerBand)).as("bk"))
+      .select(
+        (col("bk.band").cast("long") * lit(1L << 60) + col("bk.bandhash")).as(Rec.KeyCol),
+        col("doc_id").as(Rec.ValueCol), col("ts").as(Rec.TsCol))
+    val bucketed = new KStream[Long, Long](bandRows)
+    val candidates = ProcessorApi.process(bucketed,
+      new BucketPairProcessor(maxBucket),
+      TimeMode.None(), OutputMode.Append)
+
+    val keyed = new KStream[(Long, Long), Int](candidates
+      .select(struct(col("_1"), col("_2")).as(Rec.KeyCol),
+        lit(0).as(Rec.ValueCol), col("_3").as(Rec.TsCol)))
+    ProcessorApi.process(keyed, new PairOnceProcessor,
+      TimeMode.None(), OutputMode.Append, watermark = false)
+      .map(p => (p._1, p._2, p._4))
+  }
 }
 
 /** Stage 1 — per-(band, chunk) bucket store. MapState holds one entry
@@ -123,6 +167,48 @@ private final class SimhashBucketProcessor(maxBucket: Int, maxHamming: Int)
         }
       }
       members.updateValue(id, h)
+    }
+    out.result().iterator
+  }
+}
+
+/** Stage 1 (MinHash variant) — per-(band, bandhash) bucket store. Same
+  * MapState-entry-per-member shape and overflow cut as
+  * [[SimhashBucketProcessor]], but membership alone qualifies a pair
+  * (candidates are the output in banded MinHash-LSH — no rescore).
+  * Emits (a, b, ts) with a < b. */
+private final class BucketPairProcessor(maxBucket: Int)
+    extends ProcessorApi.Processor[Long, Long, (Long, Long, Timestamp)] {
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig, ValueState}
+
+  @transient private var members: MapState[Long, Long] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(handle: StatefulProcessorHandle): Unit = {
+    members = handle.getMapState[Long, Long]("members",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    seen = handle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def process(bucket: Long,
+      rows: Iterator[(Long, Timestamp)],
+      handle: StatefulProcessorHandle,
+      timers: TimerValues): Iterator[(Long, Long, Timestamp)] = {
+    val arrivals = rows.toSeq.sortBy(_._1)
+    val prior = if (seen.exists()) seen.get() else 0L
+    val total = prior + arrivals.size
+    seen.update(total)
+    if (total > maxBucket) {
+      members.clear()
+      return Iterator.empty
+    }
+    val out = Seq.newBuilder[(Long, Long, Timestamp)]
+    arrivals.foreach { case (id, ts) =>
+      members.iterator().foreach { case (oid, _) =>
+        if (oid != id)
+          out += (if (id < oid) (id, oid, ts) else (oid, id, ts))
+      }
+      members.updateValue(id, 0L)
     }
     out.result().iterator
   }

@@ -85,6 +85,55 @@ class StreamingNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def mhHarness(name: String, maxBucket: Int = 50) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Long], java.sql.Timestamp)]
+    val ks = GraftStreams(spark).stream[Long, Seq[Long]](mem.toDF(), $"_1", $"_2", $"_3")
+    val q = StreamingNearDup.minhashPairs(ks, maxBucket = maxBucket)
+      .toDF("a", "b", "ts")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    (mem, q)
+  }
+
+  private def mhPairs(name: String): Seq[(Long, Long)] =
+    spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("minhash twin: cross-batch arrival pairs once even via all 4 bands") {
+    val (mem, q) = mhHarness("snd_mh")
+    try {
+      val sig: Seq[Long] = Seq.tabulate(16)(i => (i * 37 + 5).toLong)
+      mem.addData((1L, sig, ts(1000L)))
+      q.processAllAvailable()
+      assert(mhPairs("snd_mh").isEmpty)
+
+      // identical signature meets doc 1 in ALL 4 bands — exactly one pair
+      mem.addData((2L, sig, ts(2000L)))
+      q.processAllAvailable()
+      assert(mhPairs("snd_mh") === Seq((1L, 2L)))
+
+      // doc 3 shares ONLY band 0 (first 4 signature rows) — pairs with both
+      val sig3: Seq[Long] = sig.take(4) ++ Seq.tabulate(12)(i => (900 + i).toLong)
+      mem.addData((3L, sig3, ts(3000L)))
+      q.processAllAvailable()
+      assert(mhPairs("snd_mh").toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("minhash twin: flooded band bucket goes dead, earlier pairs stand") {
+    val (mem, q) = mhHarness("snd_mh_flood", maxBucket = 2)
+    try {
+      val sig: Seq[Long] = Seq.tabulate(16)(i => (i * 11 + 3).toLong)
+      mem.addData((1L, sig, ts(1000L)), (2L, sig, ts(1000L)))
+      q.processAllAvailable()
+      assert(mhPairs("snd_mh_flood") === Seq((1L, 2L)))
+
+      mem.addData((3L, sig, ts(2000L))) // 3 > maxBucket: every shared bucket dies
+      q.processAllAvailable()
+      assert(mhPairs("snd_mh_flood") === Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("single-batch replay equals the brute-force batch banding model") {
     val rnd = new scala.util.Random(42)
     // clustered fingerprints so near-dups actually occur
