@@ -1478,6 +1478,33 @@ object LlmPipeline extends Catalog {
         coalesce(col("tid"), lit(-1L)).as("tid"))
   }
 
+  // -- BPE vocabulary induction, first merge iteration (Sennrich et al.,
+  //    arXiv:1508.07909): count adjacent character-pair occurrences
+  //    weighted by word frequency and rank the merge candidates — the
+  //    step a BPE trainer repeats after applying each winning merge.
+  //    Scale shape: the pair space collapses onto the DISTINCT word
+  //    list first (one partial-agg'd shuffle — the corpus never explodes
+  //    to character pairs), pairs aggregate over <= |vocab| * avg_len
+  //    rows, and the top-20 is a TakeOrderedAndProject, no global sort.
+  q("q_bpe_pair_counts",
+    s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
+       |p AS (
+       |  SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+       |  FROM wf, unnest(range(1, len(w))) AS u(i)),
+       |agg AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY pair)
+       |SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 20""") { (s, dir) =>
+    val wf = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(explode(
+        when(length(col("w")) >= 2,
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .otherwise(array())).as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+  }
+
   // -- DSIR-style data selection (arXiv:2302.03169): importance-weight
   //    every raw doc by how target-like its hashed-unigram bag is
   //    (target = the 'en' slice), keep docs whose weight clears the

@@ -157,6 +157,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("BPE pair counts: two partial-agg'd shuffles + TakeOrdered, no join") {
+    val plan = planOf("q_bpe_pair_counts")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("partial_count") || plan.contains("partial_"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join") {
     val plan = planOf("q_subquery_correlated")
     // RewriteCorrelatedScalarSubquery: no per-row subquery execution —
