@@ -66,7 +66,10 @@ object Bench {
     "semdedup" -> "q_semdedup_pairs",
     "corpus-shuffle" -> "q_corpus_shuffle",
     "dedup-priority-keep" -> "q_dedup_priority_keep",
-    "contrastive-self" -> "q_contrastive_pairs_self")
+    "contrastive-self" -> "q_contrastive_pairs_self",
+    "knn-classify" -> "q_knn_classify",
+    "dsir-weights" -> "q_dsir_weights",
+    "bpe-pairs" -> "q_bpe_pair_counts")
 
   /** Timing samples for one workload: `secs` holds one wall-clock sample
     * per successful iteration (failed iterations contribute none);
@@ -149,7 +152,10 @@ object Bench {
       "vocab-ids" -> bytes("documents"),
       "corpus-shuffle" -> bytes("documents"),
       "dedup-priority-keep" -> bytes("documents"),
-      "contrastive-self" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "contrastive-self" -> bytes("embeddings"),
+      "knn-classify" -> bytes("embeddings"),
+      "dsir-weights" -> bytes("documents"),
+      "bpe-pairs" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -176,7 +182,10 @@ object Bench {
       "vocab-ids" -> docRows,
       "corpus-shuffle" -> docRows,
       "dedup-priority-keep" -> docRows,
-      "contrastive-self" -> embRows).withDefaultValue(eventRows)
+      "contrastive-self" -> embRows,
+      "knn-classify" -> embRows,
+      "dsir-weights" -> docRows,
+      "bpe-pairs" -> docRows).withDefaultValue(eventRows)
 
     // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
     // against one-off GC/JIT hiccups, still a warmed steady-state number
