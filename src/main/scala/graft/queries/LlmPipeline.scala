@@ -952,28 +952,37 @@ object LlmPipeline extends Catalog {
 
   // -- embedding-cosine near-dup pairs: sign-bucket LSH candidates, exact
   //    cosine rescoring above a tight threshold — the vector-space member
-  //    of the dedup family (brute-force-free, scale path).
+  //    of the dedup family (brute-force-free, scale path). Obeys the
+  //    family rules like the text members: buckets cut to 2..50 BEFORE
+  //    pairing (a hot orthant on a correlated corpus cannot fan out
+  //    O(n²) vector pairs in one task — at that density the 12-bit
+  //    bucket is too coarse to mean "near-dup" anyway) and the vectors
+  //    ride the buckets as structs through ONE groupBy instead of a
+  //    payload-duplicating self-join.
   q("q_dedup_embedding", {
     val bits = (0 until 12).map(i =>
       s"CASE WHEN embedding[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket FROM embeddings),
+       |small AS (
+       |  SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 50),
+       |kb AS (SELECT b.* FROM b JOIN small USING (bucket)),
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) /
        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
        |       sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 4) AS sim
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  FROM kb a JOIN kb b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |SELECT vec_a, vec_b, sim FROM pairs WHERE sim > 0.2""".stripMargin
   }) { (s, dir) =>
-    val emb = spread(load(s, dir, "embeddings"))
+    spread(load(s, dir, "embeddings"))
       .withColumn("bucket", V.signBucket(col("embedding"), 0 until 12))
-    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(V.cosine(col("ea"), col("eb")), 4).as("sim"))
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
+      .filter(size(col("ms")).between(2, 50))
+      .select(explode(D.orderedPairs(col("ms"))).as("p"))
+      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
+        round(V.cosine(col("p.a.embedding"), col("p.b.embedding")), 4).as("sim"))
       .filter(col("sim") > 0.2)
   }
 
