@@ -63,6 +63,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((58L, 59L)))
   }
 
+  test("embedding sign-bucket cut drops a hot-orthant flood before pairing") {
+    // 60 vectors in the SAME orthant (all-positive signs -> one bucket):
+    // without the 2..50 cut that bucket alone would fan out 1770 vector
+    // pairs in one task. Two extra vectors land in a different orthant
+    // and survive as the only pair (their bucket has exactly 2 members).
+    val flood = Seq.tabulate(60) { i =>
+      (i.toLong, Array.tabulate(16)(d => 0.1f + 0.01f * ((i + d) % 5)), 0)
+    }
+    val pairVecs = Seq(
+      (100L, Array.tabulate(16)(d => if (d == 0) -1.0f else 0.2f), 1),
+      (101L, Array.tabulate(16)(d => if (d == 0) -0.9f else 0.21f), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("embcut").toFile
+    (flood ++ pairVecs).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("q_dedup_embedding")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((100L, 101L)))
+  }
+
   test("composed time-series blocking key bounds buckets on a skewed corpus") {
     import graft.functions.TimeSeriesBlocking
     // 240 users, ALL peaking at hour 12 (a flash-crowd corpus); second
