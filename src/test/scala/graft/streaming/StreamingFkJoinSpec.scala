@@ -236,15 +236,21 @@ class StreamingFkJoinSpec extends AnyFunSuite {
           if (rs.nonEmpty) rMem.addData(rs)
           q.processAllAvailable()
         }
-        // final view per key = the max-ts emission; a same-fk re-point
-        // emits (None, Some) at ONE ts — the add response supersedes the
-        // remove, so Some wins the tie
+        // final view per key = the LAST emission in EMISSION order (memory
+        // sink rows are appended batch by batch; a key's per-batch rows
+        // come from one task in process() order). This is the update-
+        // stream contract — consumers apply updates as they arrive — and
+        // it keeps the property honest under ANY micro-batch split: the
+        // two addData calls race the always-on trigger, so one chunk's
+        // left and right rows can land in DIFFERENT micro-batches (the
+        // engine then legitimately processes subscriptions before rights
+        // regardless of event ts, and re-emits on the later right batch).
+        // Reconstructing by max event-ts instead makes the test fail
+        // whenever that split happens — it did, JVM-timing-dependently.
         val finalByKey = spark.table(s"fkprop$seed").collect()
-          .map(r => (r.getString(0), Option(r.getString(1)), r.getTimestamp(2).getTime))
-          .groupBy(_._1).view.mapValues { es =>
-            val atMax = es.filter(_._3 == es.map(_._3).max).map(_._2)
-            atMax.find(_.isDefined).getOrElse(None)
-          }.toMap
+          .map(r => (r.getString(0), Option(r.getString(1))))
+          .zipWithIndex
+          .groupBy(_._1._1).view.mapValues(es => es.maxBy(_._2)._1._2).toMap
         val live = finalByKey.collect { case (k, Some(v)) => k -> v }
         assert(live === expected, s"seed=$seed")
       } finally q.stop()
