@@ -38,7 +38,11 @@ final class KTable[K, V] private[graft] (
     * Determinism: equal-ts updates tie-break on the value itself (the
     * reference is deterministic in offset order, which a re-shuffled
     * changelog no longer carries); non-null beats tombstone at the same
-    * ts. Unorderable value types (maps) fall back to ts-only ordering. */
+    * ts. Unorderable value types (maps) fall back to ts-only ordering.
+    *
+    * Precondition: record ts is non-null (the DSL stamps every record) —
+    * `max_by` skips rows whose ordering struct is null, so a key whose
+    * rows ALL had null ts would vanish rather than keep one row. */
   def latestDF: DataFrame = {
     val live =
       if (deduped) df

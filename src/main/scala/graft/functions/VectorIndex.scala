@@ -46,18 +46,29 @@ object VectorIndex {
 
   /** Train a k-cell codebook with `iters` Lloyd iterations. Centroids are
     * tiny (k × dim doubles) — they travel to executors in the task
-    * closure, the distributed passes are the assignments/averages. */
-  def train(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): Codebook = {
-    val spark = df.sparkSession
-    var centroids: Array[Array[Double]] = df
+    * closure, the distributed passes are the assignments/averages.
+    *
+    * `sampleOneIn` > 1 trains on a DETERMINISTIC id-hash sample (keep a
+    * vector iff `xxhash64(id) % sampleOneIn == 0`) — the documented
+    * 100 TB default: k-means quality needs only a representative sample
+    * (centroids are averages; a 1-in-N hash sample is unbiased), while
+    * full-corpus Lloyd passes would dominate the index build. Recall
+    * parity on sampled training is pinned by VectorIndexSpec. */
+  def train(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int,
+      sampleOneIn: Int = 1): Codebook = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    val base =
+      if (sampleOneIn == 1) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn)) === 0)
+    var centroids: Array[Array[Double]] = base
       .orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(centroids.length >= k,
-      s"corpus has ${centroids.length} vectors; k=$k cells need at least that many")
+      s"corpus sample has ${centroids.length} vectors; k=$k cells need at least that many")
     for (_ <- 1 to iters) {
       val cb = Codebook(centroids)
-      val assigned = assignCells(df, embCol, cb)
+      val assigned = assignCells(base, embCol, cb)
       val means = assigned
         .select(col("__cell"), posexplode(col(embCol)).as(Seq("pos", "x")))
         .groupBy("__cell", "pos")

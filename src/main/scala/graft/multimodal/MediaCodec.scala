@@ -22,7 +22,11 @@ object MediaCodec {
     * so truncated or fake bytes return None. */
   def imageMeta(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     if (bytes == null || bytes.isEmpty) return None
+    // createImageInputStream returns null when no SPI accepts the stream
+    // (or the cache dir is unusable) — a null here must mean None, not an
+    // NPE out of the finally
     val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    if (in == null) return None
     try {
       val readers = ImageIO.getImageReaders(in)
       if (!readers.hasNext) None

@@ -959,7 +959,7 @@ object LlmPipeline extends Catalog {
   //    bucket is too coarse to mean "near-dup" anyway) and the vectors
   //    ride the buckets as structs through ONE groupBy instead of a
   //    payload-duplicating self-join.
-  q("q_dedup_embedding", {
+  private val SqlEmbeddingPairs: String = {
     val bits = (0 until 12).map(i =>
       s"CASE WHEN embedding[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
@@ -974,7 +974,9 @@ object LlmPipeline extends Catalog {
        |       sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])))), 4) AS sim
        |  FROM kb a JOIN kb b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |SELECT vec_a, vec_b, sim FROM pairs WHERE sim > 0.2""".stripMargin
-  }) { (s, dir) =>
+  }
+
+  q("q_dedup_embedding", SqlEmbeddingPairs) { (s, dir) =>
     spread(load(s, dir, "embeddings"))
       .withColumn("bucket", V.signBucket(col("embedding"), 0 until 12))
       .groupBy("bucket")
@@ -984,6 +986,31 @@ object LlmPipeline extends Catalog {
       .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
         round(V.cosine(col("p.a.embedding"), col("p.b.embedding")), 4).as("sim"))
       .filter(col("sim") > 0.2)
+  }
+
+  // -- STREAMING embedding near-dup twin — the vector-space member of the
+  //    live dedup family (same banded-LSH lineage as q_dedup_minhash_live):
+  //    vectors replay as a stream, land in per-sign-bucket MapState, and a
+  //    qualifying pair emits the moment its second member arrives; the
+  //    exact cosine rescore runs downstream on the SAME codegen'd kernel
+  //    as the batch query (streaming/StreamingNearDup.embeddingPairs;
+  //    cross-batch arrival + overflow + retention pinned by
+  //    StreamingNearDupSpec). One replay batch hits the exact batch
+  //    bucket cut, so the oracle is the batch q_dedup_embedding SQL.
+  q("q_dedup_embedding_live", SqlEmbeddingPairs) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/embeddings.parquet")
+    val vecs = s.readStream.schema(raw.schema).parquet(s"$dir/embeddings.parq*")
+    val ks = graft.api.GraftStreams(s).stream[Long, Seq[Float]](vecs,
+      col("vec_id"), col("embedding"), expr("timestamp_micros(vec_id)"))
+    val name = s"dsl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    graft.streaming.StreamingNearDup.embeddingPairs(ks)
+      .select("vec_a", "vec_b", "sim")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
   }
 
   // -- rolling-hash document fingerprint on the native codegen'd FNV path

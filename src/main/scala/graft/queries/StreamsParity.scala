@@ -121,6 +121,9 @@ object StreamsParity extends Catalog {
     // so max_by picks the identical row — but as a partial-aggregable,
     // map-side-combining hash agg (a hot key with 10⁹ updates folds in
     // parallel instead of sorting in one task). PlanSpec pins no-Window.
+    // PRECONDITION: ts/event_id are non-null (events carries both NOT
+    // NULL) — max_by skips rows whose ordering struct is null, so an
+    // all-null-ts key would vanish where row_number would keep one row.
     load(s, dir, "events")
       .groupBy("user_id")
       .agg(max_by(struct(col("event_id"), col("event_type"), col("value")),
@@ -630,7 +633,8 @@ object StreamsParity extends Catalog {
       |SELECT user_id, event_type, value, c_mktsegment, c_acctbal
       |FROM latest JOIN customer ON user_id = c_custkey""") { (s, dir) =>
     // latest-per-key as an arg-max partial agg (same pick as rn=1: the
-    // (ts, event_id) order is total), skew-proof vs the rank window
+    // (ts, event_id) order is total), skew-proof vs the rank window.
+    // PRECONDITION: non-null ts/event_id (max_by skips null-ordered rows)
     val latest = load(s, dir, "events")
       .groupBy("user_id")
       .agg(max_by(struct(col("event_type"), col("value")),
@@ -1196,7 +1200,8 @@ object StreamsParity extends Catalog {
       |SELECT coalesce(user_id, c_custkey) AS id, event_type, c_mktsegment
       |FROM latest FULL OUTER JOIN customer ON user_id = c_custkey""") { (s, dir) =>
     // latest-per-key via arg-max partial agg (identical pick to rn=1 —
-    // total (ts, event_id) order), no rank window on an unbounded key
+    // total (ts, event_id) order), no rank window on an unbounded key.
+    // PRECONDITION: non-null ts/event_id (max_by skips null-ordered rows)
     val latest = load(s, dir, "events")
       .groupBy("user_id")
       .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("event_type"))

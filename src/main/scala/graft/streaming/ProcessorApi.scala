@@ -64,7 +64,8 @@ object ProcessorApi {
       timeMode: TimeMode,
       outputMode: OutputMode = OutputMode.Append,
       graceMs: Long = 0L,
-      watermark: Boolean = true): Dataset[OUT] = {
+      watermark: Boolean = true,
+      eventTimeCol: Option[String] = None): Dataset[OUT] = {
     implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
     // providerClass is read at query START, so defaulting the session's
     // UNSET provider here (topology build time) is in time. An explicit
@@ -83,8 +84,16 @@ object ProcessorApi {
     // stage's output — the source stage already defined the stream's
     // watermark and Spark forbids redefining it mid-chain
     val in = if (watermark) Rec.withGrace(stream.toDF, graceMs) else stream.toDF
-    new KStream[K, V](in).toDataset
-      .groupByKey(_._1)
-      .transformWithState(new Adapter[K, V, OUT](proc), timeMode, outputMode)
+    val grouped = new KStream[K, V](in).toDataset.groupByKey(_._1)
+    eventTimeCol match {
+      // the reference's "changelog topic carries the record timestamp":
+      // declaring an OUTPUT event-time column (KIP-sourced Spark overload)
+      // lets a downstream stateful stage keep event-time semantics —
+      // required for chained stages whose own timers drive store retention
+      case Some(c) =>
+        grouped.transformWithState(new Adapter[K, V, OUT](proc), c, outputMode)
+      case None =>
+        grouped.transformWithState(new Adapter[K, V, OUT](proc), timeMode, outputMode)
+    }
   }
 }

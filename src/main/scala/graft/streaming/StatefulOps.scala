@@ -182,19 +182,28 @@ object StatefulOps {
   }
 
   // one budget-cleanup listener per SparkSession (keyed by identity)
+  /** Sessions that already carry the budget listener. A weak identity
+    * map, not an Int-keyed TrieMap: identityHashCode can collide (two
+    * live sessions would silently share one registration slot) and weak
+    * keys let discarded sessions unregister themselves via GC.
+    * SparkSession keeps reference equality, so WeakHashMap's
+    * equals-based lookup IS an identity lookup here. */
   private val budgetListenerSessions =
-    scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean])
 
   /** Register (once per session) a listener that forgets a terminated
     * query's budget scopes — gauges must not leak across query lifetimes
     * in one JVM. Driver-side; in local mode this clears the real
     * counters, on a cluster each executor's leftover scope is inert (a
     * new run of the query reuses the same queryId and its clamped-at-0
-    * releases keep the budget conservative-correct). */
+    * releases keep the budget conservative-correct). Keyed by the
+    * session's UUID (unique by construction, unlike identityHashCode);
+    * entries are one boolean per session ever seen — bounded by session
+    * count, not worth a weak map. */
   private[streaming] def ensureBudgetListener(
       spark: org.apache.spark.sql.SparkSession): Unit =
-    if (budgetListenerSessions.putIfAbsent(
-        System.identityHashCode(spark), true).isEmpty) {
+    if (budgetListenerSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       import org.apache.spark.sql.streaming.StreamingQueryListener
       spark.streams.addListener(new StreamingQueryListener {
         override def onQueryStarted(

@@ -35,6 +35,10 @@ private[streaming] final class VersionedJoinProcessor[K, V, VT, VR](
   @transient private var store: VersionedStore[Option[VT]] = _
 
   override def init(handle: StatefulProcessorHandle): Unit =
+    // RECORDED DECISION (SCALE.md): TTLConfig.NONE here is correct — the
+    // VersionedStore bounds its HISTORY by retentionMs (KIP-914) while
+    // the latest version per key lives forever, exactly like the
+    // reference's versioned stores over a compacted changelog.
     store = new VersionedStore[Option[VT]](
       handle.getListState[(Long, Option[VT])]("versions",
         Encoders.tuple(Encoders.scalaLong, Rec.optionEnc(vtEnc)), TTLConfig.NONE),
@@ -86,6 +90,11 @@ private[streaming] final class FkSubscriptionProcessor[K, V, KO, VO, OUT](
   @transient private var right: ValueState[Option[VO]] = _
 
   override def init(handle: StatefulProcessorHandle): Unit = {
+    // RECORDED DECISION (SCALE.md "join stores keep TTLConfig.NONE"):
+    // latest-value-per-key IS the KTable contract — expiring a
+    // subscription or right value would silently turn a valid join row
+    // into a miss. Bound = key cardinality, the same bound the
+    // reference's COMPACTED (not retained) changelog topics carry.
     subs = handle.getMapState[K, V]("subs", kEnc, vEnc, TTLConfig.NONE)
     right = handle.getValueState[Option[VO]]("right", Rec.optionEnc(voEnc), TTLConfig.NONE)
   }
