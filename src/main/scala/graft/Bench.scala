@@ -71,7 +71,8 @@ object Bench {
     "contrastive-self" -> "q_contrastive_pairs_self",
     "knn-classify" -> "q_knn_classify",
     "dsir-weights" -> "q_dsir_weights",
-    "bpe-pairs" -> "q_bpe_pair_counts")
+    "bpe-pairs" -> "q_bpe_pair_counts",
+    "bpe-merges" -> "q_bpe_merges")
 
   /** The noisiest sub-second-to-2.5 s workloads — re-run on the generated
     * 10x corpus so each lands in the multi-second range where a median
@@ -234,7 +235,8 @@ object Bench {
       "contrastive-self" -> bytes("embeddings"),
       "knn-classify" -> bytes("embeddings"),
       "dsir-weights" -> bytes("documents"),
-      "bpe-pairs" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "bpe-pairs" -> bytes("documents"),
+      "bpe-merges" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -264,7 +266,8 @@ object Bench {
       "contrastive-self" -> embRows,
       "knn-classify" -> embRows,
       "dsir-weights" -> docRows,
-      "bpe-pairs" -> docRows).withDefaultValue(eventRows)
+      "bpe-pairs" -> docRows,
+      "bpe-merges" -> docRows).withDefaultValue(eventRows)
 
     // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
     // against one-off GC/JIT hiccups, still a warmed steady-state number

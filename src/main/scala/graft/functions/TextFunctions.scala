@@ -153,6 +153,44 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ------------------------------------------------- BPE (arXiv:1508.07909)
+
+  /** Word -> its initial BPE symbol string: one symbol per character,
+    * joined by single spaces ("abc" -> "a b c"). Symbols can never contain
+    * whitespace (words come from whitespace tokenization), so the spaced
+    * string is an unambiguous symbol-sequence encoding in both engines.
+    * Character indexing is code-point based on both sides (same contract
+    * as the char-ngram family). */
+  def bpeInit(w: Column): Column =
+    concat_ws(" ", transform(sequence(lit(1), length(w)),
+      i => w.substr(i, lit(1))))
+
+  /** Adjacent symbol pairs of a symbol string, each as "a b" — the merge
+    * candidates one BPE round counts. Empty for single-symbol words. */
+  def bpePairs(sw: Column): Column =
+    DedupFunctions.bindOnce(split(sw, " ")) { syms =>
+      when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Apply one BPE merge (a, b) -> a||b to a symbol string: a greedy
+    * left-to-right fold that appends b with NO separator whenever the
+    * accumulated string's last symbol is exactly a. This is the paper's
+    * non-overlapping left-to-right regex replace without the regex:
+    * the suffix test `acc == a OR acc ends-with ' '+a` is exact because
+    * symbols contain no spaces, and the merged symbol a||b can never
+    * re-match a within the same round (that would need b empty), so a
+    * single pass is greedy-correct even for self-chains like (a, a) over
+    * "a a a" -> "aa a". Mirrored verbatim by DuckDB `list_reduce`. */
+  def bpeMerge(sw: Column, a: String, b: String): Column =
+    aggregate(split(sw, " "), lit(""), (acc, x) =>
+      when(acc === "", x)
+        .when((acc === a || acc.endsWith(lit(" " + a))) && x === b,
+          concat(acc, x))
+        .otherwise(concat(acc, lit(" "), x)))
+
   // ------------------------------------------------------- PII scrubbing
 
   /** PII patterns written in the common Java-regex/RE2 subset (no

@@ -1541,6 +1541,154 @@ object LlmPipeline extends Catalog {
       .orderBy(col("cnt").desc, col("pair")).limit(20)
   }
 
+  // -- iterative BPE trainer (Sennrich et al., arXiv:1508.07909 §3): the
+  //    count-pairs -> pick-winner -> apply-merge loop, run N=3 rounds over
+  //    the frequency-weighted DISTINCT word list (q_bpe_pair_counts is one
+  //    body of this loop). Emits the top-5 merge candidates per round;
+  //    rank 1 is the merge applied before the next round, so rounds 2..3
+  //    count pairs over multi-character symbols. Words travel as symbol
+  //    strings (symbols joined by single spaces — symbols never contain
+  //    whitespace, tokens are split on it); a merge of (a, b) is a greedy
+  //    left-to-right fold that appends b with NO separator when the
+  //    accumulated string's last symbol is exactly a — the same
+  //    non-overlapping left-to-right semantics as the paper's regex
+  //    replace, expressed as Spark `aggregate` and mirrored exactly by
+  //    DuckDB `list_reduce` (the merged symbol a||b can never re-match a
+  //    within the same round, so single-pass is safe). Scale shape: the
+  //    pair space collapses onto the DISTINCT word list before any
+  //    per-character work (one partial-agg'd shuffle per round, the corpus
+  //    is tokenized once), each round's top-5 is a TakeOrderedAndProject,
+  //    the driver holds five scalars per round (never word data), and
+  //    `localCheckpoint` truncates lineage per round exactly like the CC
+  //    operator — the plan does not grow with merge count.
+  q("q_bpe_merges", {
+    // one unrolled round: p$k counts pairs over w${k-1}, t$k ranks them.
+    def round(k: Int) =
+      s"""p$k AS (
+         |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(sw, ' ') AS s, f FROM w${k - 1}),
+         |       unnest(range(1, len(s))) AS u(i)
+         |  GROUP BY pair),
+         |t$k AS (
+         |  SELECT CAST($k AS BIGINT) AS iter, pair, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+         |  FROM p$k)"""
+    // apply t$k's rank-1 merge: the same greedy fold as the Spark side.
+    def merge(k: Int) =
+      s"""w$k AS (
+         |  SELECT list_reduce(string_split(sw, ' '), (acc, x) ->
+         |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
+         |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
+         |  FROM w${k - 1} CROSS JOIN (
+         |    SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+         |    FROM t$k WHERE rnk = 1) m)"""
+    s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
+       |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sw, f FROM wf),
+       |${round(1)},
+       |${merge(1)},
+       |${round(2)},
+       |${merge(2)},
+       |${round(3)}
+       |SELECT iter, CAST(rnk AS BIGINT) AS rnk, pair, cnt
+       |FROM (SELECT * FROM t1 WHERE rnk <= 5
+       |      UNION ALL SELECT * FROM t2 WHERE rnk <= 5
+       |      UNION ALL SELECT * FROM t3 WHERE rnk <= 5)"""
+  }) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    var words: DataFrame = bpeWords(s, dir)
+    def top5(k: Int): DataFrame = {
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      words
+        .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(5)
+        .select(lit(k.toLong).as("iter"), col("pair"), col("cnt"),
+          row_number().over(w).cast("long").as("rnk"))
+        .localCheckpoint() // 5 rows; truncates this round's lineage
+    }
+    val tops = (1 to 3).map { k =>
+      val t = top5(k)
+      if (k < 3) {
+        // the round's winner: one 5-row-checkpointed lookup, two scalars
+        val Array(a, b) = t.filter(col("rnk") === 1)
+          .head().getAs[String]("pair").split(" ", 2)
+        words = words
+          .select(T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
+          .localCheckpoint()
+      }
+      t
+    }
+    tops.reduce(_ union _).select("iter", "rnk", "pair", "cnt")
+  }
+
+  /** Shared BPE word table: distinct corpus words with frequency, each as
+    * its initial one-symbol-per-character string. Checkpointed — both the
+    * trainer loop and the encoder iterate from here without re-tokenizing. */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, dir: String) =
+    spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("w"), T.bpeInit(col("w")).as("sw"), col("f"))
+      .localCheckpoint()
+
+  // -- BPE encoder: apply the trainer's first 3 learned merges to segment
+  //    every distinct corpus word (the tokenize-with-the-learned-vocab
+  //    half of the tokenizer; q_bpe_merges is the training half). Output:
+  //    each word's segmentation and symbol count, plus the corpus token
+  //    total it implies (f * n_symbols aggregates to the corpus-level
+  //    fertility a tokenizer build reports). Scale shape: identical to one
+  //    trainer round — the corpus collapses onto DISTINCT words first, the
+  //    3 winners ride as driver scalars (the trainer's top-1 loop re-run),
+  //    and encoding the full corpus is then a broadcast word->segmentation
+  //    join at any scale; here the word table IS the output domain. The
+  //    oracle unrolls the same 3 winner-selection+merge rounds and encodes
+  //    with the same list_reduce fold.
+  q("q_bpe_encode", {
+    def round(k: Int) =
+      s"""p$k AS (
+         |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(sw, ' ') AS s, f FROM w${k - 1}),
+         |       unnest(range(1, len(s))) AS u(i)
+         |  GROUP BY pair),
+         |m$k AS (
+         |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+         |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |w$k AS (
+         |  SELECT w, list_reduce(string_split(sw, ' '), (acc, x) ->
+         |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
+         |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
+         |  FROM w${k - 1} CROSS JOIN m$k AS m)"""
+    s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
+       |w0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS sw, f FROM wf),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT w, sw AS segmentation,
+       |  CAST(len(string_split(sw, ' ')) AS BIGINT) AS n_symbols,
+       |  CAST(f AS BIGINT) AS f,
+       |  CAST(f * len(string_split(sw, ' ')) AS BIGINT) AS corpus_symbols
+       |FROM w3"""
+  }) { (s, dir) =>
+    var words = bpeWords(s, dir)
+    for (_ <- 1 to 3) {
+      // same winner rule as the trainer: top pair by (count desc, pair)
+      val Array(a, b) = words
+        .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .head().getAs[String]("pair").split(" ", 2)
+      words = words
+        .select(col("w"), T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
+        .localCheckpoint()
+    }
+    words.select(col("w"), col("sw").as("segmentation"),
+      size(split(col("sw"), " ")).cast("long").as("n_symbols"),
+      col("f"),
+      (col("f") * size(split(col("sw"), " "))).as("corpus_symbols"))
+  }
+
   // -- DSIR-style data selection (arXiv:2302.03169): importance-weight
   //    every raw doc by how target-like its hashed-unigram bag is
   //    (target = the 'en' slice), keep docs whose weight clears the

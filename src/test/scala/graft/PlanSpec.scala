@@ -164,6 +164,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("BPE merge loop: per-round lineage is truncated — the result plan " +
+      "is a union of checkpointed 5-row RDDs, no parquet, no shuffle") {
+    // like the CC operator, each round localCheckpoints: the returned
+    // DataFrame must not drag 3 rounds of tokenize/agg lineage behind it
+    // (an N-merge trainer would otherwise grow its plan linearly in N)
+    val plan = planOf("q_bpe_merges")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1200))
+    assert(!plan.contains("parquet"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("HashAggregate"), plan.take(1200))
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join") {
     val plan = planOf("q_subquery_correlated")
     // RewriteCorrelatedScalarSubquery: no per-row subquery execution —

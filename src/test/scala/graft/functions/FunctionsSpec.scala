@@ -117,6 +117,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0).length === 16)
   }
 
+  test("BPE init/pairs/merge: greedy left-to-right fold semantics") {
+    val df = Seq("abc").toDF("w")
+    assert(df.select(TextFunctions.bpeInit($"w")).head.getString(0) === "a b c")
+
+    def merged(sw: String, a: String, b: String): String =
+      Seq(sw).toDF("sw")
+        .select(TextFunctions.bpeMerge($"sw", a, b)).head.getString(0)
+    // plain merge + multiple sites, non-overlapping left-to-right
+    assert(merged("a b a b", "a", "b") === "ab ab")
+    // greedy self-chain: the paper's regex semantics, odd leftover stays
+    assert(merged("a a a", "a", "a") === "aa a")
+    assert(merged("a a a a", "a", "a") === "aa aa")
+    // a merged symbol never re-matches within the round
+    assert(merged("a b b", "a", "b") === "ab b")
+    // symbol boundaries are exact: multi-char symbols don't false-match
+    assert(merged("xa b", "a", "b") === "xa b")
+    assert(merged("x ab", "a", "b") === "x ab")
+    assert(merged("m er x er", "m", "er") === "mer x er")
+    // single-symbol word is untouched
+    assert(merged("q", "a", "b") === "q")
+
+    val pairs = Seq("a b c", "z").toDF("sw")
+      .select(TextFunctions.bpePairs($"sw")).collect()
+    assert(pairs(0).getSeq[String](0) === Seq("a b", "b c"))
+    assert(pairs(1).getSeq[String](0) === Seq.empty)
+  }
+
   test("PII redaction: emails, IPs, phones replaced in pass order") {
     val df = Seq(
       "mail a.b+c@sub.ex.com or root@ex.io from 192.168.0.1 call 555-0199",
