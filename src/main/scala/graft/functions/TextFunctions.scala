@@ -58,6 +58,13 @@ object TextFunctions {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** The Gopher rule stop list (arXiv:2112.11446 A1.1: a document must
+    * contain at least two of these words to pass the stop-word rule —
+    * a cheap "is this running English prose" check, distinct from the
+    * density-style [[EnStopwords]] ratio). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Fraction of tokens that are (English) stopwords. Tokenizes ONCE per
     * row (bindOnce) — the token subtree would otherwise be duplicated
     * into both the count and the filter. */
