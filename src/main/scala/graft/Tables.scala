@@ -15,14 +15,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The generator has emitted events.ts in two encodings across rounds:
+    * parquet TIMESTAMP(NANOS) (readable only as long nanos under the
+    * nanosAsLong legacy flag) and plain µs timestamps (which Spark 4
+    * infers as TIMESTAMP_NTZ). Normalize either to the session
+    * TimestampType — identical µs instants under the UTC session TZ — so
+    * every downstream window/watermark/unix_micros path sees one type. */
+  def eventTs(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts DIV 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+  }
+
+  /** `df.transform(Tables.tsNormalized)` — [[eventTs]] applied in place. */
+  val tsNormalized: DataFrame => DataFrame = df => df.withColumn("ts", eventTs(df))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    // default; read it as long nanos and truncate to a microsecond
-    // timestamp (lossless for this data — the generator emits µs values).
+    // legacy flag is a no-op for the µs encoding, required for the nanos one
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") tsNormalized(df) else df
   }
 }

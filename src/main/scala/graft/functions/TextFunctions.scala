@@ -65,6 +65,126 @@ object TextFunctions {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  // ------------------------------------------------------ Gopher rules
+  //
+  // The repetition/quality heuristics of arXiv:2112.11446 Appendix A1,
+  // as pure column expressions (per-row, codegen'd, zero shuffle — each
+  // document is scored independently, so the stage parallelizes linearly
+  // at 100 TB). n-gram occurrence masses use the simplified
+  // overlap-ignoring definition (occurrences × gram length), documented
+  // here so the DuckDB oracle mirrors it exactly.
+
+  /** Non-blank trimmed lines of a document. */
+  def docLines(c: Column): Column =
+    filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Word n-grams (space-joined) over a token array; empty when the doc
+    * has fewer than n tokens. */
+  def wordNgramsOf(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", slice(ts, i, lit(n)))))
+
+  /** '#' chars plus non-overlapping "..." occurrences — the Gopher
+    * "symbol" count for the symbol-to-word ratio rule. */
+  def symbolCount(c: Column): Column =
+    (length(c) - length(translate(c, "#", ""))) +
+      (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+
+  /** Gopher symbol-to-word ratio ([[symbolCount]] / word count). */
+  def symbolToWordRatio(c: Column): Column =
+    DedupFunctions.bindOnce(tokens(c)) { ts =>
+      val n = size(ts)
+      when(n === 0, lit(0.0)).otherwise(symbolCount(c).cast("double") / n)
+    }
+
+  /** Fraction of lines starting with a bullet ('-', '*', '•'). 0 for
+    * line-less docs. */
+  def bulletLineFrac(c: Column): Column =
+    DedupFunctions.bindOnce(docLines(c)) { ls =>
+      val n = size(ls)
+      when(n === 0, lit(0.0)).otherwise(
+        size(filter(ls, l => l.rlike("^[-*•]"))).cast("double") / n)
+    }
+
+  /** Fraction of lines ending with an ellipsis ("..." or '…'). */
+  def ellipsisLineFrac(c: Column): Column =
+    DedupFunctions.bindOnce(docLines(c)) { ls =>
+      val n = size(ls)
+      when(n === 0, lit(0.0)).otherwise(
+        // \z (true end-of-input) — Java's $ would also match before a
+        // trailing \r, which RE2 (the oracle's engine) never does.
+        size(filter(ls, l => l.rlike("(\\.\\.\\.|…)\\z"))).cast("double") / n)
+    }
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordFrac(c: Column): Column =
+    DedupFunctions.bindOnce(tokens(c)) { ts =>
+      val n = size(ts)
+      when(n === 0, lit(0.0)).otherwise(
+        size(filter(ts, t => t.rlike("[a-zA-Z]"))).cast("double") / n)
+    }
+
+  /** How many of the eight [[GopherStopwords]] occur (as lowercase whole
+    * tokens) in the document — the "≥ 2 stop words" prose check. */
+  def gopherStopwordHits(c: Column): Column =
+    DedupFunctions.bindOnce(tokens(lower(c))) { lts =>
+      size(filter(array(GopherStopwords.map(lit): _*), w => array_contains(lts, w)))
+    }
+
+  /** Fraction of (trimmed, non-blank) lines that are exact duplicates of
+    * an earlier line: 1 − distinct/total. */
+  def dupLineFrac(c: Column): Column =
+    DedupFunctions.bindOnce(docLines(c)) { ls =>
+      val n = size(ls)
+      when(n === 0, lit(0.0)).otherwise(
+        (n - size(array_distinct(ls))).cast("double") / n)
+    }
+
+  /** Fraction of line characters sitting in duplicate lines (char mass of
+    * repeats beyond the first occurrence / total line char mass). */
+  def dupLineCharFrac(c: Column): Column =
+    DedupFunctions.bindOnce(docLines(c)) { ls =>
+      val total = aggregate(ls, lit(0L), (acc, l) => acc + length(l))
+      val uniq = aggregate(array_distinct(ls), lit(0L), (acc, l) => acc + length(l))
+      when(total === 0, lit(0.0)).otherwise((total - uniq).cast("double") / total)
+    }
+
+  /** Char mass of the most frequent word n-gram (occurrences × gram
+    * length, space included) over total doc chars. O(grams × distinct)
+    * per row — bounded by doc length, embarrassingly parallel. */
+  def topNgramCharFrac(c: Column, n: Int): Column =
+    DedupFunctions.bindOnce(tokens(c)) { ts =>
+      DedupFunctions.bindOnce(wordNgramsOf(ts, n)) { gs =>
+        val masses = transform(array_distinct(gs), g =>
+          size(filter(gs, x => x === g)).cast("long") * length(g))
+        when(length(c) === 0 || size(gs) === 0, lit(0.0))
+          .otherwise(array_max(masses).cast("double") / length(c))
+      }
+    }
+
+  /** Char mass of all occurrences of word n-grams appearing more than
+    * once, over total doc chars. Sort-based: O(g log g) per row — the
+    * 100 TB-safe shape (no quadratic distinct×grams pass). */
+  def dupNgramCharFrac(c: Column, n: Int): Column =
+    DedupFunctions.bindOnce(tokens(c)) { ts =>
+      DedupFunctions.bindOnce(array_sort(wordNgramsOf(ts, n))) { sg =>
+        val m = size(sg)
+        val total = aggregate(sg, lit(0L), (acc, g) => acc + length(g))
+        // A sorted gram is a singleton iff it differs from both neighbors;
+        // indices guarded so out-of-range element_at is never evaluated.
+        val singles = aggregate(sequence(lit(1), m), lit(0L), (acc, i) => {
+          val diffPrev = when(i === 1, lit(true))
+            .otherwise(element_at(sg, i) =!= element_at(sg, i - 1))
+          val diffNext = when(i === m, lit(true))
+            .otherwise(element_at(sg, i) =!= element_at(sg, i + 1))
+          acc + when(diffPrev && diffNext, length(element_at(sg, i)).cast("long")).otherwise(0L)
+        })
+        when(length(c) === 0 || m === 0, lit(0.0))
+          .otherwise((total - singles).cast("double") / length(c))
+      }
+    }
+
   /** Fraction of tokens that are (English) stopwords. Tokenizes ONCE per
     * row (bindOnce) — the token subtree would otherwise be duplicated
     * into both the count and the filter. */

@@ -926,6 +926,102 @@ object LlmPipeline extends Catalog {
       T.stopwordRatio(col("text")).as("stopword_ratio"))
   }
 
+  // -- Gopher document-quality rules (arXiv:2112.11446 A1.1): per-row
+  //    column expressions, zero shuffle — each rule plus the combined
+  //    pass flag, so the filter is a plain WHERE passes at any scale.
+  q("q_quality_gopher",
+    """WITH t AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+      |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks,
+      |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS ls,
+      |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+      |    + (length(text) - length(replace(text, '...', ''))) / 3.0 AS syms
+      |  FROM documents),
+      |r AS (SELECT doc_id, len(toks) AS n_words,
+      |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)/len(toks) END AS mwl,
+      |  CASE WHEN len(toks)=0 THEN 0.0 ELSE syms/len(toks) END AS sr,
+      |  CASE WHEN len(ls)=0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)/len(ls) END AS bf,
+      |  CASE WHEN len(ls)=0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE)/len(ls) END AS ef,
+      |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)/len(toks) END AS af,
+      |  len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(ltoks, w))) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, round(mwl,6) AS mean_word_len, round(sr,6) AS symbol_ratio,
+      |  round(bf,6) AS bullet_frac, round(ef,6) AS ellipsis_frac, round(af,6) AS alpha_frac,
+      |  stop_hits,
+      |  (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0 AND sr < 0.1
+      |   AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND stop_hits >= 2) AS passes
+      |FROM r""".stripMargin) { (s, dir) =>
+    val d = spread(load(s, dir, "documents")).select(
+      col("doc_id"),
+      T.tokenCount(col("text")).as("n_words"),
+      T.meanTokenLen(col("text")).as("mwl"),
+      T.symbolToWordRatio(col("text")).as("sr"),
+      T.bulletLineFrac(col("text")).as("bf"),
+      T.ellipsisLineFrac(col("text")).as("ef"),
+      T.alphaWordFrac(col("text")).as("af"),
+      T.gopherStopwordHits(col("text")).as("stop_hits"))
+    d.select(
+      col("doc_id"), col("n_words"),
+      round(col("mwl"), 6).as("mean_word_len"),
+      round(col("sr"), 6).as("symbol_ratio"),
+      round(col("bf"), 6).as("bullet_frac"),
+      round(col("ef"), 6).as("ellipsis_frac"),
+      round(col("af"), 6).as("alpha_frac"),
+      col("stop_hits"),
+      (col("n_words").between(50, 100000) && col("mwl").between(3.0, 10.0) &&
+        col("sr") < 0.1 && col("bf") <= 0.9 && col("ef") <= 0.3 &&
+        col("af") >= 0.8 && col("stop_hits") >= 2).as("passes"))
+  }
+
+  // -- Gopher repetition rules (A1.2 subset): duplicate-line fractions
+  //    plus top-bigram / duplicate-5-gram char mass. n-gram masses use
+  //    the overlap-ignoring definition (occurrences × gram length); the
+  //    5-gram pass is sort-based (O(g log g) per row), the top-bigram
+  //    mode is distinct×grams (bounded by doc length). All per-row.
+  q("q_quality_gopher_rep",
+    """WITH t AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
+      |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS ls
+      |  FROM documents),
+      |g AS (SELECT doc_id, text, ls,
+      |  CASE WHEN len(toks) < 2 THEN [] ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] END AS g2,
+      |  CASE WHEN len(toks) < 5 THEN []
+      |       ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+      |             for i in range(1, len(toks) - 3)] END AS g5
+      |  FROM t),
+      |s AS (SELECT doc_id, text, ls, g2, list_sort(g5) AS sg FROM g),
+      |r AS (SELECT doc_id,
+      |  CASE WHEN len(ls)=0 THEN 0.0 ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)/len(ls) END AS dlf,
+      |  CASE WHEN len(ls)=0 THEN 0.0
+      |       ELSE CAST(list_sum(list_transform(ls, l -> len(l))) - list_sum(list_transform(list_distinct(ls), l -> len(l))) AS DOUBLE)
+      |            / list_sum(list_transform(ls, l -> len(l))) END AS dlcf,
+      |  CASE WHEN length(text)=0 OR len(g2)=0 THEN 0.0
+      |       ELSE CAST(list_max(list_transform(list_distinct(g2), y -> len(list_filter(g2, x -> x = y)) * length(y))) AS DOUBLE) / length(text) END AS tbf,
+      |  CASE WHEN length(text)=0 OR len(sg)=0 THEN 0.0
+      |       ELSE CAST(list_sum(list_transform(sg, x -> length(x))) -
+      |            list_sum([CASE WHEN (i = 1 OR sg[i] <> sg[i-1]) AND (i = len(sg) OR sg[i] <> sg[i+1])
+      |                      THEN length(sg[i]) ELSE 0 END for i in range(1, len(sg)+1)]) AS DOUBLE) / length(text) END AS d5f
+      |  FROM s)
+      |SELECT doc_id, round(dlf,6) AS dup_line_frac, round(dlcf,6) AS dup_line_char_frac,
+      |  round(tbf,6) AS top_bigram_char_frac, round(d5f,6) AS dup_5gram_char_frac,
+      |  (dlf <= 0.30 AND dlcf <= 0.20 AND tbf <= 0.20 AND d5f <= 0.15) AS rep_passes
+      |FROM r""".stripMargin) { (s, dir) =>
+    val d = spread(load(s, dir, "documents")).select(
+      col("doc_id"),
+      T.dupLineFrac(col("text")).as("dlf"),
+      T.dupLineCharFrac(col("text")).as("dlcf"),
+      T.topNgramCharFrac(col("text"), 2).as("tbf"),
+      T.dupNgramCharFrac(col("text"), 5).as("d5f"))
+    d.select(
+      col("doc_id"),
+      round(col("dlf"), 6).as("dup_line_frac"),
+      round(col("dlcf"), 6).as("dup_line_char_frac"),
+      round(col("tbf"), 6).as("top_bigram_char_frac"),
+      round(col("d5f"), 6).as("dup_5gram_char_frac"),
+      (col("dlf") <= 0.30 && col("dlcf") <= 0.20 &&
+        col("tbf") <= 0.20 && col("d5f") <= 0.15).as("rep_passes"))
+  }
+
   // -- heuristic language ID (marker-word argmax; CJK => zh).
   q("q_lang_id", {
     val scoreSql = T.LangMarkers.map { case (lang, ms) =>

@@ -545,7 +545,7 @@ object Relational extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val stream = GraftStreams(s)
       .stream[Long, String](ev, col("user_id"), col("event_type"), col("ts"))
     val updates = graft.streaming.StatefulOps

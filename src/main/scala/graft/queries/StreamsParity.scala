@@ -198,7 +198,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val counts = GraftStreams(s)
       .stream[String, Long](ev, lit("all"), col("event_id"), col("ts"))
       .groupByKey
@@ -288,7 +288,7 @@ object StreamsParity extends Catalog {
     val raw = s.read.parquet(s"$dir/events.parquet")
     // glob form: the file source requires a directory/glob path
     val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val b = GraftStreams(s)
     val clicks = b.stream[Long, Long](ev.filter(col("event_type") === "click"),
       col("user_id"), col("event_id"), col("ts"))
@@ -353,7 +353,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val b = GraftStreams(s)
     val views = b.stream[Long, Long](src().filter(col("event_type") === "view"),
       col("user_id"), col("event_id"), col("ts"))
@@ -387,7 +387,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val counts = GraftStreams(s)
       .stream[String, Long](ev, col("event_type"), col("event_id"), col("ts"))
       .groupByKey
@@ -430,7 +430,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val sessions = GraftStreams(s)
       .stream[Long, Long](ev, col("user_id"), col("event_id"), col("ts"))
       .groupByKey
@@ -471,7 +471,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val b = GraftStreams(s)
     val views = b.stream[Long, Long](src().filter(col("event_type") === "view"),
       col("user_id"), col("event_id"), col("ts"))
@@ -611,7 +611,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val ks = GraftStreams(s).stream[Long, Long](ev, col("user_id"), col("event_id"), col("ts"))
     val out = graft.streaming.StatefulOps
       .slidingCountStream[Long, Long](ks, sizeMs = 30L * 60 * 1000, graceMs = 0L)
@@ -811,7 +811,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawE = s.read.parquet(s"$dir/events.parquet")
     def src() = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val b = GraftStreams(s)
     val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
       col("user_id"), col("event_id"), col("ts")).groupByKey
@@ -848,7 +848,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawE = s.read.parquet(s"$dir/events.parquet")
     def src() = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val b = GraftStreams(s)
     val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
       col("user_id"), col("event_id"), col("ts")).groupByKey
@@ -891,7 +891,7 @@ object StreamsParity extends Catalog {
     // event times are micro-grained and unique per user, so ts alone is
     // the total order the oracle's ORDER BY (ts, event_id) resolves to
     val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ots", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
     val ks = GraftStreams(s).stream[Long, String](ev,
       col("user_id"), col("event_type"), col("ots"))
     val counts = graft.streaming.PatternMatch.countStream(ks, init = 0) { (st, t) =>
@@ -929,7 +929,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawE = s.read.parquet(s"$dir/events.parquet")
     def src() = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val b = GraftStreams(s)
     val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
       col("user_id"), col("event_id"), col("ts")).groupByKey
@@ -974,7 +974,7 @@ object StreamsParity extends Catalog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(graft.Tables.tsNormalized)
     val b = GraftStreams(s)
     val views = b.stream[Long, Long](src().filter(col("event_type") === "view"),
       col("user_id"), col("event_id"), col("ts"))
