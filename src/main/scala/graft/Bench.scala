@@ -74,6 +74,15 @@ object Bench {
     "bpe-pairs" -> "q_bpe_pair_counts",
     "bpe-merges" -> "q_bpe_merges")
 
+  /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
+    * that ride on the stdout line (driver tail-parses the last line; a
+    * full 60-entry map has truncated 4 of 5 rounds). Everything else
+    * lives in the BENCH.json artifact. */
+  private val parityWorkloads: Seq[String] = Seq(
+    "consume", "processstream", "processstreamwithsink", "count",
+    "windowed-count", "session-count", "stream-table-join",
+    "stream-stream-join", "table-table-join", "table-agg", "yahoo")
+
   /** The noisiest sub-second-to-2.5 s workloads — re-run on the generated
     * 10x corpus so each lands in the multi-second range where a median
     * move is readable (the regression rule: median AND min moved at 10x). */
@@ -82,7 +91,8 @@ object Bench {
     "dedup-simhash-pairs", "dedup-simhash-native", "dedup-spans",
     "dedup-spans-native", "dedup-components", "dedup-priority-keep",
     "decontaminate", "pipeline-c4", "ann-cosine-topk", "semdedup",
-    "contrastive-self", "knn-classify", "dsir-weights", "bpe-pairs")
+    "contrastive-self", "knn-classify", "dsir-weights", "bpe-pairs",
+    "bpe-merges")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -95,12 +105,19 @@ object Bench {
     try {
       val dir = new java.io.File(benchDir,
         "x10-" + new java.io.File(sfDir).getName)
-      val marker = new java.io.File(dir, "_SUCCESS_10X")
+      // v2: id remap keeps copy 0 at the ORIGINAL id (copies c>=1 land at
+      // id + c*(maxId+1)) so id-predicated query batches — ann-cosine-topk
+      // and knn-classify select `vec_id < 20` — read the SAME logical
+      // vectors at both scales against a 10x candidate set. The v1 scheme
+      // (id*16+copy) silently narrowed those batches to near-dup copies of
+      // ids 0-1. SCALE.md documents the invariant.
+      val marker = new java.io.File(dir, "_SUCCESS_10X_V2")
       if (!marker.exists()) {
         dir.mkdirs()
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0)
         docs.withColumn("__copy", explode(sequence(lit(0), lit(9))))
-          .withColumn("doc_id", col("doc_id") * 16 + col("__copy"))
+          .withColumn("doc_id", col("doc_id") + col("__copy") * lit(maxDoc + 1L))
           .withColumn("text", when(col("__copy") === 0, col("text"))
             .otherwise(concat(col("text"), lit(" benchcopy"), col("__copy"))))
           .withColumn("n_chars",
@@ -108,8 +125,9 @@ object Bench {
           .drop("__copy")
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0)
         emb.withColumn("__copy", explode(sequence(lit(0), lit(9))))
-          .withColumn("vec_id", col("vec_id") * 16 + col("__copy"))
+          .withColumn("vec_id", col("vec_id") + col("__copy") * lit(maxVec + 1L))
           // pure scaling keeps the sign bucket and cosine(copy, orig) = 1:
           // copies are exact near-dups in vector space
           .withColumn("embedding", transform(col("embedding"),
@@ -168,6 +186,30 @@ object Bench {
     d
   }
 
+  /** 1-minute loadavg — the co-tenant signal (r5's base numbers were
+    * taken under external machine load and could not certify the 2x
+    * gate; BENCH.json now carries the evidence either way). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Single-threaded calibration spin: a fixed LCG loop whose wall time
+    * is constant on a quiet machine. Run before and after the suite — a
+    * start/end ratio far from 1 means a co-tenant grabbed or released
+    * CPU mid-suite, so the samples in between are suspect. */
+  private def calibrationSpinMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 200000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    if (x == 42L) System.err.println("") // keep the loop live
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -191,6 +233,12 @@ object Bench {
         "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // co-tenant load probe BEFORE any measured work (see loadAvg /
+    // calibrationSpinMs docs); the matching end-probe runs after the
+    // last workload
+    val loadStart = loadAvg()
+    val calibStartMs = calibrationSpinMs()
 
     // input cardinality + on-disk bytes per source table, for rec/sec and
     // MB/sec reporting (the reference's SimpleBenchmark metric pair)
@@ -377,7 +425,29 @@ object Bench {
       }
 
     val lat = latencyPercentiles(spark)
-    val streaming = streamingThroughput(spark, sfDir, eventRows)
+    // the reference's canonical streaming scale is 10M records
+    // (tests/kafkatest/benchmarks/streams/streams_simple_benchmark_test.py:48
+    // num_records = 10000000); we replay the events table enough times to
+    // clear SPARK_GRAFT_STREAM_RECORDS (default 1M) so rec/sec amortizes
+    // per-batch overhead instead of measuring micro-batch startup
+    val streamTarget =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_RECORDS", "1000000").toLong
+    val streamCycles =
+      math.max(1L, math.ceil(streamTarget.toDouble / eventRows).toLong).toInt
+    val streamRecords = eventRows * streamCycles
+    val streaming = streamingThroughput(spark, sfDir, eventRows, streamCycles)
+
+    // end-probe: all measured work is done, Spark is idle — a calibration
+    // spin slower than the start spin means a co-tenant arrived mid-suite
+    val loadEnd = loadAvg()
+    val calibEndMs = calibrationSpinMs()
+    val cpusN = try cpus.toDouble catch { case _: Throwable => 32.0 }
+    val calibRatio =
+      math.max(calibStartMs, calibEndMs) / math.min(calibStartMs, calibEndMs)
+    // contended = external CPU pressure before we started, or the
+    // calibration drifted >1.5x across the suite. Samples from a
+    // contended run cannot certify a perf gate (r5 lesson).
+    val contended = loadStart > cpusN || calibRatio > 1.5
 
     val allResults = results ++ consumeProduce ++ ivfSearch ++ streaming ++ x10Results
     val qs = allResults.map(s => s""""${s.wl}":${s.median}""").mkString("{", ",", "}")
@@ -400,20 +470,24 @@ object Bench {
     val total = allResults.filterNot(_.wl.endsWith("@10x")).map(_.median).sum
     val total10 = x10Results.map(_.median).sum
     val latJson = lat.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    val loadJson =
+      f"""{"cpus":${cpusN.toInt},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"calib_start_ms":$calibStartMs%.1f,"calib_end_ms":$calibEndMs%.1f,"calib_ratio":$calibRatio%.3f,"contended":$contended}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"sf":"$sfDir"}"""
-    // STDOUT CONTRACT (driver tail-parses the LAST stdout line): compact
-    // {"metric","value","unit","queries","sf"} only — per-workload secs are
-    // the MEDIAN of benchRuns runs. Detailed metrics (rec_sec, mb_sec,
-    // rows, stats with min/max/n, latency_ms) live in the BENCH.json
-    // artifact ONLY; a 55-workload × 5-map line has proven long enough to
-    // truncate in the driver's tail window (build.sbt already disables
-    // sbt's [success] trailer so nothing follows the compact line).
+      s"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"stream_records":$streamRecords,"load":$loadJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("BENCH.json")
     try w.write(json + "\n") finally w.close()
     spark.stop()
+    // STDOUT CONTRACT (driver tail-parses the LAST stdout line, and its
+    // tail window has truncated a full queries map in 4 of 5 rounds):
+    // print ONLY total + the 11 SimpleBenchmark-parity workloads + the
+    // load flag — ~450 bytes. Every other metric (full queries map,
+    // rec_sec, mb_sec, rows, stats min/max/n, latency percentiles) lives
+    // in the BENCH.json artifact written above.
+    val parityQs = allResults
+      .filter(s => parityWorkloads.contains(s.wl))
+      .map(s => f""""${s.wl}":${s.median}%.3f""").mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$parityQs,"contended":$contended,"sf":"$sfDir"}""")
   }
 
   /** End-to-end micro-batch latency percentiles — the `EndToEndLatency`
@@ -463,7 +537,7 @@ object Bench {
     * apples number against the reference's continuously-running Streams
     * workloads; the batch workloads above measure the analytic engine. */
   private def streamingThroughput(spark: SparkSession, sfDir: String,
-      eventRows: Long): Seq[Sample] = {
+      eventRows: Long, cycles: Int): Seq[Sample] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
@@ -494,7 +568,10 @@ object Bench {
           mem.addData(events.take(100))
           q.processAllAvailable()
           val t0 = System.nanoTime()
-          events.grouped(50000).foreach(mem.addData(_))
+          var c = 0
+          while (c < cycles) {
+            events.grouped(50000).foreach(mem.addData(_)); c += 1
+          }
           q.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         } finally q.stop()
@@ -517,7 +594,10 @@ object Bench {
           sMem.addData(streamSide.take(100))
           q2.processAllAvailable()
           val t0 = System.nanoTime()
-          streamSide.grouped(50000).foreach(sMem.addData(_))
+          var c = 0
+          while (c < cycles) {
+            streamSide.grouped(50000).foreach(sMem.addData(_)); c += 1
+          }
           q2.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         } finally q2.stop()
@@ -545,7 +625,10 @@ object Bench {
           kvMem.addData(kvSide.take(100))
           q3.processAllAvailable()
           val t0 = System.nanoTime()
-          kvSide.grouped(50000).foreach(kvMem.addData(_))
+          var c = 0
+          while (c < cycles) {
+            kvSide.grouped(50000).foreach(kvMem.addData(_)); c += 1
+          }
           q3.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         } finally q3.stop()
@@ -565,7 +648,10 @@ object Bench {
           wMem.addData(events.take(100))
           q4.processAllAvailable()
           val t0 = System.nanoTime()
-          events.grouped(50000).foreach(wMem.addData(_))
+          var c = 0
+          while (c < cycles) {
+            events.grouped(50000).foreach(wMem.addData(_)); c += 1
+          }
           q4.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         } finally q4.stop()
@@ -577,7 +663,8 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $wl: $e"); None }
         }
-        if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, eventRows, eventRows))
+        if (secs.isEmpty) Seq.empty
+        else Seq(Sample(wl, secs, eventRows * cycles, eventRows * cycles))
       }
 
       sample("yahoo-streaming")(yahooStreamingOnce) ++
