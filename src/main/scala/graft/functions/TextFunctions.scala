@@ -85,11 +85,15 @@ object TextFunctions {
       transform(sequence(lit(1), size(ts) - (n - 1)), i =>
         concat_ws(" ", slice(ts, i, lit(n)))))
 
-  /** '#' chars plus non-overlapping "..." occurrences — the Gopher
-    * "symbol" count for the symbol-to-word ratio rule. */
+  /** '#' chars plus non-overlapping "..." occurrences plus Unicode '…'
+    * chars — the Gopher "symbol" count for the symbol-to-word ratio rule
+    * (the paper's ellipsis symbol includes the one-char form; counting
+    * only the ASCII spelling undercounted it while [[ellipsisLineFrac]]
+    * handled both). */
   def symbolCount(c: Column): Column =
     (length(c) - length(translate(c, "#", ""))) +
-      (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+      (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3 +
+      (length(c) - length(translate(c, "…", "")))
 
   /** Gopher symbol-to-word ratio ([[symbolCount]] / word count). */
   def symbolToWordRatio(c: Column): Column =
@@ -150,38 +154,100 @@ object TextFunctions {
       when(total === 0, lit(0.0)).otherwise((total - uniq).cast("double") / total)
     }
 
-  /** Char mass of the most frequent word n-gram (occurrences × gram
-    * length, space included) over total doc chars. O(grams × distinct)
-    * per row — bounded by doc length, embarrassingly parallel. */
-  def topNgramCharFrac(c: Column, n: Int): Column =
+  /** Fraction of token characters covered by occurrences of THE most
+    * frequent word n-gram — a true coverage measure, bounded by 1, so the
+    * Gopher A1.2 thresholds (defined for character-coverage fractions)
+    * apply as published. Tie-break: the lexicographically smallest gram
+    * among those at max count (deterministic, oracle-mirrorable). The
+    * basis is token characters (whitespace excluded from BOTH numerator
+    * and denominator — a consistent, engine-exact convention).
+    *
+    * Sort-based: the top gram falls out of one run-length pass over the
+    * sorted gram array (O(g log g) per row), and the coverage sweep tests
+    * at most n gram windows per token (O(tokens × n)) — no quadratic
+    * distinct×grams pass, so rows near the 100k-word bound stay linear. */
+  def topNgramCoverageFrac(c: Column, n: Int): Column =
     DedupFunctions.bindOnce(tokens(c)) { ts =>
       DedupFunctions.bindOnce(wordNgramsOf(ts, n)) { gs =>
-        val masses = transform(array_distinct(gs), g =>
-          size(filter(gs, x => x === g)).cast("long") * length(g))
-        when(length(c) === 0 || size(gs) === 0, lit(0.0))
-          .otherwise(array_max(masses).cast("double") / length(c))
+        DedupFunctions.bindOnce(array_sort(gs)) { sg =>
+          val m = size(ts)
+          val g = size(gs)
+          // run-length pass: (prev gram, current run, best count, top gram);
+          // strict > keeps the FIRST (sorted = smallest) gram on count ties
+          val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+            lit(0L).as("best"), lit("").as("top"))
+          val st = aggregate(sg, zero, (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            val better = run > acc.getField("best")
+            struct(x.as("prev"), run.as("run"),
+              when(better, run).otherwise(acc.getField("best")).as("best"),
+              when(better, x).otherwise(acc.getField("top")).as("top"))
+          })
+          DedupFunctions.bindOnce(st.getField("top")) { topG =>
+            // token p is covered iff one of the ≤n gram windows containing
+            // it is the top gram; windows clamped to [1, g]
+            val coveredMass = aggregate(sequence(lit(1), m), lit(0L), (acc, p) => {
+              val lo = greatest(p - (n - 1), lit(1))
+              val hi = least(p, g)
+              val cov = when(hi < lo, lit(false)).otherwise(
+                exists(slice(gs, lo, hi - lo + 1), x => x === topG))
+              acc + when(cov, length(element_at(ts, p)).cast("long")).otherwise(0L)
+            })
+            val total = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+            when(m === 0 || g === 0 || total === 0, lit(0.0))
+              .otherwise(coveredMass.cast("double") / total)
+          }
+        }
       }
     }
 
-  /** Char mass of all occurrences of word n-grams appearing more than
-    * once, over total doc chars. Sort-based: O(g log g) per row — the
-    * 100 TB-safe shape (no quadratic distinct×grams pass). */
-  def dupNgramCharFrac(c: Column, n: Int): Column =
+  /** Fraction of token characters covered by at least one occurrence of a
+    * DUPLICATED word n-gram (one appearing ≥2 times) — bounded by 1, the
+    * Gopher A1.2 "fraction of characters in duplicate n-grams" measure
+    * (the earlier occurrence-mass form could exceed 1 and over-filtered
+    * against the paper's 0.15 threshold). Token-character basis, as in
+    * [[topNgramCoverageFrac]].
+    *
+    * Sort-based dup detection: grams ride to sort order as (gram, index)
+    * structs, neighbor equality marks duplicates, a second sort restores
+    * position order — O(g log g) per row; the coverage sweep is
+    * O(tokens × n). */
+  def dupNgramCoverageFrac(c: Column, n: Int): Column =
     DedupFunctions.bindOnce(tokens(c)) { ts =>
-      DedupFunctions.bindOnce(array_sort(wordNgramsOf(ts, n))) { sg =>
-        val m = size(sg)
-        val total = aggregate(sg, lit(0L), (acc, g) => acc + length(g))
-        // A sorted gram is a singleton iff it differs from both neighbors;
-        // indices guarded so out-of-range element_at is never evaluated.
-        val singles = aggregate(sequence(lit(1), m), lit(0L), (acc, i) => {
-          val diffPrev = when(i === 1, lit(true))
-            .otherwise(element_at(sg, i) =!= element_at(sg, i - 1))
-          val diffNext = when(i === m, lit(true))
-            .otherwise(element_at(sg, i) =!= element_at(sg, i + 1))
-          acc + when(diffPrev && diffNext, length(element_at(sg, i)).cast("long")).otherwise(0L)
-        })
-        when(length(c) === 0 || m === 0, lit(0.0))
-          .otherwise((total - singles).cast("double") / length(c))
+      DedupFunctions.bindOnce(wordNgramsOf(ts, n)) { gs =>
+        val g0 = size(gs)
+        DedupFunctions.bindOnce(
+          when(g0 === 0, array().cast("array<struct<g:string,i:int>>"))
+            .otherwise(array_sort(transform(sequence(lit(1), g0), i =>
+              struct(element_at(gs, i).as("g"), i.cast("int").as("i")))))) { sg =>
+          val g = size(sg)
+          // per-position dup flag via sorted neighbors; (i, d) structs
+          // sort back to position order (i is unique)
+          DedupFunctions.bindOnce(
+            when(g === 0, array().cast("array<struct<i:int,d:boolean>>"))
+              .otherwise(array_sort(transform(sequence(lit(1), g), j => {
+                val cur = element_at(sg, j).getField("g")
+                val dupPrev = when(j > 1,
+                  cur === element_at(sg, j - 1).getField("g")).otherwise(lit(false))
+                val dupNext = when(j < g,
+                  cur === element_at(sg, j + 1).getField("g")).otherwise(lit(false))
+                struct(element_at(sg, j).getField("i").as("i"),
+                  (dupPrev || dupNext).as("d"))
+              })))) { byIdx =>
+            val m = size(ts)
+            val coveredMass = aggregate(sequence(lit(1), m), lit(0L), (acc, p) => {
+              val lo = greatest(p - (n - 1), lit(1))
+              val hi = least(p, g)
+              val cov = when(hi < lo, lit(false)).otherwise(
+                exists(slice(byIdx, lo, hi - lo + 1), s => s.getField("d")))
+              acc + when(cov, length(element_at(ts, p)).cast("long")).otherwise(0L)
+            })
+            val total = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+            when(m === 0 || g === 0 || total === 0, lit(0.0))
+              .otherwise(coveredMass.cast("double") / total)
+          }
+        }
       }
     }
 

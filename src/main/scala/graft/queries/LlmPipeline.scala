@@ -935,7 +935,8 @@ object LlmPipeline extends Catalog {
       |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ltoks,
       |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS ls,
       |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-      |    + (length(text) - length(replace(text, '...', ''))) / 3.0 AS syms
+      |    + (length(text) - length(replace(text, '...', ''))) / 3.0
+      |    + (length(text) - length(replace(text, '…', ''))) AS syms
       |  FROM documents),
       |r AS (SELECT doc_id, len(toks) AS n_words,
       |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)/len(toks) END AS mwl,
@@ -974,33 +975,43 @@ object LlmPipeline extends Catalog {
   }
 
   // -- Gopher repetition rules (A1.2 subset): duplicate-line fractions
-  //    plus top-bigram / duplicate-5-gram char mass. n-gram masses use
-  //    the overlap-ignoring definition (occurrences × gram length); the
-  //    5-gram pass is sort-based (O(g log g) per row), the top-bigram
-  //    mode is distinct×grams (bounded by doc length). All per-row.
+  //    plus top-bigram / duplicate-5-gram COVERAGE fractions — true ≤1
+  //    character-coverage measures (token-char basis) so the paper's
+  //    0.20/0.15 thresholds apply as published (the earlier
+  //    occurrence-mass form could exceed 1 and over-filtered). Both
+  //    n-gram passes are sort-based O(g log g) per row plus an
+  //    O(tokens×n) coverage sweep; the oracle mirrors the same value
+  //    with DuckDB's O(g²) list comprehensions (fine at oracle scale).
   q("q_quality_gopher_rep",
     """WITH t AS (SELECT doc_id, text,
       |  list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks,
       |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS ls
       |  FROM documents),
-      |g AS (SELECT doc_id, text, ls,
+      |g AS (SELECT doc_id, text, toks, ls,
       |  CASE WHEN len(toks) < 2 THEN [] ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] END AS g2,
       |  CASE WHEN len(toks) < 5 THEN []
       |       ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
       |             for i in range(1, len(toks) - 3)] END AS g5
       |  FROM t),
-      |s AS (SELECT doc_id, text, ls, g2, list_sort(g5) AS sg FROM g),
+      |s AS (SELECT doc_id, text, toks, ls, g2, g5,
+      |  list_sum(list_transform(toks, x -> len(x))) AS tokmass,
+      |  CASE WHEN len(g2)=0 THEN '' ELSE
+      |    list_sort(list_filter(list_distinct(g2), y -> len(list_filter(g2, x -> x = y)) =
+      |      list_max(list_transform(list_distinct(g2), y2 -> len(list_filter(g2, x -> x = y2))))))[1] END AS topg,
+      |  CASE WHEN len(g5)=0 THEN [] ELSE
+      |    [len(list_filter(g5, x -> x = g5[i])) >= 2 for i in range(1, len(g5)+1)] END AS df
+      |  FROM g),
       |r AS (SELECT doc_id,
       |  CASE WHEN len(ls)=0 THEN 0.0 ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)/len(ls) END AS dlf,
       |  CASE WHEN len(ls)=0 THEN 0.0
       |       ELSE CAST(list_sum(list_transform(ls, l -> len(l))) - list_sum(list_transform(list_distinct(ls), l -> len(l))) AS DOUBLE)
       |            / list_sum(list_transform(ls, l -> len(l))) END AS dlcf,
-      |  CASE WHEN length(text)=0 OR len(g2)=0 THEN 0.0
-      |       ELSE CAST(list_max(list_transform(list_distinct(g2), y -> len(list_filter(g2, x -> x = y)) * length(y))) AS DOUBLE) / length(text) END AS tbf,
-      |  CASE WHEN length(text)=0 OR len(sg)=0 THEN 0.0
-      |       ELSE CAST(list_sum(list_transform(sg, x -> length(x))) -
-      |            list_sum([CASE WHEN (i = 1 OR sg[i] <> sg[i-1]) AND (i = len(sg) OR sg[i] <> sg[i+1])
-      |                      THEN length(sg[i]) ELSE 0 END for i in range(1, len(sg)+1)]) AS DOUBLE) / length(text) END AS d5f
+      |  CASE WHEN len(toks)=0 OR len(g2)=0 THEN 0.0
+      |       ELSE CAST(list_sum([CASE WHEN len(list_filter(range(greatest(p-1,1), least(p, len(g2))+1), i -> g2[i] = topg)) > 0
+      |                           THEN len(toks[p]) ELSE 0 END for p in range(1, len(toks)+1)]) AS DOUBLE) / tokmass END AS tbf,
+      |  CASE WHEN len(toks)=0 OR len(g5)=0 THEN 0.0
+      |       ELSE CAST(list_sum([CASE WHEN len(list_filter(range(greatest(p-4,1), least(p, len(g5))+1), i -> df[i])) > 0
+      |                           THEN len(toks[p]) ELSE 0 END for p in range(1, len(toks)+1)]) AS DOUBLE) / tokmass END AS d5f
       |  FROM s)
       |SELECT doc_id, round(dlf,6) AS dup_line_frac, round(dlcf,6) AS dup_line_char_frac,
       |  round(tbf,6) AS top_bigram_char_frac, round(d5f,6) AS dup_5gram_char_frac,
@@ -1010,8 +1021,8 @@ object LlmPipeline extends Catalog {
       col("doc_id"),
       T.dupLineFrac(col("text")).as("dlf"),
       T.dupLineCharFrac(col("text")).as("dlcf"),
-      T.topNgramCharFrac(col("text"), 2).as("tbf"),
-      T.dupNgramCharFrac(col("text"), 5).as("d5f"))
+      T.topNgramCoverageFrac(col("text"), 2).as("tbf"),
+      T.dupNgramCoverageFrac(col("text"), 5).as("d5f"))
     d.select(
       col("doc_id"),
       round(col("dlf"), 6).as("dup_line_frac"),
