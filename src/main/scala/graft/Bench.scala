@@ -72,7 +72,8 @@ object Bench {
     "knn-classify" -> "q_knn_classify",
     "dsir-weights" -> "q_dsir_weights",
     "bpe-pairs" -> "q_bpe_pair_counts",
-    "bpe-merges" -> "q_bpe_merges")
+    "bpe-merges" -> "q_bpe_merges",
+    "curation-funnel" -> "q_curation_funnel")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -284,7 +285,8 @@ object Bench {
       "knn-classify" -> bytes("embeddings"),
       "dsir-weights" -> bytes("documents"),
       "bpe-pairs" -> bytes("documents"),
-      "bpe-merges" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "bpe-merges" -> bytes("documents"),
+      "curation-funnel" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -315,7 +317,8 @@ object Bench {
       "knn-classify" -> embRows,
       "dsir-weights" -> docRows,
       "bpe-pairs" -> docRows,
-      "bpe-merges" -> docRows).withDefaultValue(eventRows)
+      "bpe-merges" -> docRows,
+      "curation-funnel" -> docRows).withDefaultValue(eventRows)
 
     // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
     // against one-off GC/JIT hiccups, still a warmed steady-state number

@@ -1033,6 +1033,139 @@ object LlmPipeline extends Catalog {
         col("tbf") <= 0.20 && col("d5f") <= 0.15).as("rep_passes"))
   }
 
+  // -- curation funnel: the composed C4+Gopher keep-decision — language
+  //    gate, exact dedup, Gopher repetition rules, Gopher quality rules —
+  //    reported as per-stage attrition counts (the report a pipeline
+  //    operator reads first). Stage order is attribution only (each stage
+  //    ANDs onto the previous, so the final keep-set is order-independent);
+  //    exact dedup sits right after the language gate because it is the
+  //    cheapest volume cut and dedups over the docs still in play
+  //    (min-over-survivors window, mirrored in the oracle). Scale shape:
+  //    every rule is a codegen'd per-row column expression; the only
+  //    shuffle is the fingerprint window for dedup-keep, then one
+  //    partial-agg'd global count — the same one-shuffle cost as
+  //    q_dedup_exact regardless of corpus size, and the output is five
+  //    rows.
+  q("q_curation_funnel", {
+    val scoreSql = T.LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter(ltoks, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = T.LangMarkers.map(_._1)
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseChain = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH cf AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ltoks,
+       |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS ls,
+       |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+       |    + (length(text) - length(replace(text, '...', ''))) / 3.0
+       |    + (length(text) - length(replace(text, '…', ''))) AS syms
+       |  FROM documents),
+       |cfl AS (SELECT doc_id, text, $scoreSql FROM cf),
+       |cflm AS (SELECT *, $mx AS mx FROM cfl),
+       |cflang AS (SELECT doc_id,
+       |  ((CASE WHEN length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) < length(text) THEN 'zh'
+       |         WHEN mx = 0 THEN 'und' $caseChain ELSE 'und' END) = 'en') AS lang_ok
+       |  FROM cflm),
+       |cfq AS (SELECT doc_id,
+       |  (len(toks) BETWEEN 50 AND 100000
+       |   AND (CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)/len(toks) END) BETWEEN 3.0 AND 10.0
+       |   AND (CASE WHEN len(toks)=0 THEN 0.0 ELSE syms/len(toks) END) < 0.1
+       |   AND (CASE WHEN len(ls)=0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)/len(ls) END) <= 0.9
+       |   AND (CASE WHEN len(ls)=0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS DOUBLE)/len(ls) END) <= 0.3
+       |   AND (CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)/len(toks) END) >= 0.8
+       |   AND len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(ltoks, w))) >= 2) AS q_ok
+       |  FROM cf),
+       |cfg AS (SELECT doc_id, toks, ls,
+       |  CASE WHEN len(toks) < 2 THEN [] ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] END AS g2,
+       |  CASE WHEN len(toks) < 5 THEN []
+       |       ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+       |             for i in range(1, len(toks) - 3)] END AS g5
+       |  FROM cf),
+       |cfs AS (SELECT doc_id, toks, ls, g2, g5,
+       |  list_sum(list_transform(toks, x -> len(x))) AS tokmass,
+       |  CASE WHEN len(g2)=0 THEN '' ELSE
+       |    list_sort(list_filter(list_distinct(g2), y -> len(list_filter(g2, x -> x = y)) =
+       |      list_max(list_transform(list_distinct(g2), y2 -> len(list_filter(g2, x -> x = y2))))))[1] END AS topg,
+       |  CASE WHEN len(g5)=0 THEN [] ELSE
+       |    [len(list_filter(g5, x -> x = g5[i])) >= 2 for i in range(1, len(g5)+1)] END AS df
+       |  FROM cfg),
+       |cfr AS (SELECT doc_id,
+       |  ((CASE WHEN len(ls)=0 THEN 0.0 ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)/len(ls) END) <= 0.30
+       |   AND (CASE WHEN len(ls)=0 THEN 0.0
+       |        ELSE CAST(list_sum(list_transform(ls, l -> len(l))) - list_sum(list_transform(list_distinct(ls), l -> len(l))) AS DOUBLE)
+       |             / list_sum(list_transform(ls, l -> len(l))) END) <= 0.20
+       |   AND (CASE WHEN len(toks)=0 OR len(g2)=0 THEN 0.0
+       |        ELSE CAST(list_sum([CASE WHEN len(list_filter(range(greatest(p-1,1), least(p, len(g2))+1), i -> g2[i] = topg)) > 0
+       |                            THEN len(toks[p]) ELSE 0 END for p in range(1, len(toks)+1)]) AS DOUBLE) / tokmass END) <= 0.20
+       |   AND (CASE WHEN len(toks)=0 OR len(g5)=0 THEN 0.0
+       |        ELSE CAST(list_sum([CASE WHEN len(list_filter(range(greatest(p-4,1), least(p, len(g5))+1), i -> df[i])) > 0
+       |                            THEN len(toks[p]) ELSE 0 END for p in range(1, len(toks)+1)]) AS DOUBLE) / tokmass END) <= 0.15) AS rep_ok
+       |  FROM cfs),
+       |cfx AS (SELECT p.doc_id,
+       |  substr(md5(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       |  l.lang_ok, q.q_ok, r.rep_ok
+       |  FROM cf p
+       |  JOIN cflang l USING (doc_id) JOIN cfq q USING (doc_id) JOIN cfr r USING (doc_id)),
+       |cfk AS (SELECT *,
+       |  (lang_ok AND doc_id = min(CASE WHEN lang_ok THEN doc_id END) OVER (PARTITION BY fp)) AS keep
+       |  FROM cfx),
+       |cfa AS (SELECT count(*) AS c0,
+       |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |  CAST(sum(CASE WHEN keep AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+       |  CAST(sum(CASE WHEN keep AND rep_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS c4
+       |  FROM cfk)
+       |SELECT CAST(stage AS BIGINT) AS stage, rule, docs_in, docs_kept,
+       |  docs_in - docs_kept AS docs_dropped
+       |FROM (
+       |  SELECT 1 AS stage, 'total' AS rule, c0 AS docs_in, c0 AS docs_kept FROM cfa
+       |  UNION ALL SELECT 2, 'lang_en', c0, c1 FROM cfa
+       |  UNION ALL SELECT 3, 'dedup_exact', c1, c2 FROM cfa
+       |  UNION ALL SELECT 4, 'gopher_repetition', c2, c3 FROM cfa
+       |  UNION ALL SELECT 5, 'gopher_quality', c3, c4 FROM cfa)"""
+  }) { (s, dir) =>
+    val flags = spread(load(s, dir, "documents")).select(
+      col("doc_id"),
+      T.fingerprintHex(col("text")).as("fp"),
+      (T.langId(col("text")) === "en").as("lang_ok"),
+      (T.tokenCount(col("text")).between(50, 100000) &&
+        T.meanTokenLen(col("text")).between(3.0, 10.0) &&
+        T.symbolToWordRatio(col("text")) < 0.1 &&
+        T.bulletLineFrac(col("text")) <= 0.9 &&
+        T.ellipsisLineFrac(col("text")) <= 0.3 &&
+        T.alphaWordFrac(col("text")) >= 0.8 &&
+        T.gopherStopwordHits(col("text")) >= 2).as("q_ok"),
+      (T.dupLineFrac(col("text")) <= 0.30 &&
+        T.dupLineCharFrac(col("text")) <= 0.20 &&
+        T.topNgramCoverageFrac(col("text"), 2) <= 0.20 &&
+        T.dupNgramCoverageFrac(col("text"), 5) <= 0.15).as("rep_ok"))
+    val marked = flags
+      .withColumn("keep", col("lang_ok") && col("doc_id") ===
+        min(when(col("lang_ok"), col("doc_id"))).over(Window.partitionBy("fp")))
+    val a = marked.agg(
+      count(lit(1)).as("c0"),
+      sum(when(col("lang_ok"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("keep") && col("rep_ok"), 1L).otherwise(0L)).as("c3"),
+      sum(when(col("keep") && col("rep_ok") && col("q_ok"), 1L).otherwise(0L)).as("c4"))
+    a.select(explode(array(
+        struct(lit(1L).as("stage"), lit("total").as("rule"),
+          col("c0").as("docs_in"), col("c0").as("docs_kept")),
+        struct(lit(2L).as("stage"), lit("lang_en").as("rule"),
+          col("c0").as("docs_in"), col("c1").as("docs_kept")),
+        struct(lit(3L).as("stage"), lit("dedup_exact").as("rule"),
+          col("c1").as("docs_in"), col("c2").as("docs_kept")),
+        struct(lit(4L).as("stage"), lit("gopher_repetition").as("rule"),
+          col("c2").as("docs_in"), col("c3").as("docs_kept")),
+        struct(lit(5L).as("stage"), lit("gopher_quality").as("rule"),
+          col("c3").as("docs_in"), col("c4").as("docs_kept")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.rule").as("rule"),
+        col("s.docs_in").as("docs_in"), col("s.docs_kept").as("docs_kept"),
+        (col("s.docs_in") - col("s.docs_kept")).as("docs_dropped"))
+  }
+
   // -- heuristic language ID (marker-word argmax; CJK => zh).
   q("q_lang_id", {
     val scoreSql = T.LangMarkers.map { case (lang, ms) =>
@@ -1648,11 +1781,20 @@ object LlmPipeline extends Catalog {
       .orderBy(col("cnt").desc, col("pair")).limit(20)
   }
 
+  /** BPE merge rounds N — a config knob, not a constant: the trainer loop
+    * and the oracle unroll to the same N (`-Dgraft.bpe.mergeRounds=k`,
+    * default 10). Per-round cost is linear in DISTINCT words and the plan
+    * stays constant-size (`localCheckpoint` per round), so vocab-scale N
+    * is bounded by driver round-trips only — see SCALE.md. */
+  private val BpeMergeRounds: Int =
+    sys.props.get("graft.bpe.mergeRounds").map(_.trim.toInt).filter(_ >= 1).getOrElse(10)
+
   // -- iterative BPE trainer (Sennrich et al., arXiv:1508.07909 §3): the
-  //    count-pairs -> pick-winner -> apply-merge loop, run N=3 rounds over
-  //    the frequency-weighted DISTINCT word list (q_bpe_pair_counts is one
-  //    body of this loop). Emits the top-5 merge candidates per round;
-  //    rank 1 is the merge applied before the next round, so rounds 2..3
+  //    count-pairs -> pick-winner -> apply-merge loop, run N rounds (see
+  //    [[BpeMergeRounds]], default 10) over the frequency-weighted
+  //    DISTINCT word list (q_bpe_pair_counts is one body of this loop).
+  //    Emits the top-5 merge candidates per round; rank 1 is the merge
+  //    applied before the next round, so rounds 2..N
   //    count pairs over multi-character symbols. Words travel as symbol
   //    strings (symbols joined by single spaces — symbols never contain
   //    whitespace, tokens are split on it); a merge of (a, b) is a greedy
@@ -1689,20 +1831,20 @@ object LlmPipeline extends Catalog {
          |  FROM w${k - 1} CROSS JOIN (
          |    SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
          |    FROM t$k WHERE rnk = 1) m)"""
+    val n = BpeMergeRounds
+    val chain = ((1 until n).flatMap(k => Seq(round(k), merge(k))) :+ round(n))
+      .mkString(",\n")
+    val union = (1 to n).map(k => s"SELECT * FROM t$k WHERE rnk <= 5")
+      .mkString("\n      UNION ALL ")
     s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
        |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
        |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sw, f FROM wf),
-       |${round(1)},
-       |${merge(1)},
-       |${round(2)},
-       |${merge(2)},
-       |${round(3)}
+       |$chain
        |SELECT iter, CAST(rnk AS BIGINT) AS rnk, pair, cnt
-       |FROM (SELECT * FROM t1 WHERE rnk <= 5
-       |      UNION ALL SELECT * FROM t2 WHERE rnk <= 5
-       |      UNION ALL SELECT * FROM t3 WHERE rnk <= 5)"""
+       |FROM ($union)"""
   }) { (s, dir) =>
     import org.apache.spark.sql.DataFrame
+    val n = BpeMergeRounds
     var words: DataFrame = bpeWords(s, dir)
     def top5(k: Int): DataFrame = {
       val w = Window.orderBy(col("cnt").desc, col("pair"))
@@ -1714,9 +1856,9 @@ object LlmPipeline extends Catalog {
           row_number().over(w).cast("long").as("rnk"))
         .localCheckpoint() // 5 rows; truncates this round's lineage
     }
-    val tops = (1 to 3).map { k =>
+    val tops = (1 to n).map { k =>
       val t = top5(k)
-      if (k < 3) {
+      if (k < n) {
         // the round's winner: one 5-row-checkpointed lookup, two scalars
         val Array(a, b) = t.filter(col("rnk") === 1)
           .head().getAs[String]("pair").split(" ", 2)
@@ -1739,17 +1881,18 @@ object LlmPipeline extends Catalog {
       .select(col("w"), T.bpeInit(col("w")).as("sw"), col("f"))
       .localCheckpoint()
 
-  // -- BPE encoder: apply the trainer's first 3 learned merges to segment
+  // -- BPE encoder: apply the trainer's first N learned merges (same
+  //    [[BpeMergeRounds]] config as the trainer) to segment
   //    every distinct corpus word (the tokenize-with-the-learned-vocab
   //    half of the tokenizer; q_bpe_merges is the training half). Output:
   //    each word's segmentation and symbol count, plus the corpus token
   //    total it implies (f * n_symbols aggregates to the corpus-level
   //    fertility a tokenizer build reports). Scale shape: identical to one
   //    trainer round — the corpus collapses onto DISTINCT words first, the
-  //    3 winners ride as driver scalars (the trainer's top-1 loop re-run),
+  //    N winners ride as driver scalars (the trainer's top-1 loop re-run),
   //    and encoding the full corpus is then a broadcast word->segmentation
   //    join at any scale; here the word table IS the output domain. The
-  //    oracle unrolls the same 3 winner-selection+merge rounds and encodes
+  //    oracle unrolls the same N winner-selection+merge rounds and encodes
   //    with the same list_reduce fold.
   q("q_bpe_encode", {
     def round(k: Int) =
@@ -1766,20 +1909,19 @@ object LlmPipeline extends Catalog {
          |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
          |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
          |  FROM w${k - 1} CROSS JOIN m$k AS m)"""
+    val n = BpeMergeRounds
     s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
        |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
        |w0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS sw, f FROM wf),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)}
+       |${(1 to n).map(round).mkString(",\n")}
        |SELECT w, sw AS segmentation,
        |  CAST(len(string_split(sw, ' ')) AS BIGINT) AS n_symbols,
        |  CAST(f AS BIGINT) AS f,
        |  CAST(f * len(string_split(sw, ' ')) AS BIGINT) AS corpus_symbols
-       |FROM w3"""
+       |FROM w$n"""
   }) { (s, dir) =>
     var words = bpeWords(s, dir)
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to BpeMergeRounds) {
       // same winner rule as the trainer: top pair by (count desc, pair)
       val Array(a, b) = words
         .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))

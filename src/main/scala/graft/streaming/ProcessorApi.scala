@@ -26,6 +26,16 @@ import graft.api.{KStream, Rec}
   * (`spark.sql.streaming.stateStore.providerClass`), which is also the
   * reference's store engine — set it on the session before starting the
   * query.
+  *
+  * Deterministic WALL_CLOCK_TIME punctuation under test (the reference's
+  * `TopologyTestDriver.advanceWallClockTime`, `TopologyTestDriver.java:508`):
+  * Spark's processing-time timers can't be advanced from outside, so a
+  * processor that needs it registers a short HEARTBEAT timer under
+  * `TimeMode.ProcessingTime()` and decides the actual emit in `onTimer`
+  * against an injected [[GraftClock]] (re-arming the heartbeat until the
+  * manual deadline passes) — the same pattern as
+  * [[StatefulOps.suppressUntilTimeLimitClocked]], driven from
+  * `graft.testkit.TopologyTestDriver(wallClockId = ...)`.
   */
 object ProcessorApi {
 

@@ -113,6 +113,54 @@ object StatefulOps {
     }
   }
 
+  /** [[suppressUntilTimeLimit]] against an injectable wall clock — the
+    * path behind the testkit's `advanceWallClockTime`
+    * (`streams/test-utils/.../TopologyTestDriver.java:508`). Spark's
+    * `ProcessingTimeTimeout` cannot be sped up from outside, so here it
+    * serves only as a HEARTBEAT that re-invokes each buffered key every
+    * `heartbeatMs`; WHETHER the buffered value emits is decided solely
+    * against `clock` (deadline = clock.now + delay, stored in state).
+    * With a [[GraftClock.ManualClock]] punctuation is deterministic:
+    * real time passing never fires the timer, advancing the clock does —
+    * exactly the reference's wall-clock-advance semantics. With
+    * [[GraftClock.SystemClock]] the emit condition reduces to the
+    * production variant's (the heartbeat then costs one extra no-op group
+    * invocation per interval, which is why the non-clocked overloads keep
+    * the plain timeout path). */
+  def suppressUntilTimeLimitClocked[K: Encoder, V: Encoder](
+      stream: KStream[K, V], delayMs: Long, clock: GraftClock,
+      heartbeatMs: Long = 100L): Dataset[(K, V)] = {
+    implicit val kvEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    implicit val stEnc: Encoder[(K, V, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]], Encoders.scalaLong)
+    flatTransformWithState[K, V, (K, V, Long), (K, V)](
+      stream, OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      (key, rows, state) =>
+        if (state.hasTimedOut) {
+          state.getOption match {
+            case Some((k, v, deadlineMs)) if clock.nowMs() >= deadlineMs =>
+              state.remove()
+              Iterator.single((k, v))
+            case Some(_) => // clock hasn't reached the deadline: re-arm
+              state.setTimeoutDuration(heartbeatMs)
+              Iterator.empty
+            case None =>
+              state.remove()
+              Iterator.empty
+          }
+        } else {
+          var latest: Option[V] = None
+          rows.foreach { case (v, _) => latest = Some(v) }
+          latest.foreach { v =>
+            state.update((key, v, clock.nowMs() + delayMs))
+            state.setTimeoutDuration(heartbeatMs)
+          }
+          Iterator.empty
+        }
+    }
+  }
+
   /** Per-JVM budget registry for [[suppressUntilTimeLimitGlobal]] — the
     * WHOLE-buffer `BufferConfig` accounting of the reference
     * (`state/internals/InMemoryTimeOrderedKeyValueBuffer.java` bounds ALL

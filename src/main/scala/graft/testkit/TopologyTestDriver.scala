@@ -5,9 +5,10 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.api.{GraftStreams, KStream, Rec}
+import graft.streaming.GraftClock
 
 /** Synchronous topology test harness — the reference's
   * `TopologyTestDriver` (`streams/test-utils/.../TopologyTestDriver.java`):
@@ -19,30 +20,80 @@ import graft.api.{GraftStreams, KStream, Rec}
   * micro-batch is fully processed (`processAllAvailable`), and
   * `readOutput` drains only records emitted since the previous read (the
   * reference's output-topic queue semantics).
+  *
+  * For wall-clock punctuation tests, pass `wallClockId`: the driver runs
+  * the query on a fast processing-time trigger (timeout heartbeats need
+  * batches) and [[TopologyTestDriver.advanceWallClockTime]] advances the
+  * [[GraftClock.ManualClock]] of that id — the reference's
+  * `advanceWallClockTime(Duration)` (`TopologyTestDriver.java:508`).
+  * Build the topology over the SAME clock (e.g.
+  * `StatefulOps.suppressUntilTimeLimitClocked(s, d, ManualClock(id))`);
+  * timers then fire only when the test advances the clock, never because
+  * real time passed.
   */
 final class TopologyTestDriver[K: Encoder, V: Encoder, K2: Encoder, V2: Encoder](
     spark: SparkSession,
     topology: KStream[K, V] => KStream[K2, V2],
-    outputMode: OutputMode = OutputMode.Append) {
+    outputMode: OutputMode = OutputMode.Append,
+    wallClockId: Option[String] = None) {
 
   private implicit val inEnc: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
   private implicit val outEnc: Encoder[(K2, V2, Timestamp)] = Rec.tupleEnc[K2, V2]
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  wallClockId.foreach(GraftClock.setTime(_, 0L)) // fresh clock per driver
+
   private val mem = MemoryStream[(K, V, Timestamp)]
   private val sinkName =
     s"ttd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-  private val query = topology(
-      GraftStreams(spark).stream[K, V](mem.toDF(), col("_1"), col("_2"), col("_3")))
-    .toDF.writeStream.format("memory").queryName(sinkName)
-    .outputMode(outputMode).start()
+  private val query = {
+    val w = topology(
+        GraftStreams(spark).stream[K, V](mem.toDF(), col("_1"), col("_2"), col("_3")))
+      .toDF.writeStream.format("memory").queryName(sinkName)
+      .outputMode(outputMode)
+    // heartbeat batches so processing-time timeouts get evaluated
+    wallClockId.fold(w)(_ => w.trigger(Trigger.ProcessingTime("50 milliseconds")))
+      .start()
+  }
   private var drained = 0
 
-  /** Pipe records into the source topic and process them to quiescence. */
+  /** Pipe records into the source topic and process them to quiescence.
+    * Under a manual wall clock the engine constructs batches continuously
+    * (processing-time timeouts), so `processAllAvailable` would never
+    * observe quiescence — instead wait until the source offset of this
+    * addData is committed. */
   def pipe(records: (K, V, Timestamp)*): Unit = {
-    mem.addData(records)
-    query.processAllAvailable()
+    val off = mem.addData(records)
+    if (wallClockId.isEmpty) query.processAllAvailable()
+    else {
+      val target = off.json.trim.toLong
+      val deadline = System.currentTimeMillis() + 30000L
+      def done: Boolean = Option(query.lastProgress).exists(_.sources.headOption.exists(
+        s => Option(s.endOffset).exists(_.trim.toLong >= target)))
+      while (!done && System.currentTimeMillis() < deadline) Thread.sleep(25L)
+      if (!done) throw new IllegalStateException("pipe: offset not committed in 30s")
+    }
   }
+
+  /** Advance the manual wall clock by `byMs` and wait until the engine
+    * has run enough heartbeat batches to evaluate every processing-time
+    * timer against the new clock — deterministic punctuation: a timer
+    * fires iff the accumulated advances reach its deadline. */
+  def advanceWallClockTime(byMs: Long): Unit = {
+    val id = wallClockId.getOrElse(throw new IllegalStateException(
+      "construct the TopologyTestDriver with wallClockId to control the wall clock"))
+    GraftClock.advance(id, byMs)
+    // timers armed during batch N are checked against batch start times,
+    // so two fresh batch COMPLETIONS after the advance guarantee one full
+    // heartbeat cycle has seen the new clock
+    val start = lastBatchId
+    val deadline = System.currentTimeMillis() + 30000L
+    while (lastBatchId < start + 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(25L)
+  }
+
+  private def lastBatchId: Long =
+    Option(query.lastProgress).map(_.batchId).getOrElse(-1L)
 
   /** Records the topology emitted since the last read (empty if none). */
   def readOutput(): Seq[(K2, V2, Timestamp)] = {

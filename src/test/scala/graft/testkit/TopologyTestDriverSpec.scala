@@ -39,6 +39,43 @@ class TopologyTestDriverSpec extends AnyFunSuite {
     } finally driver.close()
   }
 
+  test("advanceWallClockTime fires processing-time punctuators deterministically") {
+    import org.apache.spark.sql.functions.lit
+    import graft.api.{KStream, Rec}
+    import graft.streaming.{GraftClock, StatefulOps}
+    val clockId = s"ttd_clock_${java.util.UUID.randomUUID()}"
+    val driver = new TopologyTestDriver[String, String, String, String](
+      spark,
+      s => {
+        val ds = StatefulOps.suppressUntilTimeLimitClocked(
+          s, delayMs = 600L, GraftClock.ManualClock(clockId))
+        new KStream[String, String](ds.toDF(Rec.KeyCol, Rec.ValueCol)
+          .withColumn(Rec.TsCol, lit(new java.sql.Timestamp(0L))))
+      },
+      OutputMode.Append,
+      wallClockId = Some(clockId))
+    try {
+      driver.pipe(("A", "v1", ts(1000L)), ("A", "v2", ts(2000L)))
+      // real time passes (heartbeat batches run) but the manual clock
+      // hasn't moved: the buffer must keep holding
+      Thread.sleep(400L)
+      assert(driver.readOutput().isEmpty, "emitted without a clock advance")
+      driver.advanceWallClockTime(300L) // 300 < 600: still holding
+      assert(driver.readOutput().isEmpty, "emitted before the time limit")
+      driver.advanceWallClockTime(400L) // 700 >= 600: timer must fire now
+      val deadline = System.currentTimeMillis() + 15000L
+      var got = driver.readOutput()
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50L)
+        got = driver.readOutput()
+      }
+      assert(got.map(r => (r._1, r._2)) === Seq(("A", "v2")))
+    } finally {
+      driver.close()
+      GraftClock.remove(clockId)
+    }
+  }
+
   test("stateful count topology accumulates across pipes (update mode)") {
     val driver = new TopologyTestDriver[String, Long, String, Long](
       spark,
