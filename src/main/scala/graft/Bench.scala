@@ -73,7 +73,11 @@ object Bench {
     "dsir-weights" -> "q_dsir_weights",
     "bpe-pairs" -> "q_bpe_pair_counts",
     "bpe-merges" -> "q_bpe_merges",
-    "curation-funnel" -> "q_curation_funnel")
+    "curation-funnel" -> "q_curation_funnel",
+    "line-filter" -> "q_line_filter",
+    "repetition-remove" -> "q_repetition_remove",
+    "quality-classifier" -> "q_quality_classifier",
+    "ann-ivf-pq" -> "q_ann_ivf_pq")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -286,7 +290,11 @@ object Bench {
       "dsir-weights" -> bytes("documents"),
       "bpe-pairs" -> bytes("documents"),
       "bpe-merges" -> bytes("documents"),
-      "curation-funnel" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "curation-funnel" -> bytes("documents"),
+      "line-filter" -> bytes("documents"),
+      "repetition-remove" -> bytes("documents"),
+      "quality-classifier" -> bytes("embeddings"),
+      "ann-ivf-pq" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -318,7 +326,11 @@ object Bench {
       "dsir-weights" -> docRows,
       "bpe-pairs" -> docRows,
       "bpe-merges" -> docRows,
-      "curation-funnel" -> docRows).withDefaultValue(eventRows)
+      "curation-funnel" -> docRows,
+      "line-filter" -> docRows,
+      "repetition-remove" -> docRows,
+      "quality-classifier" -> embRows,
+      "ann-ivf-pq" -> embRows).withDefaultValue(eventRows)
 
     // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
     // against one-off GC/JIT hiccups, still a warmed steady-state number

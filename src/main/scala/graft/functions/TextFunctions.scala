@@ -78,6 +78,28 @@ object TextFunctions {
   def docLines(c: Column): Column =
     filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
 
+  /** Web-chrome substrings whose presence marks a line as boilerplate —
+    * the RefinedWeb-style line-wise correction list (arXiv:2306.01116
+    * §3.1.3 removes nav / cookie-banner / login-chrome lines before any
+    * document-level rule runs). Matched case-insensitively. */
+  val BoilerplateMarkers: Seq[String] = Seq(
+    "javascript", "cookie", "all rights reserved", "click here",
+    "privacy policy", "terms of use", "sign in", "subscribe",
+    "advertisement")
+
+  /** Keep-predicate for one already-trimmed non-empty line: drops very
+    * short fragments, mostly-uppercase nav text, marker-bearing chrome
+    * lines, and bullet/numbering-only lines. A pure column expression —
+    * the line pass rides the scan with zero shuffle. */
+  def lineKeep(l: Column): Column = {
+    val upperFrac =
+      length(regexp_replace(l, "[^A-Z]", "")).cast("double") / length(l)
+    val low = lower(l)
+    val hasMarker = BoilerplateMarkers.map(m => low.contains(m)).reduce(_ || _)
+    length(l) >= 5 && upperFrac <= 0.6 && !hasMarker &&
+      !(l rlike "^[-*•0-9.\\s]+$")
+  }
+
   /** Word n-grams (space-joined) over a token array; empty when the doc
     * has fewer than n tokens. */
   def wordNgramsOf(ts: Column, n: Int): Column =

@@ -2310,4 +2310,131 @@ object LlmPipeline extends Catalog {
       .agg(count(lit(1)).as("n_tri"), sum("cnt").as("mass"),
         (sum("cnt").cast("double") / count(lit(1))).as("avg_cnt"))
   }
+
+  // -- line-level boilerplate cleaning (RefinedWeb-style line-wise
+  //    correction, arXiv:2306.01116 §3.1.3): drop nav / cookie-banner /
+  //    bullet-only / mostly-uppercase lines, rebuild the doc, and flag
+  //    docs that lose half their content for whole-doc removal. Pure
+  //    codegen'd column expressions — a map-only pass that rides the
+  //    scan; zero shuffle at any scale. (The synthetic corpus is
+  //    single-line lowercase prose, so the oracle here checks expression
+  //    parity; the rule boundaries themselves are pinned by
+  //    LineFilterSpec on hand-built lines.)
+  q("q_line_filter", {
+    val markers = T.BoilerplateMarkers
+      .map(m => s"contains(lower(l), '$m')").mkString(" OR ")
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |              l -> len(l) > 0) AS ls
+       |  FROM documents),
+       |k AS (SELECT doc_id, ls,
+       |  list_filter(ls, l -> len(l) >= 5
+       |    AND CAST(len(regexp_replace(l, '[^A-Z]', '', 'g')) AS DOUBLE) / len(l) <= 0.6
+       |    AND NOT ($markers)
+       |    AND NOT regexp_matches(l, '^[-*•0-9.\\s]+$$')) AS kept
+       |  FROM d),
+       |m AS (SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+       |  coalesce(list_sum(list_transform(ls, l -> len(l))), 0) AS chars_in,
+       |  coalesce(list_sum(list_transform(kept, l -> len(l))), 0) AS chars_kept,
+       |  array_to_string(kept, chr(10)) AS clean_text
+       |  FROM k)
+       |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(chars_in AS BIGINT) AS chars_in,
+       |  CAST(chars_kept AS BIGINT) AS chars_kept,
+       |  CASE WHEN chars_in = 0 THEN 0.0
+       |       ELSE round(CAST(chars_kept AS DOUBLE) / chars_in, 6) END AS keep_frac,
+       |  CASE WHEN chars_in = 0 THEN FALSE
+       |       ELSE 2 * chars_kept >= chars_in END AS doc_kept,
+       |  clean_text
+       |FROM m"""
+  }) { (s, dir) =>
+    val charsOf = (c: org.apache.spark.sql.Column) =>
+      aggregate(c, lit(0L), (a, l) => a + length(l))
+    spread(load(s, dir, "documents"))
+      .select(col("doc_id"), T.docLines(col("text")).as("ls"))
+      .withColumn("kept", filter(col("ls"), l => T.lineKeep(l)))
+      .select(
+        col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        charsOf(col("ls")).as("chars_in"),
+        charsOf(col("kept")).as("chars_kept"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .withColumn("keep_frac", when(col("chars_in") === 0, lit(0.0))
+        .otherwise(round(col("chars_kept").cast("double") / col("chars_in"), 6)))
+      .withColumn("doc_kept", when(col("chars_in") === 0, lit(false))
+        .otherwise(col("chars_kept") * 2 >= col("chars_in")))
+  }
+
+  // -- within-doc repetition removal: drop every repeat of a line after
+  //    its first occurrence (order-preserving line dedup — the cheap
+  //    within-page cleanup that precedes corpus-level dedup). Map-only,
+  //    zero shuffle; per-row cost is O(lines^2) string compares bounded
+  //    by lines-per-doc, not corpus size.
+  q("q_repetition_remove",
+    """WITH d AS (SELECT doc_id,
+      |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |              l -> len(l) > 0) AS ls
+      |  FROM documents),
+      |k AS (SELECT doc_id, ls,
+      |  list_filter(ls, (l, i) -> list_position(ls, l) = i) AS kept
+      |  FROM d)
+      |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(list_sum(list_transform(ls, l -> len(l))), 0)
+      |    - coalesce(list_sum(list_transform(kept, l -> len(l))), 0) AS BIGINT)
+      |    AS chars_removed,
+      |  array_to_string(kept, chr(10)) AS clean_text
+      |FROM k""") { (s, dir) =>
+    val charsOf = (c: org.apache.spark.sql.Column) =>
+      aggregate(c, lit(0L), (a, l) => a + length(l))
+    spread(load(s, dir, "documents"))
+      .select(col("doc_id"), T.docLines(col("text")).as("ls"))
+      // keep a line only at its FIRST occurrence: array_position returns
+      // the 1-based index of the first match, the filter index is 0-based
+      .withColumn("kept",
+        filter(col("ls"), (l, i) => array_position(col("ls"), l) === i + 1))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (charsOf(col("ls")) - charsOf(col("kept"))).as("chars_removed"),
+        array_join(col("kept"), "\n").as("clean_text"))
+  }
+
+  // -- embedding-based quality classifier (the FineWeb-Edu shape,
+  //    arXiv:2406.17557 §3.2: a small linear probe over embeddings gates
+  //    documents): logistic regression trained by deterministic
+  //    fixed-point distributed gradient descent (LinearModel.scala — long
+  //    integer gradient sums, so the learned weights are bit-identical
+  //    for ANY partitioning), then every vector scored map-side against
+  //    the broadcast weights. Rows-only: the sigmoid's exp() is not
+  //    mirrorable across engines; LinearModelSpec pins determinism and
+  //    accuracy on separable data.
+  qNoOracle("q_quality_classifier") { (s, dir) =>
+    import graft.functions.LinearModel
+    val emb = spread(load(s, dir, "embeddings"))
+      .withColumn("y", (col("label") === 0).cast("double"))
+    val model = LinearModel.trainLogistic(emb, "embedding", "y",
+      iters = 5, lr = 0.5)
+    LinearModel.score(emb, "embedding", model)
+      .select(col("vec_id"), col("label"),
+        round(col("score"), 4).as("score_r"), col("pred"))
+  }
+
+  // -- IVF+PQ serving path: prune to nProbe inverted-file cells, score
+  //    survivors by compressed-domain ADC distance — the standard
+  //    billion-scale ANN composition (cells bound the candidate scan,
+  //    codes bound per-candidate cost to m table adds). Rows-only —
+  //    float k-means isn't mirrorable; ProductQuantizerSpec pins
+  //    agreement with full-scan ADC and candidate pruning.
+  qNoOracle("q_ann_ivf_pq") { (s, dir) =>
+    import graft.functions.{ProductQuantizer, VectorIndex}
+    val emb = spread(load(s, dir, "embeddings"))
+    val ivf = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val pq = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    ProductQuantizer.searchWithCells(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", ivf, pq, nProbe = 4, topK = 10)
+  }
 }

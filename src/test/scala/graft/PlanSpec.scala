@@ -220,6 +220,23 @@ class PlanSpec extends AnyFunSuite {
       plan.take(1200))
   }
 
+  test("line cleaning ops are map-only: no join, no key shuffle, no window") {
+    for (q <- Seq("q_line_filter", "q_repetition_remove")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q: ${plan.take(800)}")
+      assert(!plan.contains("Window"), s"$q: ${plan.take(800)}")
+      // the only exchange is the local-parallelism round-robin spread —
+      // never a key shuffle (the op must ride the scan at 100 TB)
+      assert(!plan.contains("hashpartitioning"), s"$q: ${plan.take(800)}")
+    }
+  }
+
+  test("classifier scoring is map-side: weights ride as plan literals, no shuffle") {
+    val plan = planOf("q_quality_classifier")
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("hashpartitioning"), plan.take(800))
+  }
+
   test("latest-per-key is a max_by partial agg, NOT a rank window") {
     // a rank window shuffles every update of a key into ONE task and sorts
     // it — a hot key with 10⁹ updates becomes a straggler; the arg-max

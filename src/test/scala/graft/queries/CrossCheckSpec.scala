@@ -121,6 +121,23 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean top-10 recall after int8 quantization = $mean")
   }
 
+  test("q_ann_ivf_pq agrees with full-scan ADC far above the probed-cell floor") {
+    // both entries train deterministic codebooks (init by id, double
+    // means), so cell pruning is the only difference vs q_ann_pq: every
+    // query must still fill its top-k, and the probed 4-of-16 cells must
+    // recover well over the ~25% a random cell subset would
+    def byQ(qn: String) = SparkEntry.queries(qn)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val pruned = byQ("q_ann_ivf_pq")
+    val full = byQ("q_ann_pq")
+    assert(pruned.keySet === full.keySet)
+    assert(pruned.values.forall(_.size == 10))
+    val agree = full.keys.map(q => (pruned(q) & full(q)).size.toDouble / 10)
+    val mean = agree.sum / agree.size
+    assert(mean > 0.5, s"IVF+PQ vs full ADC agreement $mean")
+  }
+
   test("approx_count_distinct lands within 3x rsd of the exact count") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
