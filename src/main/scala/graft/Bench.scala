@@ -77,7 +77,11 @@ object Bench {
     "line-filter" -> "q_line_filter",
     "repetition-remove" -> "q_repetition_remove",
     "quality-classifier" -> "q_quality_classifier",
-    "ann-ivf-pq" -> "q_ann_ivf_pq")
+    "ann-ivf-pq" -> "q_ann_ivf_pq",
+    "line-dedup-corpus" -> "q_line_dedup_corpus",
+    "perplexity-buckets" -> "q_perplexity_buckets",
+    "dedup-minhash-incr" -> "q_dedup_minhash_incremental",
+    "mixture-unimax" -> "q_mixture_unimax")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -97,7 +101,8 @@ object Bench {
     "dedup-spans-native", "dedup-components", "dedup-priority-keep",
     "decontaminate", "pipeline-c4", "ann-cosine-topk", "semdedup",
     "contrastive-self", "knn-classify", "dsir-weights", "bpe-pairs",
-    "bpe-merges")
+    "bpe-merges", "line-dedup-corpus", "perplexity-buckets",
+    "dedup-minhash-incr")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -294,7 +299,12 @@ object Bench {
       "line-filter" -> bytes("documents"),
       "repetition-remove" -> bytes("documents"),
       "quality-classifier" -> bytes("embeddings"),
-      "ann-ivf-pq" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "ann-ivf-pq" -> bytes("embeddings"),
+      "line-dedup-corpus" -> bytes("documents"),
+      "perplexity-buckets" -> bytes("documents"),
+      "dedup-minhash-incr" -> bytes("documents"),
+      "dedup-index-probe" -> bytes("documents"),
+      "mixture-unimax" -> bytes("documents")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -330,7 +340,12 @@ object Bench {
       "line-filter" -> docRows,
       "repetition-remove" -> docRows,
       "quality-classifier" -> embRows,
-      "ann-ivf-pq" -> embRows).withDefaultValue(eventRows)
+      "ann-ivf-pq" -> embRows,
+      "line-dedup-corpus" -> docRows,
+      "perplexity-buckets" -> docRows,
+      "dedup-minhash-incr" -> docRows,
+      "dedup-index-probe" -> docRows,
+      "mixture-unimax" -> docRows).withDefaultValue(eventRows)
 
     // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
     // against one-off GC/JIT hiccups, still a warmed steady-state number
@@ -408,6 +423,42 @@ object Bench {
       }
     }
 
+    // dedup-index-probe: the incremental near-dup serving shape. The
+    // accepted-corpus MinHash index (doc_id % 4 != 0) builds ONCE and
+    // persists under the bench work dir — an index-build cost, paid when
+    // a batch is accepted, not when the next one is probed. The timed
+    // path is what a daily crawl pays: band the batch, load the index,
+    // one combined bucket shuffle, in-bucket pairing + signature rescore.
+    val indexProbe = {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.NearDupIndex
+      try {
+        val docs = Tables.load(spark, sfDir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val idxPath = s"$benchDir/neardup-index"
+        val marker = new java.io.File(s"$idxPath/_SUCCESS")
+        if (!marker.exists())
+          NearDupIndex.build(docs.filter(col("doc_id") % 4 =!= 0),
+            "doc_id", "text").write.mode("overwrite").parquet(idxPath)
+        val secs = (1 to benchRuns).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            val index = spark.read.parquet(idxPath)
+            val batch = NearDupIndex.build(
+              docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+            NearDupIndex.probe(index, batch).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] dedup-index-probe: $e"); None }
+        }
+        if (secs.isEmpty) Seq.empty
+        else Seq(Sample("dedup-index-probe", secs, docRows, docRows))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] dedup-index-probe setup: $e"); Seq.empty
+      }
+    }
+
     // 10x-scale re-run of the noisiest workloads: at sf0.1 the dedup/ANN
     // suite finishes in 0.5-2.5 s with ±20 % cross-process noise and
     // ~3x min-max spreads, so a 1.5x median move is unreadable. The 10x
@@ -464,7 +515,8 @@ object Bench {
     // contended run cannot certify a perf gate (r5 lesson).
     val contended = loadStart > cpusN || calibRatio > 1.5
 
-    val allResults = results ++ consumeProduce ++ ivfSearch ++ streaming ++ x10Results
+    val allResults =
+      results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ streaming ++ x10Results
     val qs = allResults.map(s => s""""${s.wl}":${s.median}""").mkString("{", ",", "}")
     val rs = allResults.map(s => s""""${s.wl}":${(s.inRows / s.median).round}""")
       .mkString("{", ",", "}")

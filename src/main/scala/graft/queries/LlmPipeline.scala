@@ -2437,4 +2437,226 @@ object LlmPipeline extends Catalog {
     ProductQuantizer.searchWithCells(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", ivf, pq, nProbe = 4, topK = 10)
   }
+
+  // -- corpus-level exact line dedup (the RefinedWeb/C4 repeated-line
+  //    rule, arXiv:2306.01116 §3.1.4): a line whose trimmed text occurs
+  //    3+ times ACROSS the corpus is boilerplate — remove every copy
+  //    from every document (complementing q_repetition_remove's
+  //    within-doc pass). Shape: explode lines → count by 60-bit line
+  //    hash (one partial-agg'd shuffle) → join exploded lines against
+  //    the banned set on the compact hash (frequent-line sets are
+  //    heavy-hitter-sized, AQE broadcasts them at moderate scale) →
+  //    re-agg per doc. Order is preserved by sorting the kept (pos,
+  //    line) structs — no window over the corpus.
+  q("q_line_dedup_corpus",
+    """WITH d AS (SELECT doc_id,
+      |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |              l -> len(l) > 0) AS ls
+      |  FROM documents),
+      |e AS (SELECT doc_id, pos, ls[pos + 1] AS l
+      |      FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS pos FROM d)),
+      |h AS (SELECT doc_id, pos, l,
+      |        CAST('0x' || substr(md5(l), 1, 15) AS BIGINT) AS lh FROM e),
+      |b AS (SELECT lh FROM h GROUP BY lh HAVING count(*) >= 3),
+      |f AS (SELECT h.doc_id, h.pos, h.l, (b.lh IS NOT NULL) AS ban
+      |      FROM h LEFT JOIN b ON h.lh = b.lh)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN NOT ban THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(sum(CASE WHEN ban THEN len(l) END), 0) AS BIGINT)
+      |    AS chars_removed,
+      |  coalesce(string_agg(CASE WHEN NOT ban THEN l END, chr(10) ORDER BY pos), '')
+      |    AS clean_text,
+      |  CAST(sum(CASE WHEN NOT ban THEN 1 ELSE 0 END) AS BIGINT) > 0 AS doc_kept
+      |FROM f GROUP BY doc_id""") { (s, dir) =>
+    val ex = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), posexplode(T.docLines(col("text"))).as(Seq("pos", "l")))
+      .withColumn("lh", T.md5Long(col("l")))
+    val banned = ex.groupBy("lh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3).select(col("lh"), lit(true).as("ban"))
+    ex.join(banned, Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("ban").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ban").isNotNull, length(col("l")).cast("long")).otherwise(0L))
+          .as("chars_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("ban").isNull,
+              struct(col("pos"), col("l"))))),
+            x => x("l")),
+          "\n").as("clean_text"))
+      .withColumn("doc_kept", col("n_kept") > 0)
+  }
+
+  // -- CCNet-style perplexity buckets (arXiv:1911.00359 §4.3: split each
+  //    language's documents into head/middle/tail by LM-score terciles).
+  //    The LM score is q_lm_score's integer trigram mass per trigram,
+  //    quantized onto a HARD-BOUNDED grid (×1000, capped at 1e6) so the
+  //    tercile thresholds come from a per-language HISTOGRAM, not a sort
+  //    of the corpus: the cumulative window runs over ≤ 1e6+1 distinct
+  //    quantized scores per language regardless of corpus size — the
+  //    100 TB-exact way to take quantiles. All arithmetic is BIGINT, so
+  //    the discrete-quantile thresholds are oracle-exact.
+  q("q_perplexity_buckets",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, toks, unnest(range(len(toks) - 2)) AS pos
+      |      FROM t WHERE len(toks) >= 3),
+      |g AS (SELECT doc_id, lang,
+      |        toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3] AS trigram
+      |      FROM p),
+      |c AS (SELECT trigram, count(*) AS cnt FROM g GROUP BY trigram),
+      |ds AS (SELECT doc_id, lang, count(*) AS n_tri,
+      |         CAST(sum(cnt) AS BIGINT) AS mass
+      |       FROM g JOIN c USING (trigram) GROUP BY doc_id, lang),
+      |sq AS (SELECT doc_id, lang,
+      |         CAST(least(mass * 1000 // n_tri, 1000000) AS BIGINT) AS score_q
+      |       FROM ds),
+      |hist AS (SELECT lang, score_q, count(*) AS nd FROM sq GROUP BY lang, score_q),
+      |cum AS (SELECT lang, score_q,
+      |          sum(nd) OVER (PARTITION BY lang ORDER BY score_q
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM hist),
+      |tot AS (SELECT lang, count(*) AS n FROM sq GROUP BY lang),
+      |thr AS (SELECT lang,
+      |          min(CASE WHEN cum * 3 >= n THEN score_q END) AS t1,
+      |          min(CASE WHEN cum * 3 >= 2 * n THEN score_q END) AS t2
+      |        FROM cum JOIN tot USING (lang) GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.score_q,
+      |  CASE WHEN s.score_q >= t.t2 THEN 'head'
+      |       WHEN s.score_q >= t.t1 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM sq s JOIN thr t USING (lang)""") { (s, dir) =>
+    val g = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("trigram"))
+    val counts = g.groupBy("trigram").agg(count(lit(1)).as("cnt"))
+    val scores = g.join(counts, "trigram")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tri"), sum("cnt").as("mass"))
+      .select(col("doc_id"), col("lang"),
+        least(expr("mass * 1000 div n_tri"), lit(1000000L)).as("score_q"))
+    val hist = scores.groupBy("lang", "score_q").agg(count(lit(1)).as("nd"))
+    val tot = hist.groupBy("lang").agg(sum("nd").as("n"))
+    val cumW = Window.partitionBy("lang").orderBy("score_q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum", sum("nd").over(cumW))
+      .join(tot, "lang")
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("score_q"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score_q"))).as("t2"))
+    scores.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("score_q"),
+        when(col("score_q") >= col("t2"), "head")
+          .when(col("score_q") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  // -- UniMax language-balanced sampling budgets (arXiv:2304.09151):
+  //    allocate a total token budget across languages by water-filling —
+  //    every language gets the uniform share λ unless its corpus (times
+  //    the epoch cap) is smaller, in which case it saturates and the
+  //    surplus redistributes. Closed form over the per-language table:
+  //    sort by capacity; a language saturates iff cap·(remaining langs)
+  //    + smaller-caps prefix ≤ B (monotone in the sort, so "saturated"
+  //    is a prefix); λ = (B − saturated mass) DIV (unsaturated count).
+  //    Scale shape: ONE shuffle (per-language token sums, partial-agg'd);
+  //    the window + water-fill run over the language table — bounded by
+  //    the number of languages, never the corpus — and the 1-row budget
+  //    scalar broadcasts back. All-BIGINT, so the allocation is
+  //    oracle-exact (the sub-λ integer remainder stays unallocated, a
+  //    documented ≤ L-token slack). Budget here: half the corpus token
+  //    mass, epoch cap 3.
+  q("q_mixture_unimax",
+    """WITH lt AS (
+      |  SELECT lang, CAST(sum(len(string_split_regex(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS b,
+      |               count(*) AS l FROM lt),
+      |o AS (SELECT lang, n_tokens, n_tokens * 3 AS cap,
+      |        row_number() OVER (ORDER BY n_tokens * 3, lang) AS rn,
+      |        sum(n_tokens * 3) OVER (ORDER BY n_tokens * 3, lang
+      |          ROWS UNBOUNDED PRECEDING) AS prefix
+      |      FROM lt),
+      |c AS (SELECT o.*, t.b, t.l,
+      |        (cap * (l - rn + 1) + (prefix - cap) <= b) AS sat
+      |      FROM o CROSS JOIN tot t),
+      |k AS (SELECT coalesce(sum(CASE WHEN sat THEN 1 ELSE 0 END), 0) AS ks,
+      |        coalesce(max(CASE WHEN sat THEN prefix END), 0) AS pk
+      |      FROM c)
+      |SELECT c.lang, c.n_tokens, c.cap,
+      |  CAST(CASE WHEN c.sat THEN c.cap
+      |       ELSE (c.b - k.pk) // (c.l - k.ks) END AS BIGINT) AS alloc_tokens,
+      |  c.sat AS saturated
+      |FROM c CROSS JOIN k""") { (s, dir) =>
+    val lt = spread(load(s, dir, "documents"))
+      .groupBy("lang")
+      .agg(sum(size(T.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = lt.agg(expr("sum(n_tokens) div 2").as("b"),
+      count(lit(1)).as("l"))
+    val ordW = Window.orderBy(col("cap"), col("lang"))
+    val o = lt.withColumn("cap", col("n_tokens") * 3)
+      .withColumn("rn", row_number().over(ordW))
+      .withColumn("prefix", sum("cap").over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val c = o.crossJoin(broadcast(tot))
+      .withColumn("sat",
+        col("cap") * (col("l") - col("rn") + 1) + (col("prefix") - col("cap"))
+          <= col("b"))
+    val k = c.agg(
+      coalesce(sum(when(col("sat"), 1L).otherwise(0L)), lit(0L)).as("ks"),
+      coalesce(max(when(col("sat"), col("prefix"))), lit(0L)).as("pk"))
+    c.crossJoin(broadcast(k))
+      .select(col("lang"), col("n_tokens"), col("cap"),
+        when(col("sat"), col("cap"))
+          .otherwise(expr("(b - pk) div (l - ks)")).cast("long")
+          .as("alloc_tokens"),
+        col("sat").as("saturated"))
+  }
+
+  // -- incremental near-dup: probe a "new batch" (doc_id % 4 = 0 — the
+  //    day's crawl) against the MinHash/LSH index of the already-accepted
+  //    corpus (operators.NearDupIndex; build once + persist, probe per
+  //    batch — you never re-pair the whole corpus). The 2..50 occupancy
+  //    cut applies to the COMBINED bucket, so the oracle is the full
+  //    family's banded CTE chain restricted to cross-split pairs, plus a
+  //    signature-component rescore (est Jaccard = matching minhash
+  //    components / 16, dup at ≥ 8/16).
+  q("q_dedup_minhash_incremental",
+    s"""WITH $SqlMinhashPairCtes,
+       |pr AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS idx_id
+       |  FROM kb a JOIN kb b ON a.bd = b.bd AND a.bandhash = b.bandhash
+       |  WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0),
+       |j AS (
+       |  SELECT pr.new_id, pr.idx_id, sn.sig AS nsig, si.sig AS isig
+       |  FROM pr
+       |  JOIN sig sn ON sn.doc_id = pr.new_id
+       |  JOIN sig si ON si.doc_id = pr.idx_id),
+       |m AS (
+       |  SELECT new_id, idx_id,
+       |    CAST(len(list_filter(range(16), i -> nsig[i + 1] = isig[i + 1]))
+       |      AS BIGINT) AS n_match
+       |  FROM j)
+       |SELECT new_id, idx_id, n_match,
+       |  CAST(n_match AS DOUBLE) / 16 AS est_jaccard,
+       |  n_match * 2 >= 16 AS is_dup
+       |FROM m""") { (s, dir) =>
+    import graft.operators.NearDupIndex
+    val docs = spread(load(s, dir, "documents"))
+    val index = NearDupIndex.build(docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text")
+    val batch = NearDupIndex.build(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text")
+    NearDupIndex.probe(index, batch)
+  }
 }

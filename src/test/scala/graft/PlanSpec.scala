@@ -237,6 +237,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), plan.take(800))
   }
 
+  test("corpus line dedup: partial-agg'd hash count, equi-joins only") {
+    val plan = planOf("q_line_dedup_corpus")
+    // line-frequency count partial-aggregates map-side; the banned-set
+    // join is an equi-join on the compact 60-bit hash, never a product
+    assert(plan.contains("partial_"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
+  test("perplexity buckets: ONE window over the bounded histogram, thresholds broadcast") {
+    val plan = planOf("q_perplexity_buckets")
+    // the cumulative pass must run over the ≤1e6-row quantized histogram
+    // (exactly one Window node), and the per-language threshold table
+    // (2 longs per lang) joins by broadcast — the corpus is never sorted
+    assert("Window \\[".r.findAllIn(plan).size === 1, plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("incremental near-dup probe pairs WITHOUT a join node") {
+    // candidate pairing is the one bucket groupBy (index ∪ batch bands);
+    // pairs materialize inside the bucket rows — a join-based pairing
+    // would re-shuffle both sides and recompute bucket membership
+    val plan = planOf("q_dedup_minhash_incremental")
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("latest-per-key is a max_by partial agg, NOT a rank window") {
     // a rank window shuffles every update of a key into ONE task and sorts
     // it — a hot key with 10⁹ updates becomes a straggler; the arg-max
