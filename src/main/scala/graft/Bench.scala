@@ -81,7 +81,16 @@ object Bench {
     "line-dedup-corpus" -> "q_line_dedup_corpus",
     "perplexity-buckets" -> "q_perplexity_buckets",
     "dedup-minhash-incr" -> "q_dedup_minhash_incremental",
-    "mixture-unimax" -> "q_mixture_unimax")
+    "mixture-unimax" -> "q_mixture_unimax",
+    "dedup-spans-remove" -> "q_dedup_spans_remove",
+    "mixture-temperature" -> "q_mixture_temperature",
+    "length-quantiles" -> "q_length_quantiles",
+    "multimodal-resize" -> "q_multimodal_resize",
+    "embed-hashed" -> "q_embed_hashed",
+    "rag-retrieval" -> "q_rag_retrieval",
+    "bm25-search" -> "q_bm25_search",
+    "text-normalize" -> "q_text_normalize",
+    "ngram-lm-kn" -> "q_ngram_lm_kn")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -102,7 +111,8 @@ object Bench {
     "decontaminate", "pipeline-c4", "ann-cosine-topk", "semdedup",
     "contrastive-self", "knn-classify", "dsir-weights", "bpe-pairs",
     "bpe-merges", "line-dedup-corpus", "perplexity-buckets",
-    "dedup-minhash-incr")
+    "dedup-minhash-incr", "dedup-spans-remove", "rag-retrieval",
+    "bm25-search")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed

@@ -74,6 +74,52 @@ object MediaCodec {
     }
   }
 
+  /** Real nearest-neighbor resize of a decoded raster: target pixel
+    * (x, y) copies source pixel (x·w₀ ÷ W, y·h₀ ÷ H) — integer floor
+    * sampling, so the result is bit-deterministic across JVMs (unlike
+    * `Graphics2D.drawImage` scaling, whose interpolation is
+    * implementation-defined). The vision-preprocessing resize step:
+    * decode → resize → re-encode, all through the real JDK codec. */
+  def resizeNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, im.getRGB(x * w / tw, y * h / th) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Sum of the blue-channel byte of every pixel — the cheap raster
+    * checksum the resize oracle mirrors arithmetically. */
+  def rasterChecksum(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      var sum = 0L
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) { sum += im.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      sum
+    }
+  }
+
   /** Real PNG encode of a deterministic test pattern: a `w × h` image
     * whose pixel (x, y) carries a value derived from `seed` — the
     * in-pipeline source of REAL image bytes for specs and the

@@ -2659,4 +2659,400 @@ object LlmPipeline extends Catalog {
       "doc_id", "text")
     NearDupIndex.probe(index, batch)
   }
+
+  // -- temperature / alpha-sampling mixture (the mT5 rule,
+  //    arXiv:2010.11934 §3.1: sample language l with p_l ∝ |D_l|^α so
+  //    low-resource languages upsample; α = 0.5 here). All-BIGINT exact:
+  //    the weight is the INTEGER square root of the scaled token count —
+  //    floor(sqrt(n·10^6)) is bit-identical on both engines because IEEE
+  //    sqrt is correctly rounded and n·10^6 ≤ 2^52 keeps the double
+  //    exact (at per-language counts beyond ~4·10^9 tokens drop the
+  //    scale factor; the unscaled isqrt's relative error ≤ 1/(2√n) is
+  //    already sub-ppm there). Shares are single-divide parts-per-million
+  //    — no order-dependent double summation anywhere. Scale shape: ONE
+  //    partial-agg'd shuffle to the per-language table, a broadcast
+  //    1-row total, map-side ratios.
+  q("q_mixture_temperature",
+    s"""WITH lt AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len($SqlTokens)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_docs, n_tokens,
+       |  CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS w
+       |  FROM lt),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+       |             CAST(sum(n_tokens) AS BIGINT) AS tt FROM w)
+       |SELECT w.lang, w.n_docs, w.n_tokens,
+       |  n_tokens * 1000000 // t.tt AS raw_ppm,
+       |  w.w * 1000000 // t.tw AS alpha_ppm
+       |FROM w CROSS JOIN t""") { (s, dir) =>
+    val lt = spread(load(s, dir, "documents"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(T.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val wdf = lt.withColumn("w",
+      floor(sqrt((col("n_tokens") * 1000000L).cast("double"))).cast("long"))
+    val tot = wdf.agg(sum("w").as("tw"), sum("n_tokens").as("tt"))
+    wdf.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div tt").as("raw_ppm"),
+        expr("w * 1000000 div tw").as("alpha_ppm"))
+  }
+
+  // -- corpus length-distribution report: exact per-source discrete
+  //    quantiles of n_chars (p25/50/75/90 = the sorted element at index
+  //    ⌊(n−1)·p⌋ — integer selection, no float interpolation, so the
+  //    oracle matches bit-for-bit). Scale shape: one shuffle to
+  //    co-locate each source, a per-source sort window (sources are the
+  //    partition key — each sorts independently; a skewed mega-source
+  //    would switch to the approx_percentile sketch, the documented
+  //    100 TB default — this exact variant is its oracle-able twin),
+  //    then one partial-agg'd fold to 1 row per source.
+  q("q_length_quantiles",
+    """WITH o AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  max(CASE WHEN rn = (n - 1) * 25 // 100 THEN n_chars END) AS p25,
+      |  max(CASE WHEN rn = (n - 1) * 50 // 100 THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = (n - 1) * 75 // 100 THEN n_chars END) AS p75,
+      |  max(CASE WHEN rn = (n - 1) * 90 // 100 THEN n_chars END) AS p90
+      |FROM o GROUP BY source""") { (s, dir) =>
+    val byLen = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val o = spread(load(s, dir, "documents"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(byLen).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    def pick(p: Int) =
+      max(when(col("rn") === expr(s"(n - 1) * $p div 100"), col("n_chars")))
+    o.groupBy("source").agg(
+      max("n").as("n_docs"), sum("n_chars").as("sum_chars"),
+      pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"),
+      pick(90).as("p90"))
+  }
+
+  // -- ExactSubstr-style span REMOVAL (arXiv:2107.06499 §4.1: cut every
+  //    occurrence of a corpus-duplicated token span out of every doc) —
+  //    the apply step over q_dedup_spans' finder: a token survives iff no
+  //    flagged 8-token span covers it. Composition: the same banded
+  //    2..50-occurrence span family feeds a per-doc hit-position list
+  //    (ONE extra shuffle, keyed by doc_id), the cleanup itself is a
+  //    per-row lambda. The coverage test is O(tokens × flagged-spans per
+  //    doc) — flagged spans are bounded by the occupancy cut and fully
+  //    duplicated docs die earlier in the funnel (exact dedup), so the
+  //    per-row cost stays linear in practice.
+  q("q_dedup_spans_remove",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |idx AS (SELECT CAST(range AS INT) AS pos FROM range(1000)),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    ${sqlMd5Long("array_to_string(toks[pos + 1 : pos + 8], ' ')")} AS span_hash
+       |  FROM t JOIN idx ON pos <= len(toks) - 8),
+       |g AS (
+       |  SELECT span_hash FROM sp GROUP BY span_hash
+       |  HAVING count(*) BETWEEN 2 AND 50 AND count(DISTINCT doc_id) >= 2),
+       |hits AS (
+       |  SELECT doc_id, list(pos) AS ps
+       |  FROM sp JOIN g USING (span_hash) GROUP BY doc_id),
+       |k AS (
+       |  SELECT t.doc_id, toks,
+       |    CASE WHEN ps IS NULL THEN toks
+       |         ELSE list_filter(toks, (tok, i) ->
+       |           len(list_filter(ps, p -> i - 1 BETWEEN p AND p + 7)) = 0)
+       |    END AS kept
+       |  FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+       |FROM k""") { (s, dir) =>
+    val hits = spanOccurrences(s, dir, T.md5Long)
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    spread(load(s, dir, "documents"))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("ps").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) =>
+            !exists(col("ps"), p => i >= p && i <= p + 7))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  // -- Kneser-Ney smoothed bigram LM table (Kneser & Ney 1995; the
+  //    interpolated form, discount d = 3/4) — the model-build step behind
+  //    a KenLM/CCNet-style perplexity filter, upgraded from the raw
+  //    count table (q_ngram_lm_counts): p(w|v) = max(c(vw)−d,0)/c(v) +
+  //    d·N1+(v·)/c(v) · N1+(·w)/N1+(··). ALL-INTEGER: with d = 3/4 the
+  //    whole expression cross-multiplies to
+  //      p_micro = (max(4c−3,0)·N1+(··) + 3·N1+(v·)·N1+(·w))·10⁶
+  //                DIV (4·c(v)·N1+(··))
+  //    — exact BIGINT on both engines (safe while c·N1+(··) ≲ 2·10¹²;
+  //    beyond that double scoring is the documented default). Per-context
+  //    sums of p_micro stay ≤ 10⁶ (floor rounding) with the residual
+  //    mass allocated to unseen words — pinned by CurationOpsSpec.
+  //    Shape: three partial-agg'd shuffles over the bigram table (c_vw,
+  //    context totals, continuation counts) + one broadcast scalar; the
+  //    top-100 is TakeOrderedAndProject, never a global sort.
+  q("q_ngram_lm_kn",
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT toks, unnest(range(len(toks) - 1)) AS pos
+      |  FROM t WHERE len(toks) >= 2),
+      |g AS (SELECT toks[pos + 1] AS v, toks[pos + 2] AS w FROM p),
+      |cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY v, w),
+      |cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+      |         CAST(count(*) AS BIGINT) AS n1v FROM cvw GROUP BY v),
+      |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM cvw GROUP BY w),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n1a FROM cvw)
+      |SELECT v || ' ' || w AS bigram, c AS cnt,
+      |  ((CASE WHEN 4 * c - 3 > 0 THEN 4 * c - 3 ELSE 0 END) * n1a
+      |    + 3 * n1v * n1w) * 1000000 // (4 * cv * n1a) AS p_micro
+      |FROM cvw JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN na
+      |ORDER BY cnt DESC, bigram LIMIT 100""") { (s, dir) =>
+    val g = spread(load(s, dir, "documents"))
+      .select(T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS v, toks[i+1] AS w))"))
+        .as("b"))
+      .select(col("b.v"), col("b.w"))
+    val cvw = g.groupBy("v", "w").agg(count(lit(1)).as("c"))
+    val cv = cvw.groupBy("v").agg(sum("c").as("cv"), count(lit(1)).as("n1v"))
+    val cw = cvw.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val na = cvw.agg(count(lit(1)).as("n1a"))
+    cvw.join(cv, "v").join(cw, "w").crossJoin(broadcast(na))
+      .select(concat_ws(" ", col("v"), col("w")).as("bigram"),
+        col("c").as("cnt"),
+        expr("""((CASE WHEN 4 * c - 3 > 0 THEN 4 * c - 3 ELSE 0 END) * n1a
+                 + 3 * n1v * n1w) * 1000000 div (4 * cv * n1a)""").as("p_micro"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(100)
+  }
+
+  // -- Unicode canonicalization (the pre-tokenization normalize pass a
+  //    multilingual corpus needs: composed vs decomposed accents must
+  //    fingerprint identically): NFC composition + diacritic strip as
+  //    codegen'd custom Expressions (plans/UnicodeNorm.scala — Spark has
+  //    no built-in; JDK java.text.Normalizer, semantics matched to
+  //    DuckDB's utf8proc twins nfc_normalize/strip_accents, which the
+  //    oracle calls directly). Pure map, zero shuffle; the ASCII fast
+  //    path returns the input buffer untouched.
+  q("q_text_normalize",
+    """SELECT doc_id, nfc_normalize(text) AS norm_text,
+      |  strip_accents(lower(nfc_normalize(text))) AS folded_text,
+      |  strip_accents(lower(nfc_normalize(text))) <> text AS changed
+      |FROM documents""") { (s, dir) =>
+    import graft.plans.UnicodeNorm
+    spread(load(s, dir, "documents"))
+      .select(col("doc_id"),
+        UnicodeNorm.nfcNormalize(col("text")).as("norm_text"),
+        UnicodeNorm.stripAccents(lower(UnicodeNorm.nfcNormalize(col("text"))))
+          .as("folded_text"),
+        (UnicodeNorm.stripAccents(lower(UnicodeNorm.nfcNormalize(col("text"))))
+          =!= col("text")).as("changed"))
+  }
+
+  // ------------------------------------------- text -> vector -> retrieval
+
+  /** DuckDB fragment: signed feature-hashed bag-of-words (Weinberger et
+    * al. 2009) — dim = h%64, sign = bit 6 of the same 60-bit md5 hash;
+    * (doc_id, dim, weight) rows with zero weights dropped. Mirror of the
+    * Spark side of q_embed_hashed. */
+  private val SqlHashedBow =
+    s"""ht AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |hh AS (SELECT doc_id, ${sqlMd5Long("unnest(toks)")} AS h FROM ht),
+       |hv AS (
+       |  SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+       |    CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+       |  FROM hh GROUP BY doc_id, dim
+       |  HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0)""".stripMargin
+
+  /** Spark twin of [[SqlHashedBow]]: (doc_id, dim, weight). */
+  private def hashedBow(s: org.apache.spark.sql.SparkSession, dir: String) =
+    spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), T.md5Long(col("token")).as("h"))
+      .select(col("doc_id"), (col("h") % 64).cast("int").as("dim"),
+        when(expr("(h div 64) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "dim").agg(sum("sgn").as("weight"))
+      .filter(col("weight") =!= 0)
+
+  // -- feature-hashed document embeddings (hashing trick, Weinberger et
+  //    al. ICML'09): each token hashes to one of 64 dims with a ±1 sign
+  //    from the same hash — the self-contained text→vector step that
+  //    feeds retrieval/dedup WITHOUT a model. Emitted as sparse
+  //    (doc_id, dim, weight) rows — the storage shape an inverted index
+  //    wants, and trivially oracle-able. Scale: pure map + one
+  //    partial-agg'd shuffle on (doc_id, dim); 64 dims bound the output
+  //    to 64·N rows.
+  q("q_embed_hashed",
+    s"""WITH $SqlHashedBow
+       |SELECT doc_id, dim, weight FROM hv""") { (s, dir) =>
+    hashedBow(s, dir)
+  }
+
+  // -- sparse inverted-index retrieval: cosine top-3 neighbors for a
+  //    query batch (doc_id % 100 = 7) over the hashed-BoW vectors, with
+  //    the dot product computed by an equi-join ON DIM — the
+  //    inverted-index/sparse-retrieval shape: only dimensions the two
+  //    vectors SHARE ever pair (a posting-list merge), never a dense
+  //    scan. Integer dots/norms, one double divide, round 4 — ranking is
+  //    engine-exact. Scale: query side broadcasts; the corpus posting
+  //    list shuffles once on dim; top-k via the bounded buffer.
+  q("q_rag_retrieval",
+    s"""WITH $SqlHashedBow,
+       |n2 AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nrm FROM hv GROUP BY doc_id),
+       |qv AS (SELECT doc_id AS query_id, dim, weight FROM hv WHERE doc_id % 100 = 7),
+       |dot AS (
+       |  SELECT qv.query_id, hv.doc_id, CAST(sum(qv.weight * hv.weight) AS BIGINT) AS dp
+       |  FROM qv JOIN hv ON qv.dim = hv.dim AND qv.query_id <> hv.doc_id
+       |  GROUP BY qv.query_id, hv.doc_id),
+       |sims AS (
+       |  SELECT query_id, dot.doc_id,
+       |    round(CAST(dp AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 4) AS sim
+       |  FROM dot JOIN n2 a ON a.doc_id = query_id JOIN n2 b ON b.doc_id = dot.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, doc_id, sim, rank FROM ranked WHERE rank <= 3""") { (s, dir) =>
+    val hv = hashedBow(s, dir).cache()
+    val n2 = hv.groupBy("doc_id").agg(sum(col("weight") * col("weight")).as("nrm"))
+    val qv = hv.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("query_id"), col("dim").as("qdim"),
+        col("weight").as("qw"))
+    val dot = hv.join(broadcast(qv),
+        col("dim") === col("qdim") && col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id").agg(sum(col("qw") * col("weight")).as("dp"))
+    val sims = dot
+      .join(broadcast(n2.withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("nrm", "qn")), "query_id")
+      .join(n2, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("dp").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))), 4)
+          .as("sim"))
+    graft.operators.TopK.perGroup(sims, "query_id", "doc_id", "sim",
+      k = 3, ascending = false)
+  }
+
+  // -- BM25 full-text search (Robertson/Sparck-Jones, k1=1.2 b=0.75)
+  //    over the corpus, ALL-INTEGER: the idf is the log-free odds form
+  //    (2(N−df)+1)/(2df+1) (the same no-log discipline as
+  //    q_tfidf_topterms), the length normalization quantizes dl/avgdl to
+  //    per-mille (dlnorm = dl·N·1000 DIV Σdl), and each term's score is
+  //    cross-multiplied into exact integer MICRO-points:
+  //      s = 22000·tf·(2N−2df+1)·10⁶ DIV ((10000·tf+3000+9·dlnorm)·(2df+1))
+  //    so the per-doc sum is an exact BIGINT and the ranking has no
+  //    float summation anywhere (safe while tf·N ≲ 4·10⁸ per the BIGINT
+  //    bound; beyond that, double scoring is the documented default).
+  //    Queries: each doc_id < 5 queries with its distinct ≥6-char terms.
+  //    Scale: the query-term set broadcasts against the posting lists
+  //    (tf), one (query,doc) shuffle, bounded top-5.
+  q("q_bm25_search",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+       |qt AS (
+       |  SELECT doc_id AS query_id, token FROM (SELECT DISTINCT doc_id, token FROM tok)
+       |  WHERE doc_id < 5 AND len(token) >= 6),
+       |hit AS (
+       |  SELECT qt.query_id, tf.doc_id, tf.token, tf.tf
+       |  FROM qt JOIN tf ON qt.token = tf.token AND tf.doc_id <> qt.query_id),
+       |sc AS (
+       |  SELECT hit.query_id, hit.doc_id,
+       |    (22000 * tf * (2 * t2.n - 2 * df.df + 1) * 1000000)
+       |      // ((10000 * tf + 3000 + 9 * (d.dl * t2.n * 1000 // t2.tl)) * (2 * df.df + 1))
+       |      AS s
+       |  FROM hit
+       |  JOIN df ON df.token = hit.token
+       |  JOIN dl d ON d.doc_id = hit.doc_id
+       |  CROSS JOIN tot t2),
+       |agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM agg)
+       |SELECT query_id, doc_id, score_micro, rank FROM ranked WHERE rank <= 5""") { (s, dir) =>
+    val tok = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum("dl").as("tl"))
+    val qt = tok.filter(col("doc_id") < 5 && length(col("token")) >= 6)
+      .select(col("doc_id").as("query_id"), col("token").as("qtoken")).distinct()
+    val hit = tf.join(broadcast(qt),
+      col("qtoken") === col("token") && col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("token"), col("tf"))
+    val sc = hit
+      .join(dfreq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("s", expr(
+        """(22000 * tf * (2 * n - 2 * df + 1) * 1000000)
+          | div ((10000 * tf + 3000 + 9 * ((dl * n * 1000) div tl)) * (2 * df + 1))""".stripMargin))
+    val agg = sc.groupBy("query_id", "doc_id").agg(sum("s").as("score_micro"))
+    graft.operators.TopK.perGroup(agg, "query_id", "doc_id", "score_micro",
+        k = 5, ascending = false)
+      .withColumn("score_micro", col("score_micro").cast("long"))
+  }
+
+  // -- REAL image resize round-trip: encode the deterministic PNG per
+  //    doc, decode the raster through the JDK codec, nearest-neighbor
+  //    resample to 16×16 (integer floor sampling — bit-deterministic,
+  //    unlike Graphics2D interpolation), re-encode, decode AGAIN and
+  //    checksum the result. Because the test pattern and the sampling
+  //    grid are both integer arithmetic, the oracle reproduces the
+  //    post-resize checksum arithmetically — the decode→resize→encode→
+  //    decode chain must be pixel-exact end to end or the hash
+  //    mismatches. Scale shape: pure partition-wise 1→1 map, zero
+  //    shuffle (production reads bytes from the object store).
+  q("q_multimodal_resize",
+    """SELECT doc_id, 'png' AS format, CAST(16 AS INT) AS width,
+      |  CAST(16 AS INT) AS height,
+      |  CAST(list_sum(flatten([[
+      |      (doc_id + ((x * (8 + doc_id % 32)) // 16) * 31
+      |              + ((y * (8 + doc_id % 24)) // 16) * 17) & 255
+      |      for x in range(16)] for y in range(16)])) AS BIGINT) AS checksum
+      |FROM documents""") { (s, dir) =>
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes =
+            MediaCodec.encodePng((8 + id % 32).toInt, (8 + id % 24).toInt, id)
+          val resized = MediaCodec.resizeNearest(bytes, 16, 16).getOrElse(
+            sys.error(s"JDK reader rejected its own png for doc $id"))
+          val (w, h, fmt) = MediaCodec.imageMeta(resized).getOrElse(
+            sys.error(s"JDK reader rejected the resized png for doc $id"))
+          val cs = MediaCodec.rasterChecksum(resized).getOrElse(
+            sys.error(s"resized png failed raster decode for doc $id"))
+          (id, fmt, w, h, cs)
+        }
+      }.toDF("doc_id", "format", "width", "height", "checksum")
+  }
 }

@@ -276,4 +276,25 @@ class PlanSpec extends AnyFunSuite {
         s"$q: ${plan.take(1200)}")
     }
   }
+
+  test("sparse retrieval: query side broadcasts onto the posting lists, no product") {
+    // the dim-join is the inverted-index merge: the query vectors (a
+    // bounded batch) broadcast; the corpus posting list never re-shuffles
+    // for the join, and nothing degenerates into a cartesian pass
+    for (q <- Seq("q_rag_retrieval", "q_bm25_search")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(1500)}")
+      // (bm25's 1-row corpus-totals cross join is a broadcast NLJ by
+      // design — only a true cartesian pairing is banned)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
+  test("span removal: banded family + ONE doc-keyed hit shuffle, cleanup is a map") {
+    val plan = planOf("q_dedup_spans_remove")
+    // no rank window over the corpus, no product; the coverage lambda is
+    // a projection over the joined (toks, hit-positions) row
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }

@@ -102,6 +102,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rec.meta.width === 20 && rec.meta.height === 12)
   }
 
+  test("REAL codec: resizeNearest floor-samples the source raster exactly") {
+    // 8x6 pattern, resized to 4x4: target (x,y) must copy source
+    // (x*8/4, y*6/4) — assert every pixel against the pattern formula
+    val seed = 7L
+    val bytes = MediaCodec.encodePng(8, 6, seed)
+    val resized = MediaCodec.resizeNearest(bytes, 4, 4).get
+    assert(MediaCodec.imageMeta(resized) === Some((4, 4, "png")))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    var expectedSum = 0L
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val (sx, sy) = (x * 8 / 4, y * 6 / 4)
+      val v = ((seed + sx * 31L + sy * 17L) & 0xff).toInt
+      assert((img.getRGB(x, y) & 0xff) === v, s"pixel ($x,$y)")
+      expectedSum += v
+    }
+    assert(MediaCodec.rasterChecksum(resized) === Some(expectedSum))
+    // upscale also floor-samples (no interpolation): 2x2 -> 5x5 repeats
+    val up = MediaCodec.resizeNearest(MediaCodec.encodePng(2, 2, 0L), 5, 5).get
+    val upImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert((upImg.getRGB(0, 0) & 0xff) === (upImg.getRGB(1, 1) & 0xff)) // both sample (0,0)
+    assert(MediaCodec.resizeNearest("junk".getBytes, 4, 4) === None)
+  }
+
   test("media features flow back into the relational layer (join with embeddings shape)") {
     val ds = MediaStubs.toMediaRecords(mediaDF, "id", "bytes")
     val feats = MediaStubs.extractFeatures(ds, dim = 8).toDF()

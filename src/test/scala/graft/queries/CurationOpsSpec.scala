@@ -121,4 +121,74 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(isDup === (nMatch * 2 >= 16))
     }
   }
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toFile
+    rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp.toString
+  }
+
+  test("span removal cuts every occurrence of a cross-doc duplicated 8-token span") {
+    val shared = "a b c d e f g h" // exactly one 8-token window
+    val dir = docsDir(Seq(
+      (0L, s"x0 $shared y0"),
+      (1L, s"x1 $shared y1"),
+      (2L, "tiny doc")))
+    val out = SparkEntry.queries("q_dedup_spans_remove")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // the shared window is flagged (2 occurrences, 2 docs); the
+    // prefix/suffix windows are unique so x/y survive in BOTH docs
+    assert(out(0L) === ((10L, 8L, "x0 y0")))
+    assert(out(1L) === ((10L, 8L, "x1 y1")))
+    // spanless docs pass through untouched
+    assert(out(2L) === ((2L, 0L, "tiny doc")))
+  }
+
+  test("temperature mixture: alpha=0.5 shares are exact integer ppm") {
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toFile
+    Seq(
+      (0L, "one two three", "en"), (1L, "one two three", "en"),
+      (2L, "one two three", "en"), (3L, "eins", "de"))
+      .map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q_mixture_temperature")(spark, tmp.toString)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // en: 9 tokens -> w = isqrt(9e6) = 3000; de: 1 -> w = 1000; tw = 4000
+    assert(out("en") === ((3L, 9L, 900000L, 750000L)))
+    assert(out("de") === ((1L, 1L, 100000L, 250000L)))
+  }
+
+  test("Kneser-Ney bigram table: exact micro-probabilities, per-context mass <= 1") {
+    val tmp = docsDir(Seq((0L, "a b a b"), (1L, "a c")))
+    // bigrams: (a,b)x2 (b,a)x1 (a,c)x1; contexts a:3 b:1;
+    // N1+(a.)=2 N1+(b.)=1; N1+(.b)=1 N1+(.a)=1 N1+(.c)=1; N1+(..)=3
+    // p(b|a) = (5*3 + 3*2*1)e6 / (4*3*3)  = 583333
+    // p(a|b) = (1*3 + 3*1*1)e6 / (4*1*3)  = 500000
+    // p(c|a) = (1*3 + 3*2*1)e6 / (4*3*3)  = 250000
+    val got = SparkEntry.queries("q_ngram_lm_kn")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("a b", 2L, 583333L), ("a c", 1L, 250000L), ("b a", 1L, 500000L)))
+    // discounted mass: each context's observed sum stays under 1e6, the
+    // residue is the unseen-word smoothing mass
+    assert(583333L + 250000L <= 1000000L && 500000L <= 1000000L)
+  }
+
+  test("length quantiles: discrete selection at floor((n-1)p) per source") {
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toFile
+    Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
+      .map { case (id, n) => (id, "t", "en", "web", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q_length_quantiles")(spark, tmp.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // n=4: p25 idx 0, p50 idx 1, p75 idx 2, p90 idx floor(2.7)=2
+    assert(r.toSeq === Seq(("web", 4L, 100L, 10L, 20L, 30L, 30L)))
+  }
 }
