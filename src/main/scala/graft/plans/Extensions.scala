@@ -79,8 +79,9 @@ object RewriteVectorHof extends Rule[LogicalPlan] {
   *   spark.sql.extensions=graft.plans.GraftExtensions
   *
   * Injects the SQL function surface (fnv64 / shingle_hashes /
-  * simhash64_native / dot_f32 / cosine_f32 / sqdist_f32) and the
-  * [[RewriteVectorHof]] optimizer rule.
+  * simhash64_native / dot_f32 / cosine_f32 / sqdist_f32 /
+  * nfc_normalize / strip_accents) and the [[RewriteVectorHof]]
+  * optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -106,6 +107,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sqdist_f32"),
       info(classOf[SqDistF32], "sqdist_f32"),
       exprs => SqDistF32(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info(classOf[NfcNormalize], "nfc_normalize"),
+      exprs => NfcNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      info(classOf[StripAccents], "strip_accents"),
+      exprs => StripAccents(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteVectorHof)
   }
 }

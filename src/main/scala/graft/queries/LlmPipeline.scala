@@ -2904,7 +2904,10 @@ object LlmPipeline extends Catalog {
   }
 
   // -- sparse inverted-index retrieval: cosine top-3 neighbors for a
-  //    query batch (doc_id % 100 = 7) over the hashed-BoW vectors, with
+  //    query batch (doc_id % 100 = 7, capped to the first 500 ids so the
+  //    batch is INVARIANT under the 10x bench corpus — copies land at
+  //    id + c*(maxId+1) >= 5000 and must not widen the query set) over
+  //    the hashed-BoW vectors, with
   //    the dot product computed by an equi-join ON DIM — the
   //    inverted-index/sparse-retrieval shape: only dimensions the two
   //    vectors SHARE ever pair (a posting-list merge), never a dense
@@ -2914,7 +2917,8 @@ object LlmPipeline extends Catalog {
   q("q_rag_retrieval",
     s"""WITH $SqlHashedBow,
        |n2 AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nrm FROM hv GROUP BY doc_id),
-       |qv AS (SELECT doc_id AS query_id, dim, weight FROM hv WHERE doc_id % 100 = 7),
+       |qv AS (SELECT doc_id AS query_id, dim, weight FROM hv
+       |       WHERE doc_id % 100 = 7 AND doc_id < 500),
        |dot AS (
        |  SELECT qv.query_id, hv.doc_id, CAST(sum(qv.weight * hv.weight) AS BIGINT) AS dp
        |  FROM qv JOIN hv ON qv.dim = hv.dim AND qv.query_id <> hv.doc_id
@@ -2930,7 +2934,7 @@ object LlmPipeline extends Catalog {
        |SELECT query_id, doc_id, sim, rank FROM ranked WHERE rank <= 3""") { (s, dir) =>
     val hv = hashedBow(s, dir).cache()
     val n2 = hv.groupBy("doc_id").agg(sum(col("weight") * col("weight")).as("nrm"))
-    val qv = hv.filter(col("doc_id") % 100 === 7)
+    val qv = hv.filter(col("doc_id") % 100 === 7 && col("doc_id") < 500)
       .select(col("doc_id").as("query_id"), col("dim").as("qdim"),
         col("weight").as("qw"))
     val dot = hv.join(broadcast(qv),

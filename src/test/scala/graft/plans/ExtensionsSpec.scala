@@ -65,6 +65,10 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT fnv64('abc') = fnv64('abc') AS e").head().getBoolean(0))
       assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
         .head().getInt(0) === 2)
+      // Unicode surface rides the same extension (composed via escape so
+      // the assertion is encoding-proof)
+      assert(spark.sql("SELECT strip_accents(nfc_normalize('école')) AS s")
+        .head().getString(0) === "ecole")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
