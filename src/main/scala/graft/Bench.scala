@@ -419,6 +419,11 @@ object Bench {
           if (secs.isEmpty) Seq.empty
           else Seq(Sample(wl, secs, embRows, embRows))
         }
+        // PQ codebook: same treatment — train once, persist, serve
+        val pqPath = s"$benchDir/pq-codebook"
+        val pq = graft.functions.ProductQuantizer.train(emb, "vec_id",
+          "embedding", m = 8, ksub = 16, iters = 2)
+        graft.functions.ProductQuantizer.saveCodebook(spark, pq, pqPath)
         timed("ann-ivf") { () =>
           val loaded = VectorIndex.loadCodebook(spark, cbPath)
           VectorIndex.search(emb, queries, "vec_id", "embedding", loaded,
@@ -426,6 +431,13 @@ object Bench {
         } ++ timed("ann-ivf-search") { () =>
           VectorIndex.search(emb, queries, "vec_id", "embedding", cb,
             nProbe = 4, topK = 10).count()
+        } ++ timed("ann-ivf-pq-serve") { () =>
+          // the billion-scale serving composition, codebooks persisted:
+          // cell-prune + compressed-domain ADC, zero training in the path
+          val ivfCb = VectorIndex.loadCodebook(spark, cbPath)
+          val pqCb = graft.functions.ProductQuantizer.loadCodebook(spark, pqPath)
+          graft.functions.ProductQuantizer.searchWithCells(emb, queries,
+            "vec_id", "embedding", ivfCb, pqCb, nProbe = 4, topK = 10).count()
         }
       } catch {
         case e: Throwable =>

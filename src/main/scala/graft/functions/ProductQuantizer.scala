@@ -98,6 +98,31 @@ object ProductQuantizer {
     PqCodebook(m, subDim, cents)
   }
 
+  /** Persist a trained codebook as (j, cell, p, mean) rows — m·ksub·subDim
+    * doubles, tiny at any corpus scale; the serving job loads it instead
+    * of re-training (index build is a build cost, not a query cost). */
+  def saveCodebook(spark: org.apache.spark.sql.SparkSession, cb: PqCodebook,
+      path: String): Unit = {
+    val rows = for {
+      (sub, j) <- cb.centroids.zipWithIndex.toSeq
+      (cent, c) <- sub.zipWithIndex.toSeq
+      (x, p) <- cent.zipWithIndex.toSeq
+    } yield (j, c, p, x)
+    spark.createDataFrame(rows).toDF("j", "cell", "p", "mean")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebook = {
+    val rows = spark.read.parquet(path).collect() // m x ksub x subDim — tiny
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val subDim = rows.map(_.getInt(2)).max + 1
+    val cents = Array.fill(m, ksub)(new Array[Double](subDim))
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    PqCodebook(m, subDim, cents)
+  }
+
   /** Add the PQ code column (map-side, codebook in the task closure). */
   def encode(df: DataFrame, embCol: String, cb: PqCodebook,
       codeCol: String = "pq_code"): DataFrame = {

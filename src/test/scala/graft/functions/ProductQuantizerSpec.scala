@@ -72,4 +72,18 @@ class ProductQuantizerSpec extends AnyFunSuite {
     val agree = byQ.keys.toSeq.map(q => (byQ(q) & full(q)).size.toDouble / 10)
     assert(agree.sum / agree.size > 0.5, s"IVF+PQ agreement ${agree.sum / agree.size}")
   }
+
+  test("codebook save/load round-trips exactly (the persisted serving path)") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val pq = ProductQuantizer.train(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("pqcb").toString + "/cb"
+    ProductQuantizer.saveCodebook(spark, pq, path)
+    val loaded = ProductQuantizer.loadCodebook(spark, path)
+    assert(loaded.m === pq.m && loaded.subDim === pq.subDim)
+    assert(loaded.centroids.flatten.flatten.toSeq === pq.centroids.flatten.flatten.toSeq)
+    // served codes from the loaded book are identical
+    val v = emb.select("embedding").head().getSeq[Float](0)
+    assert(loaded.encodeOne(v).toSeq === pq.encodeOne(v).toSeq)
+  }
 }
