@@ -90,7 +90,8 @@ object Bench {
     "rag-retrieval" -> "q_rag_retrieval",
     "bm25-search" -> "q_bm25_search",
     "text-normalize" -> "q_text_normalize",
-    "ngram-lm-kn" -> "q_ngram_lm_kn")
+    "ngram-lm-kn" -> "q_ngram_lm_kn",
+    "pack-token-budget" -> "q_pack_token_budget")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

@@ -2785,6 +2785,41 @@ object LlmPipeline extends Catalog {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  // -- token-budget sequence packing (the pretraining reality: fixed
+  //    2048-token training sequences that CROSS document boundaries —
+  //    complementing q_sequence_packing's fixed-chunk-count packs): each
+  //    doc's pack is its exclusive token-prefix DIV budget, its offset
+  //    the prefix MOD budget. The global prefix sum runs through
+  //    operators.PrefixSum — range partition + per-partition totals +
+  //    offset map, never a single-task window (the oracle's unpartitioned
+  //    OVER clause is the semantic spec, not the plan). Composes with
+  //    q_corpus_shuffle: a production run orders by the shuffled
+  //    position; doc_id order keeps the oracle simple here.
+  q("q_pack_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      |  FROM t)
+      |SELECT doc_id, n_tokens, prefix // 2048 AS pack_id,
+      |  prefix % 2048 AS pack_offset,
+      |  (prefix % 2048) + n_tokens > 2048 AS crosses_boundary
+      |FROM o""") { (s, dir) =>
+    import graft.operators.PrefixSum
+    val t = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+    PrefixSum.exclusive(t, Seq("doc_id"), "n_tokens", "prefix")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("prefix div 2048").as("pack_id"),
+        (col("prefix") % 2048).as("pack_offset"),
+        ((col("prefix") % 2048) + col("n_tokens") > 2048).as("crosses_boundary"))
+  }
+
   // -- Kneser-Ney smoothed bigram LM table (Kneser & Ney 1995; the
   //    interpolated form, discount d = 3/4) — the model-build step behind
   //    a KenLM/CCNet-style perplexity filter, upgraded from the raw
