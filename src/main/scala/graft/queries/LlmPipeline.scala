@@ -2914,15 +2914,12 @@ object LlmPipeline extends Catalog {
        |  FROM hh GROUP BY doc_id, dim
        |  HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0)""".stripMargin
 
-  /** Spark twin of [[SqlHashedBow]]: (doc_id, dim, weight). */
+  /** Spark twin of [[SqlHashedBow]]: (doc_id, dim, weight) — the shared
+    * [[graft.functions.FeatureHash]] kernel (also the live-index path,
+    * RetrievalIndexSpec). */
   private def hashedBow(s: org.apache.spark.sql.SparkSession, dir: String) =
-    spread(load(s, dir, "documents"))
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), T.md5Long(col("token")).as("h"))
-      .select(col("doc_id"), (col("h") % 64).cast("int").as("dim"),
-        when(expr("(h div 64) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
-      .groupBy("doc_id", "dim").agg(sum("sgn").as("weight"))
-      .filter(col("weight") =!= 0)
+    graft.functions.FeatureHash.bowRows(
+      spread(load(s, dir, "documents")), "doc_id", "text")
 
   // -- feature-hashed document embeddings (hashing trick, Weinberger et
   //    al. ICML'09): each token hashes to one of 64 dims with a ±1 sign
@@ -2967,24 +2964,12 @@ object LlmPipeline extends Catalog {
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
        |  FROM sims)
        |SELECT query_id, doc_id, sim, rank FROM ranked WHERE rank <= 3""") { (s, dir) =>
+    import graft.functions.FeatureHash
     val hv = hashedBow(s, dir).cache()
-    val n2 = hv.groupBy("doc_id").agg(sum(col("weight") * col("weight")).as("nrm"))
-    val qv = hv.filter(col("doc_id") % 100 === 7 && col("doc_id") < 500)
-      .select(col("doc_id").as("query_id"), col("dim").as("qdim"),
-        col("weight").as("qw"))
-    val dot = hv.join(broadcast(qv),
-        col("dim") === col("qdim") && col("query_id") =!= col("doc_id"))
-      .groupBy("query_id", "doc_id").agg(sum(col("qw") * col("weight")).as("dp"))
-    val sims = dot
-      .join(broadcast(n2.withColumnRenamed("doc_id", "query_id")
-        .withColumnRenamed("nrm", "qn")), "query_id")
-      .join(n2, "doc_id")
-      .select(col("query_id"), col("doc_id"),
-        round(col("dp").cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))), 4)
-          .as("sim"))
-    graft.operators.TopK.perGroup(sims, "query_id", "doc_id", "sim",
-      k = 3, ascending = false)
+    val n2 = FeatureHash.norms(hv, "doc_id")
+    val isQuery = col("doc_id") % 100 === 7 && col("doc_id") < 500
+    FeatureHash.topK(hv, n2, hv.filter(isQuery), n2.filter(isQuery),
+      "doc_id", k = 3)
   }
 
   // -- BM25 full-text search (Robertson/Sparck-Jones, k1=1.2 b=0.75)
