@@ -91,7 +91,8 @@ object Bench {
     "bm25-search" -> "q_bm25_search",
     "text-normalize" -> "q_text_normalize",
     "ngram-lm-kn" -> "q_ngram_lm_kn",
-    "pack-token-budget" -> "q_pack_token_budget")
+    "pack-token-budget" -> "q_pack_token_budget",
+    "corpus-diff" -> "q_corpus_diff")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

@@ -16,6 +16,12 @@ import javax.imageio.ImageIO
   */
 object MediaCodec {
 
+  // ImageIO defaults to spilling every ImageInputStream through a temp
+  // FILE on disk; for the in-memory byte arrays a pipeline decodes that
+  // is pure overhead (a create/write/delete per record). Keep the cache
+  // in memory — per-JVM, applies once per executor.
+  ImageIO.setUseCache(false)
+
   /** Real header decode: (width, height, format) sniffed by the JDK's
     * registered ImageReaders WITHOUT decoding the full raster — the
     * reader parses the actual container header (PNG IHDR / JPEG SOF),

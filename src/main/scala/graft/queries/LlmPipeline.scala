@@ -2785,6 +2785,45 @@ object LlmPipeline extends Catalog {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  // -- corpus snapshot diff (the dataset-versioning audit every managed
+  //    corpus needs: what did this week's crawl ADD, REMOVE, or CHANGE
+  //    versus the released snapshot?): full outer join of the two
+  //    snapshots on doc_id, status decided by presence + fingerprint
+  //    equality. Snapshots simulated from one table (old = id % 7 != 0,
+  //    new = id % 5 != 0 with every 11th doc's text revised) — the
+  //    operator itself is the join/compare shape. ONE co-partitioned
+  //    shuffle on doc_id; fingerprints are the 64-bit md5 prefix, so
+  //    "changed" never compares full text bytes across the join.
+  q("q_corpus_diff",
+    """WITH old AS (
+      |  SELECT doc_id, substr(md5(text), 1, 16) AS fp
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |new AS (
+      |  SELECT doc_id, substr(md5(CASE WHEN doc_id % 11 = 0
+      |    THEN text || ' rev2' ELSE text END), 1, 16) AS fp
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+      |  CASE WHEN old.doc_id IS NULL THEN 'added'
+      |       WHEN new.doc_id IS NULL THEN 'removed'
+      |       WHEN old.fp = new.fp THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""") { (s, dir) =>
+    val docs = spread(load(s, dir, "documents"))
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("old_id"), substring(md5(col("text")), 1, 16).as("old_fp"))
+    val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("new_id"),
+        substring(md5(when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))), 1, 16)
+          .as("new_fp"))
+    old.join(neu, col("old_id") === col("new_id"), "full_outer")
+      .select(coalesce(col("old_id"), col("new_id")).as("doc_id"),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // -- token-budget sequence packing (the pretraining reality: fixed
   //    2048-token training sequences that CROSS document boundaries —
   //    complementing q_sequence_packing's fixed-chunk-count packs): each
