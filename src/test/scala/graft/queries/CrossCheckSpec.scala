@@ -149,4 +149,29 @@ class CrossCheckSpec extends AnyFunSuite {
       assert(math.abs(a - n).toDouble / n <= 0.03, s"$flag: approx=$a exact=$n")
     }
   }
+
+  test("approx_percentile (the 100 TB quantile path) brackets the exact selection") {
+    import org.apache.spark.sql.functions._
+    // q_length_quantiles is the oracle-able exact twin; the sketch with
+    // accuracy a guarantees rank error <= n/a — at a=10000 and n<=1e3 per
+    // source that is EXACT rank, so the sketch must land within one
+    // neighboring order statistic of the discrete selection
+    val exact = SparkEntry.queries("q_length_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val sk = graft.Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(percentile_approx(col("n_chars"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sk.keySet === exact.keySet)
+    for ((src, (p25, p50, p75)) <- exact) {
+      val Seq(a25, a50, a75) = sk(src).toSeq
+      // percentile_approx uses ceil-rank selection vs our floor-index —
+      // values may differ by one order statistic but never more
+      for (((e, a), p) <- Seq(p25 -> a25, p50 -> a50, p75 -> a75).zip(Seq(25, 50, 75)))
+        assert(math.abs(a - e).toDouble <= math.max(1.0, 0.1 * e),
+          s"$src p$p: sketch=$a exact=$e")
+    }
+  }
 }
