@@ -2985,7 +2985,7 @@ object LlmPipeline extends Catalog {
   //    scan. Integer dots/norms, one double divide, round 4 — ranking is
   //    engine-exact. Scale: query side broadcasts; the corpus posting
   //    list shuffles once on dim; top-k via the bounded buffer.
-  q("q_rag_retrieval",
+  private val SqlRagRetrieval =
     s"""WITH $SqlHashedBow,
        |n2 AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nrm FROM hv GROUP BY doc_id),
        |qv AS (SELECT doc_id AS query_id, dim, weight FROM hv
@@ -3002,13 +3002,50 @@ object LlmPipeline extends Catalog {
        |  SELECT query_id, doc_id, sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
        |  FROM sims)
-       |SELECT query_id, doc_id, sim, rank FROM ranked WHERE rank <= 3""") { (s, dir) =>
+       |SELECT query_id, doc_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  private val ragQueryPredicate = col("doc_id") % 100 === 7 && col("doc_id") < 500
+
+  q("q_rag_retrieval", SqlRagRetrieval) { (s, dir) =>
     import graft.functions.FeatureHash
     val hv = hashedBow(s, dir).cache()
     val n2 = FeatureHash.norms(hv, "doc_id")
-    val isQuery = col("doc_id") % 100 === 7 && col("doc_id") < 500
-    FeatureHash.topK(hv, n2, hv.filter(isQuery), n2.filter(isQuery),
-      "doc_id", k = 3)
+    FeatureHash.topK(hv, n2, hv.filter(ragQueryPredicate),
+      n2.filter(ragQueryPredicate), "doc_id", k = 3)
+  }
+
+  // -- LIVE retrieval index: documents arrive as a stream; each
+  //    micro-batch packs its hashed-BoW posting vectors and UPSERTS them
+  //    through the crash-safe bucketed view (KTable semantics — a
+  //    re-crawled doc replaces its postings); serving then reads the
+  //    accumulated view. Hash-equal to the batch rebuild (same oracle as
+  //    q_rag_retrieval) — the "index the crawl as it lands, query any
+  //    time" shape; RetrievalIndexSpec additionally pins the re-crawl
+  //    replacement path across batches.
+  q("q_rag_retrieval_live", SqlRagRetrieval) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.FeatureHash
+    import graft.sources.UpsertView
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("raglive").toString + "/view"
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val packed = FeatureHash
+          .pack(FeatureHash.bowRows(batch, "doc_id", "text"), "doc_id")
+          .select(col("doc_id"),
+            struct(col("postings"), col("nrm")).as("value"),
+            lit(new java.sql.Timestamp(id)).as("ts"))
+        UpsertView.merge(packed, path, numBuckets = 8, "doc_id", "value", "ts")
+        ()
+    }.trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val packed = s.read.parquet(path)
+      .select(col("doc_id"), col("value.postings").as("postings"),
+        col("value.nrm").as("nrm"))
+    val (rows, norms) = FeatureHash.unpack(packed, "doc_id")
+    FeatureHash.topK(rows, norms, rows.filter(ragQueryPredicate),
+      norms.filter(ragQueryPredicate), "doc_id", k = 3)
   }
 
   // -- BM25 full-text search (Robertson/Sparck-Jones, k1=1.2 b=0.75)
