@@ -92,7 +92,8 @@ object Bench {
     "text-normalize" -> "q_text_normalize",
     "ngram-lm-kn" -> "q_ngram_lm_kn",
     "pack-token-budget" -> "q_pack_token_budget",
-    "corpus-diff" -> "q_corpus_diff")
+    "corpus-diff" -> "q_corpus_diff",
+    "export-manifest" -> "q_export_manifest")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

@@ -2859,6 +2859,43 @@ object LlmPipeline extends Catalog {
         ((col("prefix") % 2048) + col("n_tokens") > 2048).as("crosses_boundary"))
   }
 
+  // -- export shard manifest (the dataset-delivery step: the corpus cut
+  //    into fixed-token shards — 10k here, 100M+ in production — with
+  //    per-shard doc/token counts and a CONTENT fingerprint: what the
+  //    consumer verifies a delivered dataset against, checksum-file
+  //    style): shard = exclusive token prefix DIV the shard budget over
+  //    the same PrefixSum spine as
+  //    q_pack_token_budget; the fingerprint is the BIT-XOR of per-doc
+  //    60-bit text hashes — order-insensitive and overflow-free, so it is
+  //    stable under any re-partitioning of the shard write and exact on
+  //    both engines.
+  q("q_export_manifest",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+       |    ${sqlMd5Long("text")} AS h
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens, h,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM t)
+       |SELECT prefix // 10000 AS shard_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  bit_xor(h) AS content_fp
+       |FROM o GROUP BY 1""") { (s, dir) =>
+    import graft.operators.PrefixSum
+    val t = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("n_tokens"),
+        T.md5Long(col("text")).as("h"))
+    PrefixSum.exclusive(t, Seq("doc_id"), "n_tokens", "prefix")
+      .groupBy(expr("prefix div 10000").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        expr("bit_xor(h)").as("content_fp"))
+  }
+
   // -- Kneser-Ney smoothed bigram LM table (Kneser & Ney 1995; the
   //    interpolated form, discount d = 3/4) — the model-build step behind
   //    a KenLM/CCNet-style perplexity filter, upgraded from the raw
