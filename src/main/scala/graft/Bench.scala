@@ -93,7 +93,9 @@ object Bench {
     "ngram-lm-kn" -> "q_ngram_lm_kn",
     "pack-token-budget" -> "q_pack_token_budget",
     "corpus-diff" -> "q_corpus_diff",
-    "export-manifest" -> "q_export_manifest")
+    "export-manifest" -> "q_export_manifest",
+    "event-funnel" -> "q_event_funnel",
+    "cohort-retention" -> "q_cohort_retention")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

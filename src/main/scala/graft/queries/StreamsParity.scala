@@ -1261,4 +1261,83 @@ object StreamsParity extends Catalog {
       .join(broadcast(wm), col("we") <= col("wm"))
       .select("window_start", "cnt")
   }
+
+  // -- ordered conversion funnel (view → click → purchase, each stage
+  //    strictly AFTER the previous one per user — the product-analytics
+  //    query every event stream gets): stage timestamps by chained
+  //    conditional min-aggregations; exact-integer micros so both
+  //    engines agree bit-for-bit; conversion as single-divide ppm.
+  //    Shape: THREE user-keyed aggregations, but stages 2 and 3 reuse
+  //    stage 1's partitioning (same key — Catalyst elides the
+  //    re-shuffles); the per-stage tables are |users| rows.
+  q("q_event_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(us) AS c_us
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(us) AS p_us
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id),
+      |n AS (SELECT
+      |  (SELECT count(DISTINCT user_id) FROM e) AS total,
+      |  (SELECT count(*) FROM v) AS nv,
+      |  (SELECT count(*) FROM c) AS nc,
+      |  (SELECT count(*) FROM p) AS np)
+      |SELECT stage, stage_name, n_users,
+      |  n_users * 1000000 // prev AS conv_ppm
+      |FROM (
+      |  SELECT 1 AS stage, 'all_users' AS stage_name, total AS n_users, total AS prev FROM n
+      |  UNION ALL SELECT 2, 'view', nv, total FROM n
+      |  UNION ALL SELECT 3, 'click_after_view', nc, nv FROM n
+      |  UNION ALL SELECT 4, 'purchase_after_click', np, nc FROM n)""") { (s, dir) =>
+    val e = load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    val n = e.agg(countDistinct("user_id").as("total"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("nv"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("nc"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("np"))))
+    n.selectExpr(
+      "stack(4, 1L, 'all_users', total, total," +
+        " 2L, 'view', nv, total," +
+        " 3L, 'click_after_view', nc, nv," +
+        " 4L, 'purchase_after_click', np, nc)" +
+        " AS (stage, stage_name, n_users, prev)")
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        expr("n_users * 1000000 div prev").as("conv_ppm"))
+  }
+
+  // -- weekly cohort retention (the companion analytics query): cohort =
+  //    the user's first-activity epoch-week, retention = distinct users
+  //    of cohort w active in week w+k, k ≤ 3. Exact integer week indexes
+  //    (epoch-µs DIV one week). Shape: one user-keyed agg for cohorts, a
+  //    co-partitioned join back onto distinct (user, week) activity, one
+  //    (cohort, k) count — all partial-agg'd.
+  q("q_cohort_retention",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+      |SELECT cohort_wk, wk - cohort_wk AS k,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |WHERE wk - cohort_wk <= 3
+      |GROUP BY 1, 2""") { (s, dir) =>
+    val a = load(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val f = a.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    a.join(f, "user_id")
+      .filter(col("wk") - col("cohort_wk") <= 3)
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
