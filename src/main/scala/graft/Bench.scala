@@ -95,7 +95,8 @@ object Bench {
     "corpus-diff" -> "q_corpus_diff",
     "export-manifest" -> "q_export_manifest",
     "event-funnel" -> "q_event_funnel",
-    "cohort-retention" -> "q_cohort_retention")
+    "cohort-retention" -> "q_cohort_retention",
+    "timeseries-sax" -> "q_timeseries_sax")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

@@ -630,4 +630,68 @@ object Relational extends Catalog {
       .orderBy(col("sqdist"), col("user_a"), col("user_b"))
       .limit(50)
   }
+
+  // -- SAX symbolization (Lin et al. 2003 — Symbolic Aggregate
+  //    approXimation, the time-series-mining discretizer): each user's
+  //    value series in time order → 8 PAA segments → one of 4 symbols
+  //    per segment against the user's OWN discrete quartiles → an 8-char
+  //    SAX word (the motif/anomaly-mining key). Engine-exact variant:
+  //    values quantize to integer micro-units (floor(v·10⁶)), so segment
+  //    sums, quartile selection, and every comparison are BIGINT (the
+  //    classic N(0,1) breakpoints need a float z-normalize — mean/std
+  //    summation order would diverge across engines; per-user quartile
+  //    breakpoints are the standard equi-depth alternative). Shape: ONE
+  //    user-keyed agg; everything after is per-row array arithmetic
+  //    (bounded by a user's own event count), zero further shuffles.
+  q("q_timeseries_sax",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS mv
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, list(mv ORDER BY us, event_id) AS vals
+      |  FROM e GROUP BY user_id),
+      |f AS (SELECT user_id, vals, len(vals) AS n, list_sort(vals) AS sorted
+      |      FROM g WHERE len(vals) >= 8),
+      |qs AS (SELECT user_id, vals, n,
+      |  sorted[(n - 1) * 1 // 4 + 1] AS q1,
+      |  sorted[(n - 1) * 2 // 4 + 1] AS q2,
+      |  sorted[(n - 1) * 3 // 4 + 1] AS q3
+      |  FROM f)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  array_to_string([
+      |    CASE WHEN CAST(list_sum(vals[(s * n) // 8 + 1 : ((s + 1) * n) // 8]) AS BIGINT)
+      |              <= q1 * (((s + 1) * n) // 8 - (s * n) // 8) THEN 'a'
+      |         WHEN CAST(list_sum(vals[(s * n) // 8 + 1 : ((s + 1) * n) // 8]) AS BIGINT)
+      |              <= q2 * (((s + 1) * n) // 8 - (s * n) // 8) THEN 'b'
+      |         WHEN CAST(list_sum(vals[(s * n) // 8 + 1 : ((s + 1) * n) // 8]) AS BIGINT)
+      |              <= q3 * (((s + 1) * n) // 8 - (s * n) // 8) THEN 'c'
+      |         ELSE 'd' END
+      |    for s in range(8)], '') AS sax
+      |FROM qs""") { (s, dir) =>
+    val ev = load(s, dir, "events").select(col("user_id"),
+      struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        floor(col("value") * 1000000).cast("long").as("mv")).as("r"))
+    ev.groupBy("user_id").agg(array_sort(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")) >= 8)
+      .withColumn("vals", transform(col("rs"), _.getField("mv")))
+      .withColumn("n", size(col("vals")))
+      .withColumn("sorted", array_sort(col("vals")))
+      .withColumn("q1", element_at(col("sorted"), expr("CAST((n - 1) * 1 div 4 AS INT) + 1")))
+      .withColumn("q2", element_at(col("sorted"), expr("CAST((n - 1) * 2 div 4 AS INT) + 1")))
+      .withColumn("q3", element_at(col("sorted"), expr("CAST((n - 1) * 3 div 4 AS INT) + 1")))
+      .withColumn("sax", concat_ws("",
+        transform(sequence(lit(0), lit(7)), seg => {
+          val lo = (seg * col("n")).divide(8).cast("int")
+          val hi = ((seg + 1) * col("n")).divide(8).cast("int")
+          val segLen = hi - lo
+          val segSum = aggregate(
+            slice(col("vals"), lo + 1, segLen), lit(0L), (a, x) => a + x)
+          when(segSum <= col("q1") * segLen, "a")
+            .when(segSum <= col("q2") * segLen, "b")
+            .when(segSum <= col("q3") * segLen, "c")
+            .otherwise("d")
+        })))
+      .select(col("user_id"), col("n").cast("long").as("n_events"), col("sax"))
+  }
 }
