@@ -87,6 +87,13 @@ object TextFunctions {
     "privacy policy", "terms of use", "sign in", "subscribe",
     "advertisement")
 
+  /** Token blocklist for the C4-style bad-words drop (arXiv:1910.10683
+    * §2.2 — documents containing any listed word are removed). A stand-in
+    * list exercising the operator on the synthetic corpus: terms that DO
+    * occur ("slow", "dup") plus one that never does ("spamword", pinning
+    * the no-hit path). Matched as lowercase whole tokens. */
+  val BlocklistTerms: Seq[String] = Seq("slow", "dup", "spamword")
+
   /** Keep-predicate for one already-trimmed non-empty line: drops very
     * short fragments, mostly-uppercase nav text, marker-bearing chrome
     * lines, and bullet/numbering-only lines. A pure column expression —
@@ -272,6 +279,30 @@ object TextFunctions {
         }
       }
     }
+
+  /** Luhn checksum total of a digit string: the digit at reversed
+    * position i doubles when i ≡ doubleParity (mod 2), doubled digits
+    * > 9 subtract 9 (ISO/IEC 7812). doubleParity = 0 totals a FULL
+    * number (the check digit at reversed position 1 stays single);
+    * doubleParity = 1 totals a base MISSING its check digit (every
+    * base digit shifts left one position once the check is appended).
+    * Pure integer arithmetic — engine-exact, oracle-mirrorable. */
+  def luhnSum(c: Column, doubleParity: Int): Column =
+    DedupFunctions.bindOnce(c) { s =>
+      aggregate(sequence(lit(1), length(s)), lit(0), (acc, i) => {
+        val d = s.substr(length(s) - i + 1, lit(1)).cast("int")
+        val dd = when(i % 2 === doubleParity,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    }
+
+  /** True iff the digit string passes the Luhn check. */
+  def luhnValid(c: Column): Column = luhnSum(c, 0) % 10 === 0
+
+  /** The check digit completing a base digit string to a Luhn-valid
+    * number. */
+  def luhnCheckDigit(c: Column): Column = (lit(10) - luhnSum(c, 1) % 10) % 10
 
   /** Fraction of tokens that are (English) stopwords. Tokenizes ONCE per
     * row (bindOnce) — the token subtree would otherwise be duplicated

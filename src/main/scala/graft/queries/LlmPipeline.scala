@@ -265,6 +265,55 @@ object LlmPipeline extends Catalog {
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
+  // -- asymmetric containment near-dups (Broder's containment coefficient,
+  //    "On the resemblance and containment of documents", SEQUENCES '97):
+  //    |A∩B|/|A| and |A∩B|/|B| over the kept-shingle space. Catches the
+  //    pairs symmetric Jaccard structurally MISSES — a short doc embedded
+  //    in a much longer one has high containment but low resemblance
+  //    (quote-inclusion, boilerplate-wrapped copies), which is why
+  //    dedup stacks run both. Same inverted-index + doc-frequency-cut
+  //    shape as q_dedup_ngram_jaccard: the df cut bounds bucket fan-out
+  //    BEFORE pair generation, |A∩B| falls out of one groupBy over
+  //    in-bucket ordered pairs, and the per-doc sizes ride a broadcast
+  //    join — identical 100 TB story, different final coefficient.
+  q("q_dedup_containment",
+    s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest($SqlShingles3) AS s FROM docs),
+       |kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+       |ksh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+       |sized AS (SELECT doc_id, count(*) AS n_sh FROM ksh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+       |  round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS cont_b
+       |FROM pairs
+       |JOIN sized sa ON sa.doc_id = doc_a
+       |JOIN sized sb ON sb.doc_id = doc_b
+       |WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+       |               CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0.8""") { (s, dir) =>
+    val sh = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("s"))
+    val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 50)
+    val sized = kept.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = kept.filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val contA = col("n_inter").cast("double") / col("sa.n_sh")
+    val contB = col("n_inter").cast("double") / col("sb.n_sh")
+    pairs
+      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
+      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      .filter(greatest(contA, contB) >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
+  }
+
   /** DuckDB CTE chain producing MinHash+LSH candidate pairs — shared by
     * q_dedup_minhash_lsh (emits the pairs) and q_dedup_components (closes
     * them into dedup groups). */
@@ -725,6 +774,41 @@ object LlmPipeline extends Catalog {
       .groupBy(T.fingerprintHex(col("text")).as("fp"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
         max(col("s.quality")).as("max_quality"))
+  }
+
+  // -- token blocklist filter — the C4 "bad words" stage (Raffel et al.,
+  //    arXiv:1910.10683 §2.2 drop any page with a word on a blocklist)
+  //    that q_pipeline_c4's composite omits: per doc, count blocklisted
+  //    token OCCURRENCES, list the distinct terms hit, and emit the
+  //    keep/drop bit. Pure codegen'd column expressions over ONE
+  //    tokenization pass (bindOnce) — a map-only filter that rides the
+  //    scan, zero shuffle at any scale. This literal-array shape is for
+  //    list sizes up to a few thousand (C4's list is ~400/language); a
+  //    100k-term list flips to the same broadcast semi-join shape as
+  //    q_decontaminate (token-explode ⋈ broadcast terms), noted here so
+  //    the cutover is a documented decision, not a rediscovery.
+  q("q_blocklist_filter", {
+    val list = T.BlocklistTerms.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id, $SqlTokens AS ltoks FROM documents),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(ltoks, x -> list_contains($list, x))) AS n_hits,
+       |  coalesce(array_to_string(list_sort(list_distinct(
+       |    list_filter(ltoks, x -> list_contains($list, x)))), ','), '') AS hit_terms
+       |  FROM t)
+       |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, hit_terms,
+       |  CAST(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM h""".stripMargin
+  }) { (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"), D.bindOnce(T.tokens(lower(col("text")))) { lts =>
+        val hits = filter(lts, t => t.isin(T.BlocklistTerms: _*))
+        struct(
+          size(hits).cast("long").as("n_hits"),
+          array_join(array_sort(array_distinct(hits)), ",").as("hit_terms"))
+      }.as("h"))
+      .select(col("doc_id"), col("h.n_hits").as("n_hits"),
+        col("h.hit_terms").as("hit_terms"),
+        when(col("h.n_hits") === 0, 1L).otherwise(0L).as("keep"))
   }
 
   // -- document chunking: split each doc into fixed-size token windows
@@ -1989,6 +2073,84 @@ object LlmPipeline extends Catalog {
         when(num > den, 1L).otherwise(0L).as("selected"))
   }
 
+  // -- WordPiece encoder (Wu et al., arXiv:1609.08144 §4.1; BERT,
+  //    arXiv:1810.04805): greedy longest-match-first segmentation with
+  //    "##" continuations and whole-word [UNK] on any miss, against a
+  //    frequency-ranked substring vocabulary (top-200 length-2..6 pieces
+  //    by corpus frequency + the full character alphabet — a
+  //    deterministic, oracle-mirrorable stand-in for likelihood-based
+  //    WordPiece training; the ENCODER loop is the faithful part).
+  //    Complements q_bpe_encode: BPE segments by replaying learned
+  //    merges, WordPiece by maximal munch against a vocab — the two
+  //    subword families a tokenizer build chooses between. Scale shape:
+  //    the corpus collapses onto DISTINCT words first (the BPE-family
+  //    invariant), vocab induction is one partial-agg'd shuffle + a
+  //    TakeOrderedAndProject, the vocab rides to executors as a
+  //    task-binary reference object (bounded: 200 pieces + alphabet),
+  //    and the matching loop is a codegen'd native expression
+  //    (plans.WordPieceEncode, O(len × maxPieceLen) set probes per
+  //    word) — encoding a 100 TB corpus is then a linear map over
+  //    distinct words + a broadcast word->segmentation join. The oracle
+  //    mirrors the greedy loop as a recursive CTE (one row per consumed
+  //    piece) over the identical vocab.
+  q("q_wordpiece_encode",
+    s"""WITH RECURSIVE
+       |t AS (SELECT unnest($SqlTokens) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
+       |sub AS (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, f
+       |  FROM wf, unnest(range(1, len(w)+1)) u(i), unnest([2,3,4,5,6]) v(l)
+       |  WHERE i + l - 1 <= len(w)),
+       |vf AS (SELECT piece, CAST(sum(f) AS BIGINT) AS pf FROM sub GROUP BY piece),
+       |top AS (SELECT piece FROM vf ORDER BY pf DESC, piece LIMIT 200),
+       |chars AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+       |          FROM wf, unnest(range(1, len(w)+1)) u(i)),
+       |voc AS (SELECT list(piece) AS v FROM (SELECT piece FROM top UNION SELECT piece FROM chars)),
+       |seg AS (
+       |  SELECT w, f, 1 AS pos, CAST('' AS VARCHAR) AS toks FROM wf
+       |  UNION ALL
+       |  SELECT w, f,
+       |    CAST(CASE WHEN best = 0 THEN len(w) + 1 ELSE pos + best END AS INT),
+       |    CASE WHEN best = 0 THEN '[UNK]'
+       |         WHEN toks = '' THEN substr(w, pos, CAST(best AS INT))
+       |         ELSE toks || ' ##' || substr(w, pos, CAST(best AS INT)) END
+       |  FROM (
+       |    SELECT s.w, s.f, s.pos, s.toks,
+       |      coalesce(list_max(list_filter([1,2,3,4,5,6],
+       |        l -> s.pos + l - 1 <= len(s.w) AND list_contains(voc.v, substr(s.w, s.pos, CAST(l AS INT))))), 0) AS best
+       |    FROM seg s CROSS JOIN voc
+       |    WHERE s.pos <= len(s.w)) x)
+       |SELECT w, toks AS segmentation,
+       |  CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_pieces,
+       |  CAST(f AS BIGINT) AS f,
+       |  CAST(f * len(string_split(toks, ' ')) AS BIGINT) AS corpus_pieces
+       |FROM seg WHERE pos > len(w)""") { (s, dir) =>
+    val wf = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // vocab induction + encode both read it; tiny
+    val lens = array((2 to 6).map(lit): _*)
+    val pieceArr = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+      filter(transform(lens, l =>
+        when(i + l - 1 <= length(col("w")), col("w").substr(i, l))),
+        p => p.isNotNull)))
+    val top = wf.select(explode(pieceArr).as("piece"), col("f"))
+      .groupBy("piece").agg(sum("f").as("pf"))
+      .orderBy(col("pf").desc, col("piece")).limit(200)
+      .select("piece")
+    val chars = wf.select(explode(transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))).as("piece")).distinct()
+    // bounded by contract: <= 200 pieces + the corpus character alphabet
+    val vocab = top.union(chars).distinct().collect().map(_.getString(0)).toSeq
+    wf.select(col("w"),
+        graft.plans.WordPiece.encode(col("w"), vocab).as("segmentation"),
+        col("f"))
+      .select(col("w"), col("segmentation"),
+        size(split(col("segmentation"), " ")).cast("long").as("n_pieces"),
+        col("f"),
+        (col("f") * size(split(col("segmentation"), " "))).as("corpus_pieces"))
+  }
+
   // -- span-level exact-substring dedup: every duplicated 8-token span
   //    with its (doc, position) occurrences — the "cut the repeated
   //    passage itself" building block (suffix-array dedup's output,
@@ -2164,6 +2326,75 @@ object LlmPipeline extends Catalog {
         T.piiCount(col("synth"), T.Ipv4Re).as("n_ips"),
         T.piiCount(col("synth"), T.PhoneRe).as("n_phones"),
         T.redactPii(col("synth")).as("redacted"))
+  }
+
+  // -- checksum-validated PII: candidate card-number runs (13-19 digits)
+  //    must pass the Luhn check (ISO/IEC 7812) before redaction — the
+  //    precision upgrade over q_pii_redact's pattern-only matching (a
+  //    16-digit order id shouldn't be scrubbed; a valid PAN must be).
+  //    The corpus carries no PII, so card numbers are SYNTHESIZED
+  //    deterministically per doc — one Luhn-VALID number (check digit
+  //    computed by the same arithmetic being tested) and, on every third
+  //    doc, a near-miss with the check digit off by one that the
+  //    validator must reject. All integer arithmetic (digit folds, check
+  //    digits) is engine-exact; redaction is a fold replacing each
+  //    VALIDATED candidate, mirrored by DuckDB list_reduce. Map-only,
+  //    zero shuffle at any scale.
+  q("q_pii_luhn", {
+    // Luhn fold over digit string c (reversed position i doubles when
+    // i % 2 = parity) — the SQL mirror of TextFunctions.luhnSum
+    def luhn(c: String, parity: Int) = {
+      val d = s"CAST(substr($c, len($c) - CAST(i AS INT) + 1, 1) AS INT)"
+      s"""list_sum([CASE WHEN i % 2 = $parity THEN
+         |  CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END
+         |  ELSE $d END for i in range(1, len($c)+1)])""".stripMargin
+    }
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS base
+       |  FROM documents),
+       |s AS (SELECT doc_id, text, base,
+       |  (10 - ${luhn("base", 1)} % 10) % 10 AS chk FROM b),
+       |t AS (SELECT doc_id,
+       |  text || ' card ' || base || CAST(chk AS VARCHAR) ||
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN ' alt ' || base || CAST((chk + 1) % 10 AS VARCHAR)
+       |       ELSE '' END AS synth
+       |  FROM s),
+       |c AS (SELECT doc_id,
+       |  unnest(regexp_extract_all(synth, '\\b[0-9]{13,19}\\b')) AS cand FROM t),
+       |v AS (SELECT doc_id, cand, ${luhn("cand", 0)} AS tot FROM c),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       |        CAST(count(*) FILTER (WHERE tot % 10 = 0) AS BIGINT) AS n_valid,
+       |        list(cand ORDER BY cand) FILTER (WHERE tot % 10 = 0) AS valids
+       |      FROM v GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.n_candidates, 0) AS n_candidates,
+       |  coalesce(a.n_valid, 0) AS n_valid,
+       |  list_reduce(list_prepend(t.synth, coalesce(a.valids, [])),
+       |    (acc, x) -> replace(acc, x, '<CARD>')) AS redacted
+       |FROM t LEFT JOIN a USING (doc_id)"""
+  }) { (s, dir) =>
+    val id = col("doc_id")
+    val base = concat(lit("4"), lpad((id % 100000000).cast("string"), 14, "0"))
+    val synth = D.bindOnce(base) { b =>
+      D.bindOnce(T.luhnCheckDigit(b)) { chk =>
+        concat(col("text"), lit(" card "), b, chk.cast("string"),
+          when(id % 3 === 0,
+            concat(lit(" alt "), b, ((chk + 1) % 10).cast("string")))
+            .otherwise(""))
+      }
+    }
+    load(s, dir, "documents")
+      .withColumn("synth", synth)
+      .withColumn("cands",
+        regexp_extract_all(col("synth"), lit("\\b[0-9]{13,19}\\b"), lit(0)))
+      .withColumn("valids",
+        sort_array(filter(col("cands"), c => T.luhnValid(c))))
+      .select(id,
+        size(col("cands")).cast("long").as("n_candidates"),
+        size(col("valids")).cast("long").as("n_valid"),
+        aggregate(col("valids"), col("synth"),
+          (acc, x) => replace(acc, x, lit("<CARD>"))).as("redacted"))
   }
 
   // -- corpus quality report: per (source, lang) doc counts, token mass,

@@ -248,6 +248,47 @@ object Relational extends Catalog {
         expr("percentile(value, 0.95)").as("p95_v"))
   }
 
+  // -- robust outlier detection: per-event-type median + MAD (median
+  //    absolute deviation), flag |value − median| > 3·MAD — the
+  //    Hampel-style rule metric pipelines run before alerting, built on
+  //    the bit-identical percentile ≡ quantile_cont interpolation
+  //    q_percentile already certifies. Two passes by definition (MAD
+  //    needs the median first); both aggregate into |event_type| rows
+  //    (tiny), so the per-type stats ride broadcast joins back onto the
+  //    stream and the comparison runs on UNROUNDED doubles in both
+  //    engines — identical arithmetic, exact hash parity. 100 TB note:
+  //    exact percentile merges per-partition buffers map-side but holds
+  //    a group's values; at extreme cardinality the documented scale
+  //    path is approx_percentile(…, accuracy) with the same two-pass
+  //    shape — the swap is one function name per pass.
+  q("q_outlier_mad",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.value,
+      |  round(d.med, 6) AS med, round(m.mad, 6) AS mad
+      |FROM dev d JOIN mad m USING (event_type)
+      |WHERE d.adev > 3 * m.mad""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(3) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
+
   // -- HLL-sketch distinct (approx_count_distinct): the "novel sketch"
   //    class — partial sketches merge map-side, constant state per group.
   qNoOracle("q_approx_distinct") { (s, dir) =>

@@ -160,4 +160,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) === ((0L, 0L, 0L)))
     assert(r(2).getString(0) === "v4 <IP> but 1.2.3 is not an ip and 12-3456 not a phone")
   }
+
+  test("Luhn check: published vectors, off-by-one rejection, check digit") {
+    val df = Seq(
+      "4539578763621486", // valid Visa test number
+      "79927398713",      // the canonical ISO/IEC 7812 example
+      "4539578763621487", // check digit off by one
+      "79927398710").toDF("s")
+    val v = df.select(TextFunctions.luhnValid($"s")).collect().map(_.getBoolean(0))
+    assert(v.toSeq === Seq(true, true, false, false))
+    // check-digit completion reconstructs the valid numbers
+    val chk = Seq("453957876362148", "7992739871").toDF("b")
+      .select(TextFunctions.luhnCheckDigit($"b")).collect().map(_.getInt(0))
+    assert(chk.toSeq === Seq(6, 3))
+  }
+
+  test("blocklist terms match as whole lowercase tokens only") {
+    val df = Seq("Slow day", "slowly moving", "dup dup DUP", "clean").toDF("t")
+    val hits = df.select(size(filter(
+      TextFunctions.tokens(lower($"t")),
+      x => x.isin(TextFunctions.BlocklistTerms: _*)))).collect().map(_.getInt(0))
+    // "slowly" must NOT match "slow"; case-insensitive; occurrences count
+    assert(hits.toSeq === Seq(1, 0, 3, 0))
+  }
 }
