@@ -449,6 +449,39 @@ object LlmPipeline extends Catalog {
       .select("doc_id", "lang", "n_chars")
   }
 
+  // -- dedup-group size histogram: how many near-dup clusters exist at
+  //    each size — the first chart a dedup run's report shows (a heavy
+  //    tail here means template/boilerplate families; Lee et al.,
+  //    arXiv:2107.06499 §4 reports exactly this distribution). Chains on
+  //    the q_dedup_components closure: per-component size is one count
+  //    over the (dup-docs-only) membership table, the histogram a second
+  //    count over component rows — both shuffles are FRACTIONS of the
+  //    dup mass, nothing corpus-sized moves. Singleton docs never enter
+  //    the pair graph, so sizes start at 2 by construction.
+  q("q_dedup_cluster_sizes",
+    s"""WITH RECURSIVE $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.n),
+       |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+       |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS docs_in_size,
+       |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable
+       |FROM sizes GROUP BY cluster_size""") { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    ConnectedComponents.run(minhashPairs(s, dir), "doc_a", "doc_b")
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("docs_in_size"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+  }
+
   // -- native-Expression MinHash+LSH (codegen'd one-pass shingle hashing
   //    via graft.plans.ShingleHashes + xxhash64 band keys): same LSH
   //    structure as q_dedup_minhash_lsh but on the cheap non-crypto hash
@@ -2149,6 +2182,81 @@ object LlmPipeline extends Catalog {
         size(split(col("segmentation"), " ")).cast("long").as("n_pieces"),
         col("f"),
         (col("f") * size(split(col("segmentation"), " "))).as("corpus_pieces"))
+  }
+
+  // -- tokenizer fertility by domain: pieces-per-token under the
+  //    q_wordpiece_encode tokenizer, reported per (source, lang) — the
+  //    readout a tokenizer build ships (high-fertility domains tokenize
+  //    badly and blow the training token budget; the multilingual
+  //    motivation in arXiv:2103.06874 §1). This query IS the documented
+  //    scale path of the encoder made concrete: the corpus collapses to
+  //    DISTINCT words, each word encodes ONCE (codegen'd native
+  //    expression), and the full corpus then re-tokenizes via a
+  //    BROADCAST word->n_pieces join — at 100 TB the distinct-word
+  //    table is tens of MB against a corpus-sized token stream, so the
+  //    only shuffle is the final tiny (source, lang) aggregation.
+  q("q_wordpiece_fertility",
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id, source, lang, unnest($SqlTokens) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM d GROUP BY w),
+       |sub AS (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, f
+       |  FROM wf, unnest(range(1, len(w)+1)) u(i), unnest([2,3,4,5,6]) v(l)
+       |  WHERE i + l - 1 <= len(w)),
+       |vf AS (SELECT piece, CAST(sum(f) AS BIGINT) AS pf FROM sub GROUP BY piece),
+       |top AS (SELECT piece FROM vf ORDER BY pf DESC, piece LIMIT 200),
+       |chars AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+       |          FROM wf, unnest(range(1, len(w)+1)) u(i)),
+       |voc AS (SELECT list(piece) AS v FROM (SELECT piece FROM top UNION SELECT piece FROM chars)),
+       |seg AS (
+       |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS toks FROM wf
+       |  UNION ALL
+       |  SELECT w,
+       |    CAST(CASE WHEN best = 0 THEN len(w) + 1 ELSE pos + best END AS INT),
+       |    CASE WHEN best = 0 THEN '[UNK]'
+       |         WHEN toks = '' THEN substr(w, pos, CAST(best AS INT))
+       |         ELSE toks || ' ##' || substr(w, pos, CAST(best AS INT)) END
+       |  FROM (
+       |    SELECT s.w, s.pos, s.toks,
+       |      coalesce(list_max(list_filter([1,2,3,4,5,6],
+       |        l -> s.pos + l - 1 <= len(s.w) AND list_contains(voc.v, substr(s.w, s.pos, CAST(l AS INT))))), 0) AS best
+       |    FROM seg s CROSS JOIN voc
+       |    WHERE s.pos <= len(s.w)) x),
+       |np AS (SELECT w, len(string_split(toks, ' ')) AS n_pieces
+       |       FROM seg WHERE pos > len(w))
+       |SELECT d.source, d.lang,
+       |  CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(np.n_pieces) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM d JOIN np USING (w)
+       |GROUP BY d.source, d.lang""") { (s, dir) =>
+    val toks = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(T.tokens(col("text"))).as("w"))
+    val wf = toks.groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
+    val lens = array((2 to 6).map(lit): _*)
+    val pieceArr = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+      filter(transform(lens, l =>
+        when(i + l - 1 <= length(col("w")), col("w").substr(i, l))),
+        p => p.isNotNull)))
+    val top = wf.select(explode(pieceArr).as("piece"), col("f"))
+      .groupBy("piece").agg(sum("f").as("pf"))
+      .orderBy(col("pf").desc, col("piece")).limit(200)
+      .select("piece")
+    val chars = wf.select(explode(transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))).as("piece")).distinct()
+    val vocab = top.union(chars).distinct().collect().map(_.getString(0)).toSeq
+    val np = wf.select(col("w"),
+      size(split(graft.plans.WordPiece.encode(col("w"), vocab), " "))
+        .as("n_pieces"))
+    toks.join(broadcast(np), "w")
+      .groupBy("source", "lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        round(sum(col("n_pieces")).cast("double") / count(lit(1)), 6)
+          .as("fertility"))
   }
 
   // -- span-level exact-substring dedup: every duplicated 8-token span

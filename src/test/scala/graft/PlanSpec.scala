@@ -297,4 +297,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("blocklist + Luhn PII are map-only: zero Exchange, rides the scan") {
+    for (q <- Seq("q_blocklist_filter", "q_pii_luhn")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q: ${plan.take(1500)}")
+      assert(plan.contains("*(1)"), s"$q: ${plan.take(500)}") // codegen'd
+    }
+  }
+
+  test("wordpiece fertility re-tokenizes the corpus via a BROADCAST word join") {
+    // the corpus-sized token stream must never shuffle for the
+    // word -> n_pieces join; only the tiny (source, lang) agg exchanges
+    val plan = planOf("q_wordpiece_fertility")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
 }
