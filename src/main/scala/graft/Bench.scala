@@ -96,7 +96,14 @@ object Bench {
     "export-manifest" -> "q_export_manifest",
     "event-funnel" -> "q_event_funnel",
     "cohort-retention" -> "q_cohort_retention",
-    "timeseries-sax" -> "q_timeseries_sax")
+    "timeseries-sax" -> "q_timeseries_sax",
+    "wordpiece-encode" -> "q_wordpiece_encode",
+    "wordpiece-fertility" -> "q_wordpiece_fertility",
+    "dedup-containment" -> "q_dedup_containment",
+    "blocklist-filter" -> "q_blocklist_filter",
+    "pii-luhn" -> "q_pii_luhn",
+    "outlier-mad" -> "q_outlier_mad",
+    "dedup-cluster-sizes" -> "q_dedup_cluster_sizes")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
