@@ -103,7 +103,10 @@ object Bench {
     "blocklist-filter" -> "q_blocklist_filter",
     "pii-luhn" -> "q_pii_luhn",
     "outlier-mad" -> "q_outlier_mad",
-    "dedup-cluster-sizes" -> "q_dedup_cluster_sizes")
+    "dedup-cluster-sizes" -> "q_dedup_cluster_sizes",
+    "label-noise" -> "q_label_noise",
+    "train-val-split" -> "q_train_val_split",
+    "domain-excess" -> "q_domain_excess")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

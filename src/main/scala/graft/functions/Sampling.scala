@@ -26,4 +26,22 @@ object Sampling {
   def sample(df: org.apache.spark.sql.DataFrame, idCol: String, salt: String,
       fraction: Double): org.apache.spark.sql.DataFrame =
     df.filter(keep(col(idCol), salt, lit(fraction)))
+
+  /** Salted-hash bucket in [0, 100) — the basis for N-way splits. */
+  def bucket100(id: Column, salt: String): Column =
+    TextFunctions.md5Long(concat(id.cast("string"), lit(salt))) % 100
+
+  /** Deterministic N-way split assignment: `cuts` are (name, percent)
+    * with percents summing to 100; the bucket maps through cumulative
+    * cuts, so enlarging one split keeps every other row's assignment
+    * stable (the holdout never leaks into train on a re-cut). */
+  def splitAssign(id: Column, salt: String, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.map(_._2).sum == 100, "split percents must sum to 100")
+    val b = bucket100(id, salt)
+    val (_, assigned) = cuts.foldLeft((0, lit(null).cast("string"))) {
+      case ((acc, e), (name, pct)) =>
+        (acc + pct, when(e.isNull && b < acc + pct, name).otherwise(e))
+    }
+    assigned
+  }
 }

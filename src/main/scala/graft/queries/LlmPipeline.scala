@@ -759,6 +759,33 @@ object LlmPipeline extends Catalog {
       .select("doc_id", "lang")
   }
 
+  // -- deterministic train/val/test split: salted-hash bucket in [0,100)
+  //    through cumulative 80/10/10 cuts — the holdout-carving step every
+  //    training run needs, with the reproducibility contract of
+  //    q_sample_stratified (same row → same split on any cluster, any
+  //    partitioning, any re-run; the oracle draws the SAME assignment).
+  //    Cumulative cuts mean a later re-cut that grows train only moves
+  //    rows OUT of val/test boundaries adjacent to it — test rows never
+  //    silently migrate into train. Map-only, zero shuffle at any scale.
+  q("q_train_val_split",
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15) AS BIGINT)
+      |      % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b""") { (s, dir) =>
+    import graft.functions.Sampling
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Sampling.bucket100(col("doc_id"), "split-v1").as("bucket"),
+        Sampling.splitAssign(col("doc_id"), "split-v1",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+  }
+
   // -- C4-style cleanup composite: quality-score filter -> predicted-
   //    English filter -> exact dedup keep-min-id. The end-to-end corpus
   //    construction pass, built from the oracle-proven fragments.
@@ -1587,6 +1614,62 @@ object LlmPipeline extends Catalog {
       .select(col("query_id"), col("w.pred_label"), col("w.votes"))
   }
 
+  // -- label-noise detection by kNN disagreement (the Confident-Learning
+  //    curation pass, Northcutt et al., arXiv:1911.00068; kNN-agreement
+  //    form as in arXiv:2004.12289): every vector gets the majority label
+  //    of its 5 nearest neighbors, and rows whose OWN label disagrees are
+  //    flagged for relabel/drop review. Self-search runs on the IVF cell
+  //    equi-join (no broadcast of the corpus, no O(n²) task); nProbe = k
+  //    makes it exhaustive here so the brute-force oracle applies — at
+  //    100 TB nProbe shrinks and the same query becomes approximate
+  //    (the q_ann_ivf adjudication). Downstream of the bounded n×5 edge
+  //    list everything is equi-joins and two tiny query-keyed aggs.
+  q("q_label_noise",
+    """WITH s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+      |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4) AS sim
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM s),
+      |v AS (SELECT query_id, n_label, count(*) AS votes
+      |      FROM r WHERE rn <= 5 GROUP BY 1, 2),
+      |b AS (SELECT query_id, n_label, votes, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY votes DESC, n_label) AS r2
+      |      FROM v)
+      |SELECT b.query_id, CAST(e.label AS BIGINT) AS own_label,
+      |  CAST(b.n_label AS BIGINT) AS pred_label, b.votes,
+      |  CAST(CASE WHEN e.label <> b.n_label THEN 1 ELSE 0 END AS BIGINT) AS noisy
+      |FROM b JOIN embeddings e ON e.vec_id = b.query_id
+      |WHERE r2 = 1""") { (s, dir) =>
+    import graft.functions.VectorIndex
+    val emb = spread(load(s, dir, "embeddings"))
+    val k = 8
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = k, iters = 2)
+    val nn = VectorIndex.searchSelf(emb, "vec_id", "embedding", cb,
+      nProbe = k, topK = 5)
+    val labels = emb.select(col("vec_id"), col("label"))
+    nn.join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max_by(
+        struct(col("n_label"), col("votes")),
+        struct(col("votes"), (lit(0L) - col("n_label")).as("nl"))).as("w"))
+      .select(col("query_id"), col("w.n_label").as("pred_label"),
+        col("w.votes").as("votes"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("own_label")), "query_id")
+      .select(col("query_id"), col("own_label").cast("long").as("own_label"),
+        col("pred_label").cast("long").as("pred_label"), col("votes"),
+        when(col("own_label") =!= col("pred_label"), 1L).otherwise(0L)
+          .as("noisy"))
+  }
+
   // -- IVF ANN (the other scale path): k-means cells + nProbe search.
   //    Approximation depends on float summation order in centroid
   //    training, so the oracle is rows-only; recall vs brute force is
@@ -2104,6 +2187,65 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), col("n_toks"), col("t_mass"), col("r_mass"),
         round(num.cast("double") / den.cast("double"), 6).as("score"),
         when(num > den, 1L).otherwise(0L).as("selected"))
+  }
+
+  // -- DoReMi-flavored domain reweighting (Xie et al., arXiv:2305.10429):
+  //    domains whose text the reference model finds HARDER get upweighted.
+  //    The proxy/reference loss gap is re-expressed with the count-LM
+  //    loss proxy (q_lm_score's integer trigram mass: rarer text = lower
+  //    mass = higher loss), so a domain's excess loss over the corpus
+  //    average becomes the exact BIGINT sign/magnitude
+  //      excess_num = M_tot·N_s − M_s·N_tot
+  //    (positive ⟺ domain s's average trigram mass is below the corpus
+  //    average ⟺ upweight) — no float sums anywhere; the reported excess
+  //    is one correctly-rounded divide. Shape: the trigram join is the
+  //    q_lm_score pipeline; per-source sums partial-agg to |sources|
+  //    rows; totals ride one broadcast. 100 TB note: the BIGINT products
+  //    bound the corpus at ~10^9 trigram mass × 10^9 occurrences —
+  //    beyond that the same formula routes through DECIMAL(38,0).
+  q("q_domain_excess",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, toks, unnest(range(len(toks) - 2)) AS pos
+      |      FROM t WHERE len(toks) >= 3),
+      |g AS (SELECT doc_id, source,
+      |        toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3] AS trigram
+      |      FROM p),
+      |c AS (SELECT trigram, count(*) AS cnt FROM g GROUP BY trigram),
+      |j AS (SELECT g.doc_id, g.source, c.cnt FROM g JOIN c USING (trigram)),
+      |s AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |        CAST(count(*) AS BIGINT) AS n_tri, CAST(sum(cnt) AS BIGINT) AS mass
+      |      FROM j GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tri) AS BIGINT) AS n_tot,
+      |               CAST(sum(mass) AS BIGINT) AS m_tot FROM s)
+      |SELECT source, n_docs, n_tri, mass,
+      |  m_tot * n_tri - mass * n_tot AS excess_num,
+      |  round(CAST(m_tot * n_tri - mass * n_tot AS DOUBLE) /
+      |        CAST(n_tot * n_tri AS DOUBLE), 6) AS excess,
+      |  CAST(CASE WHEN m_tot * n_tri - mass * n_tot > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS upweight
+      |FROM s CROSS JOIN tot""") { (s, dir) =>
+    val g = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("trigram"))
+    val counts = g.groupBy("trigram").agg(count(lit(1)).as("cnt"))
+    val perSource = g.join(counts, "trigram")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tri"), sum("cnt").as("mass"))
+    val tot = perSource.agg(sum("n_tri").as("n_tot"), sum("mass").as("m_tot"))
+    val num = col("m_tot") * col("n_tri") - col("mass") * col("n_tot")
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tri"), col("mass"),
+        num.as("excess_num"),
+        round(num.cast("double") /
+          (col("n_tot") * col("n_tri")).cast("double"), 6).as("excess"),
+        when(num > 0, 1L).otherwise(0L).as("upweight"))
   }
 
   // -- WordPiece encoder (Wu et al., arXiv:1609.08144 §4.1; BERT,
