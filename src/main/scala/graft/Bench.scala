@@ -106,7 +106,8 @@ object Bench {
     "dedup-cluster-sizes" -> "q_dedup_cluster_sizes",
     "label-noise" -> "q_label_noise",
     "train-val-split" -> "q_train_val_split",
-    "domain-excess" -> "q_domain_excess")
+    "domain-excess" -> "q_domain_excess",
+    "sessionize" -> "q_sessionize")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

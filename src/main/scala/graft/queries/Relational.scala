@@ -248,6 +248,53 @@ object Relational extends Catalog {
         expr("percentile(value, 0.95)").as("p95_v"))
   }
 
+  // -- batch sessionization: gap-based session ids via the lag + running
+  //    sum idiom (new session when > 30 min since the user's previous
+  //    event), then per-session stats — the batch complement of the
+  //    streaming session windows (q_window_session_*), and the form
+  //    backfill jobs use over historical logs. Both window passes share
+  //    ONE user_id shuffle (same partitioning/ordering ⇒ Catalyst plans
+  //    a single Exchange + Sort), per-user work is linear in events, and
+  //    the session agg partial-combines — the shape holds at any scale
+  //    unless one user owns a partition-sized history (the same skew
+  //    bound the reference's per-key session stores carry). Event-id
+  //    tie-break makes equal-timestamp orders total, so session ids are
+  //    deterministic in both engines.
+  q("q_sessionize",
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |m AS (SELECT *,
+      |  CASE WHEN prev_ts IS NULL
+      |         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+      |       ELSE 0 END AS new_s
+      |  FROM o),
+      |s AS (SELECT *, sum(new_s) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS session_id
+      |      FROM m)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+      |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+      |FROM s GROUP BY user_id, session_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+  }
+
   // -- robust outlier detection: per-event-type median + MAD (median
   //    absolute deviation), flag |value − median| > 3·MAD — the
   //    Hampel-style rule metric pipelines run before alerting, built on

@@ -306,6 +306,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionization: lag + running sum share ONE user_id shuffle") {
+    val plan = planOf("q_sessionize")
+    // both window passes and the session agg ride one hash partitioning
+    // on user_id (the agg's composite key is a superset — no re-shuffle)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"$exchanges exchanges: ${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("wordpiece fertility re-tokenizes the corpus via a BROADCAST word join") {
     // the corpus-sized token stream must never shuffle for the
     // word -> n_pieces join; only the tiny (source, lang) agg exchanges
