@@ -107,7 +107,9 @@ object Bench {
     "label-noise" -> "q_label_noise",
     "train-val-split" -> "q_train_val_split",
     "domain-excess" -> "q_domain_excess",
-    "sessionize" -> "q_sessionize")
+    "sessionize" -> "q_sessionize",
+    "unigram-train" -> "q_unigram_train",
+    "unigram-encode" -> "q_unigram_encode")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (SentencePiece) Viterbi segmentation — Kudo,
+  * arXiv:1804.10959 §3: each vocabulary piece carries an independent
+  * log-probability and a word's segmentation is the max-probability
+  * piece sequence, found by one left-to-right DP pass. The third member
+  * of the tokenizer triad beside the BPE merge-replay (q_bpe_encode) and
+  * WordPiece maximal munch (q_wordpiece_encode).
+  *
+  * Determinism contract: DP improvements are STRICT (`>`), and at each
+  * end position candidate last-piece lengths are probed LONGEST FIRST —
+  * so on an exact score tie the segmentation with the longer last piece
+  * wins. Same contract in eval and codegen; pinned by UnigramSpec's
+  * brute-force optimality property. Code-point positions throughout
+  * (matches the WordPiece kernel). A word with any uncovered position
+  * segments to "[UNK]".
+  */
+object UnigramKernel {
+
+  /** Max-prob segmentation, pieces joined by single spaces. */
+  def viterbi(w: UTF8String, vocab: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): UTF8String = {
+    val cps = w.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val back = run(cps, n, vocab, maxLen)
+    if (back == null) return UTF8String.fromString("[UNK]")
+    val sb = new java.lang.StringBuilder(n + 8)
+    renderFrom(sb, cps, back, n)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** The winning path's total log-prob (NaN when uncoverable/empty —
+    * callers treat NaN as "[UNK] scored"). */
+  def viterbiScore(w: UTF8String, vocab: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): Double = {
+    val cps = w.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Double.NaN
+    val dp = scores(cps, n, vocab, maxLen)
+    if (dp(n) == Double.NegativeInfinity) Double.NaN else dp(n)
+  }
+
+  private def scores(cps: Array[Int], n: Int,
+      vocab: java.util.HashMap[String, java.lang.Double], maxLen: Int): Array[Double] = {
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    dp(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = math.min(maxLen, j)
+      while (l >= 1) { // longest-first: ties keep the longer last piece
+        val i = j - l
+        if (dp(i) != Double.NegativeInfinity) {
+          val p = vocab.get(new String(cps, i, l))
+          if (p != null && dp(i) + p > dp(j)) dp(j) = dp(i) + p
+        }
+        l -= 1
+      }
+      j += 1
+    }
+    dp
+  }
+
+  /** DP with backpointers; null when position n is unreachable. */
+  private def run(cps: Array[Int], n: Int,
+      vocab: java.util.HashMap[String, java.lang.Double], maxLen: Int): Array[Int] = {
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    dp(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = math.min(maxLen, j)
+      while (l >= 1) {
+        val i = j - l
+        if (dp(i) != Double.NegativeInfinity) {
+          val p = vocab.get(new String(cps, i, l))
+          if (p != null && dp(i) + p > dp(j)) { dp(j) = dp(i) + p; back(j) = i }
+        }
+        l -= 1
+      }
+      j += 1
+    }
+    if (back(n) == -1) null else back
+  }
+
+  private def renderFrom(sb: java.lang.StringBuilder, cps: Array[Int],
+      back: Array[Int], n: Int): Unit = {
+    val i = back(n)
+    if (i > 0) { renderFrom(sb, cps, back, i); sb.append(' ') }
+    sb.append(new String(cps, i, n - i))
+  }
+}
+
+/** `unigram_segment(word)` under a run-provided (piece -> logprob) model;
+  * the model ships as a task-binary reference object, bounded small by
+  * contract (seed top-K + alphabet). */
+case class UnigramSegment(child: Expression,
+    vocab: java.util.HashMap[String, java.lang.Double], maxPieceLen: Int)
+    extends UnaryExpression {
+  require(maxPieceLen >= 1)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramKernel.viterbi(input.asInstanceOf[UTF8String], vocab, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.UnigramKernel.viterbi($c, $ref, $maxPieceLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
+/** `unigram_score(word)` — the winning path's total log-prob (NaN when
+  * the word is uncoverable). */
+case class UnigramScore(child: Expression,
+    vocab: java.util.HashMap[String, java.lang.Double], maxPieceLen: Int)
+    extends UnaryExpression {
+  require(maxPieceLen >= 1)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramKernel.viterbiScore(input.asInstanceOf[UTF8String], vocab, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.UnigramKernel.viterbiScore($c, $ref, $maxPieceLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramScore =
+    copy(child = newChild)
+}
+
+object Unigram {
+  import org.apache.spark.sql.GraftColumns.{column, expression}
+
+  private def toMap(logProbs: Map[String, Double]) = {
+    val m = new java.util.HashMap[String, java.lang.Double](logProbs.size * 2)
+    logProbs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  def segment(c: Column, logProbs: Map[String, Double], maxPieceLen: Int = 6): Column =
+    column(UnigramSegment(expression(c), toMap(logProbs), maxPieceLen))
+
+  def score(c: Column, logProbs: Map[String, Double], maxPieceLen: Int = 6): Column =
+    column(UnigramScore(expression(c), toMap(logProbs), maxPieceLen))
+}

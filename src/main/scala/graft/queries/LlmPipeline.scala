@@ -2401,6 +2401,41 @@ object LlmPipeline extends Catalog {
           .as("fertility"))
   }
 
+  // -- Unigram-LM tokenizer (Kudo, arXiv:1804.10959), completing the
+  //    subword triad: BPE replays learned merges, WordPiece maximal-
+  //    munches a vocab, Unigram Viterbi-segments under per-piece
+  //    log-probs. Training is hard (Viterbi) EM over the distinct-word
+  //    table — each round ONE distributed segment+count pass with the
+  //    bounded vocab collected to the driver (the BPE-trainer contract).
+  //    Float log-probs make the model engine-internal, so both queries
+  //    are rows-only; UnigramLmSpec pins Viterbi optimality against
+  //    brute-force enumeration, the EM objective's monotone improvement,
+  //    determinism across partitionings, and codegen participation.
+  qNoOracle("q_unigram_train") { (s, dir) =>
+    val wf = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
+    val model = graft.functions.UnigramLm.train(wf, rounds = 3)
+    import s.implicits._
+    model.logProbs.toSeq.sortBy(_._1)
+      .map { case (p, lp) => (p, math.rint(lp * 1e6) / 1e6) }
+      .toDF("piece", "logprob")
+  }
+
+  qNoOracle("q_unigram_encode") { (s, dir) =>
+    val wf = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
+    val model = graft.functions.UnigramLm.train(wf, rounds = 3)
+    wf.select(col("w"),
+        graft.plans.Unigram.segment(col("w"), model.logProbs).as("segmentation"),
+        col("f"))
+      .select(col("w"), col("segmentation"),
+        size(split(col("segmentation"), " ")).cast("long").as("n_pieces"),
+        col("f"),
+        (col("f") * size(split(col("segmentation"), " "))).as("corpus_pieces"))
+  }
+
   // -- span-level exact-substring dedup: every duplicated 8-token span
   //    with its (doc, position) occurrences — the "cut the repeated
   //    passage itself" building block (suffix-array dedup's output,
