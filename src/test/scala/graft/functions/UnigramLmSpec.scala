@@ -89,6 +89,33 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(a.logProbs === b.logProbs)
   }
 
+  test("round-trip property: pieces concatenate back to the word (or [UNK])") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random words over a-d plus an out-of-vocab char; random small vocabs
+    val wordGen = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'd', 'x'))
+      .map(_.mkString)
+    val vocabGen = Gen.someOf(Seq("a", "b", "c", "d", "ab", "bc", "cd",
+      "abc", "bcd", "abcd")).map(ps =>
+      ps.map(p => p -> math.log(1.0 / (ps.size + 1))).toMap)
+    val p = Prop.forAll(wordGen, vocabGen) { (w, v) =>
+      if (w.isEmpty || v.isEmpty) true
+      else {
+        val seg = UnigramKernel.viterbi(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w), jmap(v), 6)
+          .toString
+        // WordPiece shares the contract modulo ## markers
+        val wp = graft.plans.WordPieceKernel.encode(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w),
+          { val s = new java.util.HashSet[String](); v.keys.foreach(s.add); s }, 6)
+          .toString
+        (seg == "[UNK]" || seg.split(" ").mkString == w) &&
+          (wp == "[UNK]" || wp.split(" ").map(_.stripPrefix("##")).mkString == w)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("segment expression participates in whole-stage codegen") {
     val plan = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(Unigram.segment(col("text"), Map("a" -> -1.0)))
