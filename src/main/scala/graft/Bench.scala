@@ -333,7 +333,18 @@ object Bench {
       "perplexity-buckets" -> bytes("documents"),
       "dedup-minhash-incr" -> bytes("documents"),
       "dedup-index-probe" -> bytes("documents"),
-      "mixture-unimax" -> bytes("documents")).withDefaultValue(bytes("events"))
+      "mixture-unimax" -> bytes("documents"),
+      "wordpiece-encode" -> bytes("documents"),
+      "wordpiece-fertility" -> bytes("documents"),
+      "unigram-train" -> bytes("documents"),
+      "unigram-encode" -> bytes("documents"),
+      "dedup-containment" -> bytes("documents"),
+      "blocklist-filter" -> bytes("documents"),
+      "pii-luhn" -> bytes("documents"),
+      "dedup-cluster-sizes" -> bytes("documents"),
+      "train-val-split" -> bytes("documents"),
+      "domain-excess" -> bytes("documents"),
+      "label-noise" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -374,7 +385,18 @@ object Bench {
       "perplexity-buckets" -> docRows,
       "dedup-minhash-incr" -> docRows,
       "dedup-index-probe" -> docRows,
-      "mixture-unimax" -> docRows).withDefaultValue(eventRows)
+      "mixture-unimax" -> docRows,
+      "wordpiece-encode" -> docRows,
+      "wordpiece-fertility" -> docRows,
+      "unigram-train" -> docRows,
+      "unigram-encode" -> docRows,
+      "dedup-containment" -> docRows,
+      "blocklist-filter" -> docRows,
+      "pii-luhn" -> docRows,
+      "dedup-cluster-sizes" -> docRows,
+      "train-val-split" -> docRows,
+      "domain-excess" -> docRows,
+      "label-noise" -> embRows).withDefaultValue(eventRows)
 
     // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
     // against one-off GC/JIT hiccups, still a warmed steady-state number
