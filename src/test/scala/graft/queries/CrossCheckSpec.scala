@@ -174,4 +174,28 @@ class CrossCheckSpec extends AnyFunSuite {
           s"$src p$p: sketch=$a exact=$e")
     }
   }
+
+  test("containment dominates jaccard on every shared pair (Broder identity)") {
+    // J = |∩|/|∪| <= |∩|/max(|A|,|B|) = min(cont_a, cont_b) — an exact
+    // set identity over the same kept-shingle space, so any violation is
+    // an implementation bug in one of the two queries, not noise
+    val jac = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.nonEmpty)
+    for ((pair, (ca, cb)) <- cont) {
+      assert(ca > 0 && ca <= 1.0 + 1e-9 && cb > 0 && cb <= 1.0 + 1e-9, s"$pair: $ca/$cb")
+      jac.get(pair).foreach { j =>
+        assert(j <= math.min(ca, cb) + 1e-9, s"$pair: J=$j > min($ca, $cb)")
+      }
+    }
+    // and a high-jaccard pair is necessarily high-containment: every
+    // J > 0.5 pair (truth set) must appear in the containment >= 0.8
+    // output OR have both containments below the cut — here the corpus'
+    // near-dups are mutual near-copies, so expect full overlap
+    val missed = jac.keySet -- cont.keySet
+    assert(missed.isEmpty || jac.filter(p => missed(p._1)).values.forall(_ < 0.8),
+      s"high-J pairs missing from containment: $missed")
+  }
 }
