@@ -109,7 +109,8 @@ object Bench {
     "domain-excess" -> "q_domain_excess",
     "sessionize" -> "q_sessionize",
     "unigram-train" -> "q_unigram_train",
-    "unigram-encode" -> "q_unigram_encode")
+    "unigram-encode" -> "q_unigram_encode",
+    "wordpiece-oov" -> "q_wordpiece_oov")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -338,6 +339,7 @@ object Bench {
       "wordpiece-fertility" -> bytes("documents"),
       "unigram-train" -> bytes("documents"),
       "unigram-encode" -> bytes("documents"),
+      "wordpiece-oov" -> bytes("documents"),
       "dedup-containment" -> bytes("documents"),
       "blocklist-filter" -> bytes("documents"),
       "pii-luhn" -> bytes("documents"),
@@ -390,6 +392,7 @@ object Bench {
       "wordpiece-fertility" -> docRows,
       "unigram-train" -> docRows,
       "unigram-encode" -> docRows,
+      "wordpiece-oov" -> docRows,
       "dedup-containment" -> docRows,
       "blocklist-filter" -> docRows,
       "pii-luhn" -> docRows,

@@ -2401,6 +2401,99 @@ object LlmPipeline extends Catalog {
           .as("fertility"))
   }
 
+  // -- tokenizer generalization report: induce the WordPiece vocab on
+  //    the TRAIN split only, encode the VAL split, report per-language
+  //    OOV rate and fertility — the honest version of
+  //    q_wordpiece_fertility (training the vocab on the text it will
+  //    tokenize understates both numbers; a held-out report is what a
+  //    tokenizer build actually ships). Composes q_train_val_split's
+  //    hash-split (same salt, so the splits agree across queries) with
+  //    the q_wordpiece_encode machinery; VAL words with characters never
+  //    seen in train hit the [UNK] path, which this report is the first
+  //    query to exercise end-to-end. Scale shape unchanged: distinct
+  //    val words encode once, the val token stream re-tokenizes via a
+  //    broadcast join, one tiny lang-keyed agg.
+  q("q_wordpiece_oov",
+    s"""WITH RECURSIVE
+       |sp AS (SELECT doc_id, lang, text,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 15) AS BIGINT)
+       |    % 100 AS bucket
+       |  FROM documents),
+       |trn AS (SELECT unnest($SqlTokens) AS w FROM sp WHERE bucket < 80),
+       |twf AS (SELECT w, count(*) AS f FROM trn GROUP BY w),
+       |sub AS (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, f
+       |  FROM twf, unnest(range(1, len(w)+1)) u(i), unnest([2,3,4,5,6]) v(l)
+       |  WHERE i + l - 1 <= len(w)),
+       |vf AS (SELECT piece, CAST(sum(f) AS BIGINT) AS pf FROM sub GROUP BY piece),
+       |top AS (SELECT piece FROM vf ORDER BY pf DESC, piece LIMIT 200),
+       |chars AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+       |          FROM twf, unnest(range(1, len(w)+1)) u(i)),
+       |voc AS (SELECT list(piece) AS v FROM (SELECT piece FROM top UNION SELECT piece FROM chars)),
+       |vd AS (SELECT doc_id, lang, unnest($SqlTokens) AS w
+       |       FROM sp WHERE bucket >= 80 AND bucket < 90),
+       |vwf AS (SELECT w FROM vd GROUP BY w),
+       |seg AS (
+       |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS toks FROM vwf
+       |  UNION ALL
+       |  SELECT w,
+       |    CAST(CASE WHEN best = 0 THEN len(w) + 1 ELSE pos + best END AS INT),
+       |    CASE WHEN best = 0 THEN '[UNK]'
+       |         WHEN toks = '' THEN substr(w, pos, CAST(best AS INT))
+       |         ELSE toks || ' ##' || substr(w, pos, CAST(best AS INT)) END
+       |  FROM (
+       |    SELECT s.w, s.pos, s.toks,
+       |      coalesce(list_max(list_filter([1,2,3,4,5,6],
+       |        l -> s.pos + l - 1 <= len(s.w) AND list_contains(voc.v, substr(s.w, s.pos, CAST(l AS INT))))), 0) AS best
+       |    FROM seg s CROSS JOIN voc
+       |    WHERE s.pos <= len(s.w)) x),
+       |np AS (SELECT w, toks,
+       |         CASE WHEN toks = '[UNK]' THEN 1 ELSE 0 END AS is_unk,
+       |         len(string_split(toks, ' ')) AS n_pieces
+       |       FROM seg WHERE pos > len(w))
+       |SELECT vd.lang,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(np.is_unk) AS BIGINT) AS n_unk,
+       |  round(CAST(sum(np.is_unk) AS DOUBLE) / count(*), 6) AS unk_rate,
+       |  CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(np.n_pieces) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM vd JOIN np USING (w)
+       |GROUP BY vd.lang""") { (s, dir) =>
+    import graft.functions.Sampling
+    val docs = spread(load(s, dir, "documents"))
+      .withColumn("bucket", Sampling.bucket100(col("doc_id"), "split-v1"))
+    val trainWf = docs.filter(col("bucket") < 80)
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
+    val lens = array((2 to 6).map(lit): _*)
+    val pieceArr = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+      filter(transform(lens, l =>
+        when(i + l - 1 <= length(col("w")), col("w").substr(i, l))),
+        p => p.isNotNull)))
+    val top = trainWf.select(explode(pieceArr).as("piece"), col("f"))
+      .groupBy("piece").agg(sum("f").as("pf"))
+      .orderBy(col("pf").desc, col("piece")).limit(200)
+      .select("piece")
+    val chars = trainWf.select(explode(transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))).as("piece")).distinct()
+    val vocab = top.union(chars).distinct().collect().map(_.getString(0)).toSeq
+    val valToks = docs.filter(col("bucket") >= 80 && col("bucket") < 90)
+      .select(col("lang"), explode(T.tokens(col("text"))).as("w"))
+    val np = valToks.select("w").distinct()
+      .select(col("w"),
+        graft.plans.WordPiece.encode(col("w"), vocab).as("toks"))
+      .select(col("w"),
+        when(col("toks") === "[UNK]", 1L).otherwise(0L).as("is_unk"),
+        size(split(col("toks"), " ")).cast("long").as("n_pieces"))
+    valToks.join(broadcast(np), "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("is_unk")).as("n_unk"),
+        round(sum(col("is_unk")).cast("double") / count(lit(1)), 6).as("unk_rate"),
+        sum(col("n_pieces")).as("n_pieces"),
+        round(sum(col("n_pieces")).cast("double") / count(lit(1)), 6).as("fertility"))
+  }
+
   // -- Unigram-LM tokenizer (Kudo, arXiv:1804.10959), completing the
   //    subword triad: BPE replays learned merges, WordPiece maximal-
   //    munches a vocab, Unigram Viterbi-segments under per-piece
