@@ -110,7 +110,8 @@ object Bench {
     "sessionize" -> "q_sessionize",
     "unigram-train" -> "q_unigram_train",
     "unigram-encode" -> "q_unigram_encode",
-    "wordpiece-oov" -> "q_wordpiece_oov")
+    "wordpiece-oov" -> "q_wordpiece_oov",
+    "minhash-estimate" -> "q_minhash_estimate")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -340,6 +341,7 @@ object Bench {
       "unigram-train" -> bytes("documents"),
       "unigram-encode" -> bytes("documents"),
       "wordpiece-oov" -> bytes("documents"),
+      "minhash-estimate" -> bytes("documents"),
       "dedup-containment" -> bytes("documents"),
       "blocklist-filter" -> bytes("documents"),
       "pii-luhn" -> bytes("documents"),
@@ -393,6 +395,7 @@ object Bench {
       "unigram-train" -> docRows,
       "unigram-encode" -> docRows,
       "wordpiece-oov" -> docRows,
+      "minhash-estimate" -> docRows,
       "dedup-containment" -> docRows,
       "blocklist-filter" -> docRows,
       "pii-luhn" -> docRows,

@@ -482,6 +482,71 @@ object LlmPipeline extends Catalog {
         ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
   }
 
+  // -- MinHash estimator accuracy report: for every LSH candidate pair,
+  //    the signature-agreement estimate (matches/16 — Broder's unbiased
+  //    Jaccard estimator) against the EXACT shingle-set Jaccard, with
+  //    the absolute error — the sketch-validation readout that justifies
+  //    a chosen signature width (error concentrates as 1/√k; k=16 here,
+  //    so ±0.125 at one sigma). Everything is md5-deterministic, so both
+  //    the estimate AND the truth are oracle-exact — a sketch-accuracy
+  //    query with a bit-exact oracle. Shape: the pair set is band-cut
+  //    bounded; signatures join on the pair ids; the exact intersection
+  //    is two shingle equi-joins restricted to pair docs — nothing
+  //    corpus-quadratic.
+  q("q_minhash_estimate",
+    s"""WITH $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) AS matches
+       |  FROM pairs p
+       |  JOIN sig a ON a.doc_id = p.doc_a
+       |  JOIN sig b ON b.doc_id = p.doc_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS ninter
+       |  FROM pairs p
+       |  JOIN sh a2 ON a2.doc_id = p.doc_a
+       |  JOIN sh b2 ON b2.doc_id = p.doc_b AND b2.shingle = a2.shingle
+       |  GROUP BY 1, 2)
+       |SELECT e.doc_a, e.doc_b,
+       |  CAST(e.matches AS BIGINT) AS matches,
+       |  e.matches / 16.0 AS est_jaccard,
+       |  CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS exact_jaccard,
+       |  round(abs(e.matches / 16.0 -
+       |    CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter)), 6) AS abs_err
+       |FROM est e
+       |JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |JOIN sizes sa ON sa.doc_id = e.doc_a
+       |JOIN sizes sb ON sb.doc_id = e.doc_b""") { (s, dir) =>
+    val pairs = minhashPairs(s, dir)
+    val sigs = spread(load(s, dir, "documents"))
+      .select(col("doc_id"),
+        D.minhashSignature(D.wordShingles(col("text"), 3), 16).as("sig"))
+    val sh = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("matches"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
+    val exact = col("ninter").cast("double") /
+      (col("sa.n") + col("sb.n") - col("ninter"))
+    est.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("matches"),
+        (col("matches") / 16.0).as("est_jaccard"),
+        exact.as("exact_jaccard"),
+        round(abs(col("matches") / 16.0 - exact), 6).as("abs_err"))
+  }
+
   // -- native-Expression MinHash+LSH (codegen'd one-pass shingle hashing
   //    via graft.plans.ShingleHashes + xxhash64 band keys): same LSH
   //    structure as q_dedup_minhash_lsh but on the cheap non-crypto hash
