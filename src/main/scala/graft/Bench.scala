@@ -111,7 +111,9 @@ object Bench {
     "unigram-train" -> "q_unigram_train",
     "unigram-encode" -> "q_unigram_encode",
     "wordpiece-oov" -> "q_wordpiece_oov",
-    "minhash-estimate" -> "q_minhash_estimate")
+    "minhash-estimate" -> "q_minhash_estimate",
+    "inspection-sample" -> "q_inspection_sample",
+    "novelty-score" -> "q_novelty_score")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -342,6 +344,8 @@ object Bench {
       "unigram-encode" -> bytes("documents"),
       "wordpiece-oov" -> bytes("documents"),
       "minhash-estimate" -> bytes("documents"),
+      "inspection-sample" -> bytes("documents"),
+      "novelty-score" -> bytes("documents"),
       "dedup-containment" -> bytes("documents"),
       "blocklist-filter" -> bytes("documents"),
       "pii-luhn" -> bytes("documents"),
@@ -396,6 +400,8 @@ object Bench {
       "unigram-encode" -> docRows,
       "wordpiece-oov" -> docRows,
       "minhash-estimate" -> docRows,
+      "inspection-sample" -> docRows,
+      "novelty-score" -> docRows,
       "dedup-containment" -> docRows,
       "blocklist-filter" -> docRows,
       "pii-luhn" -> docRows,

@@ -824,6 +824,78 @@ object LlmPipeline extends Catalog {
       .select("doc_id", "lang")
   }
 
+  // -- per-stratum inspection sample: the k-docs-per-(source,lang)
+  //    eyeball sample every curation change ships for review — rank by
+  //    salted hash within the stratum (deterministic: same docs every
+  //    run, every engine; a fresh salt redraws) and keep the top 2.
+  //    One stratum-keyed rank window; at scale the window input is the
+  //    full corpus but the rank is a per-stratum top-k — for huge
+  //    strata the TopK bounded-buffer operator replaces the window
+  //    (same output, no full sort), the documented swap.
+  q("q_inspection_sample",
+    """WITH h AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'inspect-v1'), 1, 15) AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY source, lang ORDER BY hv, doc_id) AS rk
+      |      FROM h)
+      |SELECT doc_id, source, lang, n_chars, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 2""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hv = T.md5Long(concat(col("doc_id").cast("string"), lit("inspect-v1")))
+    val w = Window.partitionBy("source", "lang").orderBy(col("hv"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        hv.as("hv"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .select("doc_id", "source", "lang", "n_chars", "rk")
+  }
+
+  // -- n-gram novelty score: the fraction of a doc's trigram OCCURRENCES
+  //    whose trigram appears nowhere else in the corpus (corpus count =
+  //    the doc's own count) — high novelty marks unique long-tail text,
+  //    low novelty marks boilerplate/template mass; the complement of
+  //    q_lm_score's familiarity mass and the per-doc readout behind
+  //    dedup-rate dashboards. Integer-exact: the novelty bit compares
+  //    two BIGINT counts, the rate is one correctly-rounded divide.
+  //    Same two-shuffle shape as q_lm_score (trigram count join).
+  q("q_novelty_score",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS pos
+      |      FROM t WHERE len(toks) >= 3),
+      |g AS (SELECT doc_id,
+      |        toks[pos + 1] || ' ' || toks[pos + 2] || ' ' || toks[pos + 3] AS trigram
+      |      FROM p),
+      |c AS (SELECT trigram, count(*) AS cnt FROM g GROUP BY trigram),
+      |d AS (SELECT doc_id, trigram, count(*) AS own FROM g GROUP BY 1, 2)
+      |SELECT d.doc_id,
+      |  CAST(sum(d.own) AS BIGINT) AS n_tri,
+      |  CAST(sum(CASE WHEN c.cnt = d.own THEN d.own ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN c.cnt = d.own THEN d.own ELSE 0 END) AS DOUBLE) /
+      |        sum(d.own), 6) AS novelty
+      |FROM d JOIN c USING (trigram)
+      |GROUP BY d.doc_id""") { (s, dir) =>
+    val g = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("trigram"))
+    val own = g.groupBy("doc_id", "trigram").agg(count(lit(1)).as("own"))
+    val corpus = g.groupBy("trigram").agg(count(lit(1)).as("cnt"))
+    own.join(corpus, "trigram")
+      .groupBy("doc_id")
+      .agg(sum("own").as("n_tri"),
+        sum(when(col("cnt") === col("own"), col("own")).otherwise(0L)).as("n_novel"),
+        round(sum(when(col("cnt") === col("own"), col("own")).otherwise(0L))
+          .cast("double") / sum("own"), 6).as("novelty"))
+  }
+
   // -- deterministic train/val/test split: salted-hash bucket in [0,100)
   //    through cumulative 80/10/10 cuts — the holdout-carving step every
   //    training run needs, with the reproducibility contract of
