@@ -113,7 +113,8 @@ object Bench {
     "wordpiece-oov" -> "q_wordpiece_oov",
     "minhash-estimate" -> "q_minhash_estimate",
     "inspection-sample" -> "q_inspection_sample",
-    "novelty-score" -> "q_novelty_score")
+    "novelty-score" -> "q_novelty_score",
+    "inspection-sample-live" -> "q_inspection_sample_live")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

@@ -853,6 +853,70 @@ object LlmPipeline extends Catalog {
       .select("doc_id", "source", "lang", "n_chars", "rk")
   }
 
+  // -- LIVE per-stratum inspection sample — a BOTTOM-K (min-wise)
+  //    reservoir over the stream: per (source, lang), state is the k=2
+  //    docs with smallest salted hash seen so far (a deterministic,
+  //    mergeable reservoir — bottom-k by hash is the classic distinct-
+  //    preserving stream sampler, and unlike a random reservoir its
+  //    final content is ORDER-INDEPENDENT, so after full replay the
+  //    state equals the batch q_inspection_sample draw exactly and the
+  //    batch oracle applies). Constant state per stratum (k rows + one
+  //    counter); emissions reconcile by the strictly-monotone n_seen,
+  //    the family's standard contract.
+  q("q_inspection_sample_live",
+    """WITH h AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'inspect-v1'), 1, 15) AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY source, lang ORDER BY hv, doc_id) AS rk
+      |      FROM h)
+      |SELECT doc_id, source, lang, n_chars, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 2""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+      .withColumn("hv",
+        T.md5Long(concat(col("doc_id").cast("string"), lit("inspect-v1"))))
+    val stream = GraftStreams(s).stream[String, (Long, Long, Long, String)](
+      docs,
+      concat(col("source"), lit(" "), col("lang")),
+      struct(col("doc_id").as("_1"), col("n_chars").as("_2"),
+        col("hv").as("_3"), col("source").as("_4")),
+      expr("timestamp_micros(doc_id)"))
+    val updates = graft.streaming.StatefulOps
+      .flatTransformWithState[String, (Long, Long, Long, String),
+        (Long, Seq[(Long, Long, Long)]),
+        (String, Long, Long, Long, Long, Long)](stream) { (skey, rows, state) =>
+        var (nSeen, buf) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+        rows.foreach { case ((docId, nChars, hv, _), _) =>
+          nSeen += 1L
+          // bottom-2 by (hv, doc_id): insert + re-sort + cut — k is tiny
+          buf = ((buf :+ ((hv, docId, nChars))).sortBy(e => (e._1, e._2))).take(2)
+        }
+        state.update((nSeen, buf))
+        buf.zipWithIndex.iterator.map { case ((hv, docId, nChars), i) =>
+          (skey, nSeen, docId, nChars, i + 1L, hv)
+        }
+      }
+    val name = s"isl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    updates.toDF("skey", "n_seen", "doc_id", "n_chars", "rk", "hv")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // window-max instead of a self-join: the memory view exposes the
+    // same attribute ids on both sides and Catalyst rejects the join
+    s.table(name)
+      .withColumn("mx", max(col("n_seen")).over(Window.partitionBy("skey")))
+      .filter(col("n_seen") === col("mx"))
+      .select(col("doc_id"),
+        substring_index(col("skey"), " ", 1).as("source"),
+        substring_index(col("skey"), " ", -1).as("lang"),
+        col("n_chars"), col("rk"))
+  }
+
   // -- n-gram novelty score: the fraction of a doc's trigram OCCURRENCES
   //    whose trigram appears nowhere else in the corpus (corpus count =
   //    the doc's own count) — high novelty marks unique long-tail text,
