@@ -114,7 +114,8 @@ object Bench {
     "minhash-estimate" -> "q_minhash_estimate",
     "inspection-sample" -> "q_inspection_sample",
     "novelty-score" -> "q_novelty_score",
-    "inspection-sample-live" -> "q_inspection_sample_live")
+    "inspection-sample-live" -> "q_inspection_sample_live",
+    "dup-rate-by-source" -> "q_dup_rate_by_source")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a

@@ -824,6 +824,35 @@ object LlmPipeline extends Catalog {
       .select("doc_id", "lang")
   }
 
+  // -- per-source duplication rate: what fraction of each source's docs
+  //    are exact-dup copies (doc count minus distinct fingerprints) —
+  //    the per-feed health number a crawl operator watches to catch a
+  //    misbehaving source before it floods the corpus. Two partial-agg'd
+  //    shuffles on compact keys ((source, fp) then source); BIGINT
+  //    counts, one correctly-rounded divide.
+  q("q_dup_rate_by_source",
+    """WITH f AS (
+      |  SELECT source,
+      |    substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+      |  FROM documents),
+      |g AS (SELECT source, fp, count(*) AS c FROM f GROUP BY source, fp)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
+      |  round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_rate
+      |FROM g GROUP BY source""") { (s, dir) =>
+    load(s, dir, "documents")
+      .groupBy(col("source"), T.fingerprintHex(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum("c") - count(lit(1))).as("n_dups"),
+        round((sum("c") - count(lit(1))).cast("double") / sum("c"), 6)
+          .as("dup_rate"))
+  }
+
   // -- per-stratum inspection sample: the k-docs-per-(source,lang)
   //    eyeball sample every curation change ships for review — rank by
   //    salted hash within the stratum (deterministic: same docs every
