@@ -66,33 +66,85 @@ object UnigramLm {
     counts.map { case (p, c) => p -> math.log(c / total) }.toMap
   }
 
-  /** Run `rounds` of hard EM over the distinct-word table `wf`
-    * (columns `w`, `f`). */
+  /** Evaluate a trained model on the distinct-word table: (Viterbi
+    * objective = sum f·score(best path), marginal objective = sum
+    * f·logZ). logZ >= the Viterbi score word-by-word, so the second
+    * component dominates the first under ANY model. One distributed
+    * pass. */
+  def evaluate(wf: DataFrame, model: Model): (Double, Double) = {
+    val r = wf.select(
+      sum(col("f").cast("double") *
+        Unigram.score(col("w"), model.logProbs, model.maxPieceLen)).as("v"),
+      sum(col("f").cast("double") *
+        Unigram.marginalScore(col("w"), model.logProbs, model.maxPieceLen)).as("m"))
+      .head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Run `rounds` of EM over the distinct-word table `wf` (columns `w`,
+    * `f`).
+    *
+    * `soft = false` (default): hard/Viterbi EM — counts from the single
+    * best path, objective = sum f·viterbiScore. `soft = true`: the
+    * paper's exact E-step — forward-backward posterior expected counts
+    * over the whole lattice ([[Unigram.marginals]], one extra codegen'd
+    * expression mirroring the score DP), objective = sum f·logZ (the
+    * marginal likelihood; >= the Viterbi objective under the same model
+    * term-by-term). Soft expected counts are quantized to 1e-6 units and
+    * aggregated as BIGINT micro-counts, so the trained model is
+    * bit-identical under any partitioning (the LinearModel discipline);
+    * pieces expected fewer than 0.5 uses prune (the paper prunes bottom-η
+    * by likelihood loss; a fixed floor keeps the round a single pass),
+    * and the alphabet is floored at one expected use for coverage. */
   def train(wf: DataFrame, rounds: Int, maxPieceLen: Int = 6,
-      topK: Int = 400): Model = {
+      topK: Int = 400, soft: Boolean = false): Model = {
     val alphabet: Set[String] = wf
       .select(explode(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1)))).as("c")).distinct()
       .collect().map(_.getString(0)).toSet
     var logp = normalize(seedCounts(wf, maxPieceLen, topK))
     val stats = Seq.newBuilder[RoundStats]
+    // soft counts carry 1e-6 resolution; hard counts are whole uses. The
+    // unit cancels in normalize(), so logp is comparable across modes.
+    val unit = if (soft) 1000000L else 1L
     for (r <- 1 to rounds) {
-      // E-step: segment + usage counts; objective rides the same pass
-      val seg = wf.select(col("f"),
-        Unigram.segment(col("w"), logp, maxPieceLen).as("sw"),
-        Unigram.score(col("w"), logp, maxPieceLen).as("sc"))
-      val agg = seg.select(col("f"), col("sw"), col("sc"))
-        .agg(sum(col("f").cast("double") * col("sc")).as("obj"))
-      val objective = agg.head().getDouble(0)
-      val counts = seg
-        .select(explode(split(col("sw"), " ")).as("piece"), col("f"))
-        .filter(col("piece") =!= "[UNK]")
-        .groupBy("piece").agg(sum("f").as("cnt"))
-        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-      // M-step: prune unused pieces, floor the alphabet for coverage
+      // E-step: counts + objective ride one distributed pass
+      val (objective, counts): (Double, Map[String, Long]) =
+        if (soft) {
+          val seg = wf.select(col("f"),
+            Unigram.marginals(col("w"), logp, maxPieceLen).as("m"),
+            Unigram.marginalScore(col("w"), logp, maxPieceLen).as("sc"))
+          val obj = seg.agg(sum(col("f").cast("double") * col("sc")))
+            .head().getDouble(0)
+          val micro = seg
+            .select(explode(col("m")).as(Seq("piece", "wgt")), col("f"))
+            .groupBy("piece")
+            .agg(sum(col("f") * round(col("wgt") * lit(1e6)).cast("long"))
+              .as("cnt"))
+            .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+          (obj, micro)
+        } else {
+          val seg = wf.select(col("f"),
+            Unigram.segment(col("w"), logp, maxPieceLen).as("sw"),
+            Unigram.score(col("w"), logp, maxPieceLen).as("sc"))
+          val obj = seg.select(col("f"), col("sw"), col("sc"))
+            .agg(sum(col("f").cast("double") * col("sc")).as("obj"))
+            .head().getDouble(0)
+          val cnt = seg
+            .select(explode(split(col("sw"), " ")).as("piece"), col("f"))
+            .filter(col("piece") =!= "[UNK]")
+            .groupBy("piece").agg(sum("f").as("cnt"))
+            .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+          (obj, cnt)
+        }
+      // M-step: prune (hard: unused; soft: expected < 1 use — the
+      // flattest threshold at which soft pruning matches hard pruning's
+      // bite, so the two modes converge to comparably sharp models),
+      // floor the alphabet for coverage
+      val keepMin = if (soft) unit else 1L
       val floored = (counts.keySet ++ alphabet).toSeq.map { p =>
-        p -> math.max(counts.getOrElse(p, 0L), if (alphabet(p)) 1L else 0L)
-      }.filter(_._2 > 0)
+        p -> math.max(counts.getOrElse(p, 0L), if (alphabet(p)) unit else 0L)
+      }.filter { case (p, c) => if (alphabet(p)) c > 0 else c >= keepMin }
       logp = normalize(floored)
       stats += RoundStats(r, logp.size, objective)
     }

@@ -95,6 +95,111 @@ object UnigramKernel {
     if (i > 0) { renderFrom(sb, cps, back, i); sb.append(' ') }
     sb.append(new String(cps, i, n - i))
   }
+
+  // ---- soft-EM support: forward-backward over the segmentation lattice
+  // (Kudo, arXiv:1804.10959 §3.2 — the paper's exact E-step, where hard
+  // EM substitutes the Viterbi path). Same lattice, same longest-first
+  // probe bound, log-space throughout.
+
+  /** Numerically stable log(exp(a) + exp(b)). */
+  private def lse(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a > b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  private def forward(cps: Array[Int], n: Int,
+      vocab: java.util.HashMap[String, java.lang.Double], maxLen: Int): Array[Double] = {
+    val a = Array.fill(n + 1)(Double.NegativeInfinity)
+    a(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = math.min(maxLen, j)
+      while (l >= 1) {
+        val i = j - l
+        if (a(i) != Double.NegativeInfinity) {
+          val p = vocab.get(new String(cps, i, l))
+          if (p != null) a(j) = lse(a(j), a(i) + p)
+        }
+        l -= 1
+      }
+      j += 1
+    }
+    a
+  }
+
+  /** log Z(w): total probability over ALL segmentations (NaN when
+    * uncoverable/empty). Always >= [[viterbiScore]] — the Viterbi path is
+    * one term of the sum. */
+  def marginalScore(w: UTF8String, vocab: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): Double = {
+    val cps = w.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Double.NaN
+    val a = forward(cps, n, vocab, maxLen)
+    if (a(n) == Double.NegativeInfinity) Double.NaN else a(n)
+  }
+
+  /** Posterior expected piece counts E[count(p) | w] over the lattice:
+    * for each occurrence w[i..i+l), weight = exp(alpha(i) + logp +
+    * beta(i+l) - logZ), summed per distinct piece. Empty map when the
+    * word is uncoverable (the hard path's [UNK] analogue). Deterministic
+    * per word — key order follows the (i, longest-first l) scan. */
+  def marginals(w: UTF8String, vocab: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    val cps = w.toString.codePoints().toArray
+    val n = cps.length
+    val acc = new java.util.LinkedHashMap[String, java.lang.Double]()
+    if (n > 0) {
+      val a = forward(cps, n, vocab, maxLen)
+      if (a(n) != Double.NegativeInfinity) {
+        val b = Array.fill(n + 1)(Double.NegativeInfinity)
+        b(n) = 0.0
+        var i = n - 1
+        while (i >= 0) {
+          var l = math.min(maxLen, n - i)
+          while (l >= 1) {
+            if (b(i + l) != Double.NegativeInfinity) {
+              val p = vocab.get(new String(cps, i, l))
+              if (p != null) b(i) = lse(b(i), p + b(i + l))
+            }
+            l -= 1
+          }
+          i -= 1
+        }
+        i = 0
+        while (i < n) {
+          var l = math.min(maxLen, n - i)
+          while (l >= 1) {
+            if (a(i) != Double.NegativeInfinity &&
+                b(i + l) != Double.NegativeInfinity) {
+              val piece = new String(cps, i, l)
+              val p = vocab.get(piece)
+              if (p != null) {
+                val wgt = math.exp(a(i) + p + b(i + l) - a(n))
+                val prev = acc.get(piece)
+                acc.put(piece, if (prev == null) wgt else prev + wgt)
+              }
+            }
+            l -= 1
+          }
+          i += 1
+        }
+      }
+    }
+    val keys = new Array[Any](acc.size)
+    val vals = new Array[Any](acc.size)
+    val it = acc.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue.doubleValue()
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
 }
 
 /** `unigram_segment(word)` under a run-provided (piece -> logprob) model;
@@ -134,6 +239,44 @@ case class UnigramScore(child: Expression,
     copy(child = newChild)
 }
 
+/** `unigram_marginals(word)` — posterior expected piece counts
+  * (map<piece, E[count]>) over the full segmentation lattice: the soft-EM
+  * E-step quantity. */
+case class UnigramMarginals(child: Expression,
+    vocab: java.util.HashMap[String, java.lang.Double], maxPieceLen: Int)
+    extends UnaryExpression {
+  require(maxPieceLen >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, DoubleType, valueContainsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramKernel.marginals(input.asInstanceOf[UTF8String], vocab, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.UnigramKernel.marginals($c, $ref, $maxPieceLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramMarginals =
+    copy(child = newChild)
+}
+
+/** `unigram_marginal_score(word)` — log Z(w), the marginal likelihood over
+  * all segmentations (the soft-EM objective term; NaN when uncoverable). */
+case class UnigramMarginalScore(child: Expression,
+    vocab: java.util.HashMap[String, java.lang.Double], maxPieceLen: Int)
+    extends UnaryExpression {
+  require(maxPieceLen >= 1)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramKernel.marginalScore(input.asInstanceOf[UTF8String], vocab, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.UnigramKernel.marginalScore($c, $ref, $maxPieceLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramMarginalScore =
+    copy(child = newChild)
+}
+
 object Unigram {
   import org.apache.spark.sql.GraftColumns.{column, expression}
 
@@ -148,4 +291,10 @@ object Unigram {
 
   def score(c: Column, logProbs: Map[String, Double], maxPieceLen: Int = 6): Column =
     column(UnigramScore(expression(c), toMap(logProbs), maxPieceLen))
+
+  def marginals(c: Column, logProbs: Map[String, Double], maxPieceLen: Int = 6): Column =
+    column(UnigramMarginals(expression(c), toMap(logProbs), maxPieceLen))
+
+  def marginalScore(c: Column, logProbs: Map[String, Double], maxPieceLen: Int = 6): Column =
+    column(UnigramMarginalScore(expression(c), toMap(logProbs), maxPieceLen))
 }

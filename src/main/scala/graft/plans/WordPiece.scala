@@ -28,8 +28,17 @@ object WordPieceKernel {
 
   /** Segment one word against `vocab`; pieces joined by single spaces,
     * continuations "##"-prefixed, no-match => "[UNK]". Probes at most
-    * `maxLen` set lookups per consumed position — O(len × maxLen). */
-  def encode(w: UTF8String, vocab: java.util.HashSet[String], maxLen: Int): UTF8String = {
+    * `maxLen` set lookups per consumed position — O(len × maxLen).
+    *
+    * `bert = false` (the original mode): the vocab holds RAW substrings
+    * and a piece may match at any position — "##" is an output marker
+    * only. `bert = true` (the BERT convention, bert-base `vocab.txt`):
+    * continuation pieces are DISTINCT vocab entries spelled with the
+    * "##" prefix, so the interior lookup key is "##" + substring — a
+    * vocab can admit `ing` word-initially while rejecting (or separately
+    * admitting) `##ing` mid-word, which changes segmentations. */
+  def encode(w: UTF8String, vocab: java.util.HashSet[String], maxLen: Int,
+      bert: Boolean): UTF8String = {
     val s = w.toString
     val cps = s.codePoints().toArray
     val n = cps.length
@@ -41,7 +50,9 @@ object WordPieceKernel {
       var l = math.min(maxLen, n - pos)
       var found = 0
       while (l >= 1 && found == 0) {
-        if (vocab.contains(new String(cps, pos, l))) found = l else l -= 1
+        val cand = new String(cps, pos, l)
+        val key = if (bert && pos > 0) "##" + cand else cand
+        if (vocab.contains(key)) found = l else l -= 1
       }
       if (found == 0) return UTF8String.fromString("[UNK]")
       if (pieces > 0) sb.append(" ##")
@@ -58,7 +69,8 @@ object WordPieceKernel {
   * executor, like a broadcast — the BloomMightContain precedent); it is
   * bounded small by contract (top-K pieces + alphabet, K ≈ hundreds to a
   * few 10k), never corpus-sized. */
-case class WordPieceEncode(child: Expression, vocab: Seq[String], maxPieceLen: Int)
+case class WordPieceEncode(child: Expression, vocab: Seq[String], maxPieceLen: Int,
+    bertContinuations: Boolean = false)
     extends UnaryExpression {
   require(maxPieceLen >= 1)
 
@@ -71,12 +83,13 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String], maxPieceLen: I
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    WordPieceKernel.encode(input.asInstanceOf[UTF8String], set, maxPieceLen)
+    WordPieceKernel.encode(input.asInstanceOf[UTF8String], set, maxPieceLen,
+      bertContinuations)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("wpVocab", set, "java.util.HashSet")
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.WordPieceKernel.encode($c, $ref, $maxPieceLen)")
+      c => s"graft.plans.WordPieceKernel.encode($c, $ref, $maxPieceLen, $bertContinuations)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordPieceEncode =
@@ -86,6 +99,10 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String], maxPieceLen: I
 object WordPiece {
   import org.apache.spark.sql.GraftColumns.{column, expression}
 
-  def encode(c: Column, vocab: Seq[String], maxPieceLen: Int = 6): Column =
-    column(WordPieceEncode(expression(c), vocab, maxPieceLen))
+  /** `bertContinuations = false` keeps the original position-independent
+    * vocab mode; `true` is the BERT convention — `##`-prefixed pieces are
+    * distinct vocab entries matched only word-interior. */
+  def encode(c: Column, vocab: Seq[String], maxPieceLen: Int = 6,
+      bertContinuations: Boolean = false): Column =
+    column(WordPieceEncode(expression(c), vocab, maxPieceLen, bertContinuations))
 }

@@ -2556,6 +2556,84 @@ object LlmPipeline extends Catalog {
         (col("f") * size(split(col("segmentation"), " "))).as("corpus_pieces"))
   }
 
+  // -- WordPiece in the BERT vocab convention (bert-base `vocab.txt`;
+  //    arXiv:1810.04805): continuation pieces are DISTINCT vocab entries
+  //    spelled with the "##" prefix, matched only word-interior — a vocab
+  //    can admit `ing` word-initially while rejecting `##ing` mid-word,
+  //    which changes segmentations vs q_wordpiece_encode's
+  //    position-independent mode (kept as the default). Vocab induction
+  //    is position-keyed to match: word-initial substrings count under
+  //    their raw spelling, interior substrings under their "##" key;
+  //    the alphabet enters in BOTH forms for coverage. Same scale shape
+  //    as q_wordpiece_encode (distinct-word collapse, bounded vocab as a
+  //    task-binary reference, codegen'd matching loop).
+  q("q_wordpiece_bert",
+    s"""WITH RECURSIVE
+       |t AS (SELECT unnest($SqlTokens) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
+       |sub AS (
+       |  SELECT CASE WHEN i = 1 THEN substr(w, CAST(i AS INT), CAST(l AS INT))
+       |         ELSE '##' || substr(w, CAST(i AS INT), CAST(l AS INT)) END AS piece, f
+       |  FROM wf, unnest(range(1, len(w)+1)) u(i), unnest([2,3,4,5,6]) v(l)
+       |  WHERE i + l - 1 <= len(w)),
+       |vf AS (SELECT piece, CAST(sum(f) AS BIGINT) AS pf FROM sub GROUP BY piece),
+       |top AS (SELECT piece FROM vf ORDER BY pf DESC, piece LIMIT 200),
+       |chars AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+       |          FROM wf, unnest(range(1, len(w)+1)) u(i)),
+       |voc AS (SELECT list(piece) AS v FROM (
+       |  SELECT piece FROM top UNION SELECT piece FROM chars
+       |  UNION SELECT '##' || piece FROM chars)),
+       |seg AS (
+       |  SELECT w, f, 1 AS pos, CAST('' AS VARCHAR) AS toks FROM wf
+       |  UNION ALL
+       |  SELECT w, f,
+       |    CAST(CASE WHEN best = 0 THEN len(w) + 1 ELSE pos + best END AS INT),
+       |    CASE WHEN best = 0 THEN '[UNK]'
+       |         WHEN toks = '' THEN substr(w, pos, CAST(best AS INT))
+       |         ELSE toks || ' ##' || substr(w, pos, CAST(best AS INT)) END
+       |  FROM (
+       |    SELECT s.w, s.f, s.pos, s.toks,
+       |      coalesce(list_max(list_filter([1,2,3,4,5,6],
+       |        l -> s.pos + l - 1 <= len(s.w) AND list_contains(voc.v,
+       |          CASE WHEN s.pos = 1 THEN substr(s.w, s.pos, CAST(l AS INT))
+       |               ELSE '##' || substr(s.w, s.pos, CAST(l AS INT)) END))), 0) AS best
+       |    FROM seg s CROSS JOIN voc
+       |    WHERE s.pos <= len(s.w)) x)
+       |SELECT w, toks AS segmentation,
+       |  CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_pieces,
+       |  CAST(f AS BIGINT) AS f
+       |FROM seg WHERE pos > len(w)""") { (s, dir) =>
+    val wf = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // vocab induction + encode both read it; tiny
+    val lens = array((2 to 6).map(lit): _*)
+    // position-keyed candidates: interior substrings carry their ## key
+    val pieceArr = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+      filter(transform(lens, l =>
+        when(i + l - 1 <= length(col("w")),
+          when(i === 1, col("w").substr(i, l))
+            .otherwise(concat(lit("##"), col("w").substr(i, l))))),
+        p => p.isNotNull)))
+    val top = wf.select(explode(pieceArr).as("piece"), col("f"))
+      .groupBy("piece").agg(sum("f").as("pf"))
+      .orderBy(col("pf").desc, col("piece")).limit(200)
+      .select("piece")
+    val chars = wf.select(explode(transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))).as("piece")).distinct()
+    // bounded by contract: <= 200 pieces + the alphabet in both forms
+    val vocab = top.union(chars)
+      .union(chars.select(concat(lit("##"), col("piece")).as("piece")))
+      .distinct().collect().map(_.getString(0)).toSeq
+    wf.select(col("w"),
+        graft.plans.WordPiece.encode(col("w"), vocab, bertContinuations = true)
+          .as("segmentation"),
+        col("f"))
+      .select(col("w"), col("segmentation"),
+        size(split(col("segmentation"), " ")).cast("long").as("n_pieces"),
+        col("f"))
+  }
+
   // -- tokenizer fertility by domain: pieces-per-token under the
   //    q_wordpiece_encode tokenizer, reported per (source, lang) — the
   //    readout a tokenizer build ships (high-fertility domains tokenize
@@ -2739,6 +2817,24 @@ object LlmPipeline extends Catalog {
       .select(explode(T.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
     val model = graft.functions.UnigramLm.train(wf, rounds = 3)
+    import s.implicits._
+    model.logProbs.toSeq.sortBy(_._1)
+      .map { case (p, lp) => (p, math.rint(lp * 1e6) / 1e6) }
+      .toDF("piece", "logprob")
+  }
+
+  // -- soft-EM twin of q_unigram_train: the paper's exact E-step
+  //    (forward-backward posterior expected counts over the lattice,
+  //    plans.UnigramMarginals) instead of hard Viterbi counts. Rows-only
+  //    for the same reason (float log-prob iteration isn't SQL-
+  //    mirrorable); the logZ>=Viterbi bound, brute-force logsumexp
+  //    agreement, objective dominance over hard EM and partition-
+  //    independence are pinned by UnigramLmSpec.
+  qNoOracle("q_unigram_train_soft") { (s, dir) =>
+    val wf = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
+    val model = graft.functions.UnigramLm.train(wf, rounds = 3, soft = true)
     import s.implicits._
     model.logProbs.toSeq.sortBy(_._1)
       .map { case (p, lp) => (p, math.rint(lp * 1e6) / 1e6) }
@@ -3684,8 +3780,8 @@ object LlmPipeline extends Catalog {
       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
       |  FROM t)
-      |SELECT doc_id, n_tokens, prefix // 2048 AS pack_id,
-      |  prefix % 2048 AS pack_offset,
+      |SELECT doc_id, n_tokens, CAST(prefix // 2048 AS BIGINT) AS pack_id,
+      |  CAST(prefix % 2048 AS BIGINT) AS pack_offset,
       |  (prefix % 2048) + n_tokens > 2048 AS crosses_boundary
       |FROM o""") { (s, dir) =>
     import graft.operators.PrefixSum
@@ -3720,7 +3816,7 @@ object LlmPipeline extends Catalog {
        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
        |  FROM t)
-       |SELECT prefix // 10000 AS shard_id,
+       |SELECT CAST(prefix // 10000 AS BIGINT) AS shard_id,
        |  count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        |  bit_xor(h) AS content_fp

@@ -40,6 +40,28 @@ class WordPieceSpec extends AnyFunSuite {
     assert(got === Seq("a ##😀 ##a", "😀 ##😀"))
   }
 
+  private def encBert(vocab: Seq[String], words: String*): Seq[String] =
+    words.toDF("w")
+      .select(WordPiece.encode($"w", vocab, bertContinuations = true))
+      .collect().map(_.getString(0)).toSeq
+
+  test("BERT mode: ## pieces are distinct vocab entries, matched only interior") {
+    // vocab admits "ing" word-initially but NOT "##ing": "sing" cannot
+    // use "ing" at position 1 and falls back to chars; "ingot"-style
+    // word-initial use still works. With "##ing" added, "sing" = s ##ing.
+    val v1 = Seq("s", "i", "n", "g", "##s", "##i", "##n", "##g", "ing")
+    assert(encBert(v1, "sing", "ings") === Seq("s ##i ##n ##g", "ing ##s"))
+    val v2 = v1 :+ "##ing"
+    assert(encBert(v2, "sing", "ings") === Seq("s ##ing", "ing ##s"))
+  }
+
+  test("BERT mode: a word-initial-only piece never matches mid-word ([UNK])") {
+    // "ab" exists only unprefixed; position 1 looks up "##ab"/"##a"/"##b",
+    // none present -> whole word UNK. Original mode segments it fine.
+    assert(encBert(Seq("x", "ab"), "xab") === Seq("[UNK]"))
+    assert(enc(Seq("x", "ab"), "xab") === Seq("x ##ab"))
+  }
+
   test("max piece length bounds the probe window") {
     val got = Seq("aaaaaaaa").toDF("w")
       .select(WordPiece.encode($"w", Seq("a", "aaaa", "aaaaaaaa"), maxPieceLen = 4))
