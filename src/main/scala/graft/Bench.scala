@@ -119,7 +119,19 @@ object Bench {
     "inspection-sample" -> "q_inspection_sample",
     "novelty-score" -> "q_novelty_score",
     "inspection-sample-live" -> "q_inspection_sample_live",
-    "dup-rate-by-source" -> "q_dup_rate_by_source")
+    "dup-rate-by-source" -> "q_dup_rate_by_source",
+    "type-token-stats" -> "q_type_token_stats",
+    "vocab-growth" -> "q_vocab_growth",
+    "char-diversity" -> "q_char_diversity",
+    "length-histogram" -> "q_length_histogram",
+    "contamination-report" -> "q_contamination_report",
+    "event-transitions" -> "q_event_transitions",
+    "conversion-latency" -> "q_conversion_latency",
+    "embed-pca" -> "q_embed_pca",
+    "heavy-hitters-cms" -> "q_heavy_hitters_cms",
+    "pagerank-dupgraph" -> "q_pagerank_dupgraph",
+    "multimodal-audio" -> "q_multimodal_audio",
+    "multimodal-video" -> "q_multimodal_video_frames")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -358,6 +370,16 @@ object Bench {
       "dedup-cluster-sizes" -> bytes("documents"),
       "train-val-split" -> bytes("documents"),
       "domain-excess" -> bytes("documents"),
+      "type-token-stats" -> bytes("documents"),
+      "vocab-growth" -> bytes("documents"),
+      "char-diversity" -> bytes("documents"),
+      "length-histogram" -> bytes("documents"),
+      "contamination-report" -> bytes("documents"),
+      "heavy-hitters-cms" -> bytes("documents"),
+      "pagerank-dupgraph" -> bytes("documents"),
+      "multimodal-audio" -> bytes("documents"),
+      "multimodal-video" -> bytes("documents"),
+      "embed-pca" -> bytes("embeddings"),
       "label-noise" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
@@ -416,6 +438,16 @@ object Bench {
       "dedup-cluster-sizes" -> docRows,
       "train-val-split" -> docRows,
       "domain-excess" -> docRows,
+      "type-token-stats" -> docRows,
+      "vocab-growth" -> docRows,
+      "char-diversity" -> docRows,
+      "length-histogram" -> docRows,
+      "contamination-report" -> docRows,
+      "heavy-hitters-cms" -> docRows,
+      "pagerank-dupgraph" -> docRows,
+      "multimodal-audio" -> docRows,
+      "multimodal-video" -> docRows,
+      "embed-pca" -> embRows,
       "label-noise" -> embRows).withDefaultValue(eventRows)
 
     // ---- one measured attempt: load probes + every workload + the two

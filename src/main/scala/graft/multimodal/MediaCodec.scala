@@ -148,4 +148,113 @@ object MediaCodec {
     ImageIO.write(im, "png", out)
     out.toByteArray
   }
+
+  // ---- REAL audio (JDK `javax.sound.sampled` — WAV/AIFF/AU are JDK
+  // codecs the same way PNG/JPEG are for imageio; still no third-party
+  // or native libraries)
+
+  /** RIFF/WAVE PCM16LE mono encode — the in-pipeline source of REAL
+    * audio bytes (the sandbox has no media files; production reads from
+    * the object store). PCM is lossless, so the decode round-trip is
+    * sample-exact and oracles can mirror the signal arithmetically. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio header decode: (sampleRate, channels, frameLength) parsed
+    * by the JDK's registered audio file readers from the actual RIFF/
+    * AIFF/AU container — truncated or fake bytes return None. */
+  def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val f = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new ByteArrayInputStream(bytes))
+      Some((f.getFormat.getSampleRate.toInt, f.getFormat.getChannels,
+        f.getFrameLength.toLong))
+    } catch { case _: Exception => None }
+
+  /** REAL PCM decode through the JDK codec: every 16-bit LE mono sample.
+    * None when no audio reader accepts the bytes or the format isn't
+    * 16-bit PCM. */
+  def decodePcm16(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian) None
+        else {
+          val raw = in.readAllBytes()
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  // ---- frame container (MJPEG-style concatenated REAL image frames;
+  // the container framing is ours — the JDK has no video demuxer — but
+  // every frame inside decodes through the real imageio path)
+
+  private val FrameMagic = "GRFV".getBytes("US-ASCII")
+
+  /** Length-prefixed container of encoded image frames:
+    * "GRFV" + int32 count + (int32 len + bytes)* — big-endian. */
+  def encodeFrameContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val size = 8 + frames.map(_.length + 4).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.put(FrameMagic).putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Parse the container; None on bad magic / truncation (a real demuxer
+    * must reject torn blobs, not throw). */
+  def decodeFrameContainer(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      if (bytes == null || bytes.length < 8 ||
+          !bytes.take(4).sameElements(FrameMagic)) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
+        val n = bb.getInt
+        if (n < 0 || n > 1000000) None
+        else {
+          val out = Seq.newBuilder[Array[Byte]]
+          var i = 0
+          var ok = true
+          while (i < n && ok) {
+            if (bb.remaining() < 4) ok = false
+            else {
+              val len = bb.getInt
+              if (len < 0 || bb.remaining() < len) ok = false
+              else {
+                val f = new Array[Byte](len)
+                bb.get(f)
+                out += f
+              }
+            }
+            i += 1
+          }
+          if (ok) Some(out.result()) else None
+        }
+      }
+    } catch { case _: Exception => None }
 }

@@ -4127,4 +4127,431 @@ object LlmPipeline extends Catalog {
         }
       }.toDF("doc_id", "format", "width", "height", "checksum")
   }
+
+  // -- top principal component of the embedding corpus by distributed
+  //    power iteration (functions.PowerIteration) — the whitening/drift
+  //    diagnostic before indexing. Rows-only: float normalization isn't
+  //    SQL-mirrorable; planted-direction recovery, unit norm, Rayleigh
+  //    dominance and bit-exactness under repartitioning are pinned by
+  //    PowerIterationSpec. Per iteration: one codegen'd dot-product map +
+  //    one (pos, BIGINT micro-sum) agg — dim rows to the driver, linear
+  //    in the corpus.
+  qNoOracle("q_embed_pca") { (s, dir) =>
+    import graft.functions.PowerIteration
+    val emb = spread(load(s, dir, "embeddings"))
+    val (v, ratioMicro) = PowerIteration.topComponent(emb, "embedding", iters = 4)
+    import s.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, math.rint(x * 1e6) / 1e6, ratioMicro) }
+      .toDF("pos", "loading", "explained_micro")
+  }
+
+  // -- Count-Min sketch heavy hitters: the bounded-memory frequency
+  //    summary (operators.CountMinSketch — depth×width BIGINT cells at
+  //    ANY corpus size) probed with the exact top-20 words; the readout
+  //    shows the classic one-sided error (estimate >= exact, overestimate
+  //    bounded by collisions). The md5 hash family makes the sketch —
+  //    and so the estimates — bit-reproducible in DuckDB; mergeability /
+  //    partitioning-independence are pinned by CountMinSketchSpec.
+  q("q_heavy_hitters_cms", {
+    def h(r: String, e: String) =
+      s"CAST('0x' || substr(md5($r || ':' || $e), 1, 15) AS BIGINT) % 512"
+    s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w),
+       |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20),
+       |r AS (SELECT CAST(unnest([0,1,2,3]) AS VARCHAR) AS r),
+       |cells AS (
+       |  SELECT r.r, ${h("r.r", "wc.w")} AS bucket, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM wc CROSS JOIN r GROUP BY 1, 2),
+       |est AS (
+       |  SELECT top.w, top.c, min(cells.cnt) AS est
+       |  FROM top CROSS JOIN r
+       |  JOIN cells ON cells.r = r.r AND cells.bucket = ${h("r.r", "top.w")}
+       |  GROUP BY top.w, top.c)
+       |SELECT w, c AS exact_count, CAST(est AS BIGINT) AS cms_estimate,
+       |  CAST(est - c AS BIGINT) AS overestimate
+       |FROM est"""
+  }) { (s, dir) =>
+    import graft.operators.CountMinSketch
+    val toks = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+    val sketch = CountMinSketch.build(toks, "w", width = 512, depth = 4)
+    val top = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("w")).limit(20)
+    CountMinSketch.estimate(sketch, top, "w", width = 512, depth = 4)
+      .select(col("w"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overestimate"))
+  }
+
+  // -- LIVE sketch maintenance — the streaming shape: the corpus replays
+  //    through a running query whose ONLY state is the d×w cell table
+  //    (update-mode counts keyed by (r, bucket) — bounded forever, the
+  //    sketch point of sketches); the final cells must equal the batch
+  //    build, so the estimates match the same oracle.
+  q("q_heavy_hitters_cms_live", {
+    def h(r: String, e: String) =
+      s"CAST('0x' || substr(md5($r || ':' || $e), 1, 15) AS BIGINT) % 512"
+    s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w),
+       |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20),
+       |r AS (SELECT CAST(unnest([0,1,2,3]) AS VARCHAR) AS r),
+       |cells AS (
+       |  SELECT r.r, ${h("r.r", "wc.w")} AS bucket, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM wc CROSS JOIN r GROUP BY 1, 2),
+       |est AS (
+       |  SELECT top.w, top.c, min(cells.cnt) AS est
+       |  FROM top CROSS JOIN r
+       |  JOIN cells ON cells.r = r.r AND cells.bucket = ${h("r.r", "top.w")}
+       |  GROUP BY top.w, top.c)
+       |SELECT w, c AS exact_count, CAST(est AS BIGINT) AS cms_estimate,
+       |  CAST(est - c AS BIGINT) AS overestimate
+       |FROM est"""
+  }) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val cells = graft.operators.CountMinSketch.build(
+      docs.select(explode(T.tokens(col("text"))).as("w")), "w",
+      width = 512, depth = 4)
+    val name = s"cms_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    cells.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val sketch = s.table(name)
+    val toks = spread(load(s, dir, "documents"))
+      .select(explode(T.tokens(col("text"))).as("w"))
+    val top = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("w")).limit(20)
+    graft.operators.CountMinSketch.estimate(sketch, top, "w",
+        width = 512, depth = 4)
+      .select(col("w"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overestimate"))
+  }
+
+  // -- PageRank over the near-dup graph (3 iterations, damping 0.85):
+  //    centrality of each document inside its duplicate neighborhood —
+  //    the "which copy is the hub" signal a cluster-representative picker
+  //    can use instead of min-id. ALL-INTEGER: ranks live in 1e6 micro
+  //    units, the damped share is (r·17 DIV 20) DIV deg — identical
+  //    floor arithmetic on both engines, so the oracle (the same three
+  //    steps unrolled as CTEs over the shared MinHash pair CTEs) is
+  //    bit-exact. Scale shape: per iteration ONE edge-list equi-join +
+  //    partial-agg'd sum (the textbook distributed PageRank); each round
+  //    localCheckpoints so the loop's plan does not grow (the BPE/CC
+  //    discipline); driver holds only the node count.
+  q("q_pagerank_dupgraph", {
+    def step(prev: String, out: String) =
+      s"""s_$out AS (
+         |  SELECT sym.b AS n, CAST(sum((($prev.r * 17) // 20) // $prev.d) AS BIGINT) AS m
+         |  FROM sym JOIN $prev ON sym.a = $prev.n GROUP BY sym.b),
+         |$out AS (
+         |  SELECT deg.n, deg.d,
+         |    CAST(150000 // nn.nN AS BIGINT) + coalesce(s_$out.m, 0) AS r
+         |  FROM deg CROSS JOIN nn LEFT JOIN s_$out ON s_$out.n = deg.n)"""
+    s"""WITH $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nN FROM deg),
+       |r0 AS (SELECT deg.n, deg.d, CAST(1000000 // nn.nN AS BIGINT) AS r
+       |       FROM deg CROSS JOIN nn),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT n AS doc_id, d AS degree, r AS rank_micro FROM r3"""
+  }) { (s, dir) =>
+    val pairs = minhashPairs(s, dir).localCheckpoint()
+    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val nN = deg.count() // bounded by contract: graph node count
+    var r = deg.select(col("n"), col("d"), lit(1000000L / nN).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = sym.join(r, sym("a") === r("n"))
+        .select(col("b").as("n2"), expr("((r * 17) div 20) div d").as("sh"))
+        .groupBy("n2").agg(sum("sh").as("m"))
+      r = deg.join(contrib, deg("n") === contrib("n2"), "left")
+        .select(deg("n"), deg("d"),
+          (lit(150000L / nN) + coalesce(col("m"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("n").as("doc_id"), col("d").as("degree"),
+      col("r").as("rank_micro"))
+  }
+
+  // -- REAL audio decode (JDK javax.sound.sampled — WAV is a JDK codec
+  //    like PNG is for imageio): synthesize a deterministic PCM16 signal
+  //    per doc, encode a real RIFF/WAVE container, then the pipeline does
+  //    a REAL header parse (sample rate / channels / frame count from the
+  //    actual RIFF chunks) + REAL PCM decode, and reports per-window
+  //    absolute-amplitude energy. PCM is lossless, so the oracle mirrors
+  //    the signal arithmetically — the encode→decode chain must be
+  //    sample-exact end to end or the hash mismatches (the
+  //    q_multimodal_resize discipline, extended to audio). Map-only: one
+  //    partition-wise 1→8 expansion, zero shuffle before the final agg.
+  q("q_multimodal_audio",
+    """WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents),
+      |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+      |v AS (SELECT doc_id, n, i,
+      |        abs((doc_id * 131 + i * 17) % 4096 - 2048) AS a
+      |      FROM s)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_frames,
+      |  CAST(i // (n // 8) AS BIGINT) AS win,
+      |  CAST(sum(a) AS BIGINT) AS abs_sum
+      |FROM v GROUP BY doc_id, n, i // (n // 8)""") { (s, dir) =>
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val n = (800 + (id % 5) * 80).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 131L + i * 17L) % 4096L - 2048L).toShort)
+          val wav = MediaCodec.encodeWavPcm16(8000, samples)
+          val (sr, ch, frames) = MediaCodec.audioMeta(wav).getOrElse(
+            sys.error(s"JDK audio reader rejected its own wav for doc $id"))
+          require(ch == 1, s"doc $id decoded $ch channels")
+          val decoded = MediaCodec.decodePcm16(wav).getOrElse(
+            sys.error(s"wav failed PCM decode for doc $id"))
+          val winLen = n / 8
+          (0 until 8).iterator.map { w =>
+            var sum = 0L
+            var i = w * winLen
+            while (i < (w + 1) * winLen) { sum += math.abs(decoded(i).toLong); i += 1 }
+            (id, sr.toLong, frames, w.toLong, sum)
+          }
+        }
+      }.toDF("doc_id", "sample_rate", "n_frames", "win", "abs_sum")
+  }
+
+  // -- frame-container "video" path: real PNG frames in a length-prefixed
+  //    container (the JDK has no demuxer, so the FRAMING is ours; every
+  //    frame inside decodes through the REAL imageio path). The pipeline
+  //    parses the container, samples every 2nd frame (the frame-sample
+  //    step of a vision-pipeline ingest), raster-decodes each sampled
+  //    frame for real, and reports the per-frame checksum the oracle
+  //    mirrors arithmetically. 1→frames/2 partition-wise expansion, zero
+  //    shuffle.
+  q("q_multimodal_video_frames",
+    """WITH p AS (SELECT doc_id, 4 + doc_id % 4 AS nf, 8 + doc_id % 8 AS w
+      |           FROM documents),
+      |f AS (SELECT doc_id, nf, w, unnest(range(nf)) AS fi FROM p),
+      |sampled AS (SELECT * FROM f WHERE fi % 2 = 0),
+      |px AS (SELECT doc_id, nf, fi, w, unnest(range(w)) AS x FROM sampled),
+      |pxy AS (SELECT doc_id, nf, fi, x,
+      |          unnest(range(8)) AS y FROM px)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(fi AS BIGINT) AS frame_idx,
+      |  CAST(sum((doc_id * 7 + fi * 131 + x * 31 + y * 17) & 255) AS BIGINT)
+      |    AS checksum
+      |FROM pxy GROUP BY doc_id, nf, fi""") { (s, dir) =>
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nf = (4 + id % 4).toInt
+          val w = (8 + id % 8).toInt
+          val container = MediaCodec.encodeFrameContainer(
+            (0 until nf).map(f => MediaCodec.encodePng(w, 8, id * 7L + f * 131L)))
+          val frames = MediaCodec.decodeFrameContainer(container).getOrElse(
+            sys.error(s"container parse failed for doc $id"))
+          require(frames.length == nf, s"doc $id: torn container")
+          frames.zipWithIndex.iterator
+            .filter(_._2 % 2 == 0) // frame sampling
+            .map { case (png, fi) =>
+              val cs = MediaCodec.rasterChecksum(png).getOrElse(
+                sys.error(s"JDK reader rejected frame $fi of doc $id"))
+              (id, nf.toLong, fi.toLong, cs)
+            }
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "checksum")
+  }
+
+  // ------------------------------------------------- corpus lexicon stats
+
+  // -- type/token statistics per source — the Zipf/Heaps diagnostics a
+  //    corpus intake ships: vocabulary size, hapax legomena share (high
+  //    hapax = noisy OCR / gibberish; low = templated spam), type-token
+  //    ratio, and the top-word mass. Ratios are BIGINT micro-fractions
+  //    (integer DIV), engine-exact. Scale shape: ONE (source, word)
+  //    hash agg (partial-agg'd, linear) feeding a |sources|-row rollup —
+  //    no second corpus pass, no window.
+  q("q_type_token_stats",
+    s"""WITH t AS (SELECT source, unnest($SqlTokens) AS w FROM documents),
+       |wc AS (SELECT source, w, count(*) AS c FROM t GROUP BY source, w),
+       |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |        CAST(count(*) AS BIGINT) AS n_types,
+       |        CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       |        CAST(max(c) AS BIGINT) AS top_count
+       |      FROM wc GROUP BY source)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_micro,
+       |  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_micro,
+       |  CAST(top_count * 1000000 // n_tokens AS BIGINT) AS top_share_micro
+       |FROM s""") { (s, dir) =>
+    val wc = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max("c").as("top_count"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micro"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_micro"),
+        expr("top_count * 1000000 div n_tokens").as("top_share_micro"))
+  }
+
+  // -- vocabulary growth curve (Heaps' law readout): the corpus in 20
+  //    fixed doc-id buckets; per bucket, tokens added and NEW types (words
+  //    whose first occurrence falls in that bucket), plus running totals.
+  //    A flattening curve says the corpus stops contributing vocabulary —
+  //    the "is more of this source worth ingesting" signal. Bucket count
+  //    is FIXED (id-range scaled), so the cumulative window is a bounded
+  //    20-row fold at any corpus size; the heavy step is one distinct
+  //    (word -> first bucket) hash agg.
+  q("q_vocab_growth",
+    s"""WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |t AS (SELECT CAST(doc_id * 20 // m.n AS BIGINT) AS bucket,
+       |        unnest($SqlTokens) AS w
+       |      FROM documents CROSS JOIN m),
+       |tk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+       |       FROM t GROUP BY bucket),
+       |fw AS (SELECT w, CAST(min(bucket) AS BIGINT) AS b0 FROM t GROUP BY w),
+       |nt AS (SELECT b0 AS bucket, CAST(count(*) AS BIGINT) AS new_types
+       |       FROM fw GROUP BY b0)
+       |SELECT tk.bucket, tk.n_tokens, coalesce(nt.new_types, 0) AS new_types,
+       |  CAST(sum(tk.n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY tk.bucket) AS BIGINT)
+       |    AS cum_types
+       |FROM tk LEFT JOIN nt ON tk.bucket = nt.bucket""") { (s, dir) =>
+    val docs = spread(load(s, dir, "documents"))
+    val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
+    val t = docs.crossJoin(broadcast(n))
+      .select((col("doc_id") * 20L / col("n")).cast("long").as("bucket"),
+        explode(T.tokens(col("text"))).as("w"))
+    val tk = t.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val nt = t.groupBy("w").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    // bounded window by contract: exactly 20 bucket rows at any scale
+    val w20 = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tk.join(nt, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w20))
+      .withColumn("cum_types", sum("new_types").over(w20))
+  }
+
+  // -- per-document character diversity: distinct characters and the
+  //    Gini-Simpson index over the (non-whitespace) character
+  //    distribution — the cheap gibberish/keyboard-mash detector (near-0
+  //    diversity = one repeated char; natural text sits in a band).
+  //    Integer-exact core (sum of squared counts); the single final
+  //    division is one double op, bit-identical across engines.
+  //    eff_alphabet = n²/Σc² (inverse Simpson) as an integer micro-free
+  //    readout. Scale: one (doc, char) hash agg — alphabet-bounded fanout
+  //    per doc, linear.
+  q("q_char_diversity",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s', '', 'g'), '')) AS ch
+      |  FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+      |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+      |        CAST(count(*) AS BIGINT) AS n_distinct,
+      |        CAST(sum(c * c) AS BIGINT) AS c2
+      |      FROM cc GROUP BY doc_id)
+      |SELECT doc_id, n_chars, n_distinct,
+      |  round(1.0 - CAST(c2 AS DOUBLE) / (CAST(n_chars AS DOUBLE) * n_chars), 6)
+      |    AS diversity,
+      |  CAST(n_chars * n_chars // c2 AS BIGINT) AS eff_alphabet
+      |FROM s""") { (s, dir) =>
+    val cc = spread(load(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s", ""), ""))
+          .as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    cc.groupBy("doc_id")
+      .agg(sum("c").as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        round(lit(1.0) - col("c2").cast("double") /
+          (col("n_chars").cast("double") * col("n_chars")), 6).as("diversity"),
+        expr("n_chars * n_chars div c2").as("eff_alphabet"))
+  }
+
+  // -- token-length histogram in power-of-two buckets per source: the
+  //    length profile a mixture plan reads (truncation waste vs packing
+  //    fragmentation). The bucket is length(bin(n)) = floor(log2 n)+1 —
+  //    STRING-exact on both engines, where floor(log2(x)) through doubles
+  //    misbuckets exact powers of two (log2(8) rounds below 3). Map-only
+  //    + a tiny (source, bucket) agg.
+  q("q_length_histogram",
+    s"""WITH t AS (SELECT source, CAST(len($SqlTokens) AS BIGINT) AS n
+       |           FROM documents)
+       |SELECT source, CAST(length(bin(n)) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(n) AS BIGINT) AS min_tokens,
+       |  CAST(max(n) AS BIGINT) AS max_tokens,
+       |  CAST(sum(n) AS BIGINT) AS sum_tokens
+       |FROM t WHERE n > 0
+       |GROUP BY source, bucket""") { (s, dir) =>
+    spread(load(s, dir, "documents"))
+      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .groupBy(col("source"), length(bin(col("n"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min("n").as("min_tokens"),
+        max("n").as("max_tokens"), sum("n").as("sum_tokens"))
+  }
+
+  // -- contamination REPORT per source: the corpus-governance rollup of
+  //    q_decontaminate (which flags per-doc) — per train source, shingle
+  //    mass, eval-overlapping mass, contaminated-doc count, and overlap
+  //    ppm. Same broadcast-eval-set shape (the eval side is benchmark-
+  //    sized, the 100 TB train side never shuffles); the rollup rides the
+  //    per-doc agg's output, |sources| rows.
+  q("q_contamination_report",
+    s"""WITH docs AS (SELECT doc_id, source, $SqlTokens AS ws FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |         ${sqlMd5Long(s"unnest($SqlShingles3)")} AS hv FROM docs),
+       |ev AS (SELECT DISTINCT hv FROM sh WHERE doc_id % 20 = 0),
+       |j AS (
+       |  SELECT tr.source, tr.doc_id, count(*) AS n_sh,
+       |    CAST(sum(CASE WHEN ev.hv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_overlap
+       |  FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) tr
+       |  LEFT JOIN ev ON tr.hv = ev.hv
+       |  GROUP BY tr.source, tr.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       |  CAST(sum(n_overlap) AS BIGINT) AS n_overlapping,
+       |  CAST(count(*) FILTER (WHERE CAST(n_overlap AS DOUBLE) / n_sh > 0.8)
+       |    AS BIGINT) AS n_contaminated,
+       |  CAST(sum(n_overlap) * 1000000 // sum(n_sh) AS BIGINT) AS overlap_ppm
+       |FROM j GROUP BY source""") { (s, dir) =>
+    val sh = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(D.wordShingles(col("text"), 3)).as("sval"))
+      .select(col("doc_id"), col("source"), T.md5Long(col("sval")).as("hv"))
+    val ev = sh.filter(col("doc_id") % 20 === 0)
+      .select("hv").distinct().withColumn("hit", lit(1L))
+    val perDoc = sh.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(ev), Seq("hv"), "left")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("n_shingles"),
+        sum("n_overlap").as("n_overlapping"),
+        sum(when(col("n_overlap").cast("double") / col("n_sh") > 0.8, 1L)
+          .otherwise(0L)).as("n_contaminated"),
+        expr("sum(n_overlap) * 1000000 div sum(n_sh)").as("overlap_ppm"))
+  }
 }

@@ -782,4 +782,183 @@ object Relational extends Catalog {
         })))
       .select(col("user_id"), col("n").cast("long").as("n_events"), col("sax"))
   }
+
+  // ----------------------------------------------- event-sequence mining
+
+  // -- first-order Markov transition matrix over per-user event streams:
+  //    counts and micro-probabilities of (prev -> next) event-type pairs —
+  //    the sequence-model sanity table (and the base for synthetic-session
+  //    generation). One lag window = ONE user_id shuffle (sessionize's
+  //    discipline); the transition matrix is |event_types|² rows, so the
+  //    total/probability join broadcasts. Probabilities are integer
+  //    micro-fractions — engine-exact.
+  q("q_event_transitions",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |c AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+      |      FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+      |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_total
+      |      FROM c GROUP BY prev)
+      |SELECT c.prev, c.next, c.n, t.row_total,
+      |  CAST(c.n * 1000000 // t.row_total AS BIGINT) AS p_micro
+      |FROM c JOIN t USING (prev)""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // localCheckpoint: the transition matrix is |event_types|² rows; the
+    // row-total side must fold IT, not re-run the corpus-wide Window
+    // (without the cut, the plan duplicates the lag subtree — PlanSpec
+    // pins exactly one Window node)
+    val c = load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val t = c.groupBy("prev").agg(sum("n").as("row_total"))
+    c.join(broadcast(t), "prev")
+      .select(col("prev"), col("next"), col("n"), col("row_total"),
+        expr("n * 1000000 div row_total").as("p_micro"))
+  }
+
+  // -- LIVE transition mining — the incremental twin over real
+  //    file-stream replay: per-user state is ONE record (the latest
+  //    event type), each arriving event emits its (prev -> next) pair
+  //    exactly once in append mode, and the final counts must equal the
+  //    batch matrix. This is the state shape a clickstream pipeline runs
+  //    forever: O(users) state, no buffering, no reconciliation (each
+  //    pair is emitted once, so the sink-side count is exact under any
+  //    batch split). Event times are unique per user (TESTDATA), so the
+  //    in-batch sort by ts is the oracle's total order.
+  q("q_event_transitions_live",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |c AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+      |      FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+      |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_total
+      |      FROM c GROUP BY prev)
+      |SELECT c.prev, c.next, c.n, t.row_total,
+      |  CAST(c.n * 1000000 // t.row_total AS BIGINT) AS p_micro
+      |FROM c JOIN t USING (prev)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val stream = GraftStreams(s)
+      .stream[Long, String](ev, col("user_id"), col("event_type"), col("ots"))
+    val pairs = graft.streaming.StatefulOps
+      .flatTransformWithState[Long, String, String, (String, String)](stream) {
+        (_, rows, state) =>
+          var last = state.getOption.getOrElse("")
+          val out = Seq.newBuilder[(String, String)]
+          rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos)).foreach {
+            case (t, _) =>
+              if (last.nonEmpty) out += ((last, t))
+              last = t
+          }
+          state.update(last)
+          out.result().iterator
+      }
+    val name = s"etl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    pairs.toDF("prev", "next").writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // localCheckpoint cuts the memory-sink lineage: the totals side would
+    // otherwise self-join the same MemoryPlan (unresolvable attributes)
+    val c = s.table(name).groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val t = c.groupBy("prev").agg(sum("n").as("row_total"))
+    c.join(broadcast(t), "prev")
+      .select(col("prev"), col("next"), col("n"), col("row_total"),
+        expr("n * 1000000 div row_total").as("p_micro"))
+  }
+
+  // -- conversion latency: per user, seconds from FIRST signup to the
+  //    first purchase at-or-after it — the funnel-latency readout
+  //    (q_event_funnel counts stages; this measures the gap). Second
+  //    granularity via epoch truncation, identical to DuckDB's
+  //    date_diff('second') boundary counting. Both aggregations share
+  //    the user_id shuffle.
+  q("q_conversion_latency",
+    """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t1
+      |      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t0
+      |      WHERE e.event_type = 'purchase'
+      |      GROUP BY e.user_id)
+      |SELECT p.user_id,
+      |  CAST(date_diff('second', s.t0, p.t1) AS BIGINT) AS secs_to_convert
+      |FROM p JOIN s USING (user_id)""") { (s, dir) =>
+    val ev = load(s, dir, "events")
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    ev.filter(col("event_type") === "purchase")
+      .join(s0, Seq("user_id"))
+      .filter(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min("ts").as("t1"), min("t0").as("t0"))
+      .select(col("user_id"),
+        (unix_seconds(col("t1")) - unix_seconds(col("t0")))
+          .as("secs_to_convert"))
+  }
+
+  // -- LIVE conversion latency — the streaming funnel timer: per-user
+  //    state is (first signup micros, converted?), TWO longs forever;
+  //    the first qualifying purchase emits the latency exactly once
+  //    (append mode, one row per converting user, no reconciliation).
+  //    Same ts-order discipline as the CEP twin.
+  q("q_conversion_latency_live",
+    """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t1
+      |      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t0
+      |      WHERE e.event_type = 'purchase'
+      |      GROUP BY e.user_id)
+      |SELECT p.user_id,
+      |  CAST(date_diff('second', s.t0, p.t1) AS BIGINT) AS secs_to_convert
+      |FROM p JOIN s USING (user_id)""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val stream = GraftStreams(s)
+      .stream[Long, String](ev, col("user_id"), col("event_type"), col("ots"))
+    val conversions = graft.streaming.StatefulOps
+      .flatTransformWithState[Long, String, (Long, Boolean), (Long, Long)](
+        stream) { (user, rows, state) =>
+        // t0 held in MICROS: the >= comparison runs at full precision
+        // (the oracle's e.ts >= s.t0); only the REPORTED latency
+        // truncates to seconds (date_diff's boundary counting)
+        var (t0u, converted) = state.getOption.getOrElse((-1L, false))
+        val out = Seq.newBuilder[(Long, Long)]
+        rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos)).foreach {
+          case (t, ts) =>
+            val tu = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+            if (t == "signup" && t0u < 0L) t0u = tu
+            else if (t == "purchase" && t0u >= 0L && !converted && tu >= t0u) {
+              out += ((user,
+                Math.floorDiv(tu, 1000000L) - Math.floorDiv(t0u, 1000000L)))
+              converted = true
+            }
+        }
+        state.update((t0u, converted))
+        out.result().iterator
+      }
+    val name = s"cvl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    conversions.toDF("user_id", "secs_to_convert").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+  }
 }

@@ -322,4 +322,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
+
+  test("event transitions: corpus Window runs ONCE, totals fold the " +
+      "checkpointed matrix and broadcast") {
+    // the transition matrix localCheckpoints, so the final plan must NOT
+    // contain the corpus-wide lag Window or a parquet re-scan — the
+    // totals side folds the materialized |event_types|² rows
+    val plan = planOf("q_event_transitions")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("parquet"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("type/token stats: two partial-agg'd shuffles, no join, no window") {
+    val plan = planOf("q_type_token_stats")
+    assert(plan.contains("partial_"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(1500))
+  }
+
+  test("char diversity: two partial-agg'd shuffles, no join") {
+    val plan = planOf("q_char_diversity")
+    assert(plan.contains("partial_"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(1500))
+  }
+
+  test("contamination report: eval set broadcasts, train side never sort-merges") {
+    val plan = planOf("q_contamination_report")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("CMS heavy hitters: sketch broadcasts to the probe, top-k bounded") {
+    val plan = planOf("q_heavy_hitters_cms")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }
