@@ -157,7 +157,10 @@ object Bench {
     "knn-classify", "dsir-weights", "bpe-pairs",
     "bpe-merges", "line-dedup-corpus", "perplexity-buckets",
     "dedup-minhash-incr", "dedup-spans-remove", "rag-retrieval",
-    "bm25-search")
+    "bm25-search",
+    // r7 operator batch: scale readout for the round's new operators
+    "pagerank-dupgraph", "heavy-hitters-cms", "multimodal-audio",
+    "type-token-stats", "unigram-train", "unigram-train-soft")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -277,6 +280,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // every persisted bench artifact (codebooks, exact-pair audit, near-dup
+    // index, tuned nProbe) is keyed by the sf it was built from — a smoke
+    // run at another sf must never satisfy this run's marker guards
+    val sfTag = new java.io.File(sfDir).getName
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // A/B knob for attributing state-store cost: "rocksdb" (default; the
     // production/durability setting, required by transformWithState stages)
@@ -513,10 +520,19 @@ object Bench {
         try {
           val emb = Tables.load(spark, sfDir, "embeddings")
             .repartition(spark.sparkContext.defaultParallelism)
-          val cbPath = s"$benchDir/ivf-codebook"
-          val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16,
-            iters = 2, sampleOneIn = 4)
-          VectorIndex.saveCodebook(spark, cb, cbPath)
+          // marker-guarded like the neardup index: training is a one-time
+          // index-build artifact, so a contended-retry attempt re-pays
+          // only the measured serving work
+          val cbPath = s"$benchDir/ivf-codebook-$sfTag"
+          val cb =
+            if (new java.io.File(s"$cbPath/_SUCCESS").exists())
+              VectorIndex.loadCodebook(spark, cbPath)
+            else {
+              val c = VectorIndex.train(emb, "vec_id", "embedding", k = 16,
+                iters = 2, sampleOneIn = 4)
+              VectorIndex.saveCodebook(spark, c, cbPath)
+              c
+            }
           val queries = emb.filter(col("vec_id") < 20)
           def timed(wl: String)(once: () => Unit): Seq[Sample] = {
             val secs = (1 to benchRuns).flatMap { _ =>
@@ -529,10 +545,12 @@ object Bench {
             else Seq(Sample(wl, secs, embRows, embRows))
           }
           // PQ codebook: same treatment — train once, persist, serve
-          val pqPath = s"$benchDir/pq-codebook"
-          val pq = graft.functions.ProductQuantizer.train(emb, "vec_id",
-            "embedding", m = 8, ksub = 16, iters = 2)
-          graft.functions.ProductQuantizer.saveCodebook(spark, pq, pqPath)
+          val pqPath = s"$benchDir/pq-codebook-$sfTag"
+          if (!new java.io.File(s"$pqPath/_SUCCESS").exists()) {
+            val pq = graft.functions.ProductQuantizer.train(emb, "vec_id",
+              "embedding", m = 8, ksub = 16, iters = 2)
+            graft.functions.ProductQuantizer.saveCodebook(spark, pq, pqPath)
+          }
           timed("ann-ivf") { () =>
             val loaded = VectorIndex.loadCodebook(spark, cbPath)
             VectorIndex.search(emb, queries, "vec_id", "embedding", loaded,
@@ -572,7 +590,7 @@ object Bench {
         try {
           val docs = Tables.load(spark, sfDir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
-          val idxPath = s"$benchDir/neardup-index"
+          val idxPath = s"$benchDir/neardup-index-$sfTag"
           val marker = new java.io.File(s"$idxPath/_SUCCESS")
           if (!marker.exists())
             NearDupIndex.build(docs.filter(col("doc_id") % 4 =!= 0),
@@ -605,6 +623,7 @@ object Bench {
       // MEDIAN *and* the MIN at 10x — a median-only move at base scale is
       // sampling noise.
       var contrastiveRecall10 = -1.0
+      var contrastiveNProbe10 = -1
       val x10Results: Seq[Sample] =
         if (sys.env.getOrElse("SPARK_GRAFT_BENCH_10X", "1") == "0") Seq.empty
         else ensure10xDir(spark, sfDir) match {
@@ -640,37 +659,74 @@ object Bench {
               val emb10 = spark.read.parquet(s"$dir10/embeddings.parquet")
                 .repartition(spark.sparkContext.defaultParallelism)
               val k10 = 80
-              val cb10 = VectorIndex.train(emb10, "vec_id", "embedding",
-                k = k10, iters = 2, sampleOneIn = 4)
-              val secs = (1 to benchRuns).flatMap { _ =>
-                val t0 = System.nanoTime()
-                try {
-                  VectorIndex.minePairs(emb10, "vec_id", "embedding", "label",
-                    cb10, nProbe = 8).count()
-                  Some((System.nanoTime() - t0) / 1e9)
-                } catch { case e: Throwable =>
-                  System.err.println(s"[bench] contrastive-self@10x: $e"); None }
-              }
-              // recall@1 audit (UNTIMED): exact hardest-pairs persisted once
-              // per bench dir — nProbe = k meets every pair, a quadratic
-              // audit cost paid at index-build cadence, never per query. A
-              // production pair counts as a hit when its sim ties-or-beats
-              // the exact hardest sim for that (query, pair_type).
-              val exactPath = s"$benchDir/contrastive-exact-10x"
+              // codebook is a one-time index-build artifact: marker-guarded
+              // under benchDir (train is deterministic, so the cached
+              // codebook — and the tuned nProbe below — are stable across
+              // retry attempts)
+              val cb10Path = s"$benchDir/contrastive-cb-10x-$sfTag"
+              val cb10 =
+                if (new java.io.File(s"$cb10Path/_SUCCESS").exists())
+                  VectorIndex.loadCodebook(spark, cb10Path)
+                else {
+                  val c = VectorIndex.train(emb10, "vec_id", "embedding",
+                    k = k10, iters = 2, sampleOneIn = 4)
+                  VectorIndex.saveCodebook(spark, c, cb10Path)
+                  c
+                }
+              // recall@1 audit set (UNTIMED): exact hardest-pairs persisted
+              // once per bench dir — nProbe = k meets every pair, a
+              // quadratic audit cost paid at index-build cadence, never per
+              // query. A production pair counts as a hit when its sim
+              // ties-or-beats the exact hardest sim for that
+              // (query, pair_type).
+              val exactPath = s"$benchDir/contrastive-exact-10x-$sfTag"
               if (!new java.io.File(s"$exactPath/_SUCCESS").exists())
                 VectorIndex.minePairs(emb10, "vec_id", "embedding", "label",
                     cb10, nProbe = k10)
                   .write.mode("overwrite").parquet(exactPath)
-              val approx = VectorIndex.minePairs(emb10, "vec_id", "embedding",
-                  "label", cb10, nProbe = 8)
-                .select(col("query_id"), col("pair_type"), col("sim"))
-              contrastiveRecall10 = spark.read.parquet(exactPath)
-                .select(col("query_id"), col("pair_type"),
-                  col("sim").as("exact_sim"))
-                .join(approx, Seq("query_id", "pair_type"), "left")
-                .agg(avg(when(col("sim") >= col("exact_sim"), 1.0)
-                  .otherwise(0.0)))
-                .head().getDouble(0)
+              def recallAt(np: Int): Double = {
+                val approx = VectorIndex.minePairs(emb10, "vec_id",
+                    "embedding", "label", cb10, nProbe = np)
+                  .select(col("query_id"), col("pair_type"), col("sim"))
+                spark.read.parquet(exactPath)
+                  .select(col("query_id"), col("pair_type"),
+                    col("sim").as("exact_sim"))
+                  .join(approx, Seq("query_id", "pair_type"), "left")
+                  .agg(avg(when(col("sim") >= col("exact_sim"), 1.0)
+                    .otherwise(0.0)))
+                  .head().getDouble(0)
+              }
+              // tune nProbe to the knee (UNTIMED, cached): smallest probe
+              // width whose recall clears the ~0.9 a production miner
+              // targets — the VectorIndexSpec recall pattern, applied to
+              // the mining config instead of a first-guess nProbe = 8
+              val tunePath = new java.io.File(s"$benchDir/contrastive-nprobe-10x-$sfTag.txt")
+              val (npChosen, recChosen): (Int, Double) =
+                if (tunePath.exists()) {
+                  val Array(np, rec) =
+                    new String(java.nio.file.Files.readAllBytes(tunePath.toPath))
+                      .trim.split(",")
+                  (np.toInt, rec.toDouble)
+                } else {
+                  val swept = Seq(8, 16, 24, 32).iterator
+                    .map(np => (np, recallAt(np)))
+                    .find(_._2 >= 0.9)
+                    .getOrElse((k10, 1.0))
+                  java.nio.file.Files.write(tunePath.toPath,
+                    s"${swept._1},${swept._2}".getBytes)
+                  swept
+                }
+              contrastiveRecall10 = recChosen
+              contrastiveNProbe10 = npChosen
+              val secs = (1 to benchRuns).flatMap { _ =>
+                val t0 = System.nanoTime()
+                try {
+                  VectorIndex.minePairs(emb10, "vec_id", "embedding", "label",
+                    cb10, nProbe = npChosen).count()
+                  Some((System.nanoTime() - t0) / 1e9)
+                } catch { case e: Throwable =>
+                  System.err.println(s"[bench] contrastive-self@10x: $e"); None }
+              }
               if (secs.isEmpty) Seq.empty
               else Seq(Sample("contrastive-self@10x", secs, embRows10, embRows10))
             } catch { case e: Throwable =>
@@ -739,7 +795,7 @@ object Bench {
       val loadJson =
         f"""{"cpus":${cpusN.toInt},"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"calib_start_ms":$calibStartMs%.1f,"calib_end_ms":$calibEndMs%.1f,"calib_ratio":$calibRatio%.3f,"contended":$contended}"""
       val json =
-        f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":$contrastiveRecall10%.4f,"load":$loadJson,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":$contrastiveRecall10%.4f,"contrastive_nprobe_10x":$contrastiveNProbe10,"load":$loadJson,"sf":"$sfDir"}"""
       // STDOUT CONTRACT (driver tail-parses the LAST stdout line, and its
       // tail window has truncated a full queries map in 4 of 5 rounds):
       // print ONLY total + the 11 SimpleBenchmark-parity workloads + the
@@ -842,7 +898,28 @@ object Bench {
       // samples are independent and the median is an honest steady-state.
       // Each returns (replay seconds, per-micro-batch latencies in ms) —
       // the reference's SimpleBenchmark reports latency alongside rec/sec.
-      def yahooStreamingOnce(): (Double, Seq[Double]) = {
+      //
+      // rec/sec comes from the SATURATED flood-drain (comparable to the
+      // pinned baselines); latency percentiles come from a separate PACED
+      // pass — the replay volume re-fed in ~40 bounded chunks, each
+      // drained before the next is offered, so every chunk is one
+      // steady-state-sized micro-batch. The flood's 2-3 giant batches
+      // made p95 = p99 = max (saturated-drain numbers, not the
+      // steady-state latency SimpleBenchmark's latency column reports);
+      // ≥40 bounded triggers sample a real distribution.
+      def pacedReplay[A](addChunk: Seq[A] => Unit, drain: () => Unit,
+          data: Seq[A], nCycles: Int): Unit = {
+        val total = data.size.toLong * nCycles
+        // ~40 equal chunks over the WHOLE replay, crossing cycle
+        // boundaries (a per-cycle split would degenerate to `nCycles`
+        // drains when the table is small relative to the record target)
+        val chunk = math.max(1L, total / 40L).toInt
+        Iterator.continually(data).take(nCycles).flatten
+          .grouped(chunk)
+          .foreach { ch => addChunk(ch); drain() }
+      }
+
+      def yahooStreamingOnce(paced: Boolean): (Double, Seq[Double]) = {
         val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
         val counts = mem.toDF().toDF("user_id", "event_type", "ts")
           .filter(col("event_type") === "view")
@@ -853,21 +930,26 @@ object Bench {
         try {
           mem.addData(events.take(100))
           q.processAllAvailable()
-          val warm = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             events.grouped(50000).foreach(mem.addData(_)); c += 1
           }
           q.processAllAvailable()
-          ((System.nanoTime() - t0) / 1e9, batchLatencies(q, warm))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val floodEnd = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (paced)
+            pacedReplay[(Long, String, java.sql.Timestamp)](
+              mem.addData(_), () => q.processAllAvailable(),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(events), cycles)
+          (secs, if (paced) batchLatencies(q, floodEnd) else Seq.empty)
         } finally q.stop()
       }
 
       // live KStream⋈KTable enrichment: every event looks up the table's
       // current value for its user; the table changelog streams too
       // (stream-side-only emission through flatMapGroupsWithState)
-      def stJoinOnce(): (Double, Seq[Double]) = {
+      def stJoinOnce(paced: Boolean): (Double, Seq[Double]) = {
         val sMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
         val tMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
         val b = graft.api.GraftStreams(spark)
@@ -880,21 +962,26 @@ object Bench {
           tMem.addData(events.map(e => (e._1, e._1, e._3)).distinctBy(_._1))
           sMem.addData(streamSide.take(100))
           q2.processAllAvailable()
-          val warm = Option(q2.lastProgress).map(_.batchId).getOrElse(-1L)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             streamSide.grouped(50000).foreach(sMem.addData(_)); c += 1
           }
           q2.processAllAvailable()
-          ((System.nanoTime() - t0) / 1e9, batchLatencies(q2, warm))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val floodEnd = Option(q2.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (paced)
+            pacedReplay[(Long, Long, java.sql.Timestamp)](
+              sMem.addData(_), () => q2.processAllAvailable(),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(streamSide), cycles)
+          (secs, if (paced) batchLatencies(q2, floodEnd) else Seq.empty)
         } finally q2.stop()
       }
 
       // state-store: per-record get+update through keyed state (the
       // SimpleBenchmark statestore workload — processStreamWithStateStore
       // does one get and one put per record)
-      def stateStoreOnce(): (Double, Seq[Double]) = {
+      def stateStoreOnce(paced: Boolean): (Double, Seq[Double]) = {
         val kvMem = MemoryStream[(Long, Double, java.sql.Timestamp)]
         val b3 = graft.api.GraftStreams(spark)
         val kvStream = b3.stream[Long, Double](kvMem.toDF(), col("_1"), col("_2"), col("_3"))
@@ -912,21 +999,26 @@ object Bench {
         try {
           kvMem.addData(kvSide.take(100))
           q3.processAllAvailable()
-          val warm = Option(q3.lastProgress).map(_.batchId).getOrElse(-1L)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             kvSide.grouped(50000).foreach(kvMem.addData(_)); c += 1
           }
           q3.processAllAvailable()
-          ((System.nanoTime() - t0) / 1e9, batchLatencies(q3, warm))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val floodEnd = Option(q3.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (paced)
+            pacedReplay[(Long, Double, java.sql.Timestamp)](
+              kvMem.addData(_), () => q3.processAllAvailable(),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(kvSide), cycles)
+          (secs, if (paced) batchLatencies(q3, floodEnd) else Seq.empty)
         } finally q3.stop()
       }
 
       // window-store: per-record put into (key, window) state — the
       // windowed-count topology running in true streaming update mode
       // (the batch twin is the `windowed-count` workload above)
-      def windowStoreOnce(): (Double, Seq[Double]) = {
+      def windowStoreOnce(paced: Boolean): (Double, Seq[Double]) = {
         val wMem = MemoryStream[(Long, String, java.sql.Timestamp)]
         val windowed = wMem.toDF().toDF("user_id", "event_type", "ts")
           .groupBy(window(col("ts"), "1 hour"), col("user_id"))
@@ -936,21 +1028,29 @@ object Bench {
         try {
           wMem.addData(events.take(100))
           q4.processAllAvailable()
-          val warm = Option(q4.lastProgress).map(_.batchId).getOrElse(-1L)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             events.grouped(50000).foreach(wMem.addData(_)); c += 1
           }
           q4.processAllAvailable()
-          ((System.nanoTime() - t0) / 1e9, batchLatencies(q4, warm))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val floodEnd = Option(q4.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (paced)
+            pacedReplay[(Long, String, java.sql.Timestamp)](
+              wMem.addData(_), () => q4.processAllAvailable(),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(events), cycles)
+          (secs, if (paced) batchLatencies(q4, floodEnd) else Seq.empty)
         } finally q4.stop()
       }
 
       val latAcc = scala.collection.mutable.Map.empty[String, Seq[Double]]
-      def sample(wl: String)(once: () => (Double, Seq[Double])): Seq[Sample] = {
-        val runs = (1 to benchRuns).flatMap { _ =>
-          try Some(once())
+      def sample(wl: String)(once: Boolean => (Double, Seq[Double])): Seq[Sample] = {
+        // paced latency pass rides the FIRST run only: 40+ bounded-trigger
+        // samples are plenty for p50/p95/p99, and the flood timings of the
+        // remaining runs stay exactly the baseline-comparable measurement
+        val runs = (1 to benchRuns).flatMap { i =>
+          try Some(once(i == 1))
           catch { case e: Throwable =>
             System.err.println(s"[bench] $wl: $e"); None }
         }
@@ -989,7 +1089,10 @@ object Bench {
     * is the steady state. */
   private def batchLatencies(q: org.apache.spark.sql.streaming.StreamingQuery,
       afterBatch: Long): Seq[Double] =
-    q.recentProgress.toSeq.filter(_.batchId > afterBatch)
+    q.recentProgress.toSeq
+      // data-carrying triggers only: the paced drain interleaves no-data
+      // watermark batches whose ~ms durations would fake the percentiles
+      .filter(p => p.batchId > afterBatch && p.numInputRows > 0)
       .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
 
   /** One small end-to-end action so JIT/codegen warmup doesn't land on the

@@ -93,7 +93,7 @@ object UnigramLm {
     * term-by-term). Soft expected counts are quantized to 1e-6 units and
     * aggregated as BIGINT micro-counts, so the trained model is
     * bit-identical under any partitioning (the LinearModel discipline);
-    * pieces expected fewer than 0.5 uses prune (the paper prunes bottom-η
+    * pieces expected fewer than 1 use prune (the paper prunes bottom-η
     * by likelihood loss; a fixed floor keeps the round a single pass),
     * and the alphabet is floored at one expected use for coverage. */
   def train(wf: DataFrame, rounds: Int, maxPieceLen: Int = 6,

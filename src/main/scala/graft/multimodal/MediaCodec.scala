@@ -149,6 +149,34 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Sum of |gray(a) − gray(b)| over all pixels of two same-size
+    * rasters, decoded through the REAL imageio path (gray = low byte,
+    * matching [[rasterChecksum]]) — the frame-difference kernel of a
+    * scene-cut detector. None when either blob fails decode or the
+    * dimensions differ. */
+  def rasterAbsDiff(a: Array[Byte], b: Array[Byte]): Option[Long] = {
+    def read(x: Array[Byte]) =
+      try Option(ImageIO.read(new ByteArrayInputStream(x)))
+      catch { case _: Exception => None }
+    for {
+      ia <- read(a)
+      ib <- read(b)
+      if ia.getWidth == ib.getWidth && ia.getHeight == ib.getHeight
+    } yield {
+      var sum = 0L
+      var y = 0
+      while (y < ia.getHeight) {
+        var x = 0
+        while (x < ia.getWidth) {
+          sum += math.abs((ia.getRGB(x, y) & 0xff) - (ib.getRGB(x, y) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+  }
+
   // ---- REAL audio (JDK `javax.sound.sampled` — WAV/AIFF/AU are JDK
   // codecs the same way PNG/JPEG are for imageio; still no third-party
   // or native libraries)

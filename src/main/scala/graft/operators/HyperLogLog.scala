@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier
+  * 2007) over a key column — the bounded-memory cardinality summary a
+  * corpus intake keeps when the exact distinct-key set is itself a
+  * dataset (distinct n-grams / URLs / doc fingerprints at 100 TB).
+  * Spark's built-in `approx_count_distinct` is the same sketch but its
+  * internal hash/register layout is engine-private; this one routes the
+  * hash through md5 and keeps every step on an integer grid, so another
+  * SQL engine reproduces the REGISTERS — and therefore the estimate —
+  * bit-for-bit (the CountMinSketch discipline applied to cardinality).
+  *
+  * The reference engine has no sketches (its aggregations materialize
+  * per-key state); this is part of the Spark-native analytic layer.
+  *
+  * Layout: m = 64 registers (p = 6). The 60-bit md5 hash splits into
+  * register index j = h mod 64 and a 54-bit remainder w; the register
+  * stores max over items of rho(w) = 55 - bitlength(w) (rho = 55 when
+  * w = 0) — the "position of the first 1 bit", computed as
+  * `length(bin(w))` so both engines share the exact arithmetic.
+  *
+  * Estimate (all-integer): the harmonic-mean denominator
+  * S = Σ_j 2^(30 - M_j) uses 2^-30 units (registers past 30 contribute
+  * 0 — identical truncation on both engines; with 60-bit hashes a
+  * register needs ~2^36 distinct keys to exceed 30, far past this
+  * sketch's regime), and
+  * E = alpha_64 · m² / ΣR = (709 · 4096 · 2^30) div (S · 1000)
+  * with alpha_64 = 0.709 (the standard constant for m = 64).
+  *
+  * Scale shape:
+  *   - `registers` is ONE hash agg to at most m rows per group — mergeable
+  *     (max is idempotent/commutative), bit-identical under any
+  *     partitioning, and a union corpus's registers are the element-wise
+  *     MAX of the parts' (HyperLogLogSpec pins all three).
+  *   - in streaming, the register table IS the state: at most
+  *     |groups| · m rows forever, in update mode (q_hll_distinct_live).
+  */
+object HyperLogLog {
+
+  val M = 64 // registers (p = 6)
+
+  /** rho of the 54-bit remainder: 55 - bitlength(w), 55 when w = 0.
+    * `bin(w)` has no leading zeros in either engine, so bitlength is
+    * its string length. */
+  private def rho(w: Column): Column =
+    when(w === 0L, lit(55)).otherwise(lit(55) - length(bin(w)))
+
+  /** Per-group register table: (groupCols..., j, m_j) — one row per
+    * NON-EMPTY register (absent register = 0). */
+  def registers(items: DataFrame, itemCol: String, groupCols: Seq[String]): DataFrame = {
+    val h = T.md5Long(col(itemCol))
+    items
+      .select((groupCols.map(col) :+ (h % M).as("j") :+
+        rho(expr(s"(${hSql(itemCol)}) div $M")).as("__rho")): _*)
+      .groupBy((groupCols.map(col) :+ col("j")): _*)
+      .agg(max("__rho").as("m_j"))
+  }
+
+  /** Spark-side SQL fragment for md5Long (keeps the div inside one
+    * expression so codegen fuses hash + split; same value as
+    * [[graft.functions.TextFunctions.md5Long]]). */
+  private def hSql(itemCol: String): String =
+    s"cast(conv(substring(md5($itemCol), 1, 15), 16, 10) as bigint)"
+
+  /** alpha_64 · m² in 2^-30 units · 1000: 709 · 4096 · 2^30 (exact). */
+  private val AlphaNum: Long = 709L * 4096L * (1L << 30)
+
+  /** Integer HLL estimate per group from a register table:
+    * S = Σ 2^(30 - m_j) over present registers + 2^30 per absent one;
+    * E = (709 · 4096 · 2^30) div (S · 1000). Emits
+    * (groupCols..., hll_estimate, n_zero_registers). */
+  def estimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val term = when(col("m_j") <= 30L,
+      expr("shiftleft(cast(1 as bigint), cast(30 - m_j as int))")).otherwise(lit(0L))
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(term).as("__s_present"), count(lit(1)).as("__n_present"))
+      .select((groupCols.map(col) :+
+        ((lit(M.toLong) - col("__n_present")) * (1L << 30) + col("__s_present"))
+          .as("__s") :+
+        (lit(M.toLong) - col("__n_present")).as("n_zero_registers")): _*)
+      .select((groupCols.map(col) :+
+        expr(s"$AlphaNum div (__s * 1000)").as("hll_estimate") :+
+        col("n_zero_registers")): _*)
+  }
+}

@@ -2276,16 +2276,8 @@ object LlmPipeline extends Catalog {
     import org.apache.spark.sql.DataFrame
     val n = BpeMergeRounds
     var words: DataFrame = bpeWords(s, dir)
-    def top5(k: Int): DataFrame = {
-      val w = Window.orderBy(col("cnt").desc, col("pair"))
-      words
-        .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
-        .groupBy("pair").agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(5)
-        .select(lit(k.toLong).as("iter"), col("pair"), col("cnt"),
-          row_number().over(w).cast("long").as("rnk"))
-        .localCheckpoint() // 5 rows; truncates this round's lineage
-    }
+    // 5 rows; the checkpoint truncates this round's lineage
+    def top5(k: Int): DataFrame = bpeTop5(words, k).localCheckpoint()
     val tops = (1 to n).map { k =>
       val t = top5(k)
       if (k < n) {
@@ -2301,10 +2293,23 @@ object LlmPipeline extends Catalog {
     tops.reduce(_ union _).select("iter", "rnk", "pair", "cnt")
   }
 
+  /** One BPE round's ranked top-5 pair table, PRE-checkpoint — the
+    * unpartitioned ranking window rides on a 5-row Limit, never the pair
+    * table. Package-private so PlanSpec pins that bound explicitly. */
+  private[graft] def bpeTop5(words: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    words
+      .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(5)
+      .select(lit(k.toLong).as("iter"), col("pair"), col("cnt"),
+        row_number().over(w).cast("long").as("rnk"))
+  }
+
   /** Shared BPE word table: distinct corpus words with frequency, each as
     * its initial one-symbol-per-character string. Checkpointed — both the
     * trainer loop and the encoder iterate from here without re-tokenizing. */
-  private def bpeWords(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def bpeWords(s: org.apache.spark.sql.SparkSession, dir: String) =
     spread(load(s, dir, "documents"))
       .select(explode(T.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -4128,22 +4133,79 @@ object LlmPipeline extends Catalog {
       }.toDF("doc_id", "format", "width", "height", "checksum")
   }
 
+  /** DuckDB CTE pair computing the exact integer sqrt of `$fromCte.s`
+    * (HUGEINT): floor(sqrt(double)) seed, then a ±2 CASE correction —
+    * the double seed is always within 2 of the true isqrt at these
+    * magnitudes, so the CASE lands on the exact greatest n with n² ≤ s
+    * (mirror of PowerIteration.isqrt). */
+  private def sqlIsqrt(name: String, fromCte: String): String =
+    s"""${name}_c0 AS (SELECT s,
+       |  CAST(floor(sqrt(CAST(s AS DOUBLE))) AS BIGINT) AS c0 FROM $fromCte),
+       |$name AS (SELECT CASE
+       |    WHEN CAST(c0 + 2 AS HUGEINT) * (c0 + 2) <= s THEN c0 + 2
+       |    WHEN CAST(c0 + 1 AS HUGEINT) * (c0 + 1) <= s THEN c0 + 1
+       |    WHEN CAST(c0 AS HUGEINT) * c0 <= s THEN c0
+       |    WHEN CAST(c0 - 1 AS HUGEINT) * (c0 - 1) <= s THEN c0 - 1
+       |    ELSE c0 - 2 END AS nrm FROM ${name}_c0)""".stripMargin
+
+  /** DuckDB CTEs for one power-iteration round on the micro grid:
+    * v_{k-1} → d_k (per-row dot) → r_k (Cv micro) → v_k (renormalized).
+    * Identical truncated-integer arithmetic to PowerIteration. */
+  private def sqlPowerStep(k: Int): String =
+    s"""d$k AS (SELECT x.vec_id, CAST(sum(x.xm * v.vm) // 1000000 AS BIGINT) AS dm
+       |  FROM xm x JOIN v${k - 1} v USING (pos) GROUP BY x.vec_id),
+       |r$k AS (SELECT x.pos, CAST(sum((x.xm * d.dm) // 1000000) AS BIGINT) AS raw
+       |  FROM xm x JOIN d$k d USING (vec_id) GROUP BY x.pos),
+       |n${k}s AS (SELECT CAST(sum(CAST(raw AS HUGEINT) * raw) AS HUGEINT) AS s FROM r$k),
+       |${sqlIsqrt(s"n$k", s"n${k}s")},
+       |v$k AS (SELECT pos, CAST(CAST(raw AS HUGEINT) * 1000000 // nrm AS BIGINT) AS vm
+       |  FROM r$k CROSS JOIN n$k)""".stripMargin
+
   // -- top principal component of the embedding corpus by distributed
   //    power iteration (functions.PowerIteration) — the whitening/drift
-  //    diagnostic before indexing. Rows-only: float normalization isn't
-  //    SQL-mirrorable; planted-direction recovery, unit norm, Rayleigh
-  //    dominance and bit-exactness under repartitioning are pinned by
-  //    PowerIterationSpec. Per iteration: one codegen'd dot-product map +
-  //    one (pos, BIGINT micro-sum) agg — dim rows to the driver, linear
-  //    in the corpus.
-  qNoOracle("q_embed_pca") { (s, dir) =>
+  //    diagnostic before indexing. ALL-INTEGER (promoted from rows-only
+  //    this round): every step lives on the 1e-6 micro grid as BIGINT —
+  //    the once-quantized corpus xm, the per-row dot products, the Cv
+  //    sums, AND the between-iteration renormalization (exact integer
+  //    sqrt + truncated division) — so the 4-round loop unrolls as
+  //    DuckDB CTEs bit-exactly, the q_pagerank_dupgraph recipe.
+  //    Planted-direction recovery / Rayleigh dominance / partitioning
+  //    bit-equality stay pinned by PowerIterationSpec. Per iteration:
+  //    one codegen'd dot-product map + one (pos, BIGINT micro-sum) agg —
+  //    dim rows to the driver, linear in the corpus.
+  q("q_embed_pca", {
+    val steps = (1 to 4).map(sqlPowerStep).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |xm AS (SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+       |       FROM e),
+       |d0s AS (SELECT CAST(len(embedding) AS HUGEINT) * 1000000 * 1000000 AS s
+       |        FROM e LIMIT 1),
+       |${sqlIsqrt("d0", "d0s")},
+       |v0 AS (SELECT pos, CAST(CAST(1000000000000 AS HUGEINT) // nrm AS BIGINT) AS vm
+       |       FROM (SELECT DISTINCT pos FROM xm) CROSS JOIN d0),
+       |$steps,
+       |lam AS (SELECT CAST(sum(CAST(r.raw AS HUGEINT) * v.vm) // 1000000 AS BIGINT) AS l
+       |        FROM r4 r JOIN v3 v USING (pos)),
+       |tr AS (SELECT CAST(sum(n2) AS BIGINT) AS t FROM
+       |       (SELECT vec_id, CAST(sum(x.xm * x.xm) // 1000000 AS BIGINT) AS n2
+       |        FROM xm x GROUP BY vec_id)),
+       |ratio AS (SELECT CASE WHEN t = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(CAST(l AS HUGEINT) * 1000000 // t AS BIGINT) END AS em
+       |  FROM lam CROSS JOIN tr),
+       |piv AS (SELECT CASE WHEN vm < 0 THEN -1 ELSE 1 END AS sgn
+       |        FROM v4 ORDER BY abs(vm) DESC, pos LIMIT 1)
+       |SELECT pos, CAST(vm * sgn AS BIGINT) AS loading_micro, em AS explained_micro
+       |FROM v4 CROSS JOIN piv CROSS JOIN ratio"""
+  }) { (s, dir) =>
     import graft.functions.PowerIteration
     val emb = spread(load(s, dir, "embeddings"))
-    val (v, ratioMicro) = PowerIteration.topComponent(emb, "embedding", iters = 4)
+    val (vm, ratioMicro) =
+      PowerIteration.topComponentMicro(emb, "embedding", iters = 4)
     import s.implicits._
-    v.toSeq.zipWithIndex
-      .map { case (x, i) => (i.toLong, math.rint(x * 1e6) / 1e6, ratioMicro) }
-      .toDF("pos", "loading", "explained_micro")
+    vm.toSeq.zipWithIndex
+      .map { case (m, i) => (i, m, ratioMicro) }
+      .toDF("pos", "loading_micro", "explained_micro")
   }
 
   // -- Count-Min sketch heavy hitters: the bounded-memory frequency
@@ -4227,6 +4289,80 @@ object LlmPipeline extends Catalog {
         width = 512, depth = 4)
       .select(col("w"), col("exact_count"), col("cms_estimate"),
         (col("cms_estimate") - col("exact_count")).as("overestimate"))
+  }
+
+  /** DuckDB CTE mirror of the HLL register/estimate algebra, shared by
+    * the batch and live twins (identical final state by construction). */
+  private val SqlHllQuery: String =
+    s"""WITH t AS (SELECT source, unnest($SqlTokens) AS w FROM documents),
+       |h AS (SELECT source, w, ${sqlMd5Long("w")} AS h FROM t),
+       |r AS (SELECT source, h % 64 AS j,
+       |        max(CASE WHEN h // 64 = 0 THEN 55
+       |            ELSE 55 - length(bin(h // 64)) END) AS mj
+       |      FROM h GROUP BY source, h % 64),
+       |s AS (SELECT source,
+       |        CAST(sum(CASE WHEN mj <= 30 THEN CAST(1 AS BIGINT) << (30 - mj)
+       |                 ELSE 0 END) AS BIGINT) AS sp,
+       |        count(*) AS np
+       |      FROM r GROUP BY source),
+       |e AS (SELECT source, (64 - np) * 1073741824 + sp AS s2,
+       |        CAST(64 - np AS BIGINT) AS nz FROM s),
+       |x AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+       |      FROM t GROUP BY source)
+       |SELECT x.source, x.n_exact,
+       |  CAST(3118146387509248 // (s2 * 1000) AS BIGINT) AS hll_estimate,
+       |  nz AS n_zero_registers
+       |FROM x JOIN e USING (source)""".stripMargin
+
+  // -- HyperLogLog distinct words per source (operators.HyperLogLog —
+  //    64 BIGINT registers per group at ANY corpus size) read out against
+  //    the exact distinct count. The md5 hash family and the all-integer
+  //    register/estimate algebra (rho via length(bin), harmonic sum in
+  //    2^-30 units, one truncated division) make the sketch — and the
+  //    estimate — bit-reproducible in DuckDB, unlike Spark's built-in
+  //    approx_count_distinct whose register layout is engine-private.
+  //    Mergeability / partitioning-independence are pinned by
+  //    HyperLogLogSpec. Scale: one (source, register) hash agg, then a
+  //    |sources|·64-row fold — the corpus is touched once.
+  q("q_hll_distinct", SqlHllQuery) { (s, dir) =>
+    import graft.operators.HyperLogLog
+    val toks = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+    val regs = HyperLogLog.registers(toks, "w", Seq("source"))
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("w")).as("n_exact"))
+    exact.join(HyperLogLog.estimate(regs, Seq("source")), Seq("source"))
+      .select(col("source"), col("n_exact"), col("hll_estimate"),
+        col("n_zero_registers"))
+  }
+
+  // -- LIVE register maintenance — the streaming shape: the corpus
+  //    replays through a running query whose ONLY state is the
+  //    (source, register) max table (update mode — bounded at
+  //    |sources|·64 rows forever, the sketch point); the final registers
+  //    must equal the batch build, so the estimates match the same
+  //    oracle (the q_heavy_hitters_cms_live pattern for cardinality).
+  q("q_hll_distinct_live", SqlHllQuery) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.HyperLogLog
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val regs = HyperLogLog.registers(
+      docs.select(col("source"), explode(T.tokens(col("text"))).as("w")),
+      "w", Seq("source"))
+    val name = s"hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    regs.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val finalRegs = s.table(name)
+    val toks = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("w")).as("n_exact"))
+    exact.join(HyperLogLog.estimate(finalRegs, Seq("source")), Seq("source"))
+      .select(col("source"), col("n_exact"), col("hll_estimate"),
+        col("n_zero_registers"))
   }
 
   // -- PageRank over the near-dup graph (3 iterations, damping 0.85):
@@ -4373,6 +4509,198 @@ object LlmPipeline extends Catalog {
       }.toDF("doc_id", "n_frames", "frame_idx", "checksum")
   }
 
+  // -- audio silence/clipping analysis (VAD-shaped): the synth PCM now
+  //    carries silent 50-sample blocks (every 4th block, phase by doc)
+  //    and scattered clipped samples; the pipeline does the REAL
+  //    encode→RIFF parse→PCM decode chain (q_multimodal_audio) and then
+  //    scans the DECODED samples imperatively for clip counts and
+  //    maximal silence runs — the pre-ASR gate (drop dead air, flag
+  //    clipped takes) an audio intake runs. The oracle mirrors the
+  //    signal arithmetically and the runs via gaps-and-islands; decode
+  //    must be sample-exact or run lengths shift. Map-only, per-doc
+  //    aggregates, zero shuffle.
+  q("q_audio_vad",
+    """WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents),
+      |sidx AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+      |v AS (SELECT doc_id, n, i,
+      |        CASE WHEN ((i // 50) + doc_id) % 4 = 0 THEN 0
+      |             WHEN (doc_id * 31 + i * 7) % 23 = 0 THEN
+      |               CASE WHEN i % 2 = 0 THEN 2047 ELSE -2048 END
+      |             ELSE (doc_id * 131 + i * 17) % 4096 - 2048 END AS s
+      |      FROM sidx),
+      |base AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+      |           CAST(count(*) FILTER (WHERE s = 2047 OR s = -2048) AS BIGINT)
+      |             AS n_clipped,
+      |           CAST(count(*) FILTER (WHERE s = 0) AS BIGINT) AS n_silent
+      |         FROM v GROUP BY doc_id),
+      |z AS (SELECT doc_id, i,
+      |        i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |      FROM v WHERE s = 0),
+      |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+      |         FROM z GROUP BY doc_id, grp),
+      |rr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_silent_runs,
+      |         CAST(max(len) AS BIGINT) AS longest_silent_run
+      |       FROM runs GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_samples, b.n_clipped, b.n_silent,
+      |  coalesce(rr.n_silent_runs, 0) AS n_silent_runs,
+      |  coalesce(rr.longest_silent_run, 0) AS longest_silent_run
+      |FROM base b LEFT JOIN rr USING (doc_id)""") { (s, dir) =>
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (800 + (id % 5) * 80).toInt
+          val samples = Array.tabulate(n) { i =>
+            if (((i / 50) + id) % 4 == 0) 0.toShort
+            else if ((id * 31L + i * 7L) % 23L == 0L)
+              (if (i % 2 == 0) 2047 else -2048).toShort
+            else ((id * 131L + i * 17L) % 4096L - 2048L).toShort
+          }
+          val wav = MediaCodec.encodeWavPcm16(8000, samples)
+          val decoded = MediaCodec.decodePcm16(wav).getOrElse(
+            sys.error(s"wav failed PCM decode for doc $id"))
+          var (nClip, nSil, runs, longest, cur) = (0L, 0L, 0L, 0L, 0L)
+          decoded.foreach { v =>
+            if (v == 2047 || v == -2048) nClip += 1
+            if (v == 0) {
+              nSil += 1; cur += 1
+              if (cur == 1L) runs += 1
+              if (cur > longest) longest = cur
+            } else cur = 0L
+          }
+          (id, n.toLong, nClip, nSil, runs, longest)
+        }
+      }.toDF("doc_id", "n_samples", "n_clipped", "n_silent",
+        "n_silent_runs", "longest_silent_run")
+  }
+
+  // -- video scene-cut detection over the frame container: per-doc frame
+  //    seeds advance by 1 (smooth) and jump by +199 every 3rd frame (a
+  //    cut), so consecutive REAL-decoded rasters differ by ~1 gray level
+  //    within a scene and by ~90 across a cut. The pipeline demuxes the
+  //    container, decodes EVERY frame through imageio, computes
+  //    |Δgray| sums between consecutive frames (MediaCodec.rasterAbsDiff)
+  //    and thresholds at 40·pixels — the shot-boundary pass a video
+  //    intake runs before frame sampling. Oracle mirrors the pixel
+  //    arithmetic; the decode chain must be pixel-exact end to end.
+  //    1→(frames-1) partition-wise expansion, zero shuffle.
+  q("q_video_scenecut",
+    """WITH p AS (SELECT doc_id, 4 + doc_id % 4 AS nf, 8 + doc_id % 8 AS w
+      |           FROM documents),
+      |f AS (SELECT doc_id, nf, w, unnest(range(1, nf)) AS fi FROM p),
+      |px AS (SELECT doc_id, nf, w, fi, unnest(range(w)) AS x FROM f),
+      |pxy AS (SELECT doc_id, nf, w, fi, x, unnest(range(8)) AS y FROM px),
+      |d AS (SELECT doc_id, nf, fi, w,
+      |        CAST(sum(abs(
+      |          ((doc_id * 7 + fi + (fi // 3) * 199 + x * 31 + y * 17) & 255) -
+      |          ((doc_id * 7 + (fi - 1) + ((fi - 1) // 3) * 199 + x * 31 + y * 17) & 255)
+      |        )) AS BIGINT) AS diff_sum
+      |      FROM pxy GROUP BY doc_id, nf, fi, w)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(fi AS BIGINT) AS frame_idx, diff_sum,
+      |  diff_sum > 40 * w * 8 AS is_cut
+      |FROM d""") { (s, dir) =>
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val nf = (4 + id % 4).toInt
+          val w = (8 + id % 8).toInt
+          def seed(f: Int): Long = id * 7L + f + (f / 3) * 199L
+          val container = MediaCodec.encodeFrameContainer(
+            (0 until nf).map(f => MediaCodec.encodePng(w, 8, seed(f))))
+          val frames = MediaCodec.decodeFrameContainer(container).getOrElse(
+            sys.error(s"container parse failed for doc $id"))
+          (1 until nf).iterator.map { fi =>
+            val diff = MediaCodec.rasterAbsDiff(frames(fi - 1), frames(fi))
+              .getOrElse(sys.error(s"frame decode failed for doc $id/$fi"))
+            (id, nf.toLong, fi.toLong, diff, diff > 40L * w * 8)
+          }
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "diff_sum", "is_cut")
+  }
+
+  // -- source-pair shingle overlap: the |sources|×|sources| corpus
+  //    similarity matrix over DISTINCT (source, 3-shingle) sets — the
+  //    "which feeds are restatements of each other" readout that decides
+  //    whether two crawls should share one dedup budget. Scale shape:
+  //    the per-shingle pair fan-out is bounded by |sources|² (a contract
+  //    constant, ~20², never corpus-sized), and the distinct collapse
+  //    happens BEFORE the pair join; Jaccard is an integer micro-ratio.
+  q("q_source_overlap",
+    s"""WITH docs AS (SELECT source, $SqlTokens AS ws FROM documents),
+       |sh AS (SELECT DISTINCT source, unnest($SqlShingles3) AS s FROM docs),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.n_shared,
+       |  CAST(p.n_shared * 1000000 // (ca.n + cb.n - p.n_shared) AS BIGINT)
+       |    AS jaccard_micro
+       |FROM pairs p
+       |JOIN cnt ca ON ca.source = p.source_a
+       |JOIN cnt cb ON cb.source = p.source_b""") { (s, dir) =>
+    val sh = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(D.wordShingles(col("text"), 3)).as("s"))
+      .distinct()
+    val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("source_a", "s")
+    val b = sh.toDF("source_b", "s")
+    a.join(b, a("s") === b("s") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(cnt.toDF("source_a", "na")), "source_a")
+      .join(broadcast(cnt.toDF("source_b", "nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("n_shared * 1000000 div (na + nb - n_shared)").as("jaccard_micro"))
+  }
+
+  // -- language-ID confusion matrix: the n-gram heuristic's predictions
+  //    (q_lang_id) against the corpus's labeled lang column — the
+  //    eval-harness readout that decides whether the cheap classifier is
+  //    good enough to route documents. Per (true, pred) cell: count and
+  //    the row share in integer micro units. One hash agg over the
+  //    codegen'd scorer, |langs|² output rows.
+  q("q_langid_confusion", {
+    val scoreSql = T.LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter(ltoks, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = T.LangMarkers.map(_._1)
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val caseChain = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ltoks
+       |  FROM documents),
+       |s AS (SELECT doc_id, lang, text, $scoreSql FROM t),
+       |m AS (SELECT *, $mx AS mx FROM s),
+       |lp AS (SELECT doc_id, lang AS lang_true,
+       |  CASE WHEN length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) < length(text) THEN 'zh'
+       |       WHEN mx = 0 THEN 'und'
+       |       $caseChain ELSE 'und' END AS lang_pred
+       |  FROM m),
+       |c AS (SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |      FROM lp GROUP BY 1, 2),
+       |tot AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS row_n
+       |        FROM c GROUP BY lang_true)
+       |SELECT c.lang_true, c.lang_pred, c.n,
+       |  CAST(c.n * 1000000 // tot.row_n AS BIGINT) AS row_share_micro
+       |FROM c JOIN tot USING (lang_true)""".stripMargin
+  }) { (s, dir) =>
+    val c = load(s, dir, "documents")
+      .groupBy(col("lang").as("lang_true"),
+        T.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |langs|² rows; totals fold this, not the corpus
+    val tot = c.groupBy("lang_true").agg(sum("n").as("row_n"))
+    c.join(broadcast(tot), "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        expr("n * 1000000 div row_n").as("row_share_micro"))
+  }
+
   // ------------------------------------------------- corpus lexicon stats
 
   // -- type/token statistics per source — the Zipf/Heaps diagnostics a
@@ -4434,7 +4762,7 @@ object LlmPipeline extends Catalog {
     val docs = spread(load(s, dir, "documents"))
     val n = docs.agg((max(col("doc_id")) + 1L).as("n"))
     val t = docs.crossJoin(broadcast(n))
-      .select((col("doc_id") * 20L / col("n")).cast("long").as("bucket"),
+      .select(expr("doc_id * 20 div n").as("bucket"),
         explode(T.tokens(col("text"))).as("w"))
     val tk = t.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
     val nt = t.groupBy("w").agg(min("bucket").as("bucket"))

@@ -882,6 +882,68 @@ object Relational extends Catalog {
         expr("n * 1000000 div row_total").as("p_micro"))
   }
 
+  // -- stationary distribution of the event-type Markov chain: 3 rounds
+  //    of v ← vP over the transition-count matrix in integer micro units
+  //    (per-(prev,next) share = (v·c) DIV row_total, truncated the same
+  //    way on both engines — the q_pagerank_dupgraph recipe applied to
+  //    behavioral analytics): where user sessions spend their time in
+  //    the long run. Scale shape: ONE corpus lag-window pass builds the
+  //    |types|² matrix (localCheckpointed); each round is a join over
+  //    that bounded matrix, never the corpus; the oracle unrolls the
+  //    three rounds as CTEs bit-exactly.
+  q("q_event_markov_stationary", {
+    def step(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT c.next AS state,
+         |    CAST(sum((v.v * c.n) // t.row_total) AS BIGINT) AS v
+         |  FROM c JOIN $prev v ON v.state = c.prev
+         |  JOIN t ON t.prev = c.prev
+         |  GROUP BY c.next)"""
+    s"""WITH o AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev
+       |  FROM events),
+       |c AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+       |      FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+       |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_total
+       |      FROM c GROUP BY prev),
+       |st AS (SELECT DISTINCT prev AS state FROM c),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+       |v0 AS (SELECT state, CAST(1000000 // k AS BIGINT) AS v
+       |       FROM st CROSS JOIN ns),
+       |${step("v0", "v1")},
+       |${step("v1", "v2")},
+       |${step("v2", "v3")}
+       |SELECT st.state AS event_type, coalesce(v3.v, 0) AS stationary_micro
+       |FROM st LEFT JOIN v3 ON v3.state = st.state""".stripMargin
+  }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|² rows; the loop folds this, not the corpus
+    val t = c.groupBy("prev").agg(sum("n").as("row_total"))
+      .localCheckpoint()
+    val st = c.select(col("prev").as("state")).distinct().localCheckpoint()
+    val k = st.count() // |event_types| — bounded by contract
+    var v = st.select(col("state"), lit(1000000L / k).as("v"))
+    for (_ <- 1 to 3) {
+      v = c.join(v, c("prev") === v("state"))
+        .join(t, "prev")
+        .select(col("next"), expr("(v * n) div row_total").as("sh"))
+        .groupBy(col("next").as("state")).agg(sum("sh").as("v"))
+        .localCheckpoint()
+    }
+    st.join(v, Seq("state"), "left")
+      .select(col("state").as("event_type"),
+        coalesce(col("v"), lit(0L)).as("stationary_micro"))
+  }
+
   // -- conversion latency: per user, seconds from FIRST signup to the
   //    first purchase at-or-after it — the funnel-latency readout
   //    (q_event_funnel counts stages; this measures the gap). Second

@@ -378,6 +378,83 @@ object StatefulOps {
     }
   }
 
+  /** [[suppressUntilTimeLimit]] with the reference's EXACT time-ordered
+    * buffer semantics (`state/internals/InMemoryTimeOrderedKeyValueBuffer
+    * .java:443-462` cleanPut + `kstream/internals/suppress/
+    * KTableSuppressProcessor.java:84-107` enforceConstraints):
+    *
+    *   - the buffer is ONE time-ordered structure per buffer instance
+    *     (reference: per stream task; here: per hash bucket of keys —
+    *     `numBuffers` plays the role of the task count, and the records
+    *     bound is per instance exactly like `BufferConfig.maxRecords`),
+    *   - put is NON-RESETTING: an update to a buffered key replaces the
+    *     value but keeps the key's original position in the time order
+    *     (`cleanPut` "insert the new record in the same place"),
+    *   - each arrival advances observed STREAM time (max record ts), then
+    *     evicts-and-emits every entry whose buffer time ≤ streamTime -
+    *     delay (`evictWhile(minTimestamp <= expiryTime)`), then — EMIT
+    *     overflow policy — evicts-and-emits the OLDEST entries while the
+    *     buffer is over capacity (`evictWhile(overCapacity)`). This is
+    *     the oldest-first eviction the per-key variants cannot express
+    *     (their GroupState can't reach another key's buffer).
+    *
+    * Divergence (documented): entries with EQUAL buffer time order FIFO
+    * by arrival, where the reference tie-breaks on serialized key bytes
+    * (`BufferKey.compareTo`) — an artifact of its byte-store layout, not
+    * a semantic contract. Stream time advances per buffer instance, as in
+    * the reference (per task). Deterministic: driven entirely by record
+    * timestamps, no wall clock. Works in batch (one fold) and streaming.
+    */
+  def suppressUntilTimeLimitOrdered[K: Encoder, V: Encoder](
+      stream: KStream[K, V], delayMs: Long, maxRecordsPerBuffer: Long,
+      numBuffers: Int = 8): Dataset[(K, V)] = {
+    require(numBuffers >= 1 && maxRecordsPerBuffer >= 1)
+    implicit val kvEnc: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
+    // (sorted buffer entries (time, seq, key, value), next seq, streamTime)
+    type Buf = (Vector[(Long, Long, K, V)], Long, Long)
+    implicit val stEnc: Encoder[Buf] = Encoders.kryo[Buf]
+    stream.toDataset
+      .groupByKey(r => math.floorMod(r._1.hashCode, numBuffers))(Encoders.scalaInt)
+      .flatMapGroupsWithState[Buf, (K, V)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var (buf, seq, streamTime) =
+            state.getOption.getOrElse((Vector.empty[(Long, Long, K, V)],
+              0L, Long.MinValue))
+          val out = Vector.newBuilder[(K, V)]
+          // arrivals fold in record-ts order (stable) — the micro-batch
+          // iterator carries no order contract, the reference's process()
+          // sees records in stream order
+          rows.toVector.sortBy(_._3.getTime).foreach { case (k, v, ts) =>
+            val t = ts.getTime
+            if (t > streamTime) streamTime = t
+            val i = buf.indexWhere(_._3 == k)
+            if (i >= 0) // non-resetting put: keep (time, seq) slot
+              buf = buf.updated(i, (buf(i)._1, buf(i)._2, k, v))
+            else {
+              val pos = buf.indexWhere(e => e._1 > t || (e._1 == t && e._2 > seq))
+              val entry = (t, seq, k, v)
+              buf = if (pos < 0) buf :+ entry
+                    else (buf.take(pos) :+ entry) ++ buf.drop(pos)
+              seq += 1
+            }
+            // time-limit eviction, oldest first
+            val expiry = streamTime - delayMs
+            while (buf.nonEmpty && buf.head._1 <= expiry) {
+              out += ((buf.head._3, buf.head._4)); buf = buf.tail
+            }
+            // EMIT overflow policy: evict the OLDEST while over capacity
+            while (buf.size > maxRecordsPerBuffer) {
+              out += ((buf.head._3, buf.head._4)); buf = buf.tail
+            }
+          }
+          state.update((buf, seq, streamTime))
+          out.result().iterator
+      }
+  }
+
   /** Buffered timestamps + the watermark up to which windows have already
     * been finalized, for [[slidingCountStream]]. */
   case class SlidingState(tsMs: Seq[Long], emittedUpToMs: Long)

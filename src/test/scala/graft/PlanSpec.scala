@@ -362,4 +362,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  // ---- bounded-window discipline: every unpartitioned Window (the
+  // "moving all data to a single partition" shape) must be fed by a node
+  // that bounds its input BY CONSTRUCTION — a Limit/TakeOrdered or a
+  // group-by whose key cardinality is a contract constant (|languages|,
+  // 20 fixed buckets). These four pins make that discipline explicit for
+  // the four catalog queries that use a global window.
+
+  /** Asserts every partition-less WindowExec in `df`'s physical plan has
+    * a Limit / TakeOrdered / Aggregate descendant (the bounding node). */
+  private def assertUnpartitionedWindowsBounded(
+      df: org.apache.spark.sql.DataFrame, who: String): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    // sparkPlan (pre-AQE) so the tree is traversable
+    val plan = df.queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(wins.nonEmpty, s"$who: expected an unpartitioned WindowExec in\n$plan")
+    wins.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case n: GlobalLimitExec => n
+        case n: TakeOrderedAndProjectExec => n
+        case n: HashAggregateExec => n
+        case n: ObjectHashAggregateExec => n
+        case n: SortAggregateExec => n
+      }
+      assert(bounded.isDefined,
+        s"$who: unpartitioned Window has unbounded input:\n$w")
+    }
+  }
+
+  test("q_vocab_token_ids: global ranking window rides on the 1000-row Limit") {
+    assertUnpartitionedWindowsBounded(
+      SparkEntry.queries("q_vocab_token_ids")(spark, dir), "q_vocab_token_ids")
+  }
+
+  test("q_bpe_merges round: global top-5 window rides on the 5-row Limit") {
+    // the query checkpoints each 5-row round, so the final plan hides the
+    // window — pin the pre-checkpoint round shape directly
+    val words = graft.queries.LlmPipeline.bpeWords(spark, dir)
+    assertUnpartitionedWindowsBounded(
+      graft.queries.LlmPipeline.bpeTop5(words, 1), "q_bpe_merges round")
+  }
+
+  test("q_mixture_unimax: global prefix window rides on the |languages| agg") {
+    assertUnpartitionedWindowsBounded(
+      SparkEntry.queries("q_mixture_unimax")(spark, dir), "q_mixture_unimax")
+  }
+
+  test("q_vocab_growth: cumulative window rides on the 20-bucket agg") {
+    assertUnpartitionedWindowsBounded(
+      SparkEntry.queries("q_vocab_growth")(spark, dir), "q_vocab_growth")
+  }
 }

@@ -42,7 +42,7 @@ class CountMinSketchSpec extends AnyFunSuite {
 
   test("mergeable: sketch(A union B) = cell-wise sum of sketch(A) + sketch(B)") {
     val a = items.limit(300)
-    val b = items.except(a.limit(0)).exceptAll(a) // the remainder
+    val b = items.exceptAll(a) // the true multiset remainder
     val merged = CountMinSketch.build(a, "w", W, D)
       .unionByName(CountMinSketch.build(b, "w", W, D))
       .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))

@@ -164,6 +164,43 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ORDERED suppress evicts the OLDEST buffered entry on overflow " +
+      "(reference InMemoryTimeOrderedKeyValueBuffer semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    // delay 50s of STREAM time (not wall clock): within the first batches
+    // only capacity overflow can emit; one buffer so the bound is exact
+    val suppressed = StatefulOps.suppressUntilTimeLimitOrdered(stream,
+      delayMs = 50000L, maxRecordsPerBuffer = 2L, numBuffers = 1)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory")
+      .queryName("suppordered").outputMode(OutputMode.Append).start()
+    def got() = spark.table("suppordered").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    try {
+      mem.addData(("A", "a1", ts(1000L)), ("B", "b1", ts(2000L)))
+      q.processAllAvailable()
+      assert(got() === Set.empty, "buffer holds A, B — nothing due")
+      // A updates (non-resetting put: A KEEPS the oldest slot), then C
+      // overflows the 2-record buffer -> the OLDEST (A) is evicted and
+      // emitted WITH ITS LATEST VALUE; the arriving-record policy would
+      // have flushed C instead
+      mem.addData(("A", "a2", ts(2500L)), ("C", "c1", ts(3000L)))
+      q.processAllAvailable()
+      assert(got() === Set(("A", "a2")), s"got ${got()}")
+      // next overflow evicts B (now the oldest), never the arriving D
+      mem.addData(("D", "d1", ts(4000L)))
+      q.processAllAvailable()
+      assert(got() === Set(("A", "a2"), ("B", "b1")), s"got ${got()}")
+      // stream time jumps past the delay: C (3000) and D (4000) are due
+      // (<= 100000 - 50000) and evict in time order; E itself stays
+      mem.addData(("E", "e1", ts(100000L)))
+      q.processAllAvailable()
+      assert(got() === Set(("A", "a2"), ("B", "b1"), ("C", "c1"), ("D", "d1")),
+        s"got ${got()}")
+    } finally q.stop()
+  }
+
   test("bounded suppress buffer SHUT_DOWN policy fails the query on overflow") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
