@@ -131,7 +131,16 @@ object Bench {
     "heavy-hitters-cms" -> "q_heavy_hitters_cms",
     "pagerank-dupgraph" -> "q_pagerank_dupgraph",
     "multimodal-audio" -> "q_multimodal_audio",
-    "multimodal-video" -> "q_multimodal_video_frames")
+    "multimodal-video" -> "q_multimodal_video_frames",
+    "hll-distinct" -> "q_hll_distinct",
+    "audio-vad" -> "q_audio_vad",
+    "video-scenecut" -> "q_video_scenecut",
+    "source-overlap" -> "q_source_overlap",
+    "langid-confusion" -> "q_langid_confusion",
+    "markov-stationary" -> "q_event_markov_stationary",
+    "image-ahash-dedup" -> "q_image_ahash_dedup",
+    "embed-drift" -> "q_embed_drift",
+    "ohlc-bars" -> "q_ohlc_bars")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -383,6 +392,13 @@ object Bench {
       "length-histogram" -> bytes("documents"),
       "contamination-report" -> bytes("documents"),
       "heavy-hitters-cms" -> bytes("documents"),
+      "hll-distinct" -> bytes("documents"),
+      "audio-vad" -> bytes("documents"),
+      "video-scenecut" -> bytes("documents"),
+      "source-overlap" -> bytes("documents"),
+      "langid-confusion" -> bytes("documents"),
+      "image-ahash-dedup" -> bytes("documents"),
+      "embed-drift" -> bytes("embeddings"),
       "pagerank-dupgraph" -> bytes("documents"),
       "multimodal-audio" -> bytes("documents"),
       "multimodal-video" -> bytes("documents"),
@@ -451,6 +467,13 @@ object Bench {
       "length-histogram" -> docRows,
       "contamination-report" -> docRows,
       "heavy-hitters-cms" -> docRows,
+      "hll-distinct" -> docRows,
+      "audio-vad" -> docRows,
+      "video-scenecut" -> docRows,
+      "source-overlap" -> docRows,
+      "langid-confusion" -> docRows,
+      "image-ahash-dedup" -> docRows,
+      "embed-drift" -> embRows,
       "pagerank-dupgraph" -> docRows,
       "multimodal-audio" -> docRows,
       "multimodal-video" -> docRows,
@@ -473,14 +496,20 @@ object Bench {
       val loadStart = loadAvg()
       val calibStartMs = calibrationSpinMs()
 
-      // benchRuns (≥3) iterations per workload, report the MEDIAN — stable
-      // against one-off GC/JIT hiccups, still a warmed steady-state number
-      // (iteration 1 pays codegen; the median discards it when later runs
-      // are faster). Failed iterations yield NO timing sample (a fast
-      // failure would otherwise skew the stats and report absurd throughput).
+      // one UNTIMED warmup execution, then benchRuns (≥3) timed
+      // iterations per workload, report the MEDIAN. The warmup pays the
+      // per-workload codegen/JIT compile OUTSIDE the samples — without
+      // it, sub-second workloads early in the suite carried their own
+      // compile in every sample while late (and @10x) re-runs of the
+      // same kernels ran warmed, which read as cross-round "drift"
+      // (BASELINE.md round-8 note: ann-cosine-topk/dedup-jaccard).
+      // Failed iterations yield NO timing sample (a fast failure would
+      // otherwise skew the stats and report absurd throughput).
       val results: Seq[Sample] = workloads.flatMap { case (wl, qname) =>
         val fn = SparkEntry.queries(qname)
         var n = -1L
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () } // warmup failure surfaces below
         val secs = (1 to benchRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try { n = fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -646,30 +675,34 @@ object Bench {
                 if (inputRows(wl) == embRows) embRows10 else docRows10, n))
             }
             // contrastive-self@10x: the PRODUCTION mining config, not the
-            // base-scale oracle-exact one. Pair fan-out of the IVF cell
-            // self-join is ~N²/k, so k scales LINEARLY with the corpus
-            // (k=8 at base N≈2k -> k=80 at 10x); nProbe is the
-            // recall/scan-fraction dial and stays small. nProbe = k (the
-            // base entry's setting, kept only so the brute-force SQL
-            // oracle is exact) would degenerate to a ~400M-pair all-pairs
-            // join here — precisely the shape the operator exists to avoid.
+            // base-scale oracle-exact one. nProbe = k (the base entry's
+            // setting, kept only so the brute-force SQL oracle is exact)
+            // would degenerate to a ~400M-pair all-pairs join here —
+            // precisely the shape the operator exists to avoid. k = 160
+            // with assignR = 2 multi-assignment from the round-8 knee
+            // study (BASELINE.md): finer cells beat k ∝ N/25 on
+            // recall-per-probe-fraction, cell replication halves the
+            // probe width a given recall needs, and ranking cells ONCE
+            // per vector (selfScored's materialized index) removes the
+            // duplicated k·N ranking term. Frontier: recall 0.906 at
+            // ~12.6 s vs r7's 0.749 at 6.8 s / untuned 0.932 at 23.4 s.
             val contrastive = try {
               import org.apache.spark.sql.functions.{avg, col, when}
               import graft.functions.VectorIndex
               val emb10 = spark.read.parquet(s"$dir10/embeddings.parquet")
                 .repartition(spark.sparkContext.defaultParallelism)
-              val k10 = 80
+              val k10 = 160
               // codebook is a one-time index-build artifact: marker-guarded
               // under benchDir (train is deterministic, so the cached
               // codebook — and the tuned nProbe below — are stable across
               // retry attempts)
-              val cb10Path = s"$benchDir/contrastive-cb-10x-$sfTag"
+              val cb10Path = s"$benchDir/contrastive-cb-10x-k160r2-$sfTag"
               val cb10 =
                 if (new java.io.File(s"$cb10Path/_SUCCESS").exists())
                   VectorIndex.loadCodebook(spark, cb10Path)
                 else {
                   val c = VectorIndex.train(emb10, "vec_id", "embedding",
-                    k = k10, iters = 2, sampleOneIn = 4)
+                    k = k10, iters = 3, sampleOneIn = 2)
                   VectorIndex.saveCodebook(spark, c, cb10Path)
                   c
                 }
@@ -686,7 +719,7 @@ object Bench {
                   .write.mode("overwrite").parquet(exactPath)
               def recallAt(np: Int): Double = {
                 val approx = VectorIndex.minePairs(emb10, "vec_id",
-                    "embedding", "label", cb10, nProbe = np)
+                    "embedding", "label", cb10, nProbe = np, assignR = 2)
                   .select(col("query_id"), col("pair_type"), col("sim"))
                 spark.read.parquet(exactPath)
                   .select(col("query_id"), col("pair_type"),
@@ -700,7 +733,7 @@ object Bench {
               // width whose recall clears the ~0.9 a production miner
               // targets — the VectorIndexSpec recall pattern, applied to
               // the mining config instead of a first-guess nProbe = 8
-              val tunePath = new java.io.File(s"$benchDir/contrastive-nprobe-10x-$sfTag.txt")
+              val tunePath = new java.io.File(s"$benchDir/contrastive-nprobe-10x-k160r2-$sfTag.txt")
               val (npChosen, recChosen): (Int, Double) =
                 if (tunePath.exists()) {
                   val Array(np, rec) =
@@ -708,7 +741,7 @@ object Bench {
                       .trim.split(",")
                   (np.toInt, rec.toDouble)
                 } else {
-                  val swept = Seq(8, 16, 24, 32).iterator
+                  val swept = Seq(12, 16, 20, 24, 32).iterator
                     .map(np => (np, recallAt(np)))
                     .find(_._2 >= 0.9)
                     .getOrElse((k10, 1.0))
@@ -722,7 +755,7 @@ object Bench {
                 val t0 = System.nanoTime()
                 try {
                   VectorIndex.minePairs(emb10, "vec_id", "embedding", "label",
-                    cb10, nProbe = npChosen).count()
+                    cb10, nProbe = npChosen, assignR = 2).count()
                   Some((System.nanoTime() - t0) / 1e9)
                 } catch { case e: Throwable =>
                   System.err.println(s"[bench] contrastive-self@10x: $e"); None }

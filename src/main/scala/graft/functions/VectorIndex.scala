@@ -159,9 +159,12 @@ object VectorIndex {
     * the per-(query, type) top-1 is a bounded-buffer partial
     * aggregation, never a per-query candidate list in one task. */
   def minePairs(corpus: DataFrame, idCol: String, embCol: String,
-      labelCol: String, cb: Codebook, nProbe: Int): DataFrame = {
+      labelCol: String, cb: Codebook, nProbe: Int,
+      assignR: Int = 1): DataFrame = {
+    // assignR > 1: a pair can meet in up to assignR cells — harmless for
+    // the per-(query, type) top-1 (duplicates carry the identical sim)
     val scored = selfScored(corpus, idCol, embCol, cb, nProbe,
-      extra = Seq(labelCol))
+      extra = Seq(labelCol), assignR = assignR)
       .select(
         // composite (query, same-label?) key for the bounded top-1
         (col("query_id") * 2 +
@@ -177,22 +180,53 @@ object VectorIndex {
   }
 
   /** Shared self-join core: (query_id, neighbor_id, sim [, q_/n_extra]).
-    * Corpus side sits in its ONE nearest cell; query side (the same
-    * rows) explodes to its nProbe nearest cells; the equi-join on
-    * `__cell` shuffles both sides — by construction each (q, c) pair
-    * meets at most once (in c's cell). */
+    * Corpus side sits in its `assignR` nearest cells (1 = classic IVF);
+    * query side (the same rows) explodes to its nProbe nearest cells;
+    * the equi-join on `__cell` shuffles both sides — each (q, c) pair
+    * meets in at most assignR cells.
+    *
+    * The cell RANKING (k distances + a partial sort per vector) is the
+    * self-mining wall floor when it runs once per join side; here it
+    * runs ONCE per vector — the ranked-cells column materializes
+    * (localCheckpoint: this row set IS the index, the thing a production
+    * build persists) and both join sides slice it (top-assignR for the
+    * posting side, top-nProbe for the probe side). */
   private def selfScored(corpus: DataFrame, idCol: String, embCol: String,
-      cb: Codebook, nProbe: Int, extra: Seq[String] = Nil): DataFrame = {
-    val probeUdf = udf((v: Seq[Float]) => cb.nearestN(v, nProbe))
-    val indexed = assignCells(corpus, embCol, cb)
-      .select(col("__cell") +: col(idCol).as("neighbor_id") +:
-        col(embCol).as("ce") +: extra.map(c => col(c).as(s"n_$c")): _*)
-    val probed = corpus
-      .select(col(idCol).as("query_id") +: col(embCol).as("qe") +:
+      cb: Codebook, nProbe: Int, extra: Seq[String] = Nil,
+      assignR: Int = 1): DataFrame = {
+    require(assignR >= 1, s"assignR must be >= 1, got $assignR")
+    val nRank = math.max(nProbe, assignR)
+    val rankUdf = udf((v: Seq[Float]) => cb.nearestN(v, nRank))
+    val ranked = corpus
+      .select(col(idCol) +: col(embCol) +: extra.map(col): _*)
+      .withColumn("__cells", rankUdf(col(embCol)))
+      .localCheckpoint()
+    val indexed = ranked
+      .select(explode(slice(col("__cells"), 1, assignR)).as("__cell") +:
+        col(idCol).as("neighbor_id") +: col(embCol).as("ce") +:
+        extra.map(c => col(c).as(s"n_$c")): _*)
+    val probed = ranked
+      .select(explode(slice(col("__cells"), 1, nProbe)).as("__cell") +:
+        col(idCol).as("query_id") +: col(embCol).as("qe") +:
         extra.map(c => col(c).as(s"q_$c")): _*)
-      .withColumn("__cell", explode(probeUdf(col("qe"))))
     indexed.join(probed, Seq("__cell")) // shuffled equi-join — NO broadcast
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFunctions.cosine(col("qe"), col("ce")), 4))
+  }
+
+  /** Multi-assignment indexing (the IVF "cell replication" refinement):
+    * each corpus vector lands in its `r` nearest cells instead of one,
+    * so a neighbor is met when ANY of its r cells falls inside the
+    * query's probe set. At fixed recall this lets nProbe — and with it
+    * the probe fan-out (nProbe·N joined rows), the wall driver of
+    * corpus-scale self-mining — shrink by roughly r×, for an index only
+    * r× larger. r = 1 is classic single-assignment. */
+  def assignCellsMulti(df: DataFrame, embCol: String, cb: Codebook, r: Int): DataFrame = {
+    require(r >= 1, s"assignR must be >= 1, got $r")
+    if (r == 1) assignCells(df, embCol, cb)
+    else {
+      val multiUdf = udf((v: Seq[Float]) => cb.nearestN(v, r))
+      df.withColumn("__cell", explode(multiUdf(col(embCol))))
+    }
   }
 }

@@ -149,6 +149,28 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Row-major gray values (low byte, matching [[rasterChecksum]]) of a
+    * raster decoded through the REAL imageio path — the pixel accessor
+    * perceptual hashing builds on. None when decode fails. */
+  def rasterGray(bytes: Array[Byte]): Option[Array[Int]] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val out = new Array[Int](im.getWidth * im.getHeight)
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          out(y * im.getWidth + x) = im.getRGB(x, y) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Sum of |gray(a) − gray(b)| over all pixels of two same-size
     * rasters, decoded through the REAL imageio path (gray = low byte,
     * matching [[rasterChecksum]]) — the frame-difference kernel of a

@@ -4701,6 +4701,213 @@ object LlmPipeline extends Catalog {
         expr("n * 1000000 div row_n").as("row_share_micro"))
   }
 
+  /** Shared aHash pipeline: every doc renders a REAL PNG (docs in groups
+    * of 5 share a base image — same size, each copy uniformly
+    * brightness-shifted: the near-dup structure; groups differ in SIZE,
+    * so the 8×8 nearest-resize samples a different lattice per group and
+    * distinct bases hash apart), then the REAL imageio chain runs
+    * resize-to-8×8 → gray decode → integer mean → 64 above-mean bits,
+    * split into two 32-bit halves (no sign-bit arithmetic anywhere). */
+  private def imageAhash(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val grp = id / 5
+          val seed = grp * 37L + id % 5
+          val png = MediaCodec.encodePng((9 + grp % 9).toInt, (9 + grp % 7).toInt, seed)
+          val small = MediaCodec.resizeNearest(png, 8, 8).getOrElse(
+            sys.error(s"JDK reader rejected its own png for doc $id"))
+          val g = MediaCodec.rasterGray(small).getOrElse(
+            sys.error(s"resized png failed raster decode for doc $id"))
+          require(g.length == 64, s"doc $id: ${g.length} pixels")
+          val mean = g.map(_.toLong).sum / 64L
+          var (lo, hi) = (0L, 0L)
+          var i = 0
+          while (i < 64) {
+            if (g(i) > mean) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+  }
+
+  /** DuckDB CTEs mirroring [[imageAhash]] arithmetically: the dest→src
+    * nearest map is (x·w)//8 (the q_multimodal_resize contract), the
+    * mean is a truncated integer, and the two hash halves are sums of
+    * distinct powers of two below 2³² — no sign bit on either engine. */
+  private val SqlAhashCtes: String =
+    """g AS (SELECT doc_id, (doc_id // 5) * 37 + doc_id % 5 AS seed,
+      |        9 + (doc_id // 5) % 9 AS w, 9 + (doc_id // 5) % 7 AS h
+      |      FROM documents),
+      |px AS (SELECT doc_id, seed, w, h, unnest(range(8)) AS x FROM g),
+      |pxy AS (SELECT doc_id, seed, w, h, x, unnest(range(8)) AS y FROM px),
+      |v AS (SELECT doc_id, x, y,
+      |        (seed + ((x * w) // 8) * 31 + ((y * h) // 8) * 17) & 255 AS p
+      |      FROM pxy),
+      |mn AS (SELECT doc_id, CAST(sum(p) // 64 AS BIGINT) AS mean
+      |       FROM v GROUP BY doc_id),
+      |b AS (SELECT v.doc_id,
+      |        CAST(sum(CASE WHEN p > mean AND y >= 4
+      |          THEN CAST(1 AS BIGINT) << (y * 8 + x - 32) ELSE 0 END) AS BIGINT)
+      |          AS ahash_hi,
+      |        CAST(sum(CASE WHEN p > mean AND y < 4
+      |          THEN CAST(1 AS BIGINT) << (y * 8 + x) ELSE 0 END) AS BIGINT)
+      |          AS ahash_lo
+      |      FROM v JOIN mn USING (doc_id) GROUP BY v.doc_id)""".stripMargin
+
+  // -- image perceptual hash (aHash): REAL render → REAL nearest resize
+  //    → REAL gray decode → above-mean bit signature, the cheap
+  //    image-dedup fingerprint a multimodal intake computes per asset.
+  //    The whole chain is pixel-exact (the q_multimodal_resize
+  //    discipline), so the oracle reproduces the 64-bit signature
+  //    arithmetically. Map-only, zero shuffle.
+  q("q_image_ahash",
+    s"""WITH $SqlAhashCtes
+       |SELECT doc_id, ahash_hi, ahash_lo FROM b""") { (s, dir) =>
+    imageAhash(s, dir)
+  }
+
+  // -- aHash near-dup pairs: 16-bit bands of the signature bucket-join
+  //    candidates (the MinHash-LSH shape on image signatures), buckets
+  //    cut to 2..50 BEFORE pairing (the dedup-family rule — an all-zero
+  //    band is a hot bucket, exactly the skew the cut exists for), then
+  //    exact Hamming rescore ≤ 6 via bit_count(xor). Brightness-shifted
+  //    copies of a base image land within the threshold; bases rendered
+  //    on a different sampling lattice mostly hash apart (aHash is the
+  //    cheap coarse filter, not the verifier — exactly its production
+  //    role). One bucket shuffle, no all-pairs anywhere.
+  q("q_image_ahash_dedup",
+    s"""WITH $SqlAhashCtes,
+       |bands AS (SELECT doc_id, ahash_hi, ahash_lo,
+       |            unnest(range(4)) AS band FROM b),
+       |bv AS (SELECT doc_id, ahash_hi, ahash_lo, band,
+       |         CASE WHEN band < 2 THEN (ahash_lo >> (band * 16)) & 65535
+       |              ELSE (ahash_hi >> ((band - 2) * 16)) & 65535 END AS v
+       |       FROM bands),
+       |small AS (SELECT band, v FROM bv GROUP BY band, v
+       |          HAVING count(*) BETWEEN 2 AND 50),
+       |kb AS (SELECT bv.* FROM bv JOIN small USING (band, v)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |           a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
+       |           b2.ahash_hi AS hi_b, b2.ahash_lo AS lo_b
+       |         FROM kb a JOIN kb b2
+       |           ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT)
+       |    AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6""") { (s, dir) =>
+    val ah = imageAhash(s, dir)
+    val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+      .withColumn("v", expr(
+        """CASE WHEN band < 2 THEN shiftright(ahash_lo, band * 16) & 65535
+          |ELSE shiftright(ahash_hi, (band - 2) * 16) & 65535 END""".stripMargin))
+    val small = bands.groupBy("band", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, 50)).select("band", "v")
+    val kb = bands.join(small, Seq("band", "v"))
+    val a = kb.select(col("doc_id").as("doc_a"), col("ahash_hi").as("hi_a"),
+      col("ahash_lo").as("lo_a"), col("band"), col("v"))
+    val b2 = kb.select(col("doc_id").as("doc_b"), col("ahash_hi").as("hi_b"),
+      col("ahash_lo").as("lo_b"), col("band"), col("v"))
+    a.join(b2, Seq("band", "v")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)")
+          .as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  // -- audio resample (decimate by 2): the REAL codec chain TWICE —
+  //    synth → encode 8 kHz RIFF → real decode → drop every other sample
+  //    → RE-encode a real 4 kHz RIFF → real header re-parse + re-decode
+  //    → energy readout. The sample-rate conversion every audio intake
+  //    runs before feature extraction; both containers are real and both
+  //    decodes must be sample-exact or the oracle hash breaks. Map-only,
+  //    zero shuffle before the final agg.
+  q("q_audio_resample",
+    """WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents),
+      |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+      |v AS (SELECT doc_id, n, i,
+      |        abs((doc_id * 131 + i * 17) % 4096 - 2048) AS a
+      |      FROM s WHERE i % 2 = 0)
+      |SELECT doc_id, CAST(4000 AS BIGINT) AS sample_rate,
+      |  CAST(n // 2 AS BIGINT) AS n_frames,
+      |  CAST(sum(a) AS BIGINT) AS abs_sum
+      |FROM v GROUP BY doc_id, n""") { (s, dir) =>
+    import graft.multimodal.MediaCodec
+    import s.implicits._
+    spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (800 + (id % 5) * 80).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 131L + i * 17L) % 4096L - 2048L).toShort)
+          val wav8k = MediaCodec.encodeWavPcm16(8000, samples)
+          val decoded = MediaCodec.decodePcm16(wav8k).getOrElse(
+            sys.error(s"8k wav failed PCM decode for doc $id"))
+          val half = Array.tabulate(decoded.length / 2)(j => decoded(2 * j))
+          val wav4k = MediaCodec.encodeWavPcm16(4000, half)
+          val (sr, _, frames) = MediaCodec.audioMeta(wav4k).getOrElse(
+            sys.error(s"JDK audio reader rejected the 4k wav for doc $id"))
+          val out = MediaCodec.decodePcm16(wav4k).getOrElse(
+            sys.error(s"4k wav failed PCM decode for doc $id"))
+          var sum = 0L
+          out.foreach(v => sum += math.abs(v.toLong))
+          (id, sr.toLong, frames, sum)
+        }
+      }.toDF("doc_id", "sample_rate", "n_frames", "abs_sum")
+  }
+
+  // -- per-label embedding drift report: micro-quantized centroid and
+  //    mean absolute deviation per (label, position) — the embedding-QA
+  //    readout (a drifting centroid = encoder change; exploding
+  //    deviation = collapsed or noisy dimensions). ALL-INTEGER on the
+  //    once-quantized grid (sum DIV n, |xm − centroid| DIV n), so the
+  //    oracle is bit-exact. Scale shape: two hash aggs over the corpus
+  //    (centroid pass, then deviation against the broadcast
+  //    |labels|·dim centroid table) — at real scale the quantized
+  //    corpus would checkpoint between the passes.
+  q("q_embed_drift",
+    """WITH xm AS (SELECT label,
+      |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      |  FROM embeddings),
+      |c AS (SELECT label, pos, CAST(sum(xm) AS BIGINT) AS s,
+      |        CAST(count(*) AS BIGINT) AS n FROM xm GROUP BY label, pos),
+      |ct AS (SELECT label, pos, n, CAST(s // n AS BIGINT) AS centroid_micro
+      |       FROM c),
+      |d AS (SELECT x.label, x.pos,
+      |        CAST(sum(abs(x.xm - ct.centroid_micro)) AS BIGINT) AS sd
+      |      FROM xm x JOIN ct ON ct.label = x.label AND ct.pos = x.pos
+      |      GROUP BY x.label, x.pos)
+      |SELECT ct.label, ct.pos, ct.n AS n_vecs, ct.centroid_micro,
+      |  CAST(d.sd // ct.n AS BIGINT) AS mean_abs_dev_micro
+      |FROM ct JOIN d USING (label, pos)""") { (s, dir) =>
+    val xm = spread(load(s, dir, "embeddings"))
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * lit(1e6)).cast("long")))
+          .as(Seq("pos", "xm")))
+    val ct = xm.groupBy("label", "pos")
+      .agg(sum("xm").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        expr("s div n").as("centroid_micro"))
+    val dev = xm
+      .join(broadcast(ct.select("label", "pos", "centroid_micro")),
+        Seq("label", "pos"))
+      .groupBy("label", "pos")
+      .agg(sum(abs(col("xm") - col("centroid_micro"))).as("sd"))
+    ct.join(dev, Seq("label", "pos"))
+      .select(col("label"), col("pos"), col("n").as("n_vecs"),
+        col("centroid_micro"), expr("sd div n").as("mean_abs_dev_micro"))
+  }
+
   // ------------------------------------------------- corpus lexicon stats
 
   // -- type/token statistics per source — the Zipf/Heaps diagnostics a

@@ -944,6 +944,48 @@ object Relational extends Catalog {
         coalesce(col("v"), lit(0L)).as("stationary_micro"))
   }
 
+  // -- OHLC bar aggregation: per (user, 15-minute bar) open/high/low/
+  //    close/count over the event value — the time-series downsampling
+  //    every metrics pipeline runs. Values quantize to 1e-6 micro units
+  //    ONCE (BIGINT from then on), open/close pick the first/last row by
+  //    the (ts, event_id) total order via row_number, and both direction
+  //    windows plus the bar agg share ONE (user, bar) shuffle.
+  q("q_ohlc_bars",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vm,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 900 AS win
+      |  FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id, win
+      |          ORDER BY ts, event_id) AS rn1,
+      |        row_number() OVER (PARTITION BY user_id, win
+      |          ORDER BY ts DESC, event_id DESC) AS rn2
+      |      FROM e)
+      |SELECT user_id, win,
+      |  CAST(min(CASE WHEN rn1 = 1 THEN vm END) AS BIGINT) AS open_micro,
+      |  CAST(max(vm) AS BIGINT) AS high_micro,
+      |  CAST(min(vm) AS BIGINT) AS low_micro,
+      |  CAST(min(CASE WHEN rn2 = 1 THEN vm END) AS BIGINT) AS close_micro,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM r GROUP BY user_id, win""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("vm"),
+        expr("unix_timestamp(ts) div 900").as("win"))
+    val asc = Window.partitionBy("user_id", "win").orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy("user_id", "win")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn1", row_number().over(asc))
+      .withColumn("rn2", row_number().over(desc))
+      .groupBy("user_id", "win")
+      .agg(min(when(col("rn1") === 1, col("vm"))).as("open_micro"),
+        max("vm").as("high_micro"), min("vm").as("low_micro"),
+        min(when(col("rn2") === 1, col("vm"))).as("close_micro"),
+        count(lit(1)).as("n_events"))
+  }
+
   // -- conversion latency: per user, seconds from FIRST signup to the
   //    first purchase at-or-after it — the funnel-latency readout
   //    (q_event_funnel counts stages; this measures the gap). Second

@@ -92,4 +92,28 @@ class VectorIndexSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean > 0.5, s"mean self-search recall $mean")
   }
+
+  test("multi-assignment mining: every single-assignment pair survives, " +
+      "recall vs exact never drops, and assignR = 1 is unchanged") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    def mined(np: Int, r: Int) =
+      VectorIndex.minePairs(emb, "vec_id", "embedding", "label", cb,
+          nProbe = np, assignR = r)
+        .collect().map(x => ((x.getLong(0), x.getString(1)), x.getDouble(3))).toMap
+    val exact = mined(16, 1) // nProbe = k meets every pair
+    val single = mined(4, 1)
+    val multi = mined(4, 2)
+    // schema/shape invariant: one row per (query, pair_type) either way
+    assert(multi.keySet.size === multi.size)
+    // r=2 strictly widens coverage: each mined sim can only improve
+    single.foreach { case (key, s1) =>
+      assert(multi.contains(key), s"r=2 lost pair $key")
+      assert(multi(key) >= s1, s"r=2 worsened $key: ${multi(key)} < $s1")
+    }
+    def recall(m: Map[(Long, String), Double]) =
+      exact.count { case (k2, es) => m.get(k2).exists(_ >= es) }.toDouble / exact.size
+    assert(recall(multi) >= recall(single),
+      s"multi-assign recall ${recall(multi)} < single ${recall(single)}")
+  }
 }
