@@ -169,7 +169,11 @@ object Bench {
     "bm25-search",
     // r7 operator batch: scale readout for the round's new operators
     "pagerank-dupgraph", "heavy-hitters-cms", "multimodal-audio",
-    "type-token-stats", "unigram-train", "unigram-train-soft")
+    "type-token-stats", "unigram-train", "unigram-train-soft",
+    // r8 operator batch (events-based workloads stay base-only: the 10x
+    // corpus scales documents + embeddings, events are symlinked)
+    "hll-distinct", "source-overlap", "image-ahash-dedup", "embed-drift",
+    "audio-vad", "video-scenecut", "langid-confusion")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed

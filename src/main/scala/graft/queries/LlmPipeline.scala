@@ -4772,17 +4772,10 @@ object LlmPipeline extends Catalog {
     imageAhash(s, dir)
   }
 
-  // -- aHash near-dup pairs: 16-bit bands of the signature bucket-join
-  //    candidates (the MinHash-LSH shape on image signatures), buckets
-  //    cut to 2..50 BEFORE pairing (the dedup-family rule — an all-zero
-  //    band is a hot bucket, exactly the skew the cut exists for), then
-  //    exact Hamming rescore ≤ 6 via bit_count(xor). Brightness-shifted
-  //    copies of a base image land within the threshold; bases rendered
-  //    on a different sampling lattice mostly hash apart (aHash is the
-  //    cheap coarse filter, not the verifier — exactly its production
-  //    role). One bucket shuffle, no all-pairs anywhere.
-  q("q_image_ahash_dedup",
-    s"""WITH $SqlAhashCtes,
+  /** aHash band CTEs shared by the pair and components queries (extends
+    * [[SqlAhashCtes]]; `apairs` = the Hamming-rescored near-dup pairs). */
+  private val SqlAhashPairCtes: String =
+    s"""$SqlAhashCtes,
        |bands AS (SELECT doc_id, ahash_hi, ahash_lo,
        |            unnest(range(4)) AS band FROM b),
        |bv AS (SELECT doc_id, ahash_hi, ahash_lo, band,
@@ -4796,12 +4789,32 @@ object LlmPipeline extends Catalog {
        |           a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
        |           b2.ahash_hi AS hi_b, b2.ahash_lo AS lo_b
        |         FROM kb a JOIN kb b2
-       |           ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT)
-       |    AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6""") { (s, dir) =>
+       |           ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id),
+       |apairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT)
+       |      AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 6)"""
+      .stripMargin
+
+  // -- aHash near-dup pairs: 16-bit bands of the signature bucket-join
+  //    candidates (the MinHash-LSH shape on image signatures), buckets
+  //    cut to 2..50 BEFORE pairing (the dedup-family rule — an all-zero
+  //    band is a hot bucket, exactly the skew the cut exists for), then
+  //    exact Hamming rescore ≤ 6 via bit_count(xor). Brightness-shifted
+  //    copies of a base image land within the threshold; bases rendered
+  //    on a different sampling lattice mostly hash apart (aHash is the
+  //    cheap coarse filter, not the verifier — exactly its production
+  //    role). One bucket shuffle, no all-pairs anywhere.
+  q("q_image_ahash_dedup",
+    s"""WITH $SqlAhashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM apairs""") { (s, dir) =>
+    imageAhashPairs(s, dir)
+  }
+
+  /** Spark twin of `apairs` (shared by the pair and components queries). */
+  private def imageAhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val ah = imageAhash(s, dir)
     val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
         explode(array((0 until 4).map(lit): _*)).as("band"))
@@ -4821,6 +4834,30 @@ object LlmPipeline extends Catalog {
         expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)")
           .as("hamming"))
       .filter(col("hamming") <= 6)
+  }
+
+  // -- image dedup clusters end-to-end: connected components over the
+  //    aHash near-dup pair graph (the q_dedup_components closure applied
+  //    to the image modality) — which assets are copies of one base, and
+  //    which copy is canonical. Same distributed label-propagation
+  //    operator, same recursive-CTE oracle; composition is the point:
+  //    every dedup family member (text shingles, embeddings, images)
+  //    feeds the one closure operator.
+  q("q_image_dedup_components",
+    s"""WITH RECURSIVE $SqlAhashPairCtes,
+       |sym AS (SELECT doc_a AS a2, doc_b AS b2 FROM apairs
+       |        UNION ALL SELECT doc_b AS a2, doc_a AS b2 FROM apairs),
+       |reach(n, m) AS (
+       |  SELECT a2, a2 FROM (SELECT DISTINCT a2 FROM sym)
+       |  UNION
+       |  SELECT s.b2, r.m FROM reach r JOIN sym s ON s.a2 = r.n)
+       |SELECT n AS doc_id, min(m) AS component,
+       |  CAST(n = min(m) AS INT) AS is_canonical
+       |FROM reach GROUP BY n""") { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    ConnectedComponents.run(imageAhashPairs(s, dir), "doc_a", "doc_b")
+      .select(col("n").as("doc_id"), col("label").as("component"),
+        (col("n") === col("label")).cast("int").as("is_canonical"))
   }
 
   // -- audio resample (decimate by 2): the REAL codec chain TWICE —

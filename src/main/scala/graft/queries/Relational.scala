@@ -986,6 +986,91 @@ object Relational extends Catalog {
         count(lit(1)).as("n_events"))
   }
 
+  // -- shuffle-skew diagnostics: the log₂ histogram of per-key group
+  //    sizes for a join/agg key (user_id here) plus the hot-key share —
+  //    the "does this shuffle need salting / AQE skew-join" readout an
+  //    operator of this engine consults before picking a plan shape.
+  //    Bucket = bitlength(group size) via length(bin(n)) — integer on
+  //    both engines; at any corpus size this is two hash aggs and a
+  //    broadcast 1-row totals cross join (the group-size table never
+  //    sorts globally).
+  q("q_skew_report",
+    """WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS sz
+      |           FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |        CAST(sum(sz) AS BIGINT) AS n_rows,
+      |        CAST(max(sz) AS BIGINT) AS max_sz FROM g),
+      |h AS (SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket,
+      |        CAST(count(*) AS BIGINT) AS n_groups_in_bucket,
+      |        CAST(sum(sz) AS BIGINT) AS rows_in_bucket
+      |      FROM g GROUP BY 1)
+      |SELECT h.bucket, h.n_groups_in_bucket, h.rows_in_bucket,
+      |  t.n_groups, t.max_sz,
+      |  CAST(t.max_sz * 1000000 // t.n_rows AS BIGINT) AS max_share_micro
+      |FROM h CROSS JOIN t""") { (s, dir) =>
+    val g = load(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint() // group-size table computed once for both sides
+    val t = g.agg(count(lit(1)).as("n_groups"), sum("sz").as("n_rows"),
+      max("sz").as("max_sz"))
+    val h = g.groupBy(length(bin(col("sz"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_groups_in_bucket"),
+        sum("sz").as("rows_in_bucket"))
+    h.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_groups_in_bucket"), col("rows_in_bucket"),
+        col("n_groups"), col("max_sz"),
+        expr("max_sz * 1000000 div n_rows").as("max_share_micro"))
+  }
+
+  // -- LIVE OHLC bars — the continuously-maintained twin: a streaming
+  //    (user, bar) aggregation where open/close ride min_by/max_by over
+  //    the (ts, event_id) total order (merge-safe: the argmin/argmax of
+  //    a union is the argmin/argmax of the parts, so partial aggregation
+  //    and cross-batch merges land exactly where the batch plan does).
+  //    Complete mode keeps the full bar table — the state here IS the
+  //    result (a production deployment would watermark + append closed
+  //    bars; exactness against the batch oracle is the point of the
+  //    twin). Final table must hash-equal q_ohlc_bars.
+  q("q_ohlc_bars_live",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vm,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 900 AS win
+      |  FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id, win
+      |          ORDER BY ts, event_id) AS rn1,
+      |        row_number() OVER (PARTITION BY user_id, win
+      |          ORDER BY ts DESC, event_id DESC) AS rn2
+      |      FROM e)
+      |SELECT user_id, win,
+      |  CAST(min(CASE WHEN rn1 = 1 THEN vm END) AS BIGINT) AS open_micro,
+      |  CAST(max(vm) AS BIGINT) AS high_micro,
+      |  CAST(min(vm) AS BIGINT) AS low_micro,
+      |  CAST(min(CASE WHEN rn2 = 1 THEN vm END) AS BIGINT) AS close_micro,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM r GROUP BY user_id, win""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val bars = ev
+      .select(col("user_id"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("vm"),
+        expr("unix_timestamp(ots) div 900").as("win"), col("ots"))
+      .groupBy("user_id", "win")
+      .agg(min_by(col("vm"), struct(col("ots"), col("event_id"))).as("open_micro"),
+        max("vm").as("high_micro"), min("vm").as("low_micro"),
+        max_by(col("vm"), struct(col("ots"), col("event_id"))).as("close_micro"),
+        count(lit(1)).as("n_events"))
+    val name = s"ohlc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    bars.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name)
+  }
+
   // -- conversion latency: per user, seconds from FIRST signup to the
   //    first purchase at-or-after it — the funnel-latency readout
   //    (q_event_funnel counts stages; this measures the gap). Second

@@ -416,4 +416,35 @@ class PlanSpec extends AnyFunSuite {
     assertUnpartitionedWindowsBounded(
       SparkEntry.queries("q_vocab_growth")(spark, dir), "q_vocab_growth")
   }
+
+  test("source overlap: distinct-collapsed equi-join, no cartesian") {
+    val plan = planOf("q_source_overlap")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the pair join is an EQUI-join on the shingle (hash-joinable at any
+    // scale — AQE picks broadcast at this sf, shuffle at real scale),
+    // fed by the distinct (source, shingle) collapse
+    assert(plan.contains("Join [s#") || plan.contains("Join [s "), plan.take(2000))
+    // the Jaccard denominators join as broadcast dimension tables
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("embed drift: centroid table broadcasts back over the corpus") {
+    val plan = planOf("q_embed_drift")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("partial_"), plan.take(1500))
+  }
+
+  test("image aHash dedup: banded candidates, no cartesian, no rank window") {
+    val plan = planOf("q_image_ahash_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("HLL registers: one partial-agg'd shuffle, no join before estimate") {
+    val plan = planOf("q_hll_distinct")
+    assert(plan.contains("partial_"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }
