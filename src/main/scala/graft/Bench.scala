@@ -140,7 +140,32 @@ object Bench {
     "markov-stationary" -> "q_event_markov_stationary",
     "image-ahash-dedup" -> "q_image_ahash_dedup",
     "embed-drift" -> "q_embed_drift",
-    "ohlc-bars" -> "q_ohlc_bars")
+    "ohlc-bars" -> "q_ohlc_bars",
+    "kmeans-clusters" -> "q_kmeans_clusters",
+    "winnowing-overlap" -> "q_winnowing_overlap",
+    "lsh-pr-eval" -> "q_lsh_pr_eval",
+    "graph-triangles" -> "q_graph_triangles",
+    "skew-report" -> "q_skew_report",
+    "image-dedup-components" -> "q_image_dedup_components",
+    "unpivot-metrics" -> "q_unpivot_metrics",
+    "profile-columns" -> "q_profile_columns",
+    "dq-rules" -> "q_dq_rules",
+    "scd2-history" -> "q_scd2_history",
+    "cdc-apply" -> "q_cdc_apply",
+    "zorder-layout" -> "q_zorder_layout",
+    "compaction-plan" -> "q_compaction_plan",
+    "audience-segments" -> "q_audience_segments",
+    "attribution" -> "q_attribution_last_touch",
+    "window-ewma" -> "q_window_ewma",
+    "graph-degree-dist" -> "q_graph_degree_dist",
+    "pmi-collocations" -> "q_pmi_collocations",
+    "cusum-drift" -> "q_cusum_drift",
+    "k-anonymity" -> "q_k_anonymity",
+    "mv-delta" -> "q_mv_delta_maintenance",
+    "histogram-equidepth" -> "q_histogram_equidepth",
+    "bloom-semi-reduction" -> "q_bloom_semi_reduction",
+    "random-projection" -> "q_random_projection",
+    "attribution-linear" -> "q_attribution_linear")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -173,7 +198,15 @@ object Bench {
     // r8 operator batch (events-based workloads stay base-only: the 10x
     // corpus scales documents + embeddings, events are symlinked)
     "hll-distinct", "source-overlap", "image-ahash-dedup", "embed-drift",
-    "audio-vad", "video-scenecut", "langid-confusion")
+    "audio-vad", "video-scenecut", "langid-confusion",
+    // r8 second batch: clustering / fingerprint / graph-census operators
+    "kmeans-clusters", "winnowing-overlap", "lsh-pr-eval",
+    "graph-triangles", "image-dedup-components",
+    // r8 third batch: the documents-based data-eng operators (the
+    // lineitem/orders/events-based ones stay base-only — the 10x corpus
+    // scales documents + embeddings)
+    "compaction-plan", "graph-degree-dist", "pmi-collocations",
+    "k-anonymity", "random-projection")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -402,12 +435,28 @@ object Bench {
       "source-overlap" -> bytes("documents"),
       "langid-confusion" -> bytes("documents"),
       "image-ahash-dedup" -> bytes("documents"),
+      "image-dedup-components" -> bytes("documents"),
+      "winnowing-overlap" -> bytes("documents"),
+      "lsh-pr-eval" -> bytes("documents"),
+      "graph-triangles" -> bytes("documents"),
+      "kmeans-clusters" -> bytes("embeddings"),
       "embed-drift" -> bytes("embeddings"),
       "pagerank-dupgraph" -> bytes("documents"),
       "multimodal-audio" -> bytes("documents"),
       "multimodal-video" -> bytes("documents"),
       "embed-pca" -> bytes("embeddings"),
-      "label-noise" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "label-noise" -> bytes("embeddings"),
+      "unpivot-metrics" -> bytes("lineitem"),
+      "profile-columns" -> bytes("lineitem"),
+      "dq-rules" -> bytes("lineitem"),
+      "zorder-layout" -> bytes("orders"),
+      "compaction-plan" -> bytes("documents"),
+      "graph-degree-dist" -> bytes("documents"),
+      "pmi-collocations" -> bytes("documents"),
+      "k-anonymity" -> bytes("documents"),
+      "histogram-equidepth" -> bytes("lineitem"),
+      "bloom-semi-reduction" -> bytes("orders"),
+      "random-projection" -> bytes("embeddings")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -477,12 +526,28 @@ object Bench {
       "source-overlap" -> docRows,
       "langid-confusion" -> docRows,
       "image-ahash-dedup" -> docRows,
+      "image-dedup-components" -> docRows,
+      "winnowing-overlap" -> docRows,
+      "lsh-pr-eval" -> docRows,
+      "graph-triangles" -> docRows,
+      "kmeans-clusters" -> embRows,
       "embed-drift" -> embRows,
       "pagerank-dupgraph" -> docRows,
       "multimodal-audio" -> docRows,
       "multimodal-video" -> docRows,
       "embed-pca" -> embRows,
-      "label-noise" -> embRows).withDefaultValue(eventRows)
+      "label-noise" -> embRows,
+      "unpivot-metrics" -> lineitemRows,
+      "profile-columns" -> lineitemRows,
+      "dq-rules" -> lineitemRows,
+      "zorder-layout" -> orderRows,
+      "compaction-plan" -> docRows,
+      "graph-degree-dist" -> docRows,
+      "pmi-collocations" -> docRows,
+      "k-anonymity" -> docRows,
+      "histogram-equidepth" -> lineitemRows,
+      "bloom-semi-reduction" -> orderRows,
+      "random-projection" -> embRows).withDefaultValue(eventRows)
 
     // ---- one measured attempt: load probes + every workload + the two
     // JSON payloads. An attempt that ends CONTENDED (external load at

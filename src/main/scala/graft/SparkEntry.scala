@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmPipeline, Relational, StreamsParity}
+import graft.queries.{DataEng, LlmPipeline, Relational, StreamsParity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{LlmPipeline, Relational, StreamsParity}
   * hashes).
   */
 object SparkEntry {
-  private val catalogs = Seq(Relational, StreamsParity, LlmPipeline)
+  private val catalogs = Seq(Relational, StreamsParity, LlmPipeline, DataEng)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Yahoo benchmark pipeline through the typed DSL — source, filter,

@@ -1,0 +1,943 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+import Catalog.dec2
+
+/** Data-engineering operator surface: the warehouse-maintenance queries a
+  * 100 TB training-data deployment runs AROUND the pipeline proper —
+  * reshaping (unpivot), profiling and data-quality gates, slowly-changing
+  * dimensions, CDC snapshot+changes merge, storage-layout planning
+  * (Z-order clustering, small-file compaction), and behavioral rollups
+  * (attribution, segments, EWMA smoothing) with live streaming twins.
+  *
+  * Everything is engine-exact against the DuckDB oracles: money through
+  * DECIMAL(18,2) / integer cents, rates in integer micro units via `div`,
+  * event values quantized once to BIGINT micros. The reference's DSL has
+  * none of these as built-ins (SURVEY.md §2.6) — they are the Spark-native
+  * analytic layer alongside [[Relational]].
+  */
+object DataEng extends Catalog {
+
+  // ------------------------------------------------------------ reshaping
+
+  // -- unpivot wide metrics to long form + per-metric rollup: the
+  //    wide-to-long reshape every metrics warehouse runs. stack() is a
+  //    codegen'd generator — the 4x row expansion happens map-side and
+  //    feeds a partial agg, so the shuffle carries |flags|x|metrics|
+  //    rows, not the 4x corpus.
+  q("q_unpivot_metrics",
+    """WITH m AS (
+      |  SELECT l_returnflag, 'l_quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v) AS DOUBLE) AS total,
+      |  CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+      |FROM m GROUP BY l_returnflag, metric""") { (s, dir) =>
+    load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("""stack(4,
+          'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,
+          'l_discount', l_discount, 'l_tax', l_tax) AS (metric, raw)"""))
+      .select(col("l_returnflag"), col("metric"), dec2(col("raw")).as("v"))
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"), sum("v").cast("double").as("total"),
+        min("v").cast("double").as("lo"), max("v").cast("double").as("hi"))
+  }
+
+  // ------------------------------------------------- profiling / quality
+
+  // -- column-profiling report (the Deequ/Great-Expectations "profile"
+  //    primitive): per numeric column n / nulls / distinct / min / max /
+  //    sum, all in exact integer cents (testdata money is round(x,2) by
+  //    contract). One stack expansion + one hash agg; count(DISTINCT) is
+  //    Spark's two-phase partial-distinct agg — no global sort.
+  q("q_profile_columns",
+    """WITH m AS (
+      |  SELECT 'l_quantity' AS column_name, CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+      |SELECT column_name, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) - count(cents) AS BIGINT) AS n_null,
+      |  CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
+      |  CAST(min(cents) AS BIGINT) AS min_cents,
+      |  CAST(max(cents) AS BIGINT) AS max_cents,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM m GROUP BY column_name""") { (s, dir) =>
+    load(s, dir, "lineitem")
+      .select(expr("""stack(4,
+        'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,
+        'l_discount', l_discount, 'l_tax', l_tax) AS (column_name, raw)"""))
+      .select(col("column_name"),
+        expr("cast(round(raw * 100) as bigint)").as("cents"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("cents"))).as("n_null"),
+        countDistinct(col("cents")).as("n_distinct"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        sum("cents").as("sum_cents"))
+  }
+
+  // -- data-quality rule report: range / domain rules as conditional
+  //    counts, referential integrity as left-join null counts — the gate
+  //    a pipeline evaluates before promoting a batch. Each rule is one
+  //    partial-agg'd pass (range rules share a scan via one agg); the RI
+  //    checks join customer (broadcast dim) and orders (shuffle join on
+  //    the fact key — the audit's inherent shape). Five 1-row DFs union'd.
+  q("q_dq_rules",
+    """SELECT 'quantity_range' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+      |  CAST(count(*) FILTER (NOT (l_quantity >= 1 AND l_quantity <= 50)) AS BIGINT) AS n_failed,
+      |  CAST((count(*) - count(*) FILTER (NOT (l_quantity >= 1 AND l_quantity <= 50))) * 1000000 // count(*) AS BIGINT) AS pass_micro
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_max', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) FILTER (l_discount > 0.08) AS BIGINT),
+      |  CAST((count(*) - count(*) FILTER (l_discount > 0.08)) * 1000000 // count(*) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'price_positive', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT),
+      |  CAST((count(*) - count(*) FILTER (l_extendedprice <= 0)) * 1000000 // count(*) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'order_has_customer', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT),
+      |  CAST((count(*) - count(*) FILTER (c_custkey IS NULL)) * 1000000 // count(*) AS BIGINT)
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |UNION ALL
+      |SELECT 'lineitem_has_order', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT),
+      |  CAST((count(*) - count(*) FILTER (o_orderkey IS NULL)) * 1000000 // count(*) AS BIGINT)
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""") { (s, dir) =>
+    val li = load(s, dir, "lineitem")
+    def rule(df: org.apache.spark.sql.DataFrame, name: String,
+        failed: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_checked"),
+          count(when(failed, 1)).as("n_failed"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_failed"),
+          expr("(n_checked - n_failed) * 1000000 div n_checked").as("pass_micro"))
+    val r1 = rule(li, "quantity_range",
+      !(col("l_quantity") >= 1 && col("l_quantity") <= 50))
+    val r2 = rule(li, "discount_max", col("l_discount") > 0.08)
+    val r3 = rule(li, "price_positive", col("l_extendedprice") <= 0)
+    val r4 = rule(
+      load(s, dir, "orders").join(broadcast(load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "left"),
+      "order_has_customer", col("c_custkey").isNull)
+    val r5 = rule(
+      li.join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"),
+        "left"),
+      "lineitem_has_order", col("o_orderkey").isNull)
+    r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+  }
+
+  // ----------------------------------------------------------- SCD / CDC
+
+  // -- slowly-changing-dimension type-2 history: collapse each user's
+  //    event-type runs into validity intervals (valid_from, valid_to,
+  //    version, is_current) — the dimension-table maintenance job. Both
+  //    windows and the change filter share ONE user_id shuffle; the
+  //    open-interval sentinel is the 9999-12-31 epoch on both engines.
+  q("q_scd2_history",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_type AS status,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |  FROM o WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, status, valid_from_s,
+      |  coalesce(lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY version),
+      |           253402214400) AS valid_to_s,
+      |  CAST(version AS BIGINT) AS version,
+      |  CAST(lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS BIGINT) AS is_current
+      |FROM ch""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wv = Window.partitionBy("user_id").orderBy("version")
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("status"),
+        expr("unix_timestamp(ts)").as("valid_from_s"),
+        row_number().over(w).as("version"))
+      .select(col("user_id"), col("status"), col("valid_from_s"),
+        coalesce(lead(col("valid_from_s"), 1).over(wv),
+          lit(253402214400L)).as("valid_to_s"),
+        col("version").cast("long").as("version"),
+        lead(col("valid_from_s"), 1).over(wv).isNull.cast("long").as("is_current"))
+  }
+
+  // -- CDC apply: merge a keyed snapshot with a change stream — latest
+  //    change wins, rows only in the snapshot carry forward, rows only in
+  //    the changes insert; each row is tagged with its merge action. The
+  //    user_id % 10 carve-outs put all three actions in play (a snapshot
+  //    missing "new" users, a change feed missing "dormant" ones). Both
+  //    sides reduce to one row per key BEFORE the full-outer join — the
+  //    join never sees the raw corpus; max_by merges associatively
+  //    (event times are unique per user, TESTDATA), so partial aggs land
+  //    exactly where the oracle does.
+  q("q_cdc_apply",
+    """WITH pre AS (
+      |  SELECT user_id,
+      |    max_by(event_type, ts) AS snap_type,
+      |    max_by(CAST(round(value * 1000000) AS BIGINT), ts) AS snap_value_micro
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16' AND user_id % 10 <> 0
+      |  GROUP BY user_id),
+      |post AS (
+      |  SELECT user_id,
+      |    max_by(event_type, ts) AS chg_type,
+      |    max_by(CAST(round(value * 1000000) AS BIGINT), ts) AS chg_value_micro,
+      |    CAST(count(*) AS BIGINT) AS n_changes
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND user_id % 10 <> 1
+      |  GROUP BY user_id)
+      |SELECT coalesce(pre.user_id, post.user_id) AS user_id,
+      |  coalesce(chg_type, snap_type) AS final_type,
+      |  coalesce(chg_value_micro, snap_value_micro) AS final_value_micro,
+      |  coalesce(n_changes, 0) AS n_changes,
+      |  CASE WHEN pre.user_id IS NULL THEN 'insert'
+      |       WHEN post.user_id IS NULL THEN 'carry'
+      |       ELSE 'update' END AS action
+      |FROM pre FULL JOIN post ON pre.user_id = post.user_id""") { (s, dir) =>
+    val e = load(s, dir, "events").select(col("user_id"), col("ts"),
+      col("event_type"), expr("cast(round(value * 1000000) as bigint)").as("vm"))
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    val pre = e.filter(col("ts") < cutoff && col("user_id") % 10 =!= 0)
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), col("ts")).as("snap_type"),
+        max_by(col("vm"), col("ts")).as("snap_value_micro"))
+    val post = e.filter(col("ts") >= cutoff && col("user_id") % 10 =!= 1)
+      .groupBy(col("user_id").as("p_user_id"))
+      .agg(max_by(col("event_type"), col("ts")).as("chg_type"),
+        max_by(col("vm"), col("ts")).as("chg_value_micro"),
+        count(lit(1)).as("n_changes"))
+    pre.join(post, col("user_id") === col("p_user_id"), "full")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        coalesce(col("chg_type"), col("snap_type")).as("final_type"),
+        coalesce(col("chg_value_micro"), col("snap_value_micro"))
+          .as("final_value_micro"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"),
+        when(col("user_id").isNull, "insert")
+          .when(col("p_user_id").isNull, "carry")
+          .otherwise("update").as("action"))
+  }
+
+  // ------------------------------------------------------ storage layout
+
+  // -- Z-order clustering evaluation: bucket (custkey, orderdate) onto a
+  //    256x256 grid, bit-interleave to the Z-value, lay rows into 64
+  //    equal files under (a) Z-order and (b) linear date-major order,
+  //    and score both layouts' zone maps against a 2-D range predicate —
+  //    the "should this table be Z-ordered" readout a 100 TB layout job
+  //    computes before rewriting. NO global-sort window: the global rank
+  //    decomposes into cum-counts over the BOUNDED cell domain (<= 65536
+  //    rows, broadcast) + a per-cell partitioned row_number — the same
+  //    rank-via-histogram trick a distributed sort uses, expressed so the
+  //    oracle can mirror it exactly.
+  q("q_zorder_layout", {
+    val zbits = (0 to 7).map(i =>
+      s"(((bx >> $i) & 1) * 2 + ((by >> $i) & 1)) * ${1L << (2 * i)}")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+       |  FROM orders),
+       |lim AS (SELECT max(o_custkey) + 1 AS cmax,
+       |    min(day) AS dmin, max(day) - min(day) + 1 AS dspan,
+       |    CAST(count(*) AS BIGINT) AS n FROM d),
+       |b AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey * 256 // cmax AS BIGINT) AS bx,
+       |    CAST((day - dmin) * 256 // dspan AS BIGINT) AS by,
+       |    n
+       |  FROM d, lim),
+       |z AS (SELECT o_orderkey, bx, by, n,
+       |    CAST($zbits AS BIGINT) AS zv,
+       |    CAST(by * 256 + bx AS BIGINT) AS lv
+       |  FROM b),
+       |cz AS (SELECT zv, count(*) AS cn FROM z GROUP BY zv),
+       |cumz AS (SELECT zv, sum(cn) OVER (ORDER BY zv) - cn AS bef FROM cz),
+       |rz AS (SELECT z.bx, z.by,
+       |    CAST((cumz.bef + row_number() OVER (PARTITION BY z.zv ORDER BY z.o_orderkey) - 1)
+       |         * 64 // z.n AS BIGINT) AS fid
+       |  FROM z JOIN cumz USING (zv)),
+       |cl AS (SELECT lv, count(*) AS cn FROM z GROUP BY lv),
+       |cuml AS (SELECT lv, sum(cn) OVER (ORDER BY lv) - cn AS bef FROM cl),
+       |rl AS (SELECT z.bx, z.by,
+       |    CAST((cuml.bef + row_number() OVER (PARTITION BY z.lv ORDER BY z.o_orderkey) - 1)
+       |         * 64 // z.n AS BIGINT) AS fid
+       |  FROM z JOIN cuml USING (lv)),
+       |zm AS (SELECT 'zorder' AS layout, fid, min(bx) lo_x, max(bx) hi_x,
+       |         min(by) lo_y, max(by) hi_y FROM rz GROUP BY fid
+       |       UNION ALL
+       |       SELECT 'linear', fid, min(bx), max(bx), min(by), max(by)
+       |       FROM rl GROUP BY fid)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+       |  CAST(count(*) FILTER (hi_x >= 64 AND lo_x <= 127 AND hi_y >= 64 AND lo_y <= 127) AS BIGINT) AS files_touched,
+       |  CAST((count(*) - count(*) FILTER (hi_x >= 64 AND lo_x <= 127 AND hi_y >= 64 AND lo_y <= 127)) * 1000000 // count(*) AS BIGINT) AS skip_micro
+       |FROM zm GROUP BY layout"""
+  }) { (s, dir) =>
+    val orders = load(s, dir, "orders")
+    val lim = orders.agg(
+      (max("o_custkey") + 1).as("cmax"),
+      min(expr("unix_timestamp(o_orderdate) div 86400")).as("dmin"),
+      (max(expr("unix_timestamp(o_orderdate) div 86400"))
+        - min(expr("unix_timestamp(o_orderdate) div 86400")) + 1).as("dspan"),
+      count(lit(1)).as("n"))
+    val zbits = (0 to 7).map(i =>
+      s"((shiftright(bx, $i) & 1) * 2 + (shiftright(by, $i) & 1)) * ${1L << (2 * i)}")
+      .mkString(" + ")
+    val z = orders.crossJoin(broadcast(lim))
+      .select(col("o_orderkey"),
+        expr("o_custkey * 256 div cmax").as("bx"),
+        expr("(unix_timestamp(o_orderdate) div 86400 - dmin) * 256 div dspan")
+          .as("by"),
+        col("n"))
+      .withColumn("zv", expr(s"cast($zbits as bigint)"))
+      .withColumn("lv", expr("by * 256 + bx"))
+      .localCheckpoint() // grid projection computed once for both layouts
+    // one layout pass: global rank = (cum count of smaller cells,
+    // BOUNDED <= 65536 rows so the unpartitioned window is by-contract)
+    // + per-cell partitioned row_number; fid = floor(rank * 64 / n)
+    def files(key: String, label: String) = {
+      val cells = z.groupBy(key).agg(count(lit(1)).as("cn"))
+      val cum = cells.withColumn("bef",
+        sum("cn").over(Window.orderBy(key)) - col("cn"))
+      z.join(broadcast(cum.select(col(key), col("bef"))), key)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(key).orderBy("o_orderkey")))
+        .select(col("bx"), col("by"),
+          expr("(bef + rn - 1) * 64 div n").as("fid"))
+        .groupBy("fid")
+        .agg(min("bx").as("lo_x"), max("bx").as("hi_x"),
+          min("by").as("lo_y"), max("by").as("hi_y"))
+        .select(lit(label).as("layout"), col("lo_x"), col("hi_x"),
+          col("lo_y"), col("hi_y"))
+    }
+    val touched = col("hi_x") >= 64 && col("lo_x") <= 127 &&
+      col("hi_y") >= 64 && col("lo_y") <= 127
+    files("zv", "zorder").unionAll(files("lv", "linear"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("files_total"),
+        count(when(touched, 1)).as("files_touched"))
+      .select(col("layout"), col("files_total"), col("files_touched"),
+        expr("(files_total - files_touched) * 1000000 div files_total")
+          .as("skip_micro"))
+  }
+
+  // -- small-file compaction plan: greedy sequential bin-packing of each
+  //    source's files (documents as proxies, n_chars as bytes) into
+  //    target-sized output files, expressed as prefix-sum DIV target —
+  //    the deterministic equivalent of the greedy packer, computable as
+  //    ONE per-source window pass (no driver loop, no global sort).
+  q("q_compaction_plan",
+    """WITH f AS (
+      |  SELECT source, doc_id, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM documents),
+      |a AS (SELECT source, (cum - n_chars) // 4096 AS bin, n_chars FROM f)
+      |SELECT source, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |  CAST(sum(n_chars) * 1000000 // 4096 AS BIGINT) AS fill_micro
+      |FROM a GROUP BY source, bin""") { (s, dir) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum("n_chars").over(w))
+      .select(col("source"),
+        expr("(cum - n_chars) div 4096").as("bin"), col("n_chars"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bytes"),
+        expr("sum(n_chars) * 1000000 div 4096").as("fill_micro"))
+  }
+
+  // ------------------------------------------------- behavioral rollups
+
+  // -- audience segmentation: per-user behavior stats folded into a CASE
+  //    segment taxonomy, then rolled up — two hash aggs, the classic
+  //    "segment the user base" job. All-integer thresholds.
+  q("q_audience_segments",
+    """WITH u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro,
+      |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purch,
+      |    CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+      |  FROM events GROUP BY user_id)
+      |SELECT CASE
+      |    WHEN n_purch >= 10 THEN 'whale'
+      |    WHEN n_purch >= 1 AND n_err * 5 <= n_events THEN 'buyer'
+      |    WHEN n_purch >= 1 THEN 'frustrated_buyer'
+      |    WHEN n_events >= 50 THEN 'engaged_browser'
+      |    ELSE 'casual' END AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(sum(value_micro) AS BIGINT) AS value_micro
+      |FROM u GROUP BY segment""") { (s, dir) =>
+    load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_micro"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purch"),
+        count(when(col("event_type") === "error", 1)).as("n_err"))
+      .select(
+        when(col("n_purch") >= 10, "whale")
+          .when(col("n_purch") >= 1 && col("n_err") * 5 <= col("n_events"),
+            "buyer")
+          .when(col("n_purch") >= 1, "frustrated_buyer")
+          .when(col("n_events") >= 50, "engaged_browser")
+          .otherwise("casual").as("segment"),
+        col("n_events"), col("value_micro"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"),
+        sum("value_micro").as("value_micro"))
+  }
+
+  // -- last-touch attribution: credit each purchase to the user's most
+  //    recent non-purchase touchpoint (IGNORE NULLS last_value over the
+  //    strictly-preceding frame), 'direct' when none — the marketing
+  //    rollup. One user_id shuffle for the window, then a tiny hash agg.
+  q("q_attribution_last_touch",
+    """WITH o AS (
+      |  SELECT user_id, event_type, value, ts, event_id,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      |  FROM events)
+      |SELECT coalesce(channel, 'direct') AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_conversions,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+      |FROM o WHERE event_type = 'purchase' GROUP BY 1""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    load(s, dir, "events")
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_micro"))
+  }
+
+  // -- LIVE last-touch attribution — the state shape a marketing pipeline
+  //    runs forever: per-user state is ONE string (the latest non-purchase
+  //    touch); each purchase emits its credited (channel, value) exactly
+  //    once in append mode, so the sink-side rollup equals the batch
+  //    oracle under any batch split. O(users) state, no buffering.
+  q("q_attribution_last_touch_live",
+    """WITH o AS (
+      |  SELECT user_id, event_type, value, ts, event_id,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      |  FROM events)
+      |SELECT coalesce(channel, 'direct') AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_conversions,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+      |FROM o WHERE event_type = 'purchase' GROUP BY 1""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val stream = GraftStreams(s).stream[Long, (String, Long)](ev,
+      col("user_id"),
+      struct(col("event_type").as("_1"),
+        expr("cast(round(value * 1000000) as bigint)").as("_2")),
+      col("ots"))
+    val credited = graft.streaming.StatefulOps
+      .flatTransformWithState[Long, (String, Long), String, (String, Long)](
+        stream) { (_, rows, state) =>
+        var lastTouch = state.getOption.getOrElse("")
+        val out = Seq.newBuilder[(String, Long)]
+        rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos)).foreach {
+          case ((t, vm), _) =>
+            if (t == "purchase")
+              out += ((if (lastTouch.isEmpty) "direct" else lastTouch, vm))
+            else lastTouch = t
+        }
+        state.update(lastTouch)
+        out.result().iterator
+      }
+    val name = s"att_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    credited.toDF("channel", "vm").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name).groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"), sum("vm").as("value_micro"))
+  }
+
+  // -- integer-exact EWMA smoothing (alpha = 1/4): the nonlinear per-key
+  //    fold s <- s + floor((x - s) / 4) — floor division via arithmetic
+  //    shift on the Spark side and DuckDB's floor-div `//` in the oracle,
+  //    so every step is bit-identical. Windows can't express the
+  //    recurrence (each step floors), so this is the per-key sorted fold
+  //    (mapGroups) — the sessionize shape: state is one accumulator,
+  //    group size is a user's history, never the corpus.
+  q("q_window_ewma",
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS xm,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      |  FROM events),
+      |n AS (SELECT user_id, max(seq) AS n_ev FROM e GROUP BY user_id),
+      |rec AS (
+      |  SELECT user_id, seq, xm, xm AS sm FROM e WHERE seq = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.seq, e.xm, r.sm + CAST((e.xm - r.sm) // 4 AS BIGINT)
+      |  FROM rec r JOIN e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(sm) AS BIGINT) AS min_ewma_micro,
+      |  CAST(max(sm) AS BIGINT) AS max_ewma_micro,
+      |  CAST(max(CASE WHEN seq = n_ev THEN sm END) AS BIGINT) AS last_ewma_micro
+      |FROM rec JOIN n USING (user_id) GROUP BY user_id""") { (s, dir) =>
+    import s.implicits._
+    load(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tu"),
+        col("event_id"), expr("cast(round(value * 1000000) as bigint)").as("xm"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        var (n, sm, mn, mx) = (0L, 0L, Long.MaxValue, Long.MinValue)
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, xm) =>
+          sm = if (n == 0L) xm else sm + ((xm - sm) >> 2) // >> = floor div 4
+          n += 1
+          if (sm < mn) mn = sm
+          if (sm > mx) mx = sm
+        }
+        (user, n, mn, mx, sm)
+      }
+      .toDF("user_id", "n_events", "min_ewma_micro", "max_ewma_micro",
+        "last_ewma_micro")
+  }
+
+  // -- LIVE EWMA — the continuously-maintained twin: per-user state is
+  //    (count, accumulator); each event emits its smoothed point exactly
+  //    once in append mode, and the sink-side rollup (min/max/last by
+  //    sequence) hash-equals the batch oracle. The state a metrics
+  //    smoother holds forever: two longs per user.
+  q("q_window_ewma_live",
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS xm,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      |  FROM events),
+      |n AS (SELECT user_id, max(seq) AS n_ev FROM e GROUP BY user_id),
+      |rec AS (
+      |  SELECT user_id, seq, xm, xm AS sm FROM e WHERE seq = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.seq, e.xm, r.sm + CAST((e.xm - r.sm) // 4 AS BIGINT)
+      |  FROM rec r JOIN e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(sm) AS BIGINT) AS min_ewma_micro,
+      |  CAST(max(sm) AS BIGINT) AS max_ewma_micro,
+      |  CAST(max(CASE WHEN seq = n_ev THEN sm END) AS BIGINT) AS last_ewma_micro
+      |FROM rec JOIN n USING (user_id) GROUP BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val stream = GraftStreams(s).stream[Long, Long](ev, col("user_id"),
+      expr("cast(round(value * 1000000) as bigint)"), col("ots"))
+    val points = graft.streaming.StatefulOps
+      .flatTransformWithState[Long, Long, (Long, Long), (Long, Long, Long)](
+        stream) { (user, rows, state) =>
+        var (n, sm) = state.getOption.getOrElse((0L, 0L))
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos)).foreach {
+          case (xm, _) =>
+            sm = if (n == 0L) xm else sm + ((xm - sm) >> 2)
+            n += 1
+            out += ((user, n, sm))
+        }
+        state.update((n, sm))
+        out.result().iterator
+      }
+    val name = s"ewm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    points.toDF("user_id", "seq", "sm").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("sm").as("min_ewma_micro"),
+        max("sm").as("max_ewma_micro"),
+        max_by(col("sm"), col("seq")).as("last_ewma_micro"))
+  }
+
+  /** Shared CUSUM oracle: one-sided cumulative-sum drift detection,
+    * s <- max(0, s + x - k) with reset on alarm (s > h) — Page's test in
+    * integer micro units (k = 50, h = 200 in value units). The recursion
+    * is additive-integer only, so Spark's per-key fold and DuckDB's
+    * recursive CTE are bit-identical. */
+  private val CusumOracle =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS xm,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      |  FROM events),
+      |n AS (SELECT user_id, max(seq) AS n_ev FROM e GROUP BY user_id),
+      |rec AS (
+      |  SELECT user_id, seq,
+      |    CASE WHEN greatest(0, xm - 50000000) > 200000000 THEN 0
+      |         ELSE greatest(0, xm - 50000000) END AS s,
+      |    CASE WHEN greatest(0, xm - 50000000) > 200000000 THEN 1 ELSE 0 END AS alarm
+      |  FROM e WHERE seq = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.seq,
+      |    CASE WHEN greatest(0, r.s + e.xm - 50000000) > 200000000 THEN 0
+      |         ELSE greatest(0, r.s + e.xm - 50000000) END,
+      |    CASE WHEN greatest(0, r.s + e.xm - 50000000) > 200000000 THEN 1 ELSE 0 END
+      |  FROM rec r JOIN e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(alarm) AS BIGINT) AS n_alarms,
+      |  CAST(max(s) AS BIGINT) AS max_cusum_micro,
+      |  CAST(max(CASE WHEN seq = n_ev THEN s END) AS BIGINT) AS last_cusum_micro
+      |FROM rec JOIN n USING (user_id) GROUP BY user_id""".stripMargin
+
+  /** One CUSUM step: (state, alarm) after folding `xm` into `s`. */
+  private def cusumStep(s: Long, xm: Long): (Long, Long) = {
+    val raw = Math.max(0L, s + xm - 50000000L)
+    if (raw > 200000000L) (0L, 1L) else (raw, 0L)
+  }
+
+  // -- CUSUM drift detection (Page's test): the change-point monitor a
+  //    metrics pipeline runs per key — alarms when the cumulative excess
+  //    over target crosses the decision threshold, then resets. Same
+  //    distributed shape as q_window_ewma: the recursion is a per-key
+  //    sorted fold (state = one long), group size is a user's history.
+  q("q_cusum_drift", CusumOracle) { (s, dir) =>
+    import s.implicits._
+    load(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tu"),
+        col("event_id"), expr("cast(round(value * 1000000) as bigint)").as("xm"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        var (n, sm, alarms, mx) = (0L, 0L, 0L, 0L)
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, xm) =>
+          val (s1, a) = cusumStep(sm, xm)
+          sm = s1; alarms += a; n += 1
+          if (sm > mx) mx = sm
+        }
+        (user, n, alarms, mx, sm)
+      }
+      .toDF("user_id", "n_events", "n_alarms", "max_cusum_micro",
+        "last_cusum_micro")
+  }
+
+  // -- LIVE CUSUM — the monitor as it actually deploys: per-user state is
+  //    (count, accumulator); each event appends its (s, alarm) point
+  //    exactly once, and the sink-side rollup hash-equals the batch
+  //    oracle. Alarms fire in-stream (the point of CUSUM) — the batch
+  //    twin is the backfill audit.
+  q("q_cusum_drift_live", CusumOracle) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val stream = GraftStreams(s).stream[Long, Long](ev, col("user_id"),
+      expr("cast(round(value * 1000000) as bigint)"), col("ots"))
+    val points = graft.streaming.StatefulOps
+      .flatTransformWithState[Long, Long, (Long, Long),
+        (Long, Long, Long, Long)](stream) { (user, rows, state) =>
+        var (n, sm) = state.getOption.getOrElse((0L, 0L))
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos)).foreach {
+          case (xm, _) =>
+            val (s1, a) = cusumStep(sm, xm)
+            sm = s1; n += 1
+            out += ((user, n, sm, a))
+        }
+        state.update((n, sm))
+        out.result().iterator
+      }
+    val name = s"cus_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    points.toDF("user_id", "seq", "sm", "alarm").writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("alarm").as("n_alarms"),
+        max("sm").as("max_cusum_micro"),
+        max_by(col("sm"), col("seq")).as("last_cusum_micro"))
+  }
+
+  // ------------------------------------------------ governance / stats
+
+  // -- k-anonymity report: equivalence-class sizes over the quasi-
+  //    identifier tuple (lang, source, length bucket) — the re-
+  //    identification-risk readout a training-data governance pass runs
+  //    before release. log2 class-size histogram (the q_skew_report
+  //    idiom) + the global k and at-risk mass broadcast onto every row.
+  //    Two hash aggs and a 1-row cross join at any corpus size.
+  q("q_k_anonymity",
+    """WITH cls AS (
+      |  SELECT lang, source, n_chars // 100 AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS class_size
+      |  FROM documents GROUP BY 1, 2, 3),
+      |t AS (SELECT CAST(min(class_size) AS BIGINT) AS k_min,
+      |        CAST(count(*) AS BIGINT) AS n_classes,
+      |        CAST(sum(class_size) AS BIGINT) AS n_rows,
+      |        CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_at_risk
+      |      FROM cls),
+      |h AS (SELECT CAST(length(bin(class_size)) AS BIGINT) AS bucket,
+      |        CAST(count(*) AS BIGINT) AS n_classes_in_bucket,
+      |        CAST(sum(class_size) AS BIGINT) AS rows_in_bucket
+      |      FROM cls GROUP BY 1)
+      |SELECT h.bucket, h.n_classes_in_bucket, h.rows_in_bucket,
+      |  t.k_min, t.n_classes, t.rows_at_risk,
+      |  CAST(t.rows_at_risk * 1000000 // t.n_rows AS BIGINT) AS risk_micro
+      |FROM h CROSS JOIN t""") { (s, dir) =>
+    val cls = load(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .localCheckpoint() // class table computed once for both sides
+    val t = cls.agg(min("class_size").as("k_min"),
+      count(lit(1)).as("n_classes"), sum("class_size").as("n_rows"),
+      sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+        .as("rows_at_risk"))
+    cls.groupBy(length(bin(col("class_size"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_classes_in_bucket"),
+        sum("class_size").as("rows_in_bucket"))
+      .crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_classes_in_bucket"), col("rows_in_bucket"),
+        col("k_min"), col("n_classes"), col("rows_at_risk"),
+        expr("rows_at_risk * 1000000 div n_rows").as("risk_micro"))
+  }
+
+  // -- materialized-view delta maintenance: merge a per-(user, type)
+  //    count view with an incremental batch — inserts for groups born in
+  //    the delta, updates where both sides exist, unchanged for dormant
+  //    groups (the % 7 churn carve keeps all three actions in play).
+  //    Both sides partial-agg to one row per group BEFORE the full-outer
+  //    join; the view is never rebuilt from the corpus — the point of
+  //    incremental maintenance.
+  q("q_mv_delta_maintenance",
+    """WITH base AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS old_n
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-05' GROUP BY 1, 2),
+      |delta AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS d_n
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-05' AND user_id % 7 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+      |  coalesce(base.event_type, delta.event_type) AS event_type,
+      |  coalesce(old_n, 0) AS old_n,
+      |  coalesce(old_n, 0) + coalesce(d_n, 0) AS new_n,
+      |  CASE WHEN base.user_id IS NULL THEN 'insert'
+      |       WHEN delta.user_id IS NULL THEN 'unchanged'
+      |       ELSE 'update' END AS action
+      |FROM base FULL JOIN delta
+      |  ON base.user_id = delta.user_id
+      |  AND base.event_type = delta.event_type""") { (s, dir) =>
+    val e = load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cutoff = lit("2024-01-05").cast("timestamp")
+    val base = e.filter(col("ts") < cutoff)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("old_n"))
+    val delta = e.filter(col("ts") >= cutoff && col("user_id") % 7 =!= 0)
+      .groupBy(col("user_id").as("d_user_id"),
+        col("event_type").as("d_event_type"))
+      .agg(count(lit(1)).as("d_n"))
+    base.join(delta, col("user_id") === col("d_user_id") &&
+        col("event_type") === col("d_event_type"), "full")
+      .select(coalesce(col("user_id"), col("d_user_id")).as("user_id"),
+        coalesce(col("event_type"), col("d_event_type")).as("event_type"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        (coalesce(col("old_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("new_n"),
+        when(col("user_id").isNull, "insert")
+          .when(col("d_user_id").isNull, "unchanged")
+          .otherwise("update").as("action"))
+  }
+
+  // -- equi-depth histogram (ANALYZE-style table stats): 16 equal-mass
+  //    buckets of l_extendedprice via the bounded-cell-domain rank trick
+  //    — values coarsen onto 4096 grid cells, the cum count over the
+  //    BOUNDED cell table assigns each cell its bucket, and boundaries
+  //    are exact min/max cents per bucket. The same construction as
+  //    q_zorder_layout's rank: no global-sort window, the corpus is
+  //    touched by one hash agg.
+  q("q_histogram_equidepth",
+    """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |           FROM lineitem),
+      |mx AS (SELECT max(cents) + 1 AS cmax, CAST(count(*) AS BIGINT) AS n FROM c),
+      |cell AS (SELECT cents * 4096 // cmax AS cid, cents FROM c, mx),
+      |g AS (SELECT cid, CAST(count(*) AS BIGINT) AS cn,
+      |        CAST(min(cents) AS BIGINT) AS lo_c, CAST(max(cents) AS BIGINT) AS hi_c
+      |      FROM cell GROUP BY cid),
+      |cum AS (SELECT *, sum(cn) OVER (ORDER BY cid) - cn AS bef FROM g),
+      |bk AS (SELECT CAST(bef * 16 // n AS BIGINT) AS bucket, cn, lo_c, hi_c
+      |       FROM cum, mx)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(cn) AS BIGINT) AS n_rows,
+      |  CAST(min(lo_c) AS BIGINT) AS lo_cents, CAST(max(hi_c) AS BIGINT) AS hi_cents
+      |FROM bk GROUP BY bucket""") { (s, dir) =>
+    val c = load(s, dir, "lineitem")
+      .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val mx = c.agg((max("cents") + 1).as("cmax"), count(lit(1)).as("n"))
+    val g = c.crossJoin(broadcast(mx))
+      .select(expr("cents * 4096 div cmax").as("cid"), col("cents"), col("n"))
+      .groupBy("cid", "n")
+      .agg(count(lit(1)).as("cn"), min("cents").as("lo_c"),
+        max("cents").as("hi_c"))
+    // cum over the <= 4096-row cell table: bounded-by-construction window
+    g.withColumn("bef", sum("cn").over(Window.orderBy("cid")) - col("cn"))
+      .select(expr("bef * 16 div n").as("bucket"), col("cn"), col("lo_c"),
+        col("hi_c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_cells"), sum("cn").as("n_rows"),
+        min("lo_c").as("lo_cents"), max("hi_c").as("hi_cents"))
+  }
+
+  /** DuckDB fragment mirroring [[graft.functions.TextFunctions.md5Long]]:
+    * first 60 bits of md5 as a non-negative BIGINT. */
+  private def sqlMd5Long(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  // -- Bloom-filter semi-join reduction: build a 16384-bit / 2-hash bloom
+  //    from the dim-side keys (BUILDING customers), pre-filter the fact
+  //    side with it, and report measured false-positive rate vs the exact
+  //    semi join — the runtime-filter pattern that cuts a 100 TB fact
+  //    shuffle down to near-matching rows before the real join (Spark's
+  //    own runtime bloom, made explicit and measurable). md5-derived bit
+  //    positions so the oracle sets the same bits. Scale shape: the bit
+  //    table is <= 2 |dim| <= m rows and broadcasts; the fact side is
+  //    probed by two broadcast semi joins (map-side, no fact shuffle);
+  //    the report is three 1-row aggs cross-joined.
+  q("q_bloom_semi_reduction", {
+    def h(salt: String, key: String) =
+      s"${sqlMd5Long(s"'${salt}_' || CAST($key AS VARCHAR)")} % 16384"
+    s"""WITH dim AS (SELECT c_custkey FROM customer
+       |            WHERE c_mktsegment = 'BUILDING'),
+       |bits AS (
+       |  SELECT DISTINCT ${h("b1", "c_custkey")} AS pos FROM dim
+       |  UNION SELECT DISTINCT ${h("b2", "c_custkey")} FROM dim),
+       |probe AS (
+       |  SELECT o_orderkey,
+       |    ${h("b1", "o_custkey")} AS p1,
+       |    ${h("b2", "o_custkey")} AS p2
+       |  FROM orders),
+       |pass AS (
+       |  SELECT o_orderkey FROM probe
+       |  WHERE p1 IN (SELECT pos FROM bits) AND p2 IN (SELECT pos FROM bits)),
+       |tru AS (SELECT o_orderkey FROM orders
+       |        WHERE o_custkey IN (SELECT c_custkey FROM dim))
+       |SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+       |  CAST((SELECT count(*) FROM pass) AS BIGINT) AS n_pass_bloom,
+       |  CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_true_match,
+       |  CAST((SELECT count(*) FROM pass) - (SELECT count(*) FROM tru) AS BIGINT)
+       |    AS n_false_pos,
+       |  CAST(((SELECT count(*) FROM pass) - (SELECT count(*) FROM tru)) * 1000000
+       |    // ((SELECT count(*) FROM orders) - (SELECT count(*) FROM tru)) AS BIGINT)
+       |    AS fpr_micro,
+       |  CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set"""
+  }) { (s, dir) =>
+    import graft.functions.{TextFunctions => T}
+    def h(salt: String, key: org.apache.spark.sql.Column) =
+      T.md5Long(concat(lit(s"${salt}_"), key.cast("string"))) % 16384
+    val dim = load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .localCheckpoint() // dim keys read once for bits + exact semi join
+    val bits = dim.select(h("b1", col("c_custkey")).as("pos"))
+      .union(dim.select(h("b2", col("c_custkey"))))
+      .distinct()
+      .localCheckpoint() // <= 2|dim| positions — the broadcast filter
+    val orders = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val probe = orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        h("b1", col("o_custkey")).as("p1"), h("b2", col("o_custkey")).as("p2"))
+    val pass = probe
+      .join(broadcast(bits), col("p1") === col("pos"), "leftsemi")
+      .join(broadcast(bits), col("p2") === col("pos"), "leftsemi")
+    val tru = orders.join(broadcast(dim),
+      col("o_custkey") === col("c_custkey"), "leftsemi")
+    orders.agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(pass.agg(count(lit(1)).as("n_pass_bloom"))))
+      .crossJoin(broadcast(tru.agg(count(lit(1)).as("n_true_match"))))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .select(col("n_orders"), col("n_pass_bloom"), col("n_true_match"),
+        (col("n_pass_bloom") - col("n_true_match")).as("n_false_pos"),
+        expr("(n_pass_bloom - n_true_match) * 1000000 div (n_orders - n_true_match)")
+          .as("fpr_micro"),
+        col("n_bits_set"))
+  }
+
+  // -- linear multi-touch attribution: every pre-purchase touch shares
+  //    the conversion value equally (credit = value * touches_c DIV
+  //    touches_total per channel) — the fairness-spread counterpart of
+  //    q_attribution_last_touch. The five running counts ride ONE
+  //    user_id window shuffle; the purchase set is then a bounded table
+  //    that five 1-row aggs fold (localCheckpointed so the corpus window
+  //    runs once).
+  q("q_attribution_linear", {
+    def cnt(t: String, as: String) =
+      s"""count(*) FILTER (event_type ${if (t == "") "<> 'purchase'" else s"= '$t'"})
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS $as"""
+    def ch(name: String) =
+      s"""SELECT '$name', CAST(sum(vm * n_$name // n_prior) AS BIGINT),
+         |    CAST(sum(n_$name) AS BIGINT) FROM p WHERE n_prior > 0"""
+    s"""WITH o AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    CAST(round(value * 1000000) AS BIGINT) AS vm,
+       |    ${cnt("", "n_prior")},
+       |    ${cnt("click", "n_click")},
+       |    ${cnt("view", "n_view")},
+       |    ${cnt("signup", "n_signup")},
+       |    ${cnt("error", "n_error")}
+       |  FROM events),
+       |p AS (SELECT * FROM o WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT 'click' AS channel,
+       |    CAST(sum(vm * n_click // n_prior) AS BIGINT) AS credit_micro,
+       |    CAST(sum(n_click) AS BIGINT) AS n_touches FROM p WHERE n_prior > 0
+       |  UNION ALL ${ch("view")}
+       |  UNION ALL ${ch("signup")}
+       |  UNION ALL ${ch("error")}
+       |  UNION ALL
+       |  SELECT 'direct', CAST(coalesce(sum(vm), 0) AS BIGINT),
+       |    CAST(count(*) AS BIGINT) FROM p WHERE n_prior = 0)
+       |SELECT channel, credit_micro, n_touches FROM c"""
+  }) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def cnt(cond: org.apache.spark.sql.Column) = count(when(cond, 1)).over(w)
+    val p = load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("vm"),
+        cnt(col("event_type") =!= "purchase").as("n_prior"),
+        cnt(col("event_type") === "click").as("n_click"),
+        cnt(col("event_type") === "view").as("n_view"),
+        cnt(col("event_type") === "signup").as("n_signup"),
+        cnt(col("event_type") === "error").as("n_error"))
+      .filter(col("event_type") === "purchase")
+      .localCheckpoint() // corpus window runs once; five aggs fold this
+    def ch(name: String) = p.filter(col("n_prior") > 0)
+      .agg(sum(expr(s"vm * n_$name div n_prior")).as("credit_micro"),
+        sum(col(s"n_$name")).as("n_touches"))
+      .select(lit(name).as("channel"), col("credit_micro"), col("n_touches"))
+    val direct = p.filter(col("n_prior") === 0)
+      .agg(coalesce(sum("vm"), lit(0L)).as("credit_micro"),
+        count(lit(1)).as("n_touches"))
+      .select(lit("direct").as("channel"), col("credit_micro"),
+        col("n_touches"))
+    ch("click").unionAll(ch("view")).unionAll(ch("signup"))
+      .unionAll(ch("error")).unionAll(direct)
+  }
+}

@@ -5126,4 +5126,495 @@ object LlmPipeline extends Catalog {
           .otherwise(0L)).as("n_contaminated"),
         expr("sum(n_overlap) * 1000000 div sum(n_sh)").as("overlap_ppm"))
   }
+
+  // ------------------------------------------------- clustering / graph QA
+
+  // -- k-means topic clustering over embeddings (k=8, 2 Lloyd rounds,
+  //    seeded from the first k vectors) — the corpus-bucketing step a
+  //    mixture designer runs before per-topic sampling. ALL-INTEGER on
+  //    the once-quantized micro grid: distances are BIGINT sums of
+  //    squared micro diffs, the argmin ties break to the lowest cluster
+  //    id via the packed key d*8+cluster, and centroid updates are
+  //    sum DIV n — so the whole unrolled loop is bit-exact in DuckDB
+  //    (the q_pagerank_dupgraph / q_embed_pca integer-loop recipe applied
+  //    to Lloyd's algorithm; the float production twin is
+  //    functions/VectorIndex.train, spec-pinned for recall). Scale shape:
+  //    assignment is a map-only codegen'd least-of-k over BROADCAST
+  //    centroid literals (no join, no explode — the corpus is touched
+  //    once per round); the update is one (cluster, pos) partial-agg'd
+  //    shuffle of k·dim cells; the driver holds k·dim longs (bounded by
+  //    contract, the codebook rule). localCheckpoint per round keeps the
+  //    plan constant.
+  q("q_kmeans_clusters", {
+    def assign(c: String, d: String, sres: String) =
+      s"""$d AS (SELECT xm.vec_id, $c.cl,
+         |  CAST(sum((xm.x - $c.cm) * (xm.x - $c.cm)) AS BIGINT) AS d
+         |  FROM xm JOIN $c ON $c.pos = xm.pos GROUP BY xm.vec_id, $c.cl),
+         |$sres AS (SELECT vec_id, min(d * 8 + cl) AS mk FROM $d GROUP BY vec_id)"""
+    s"""WITH xm AS (SELECT vec_id,
+       |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+       |  FROM embeddings),
+       |c1 AS (SELECT CAST(vec_id AS BIGINT) AS cl, pos, x AS cm
+       |       FROM xm WHERE vec_id < 8),
+       |${assign("c1", "d1", "s1")},
+       |g1 AS (SELECT vec_id, mk % 8 AS cl FROM s1),
+       |c2 AS (SELECT g1.cl, xm.pos, CAST(sum(xm.x) // count(*) AS BIGINT) AS cm
+       |       FROM xm JOIN g1 USING (vec_id) GROUP BY g1.cl, xm.pos),
+       |${assign("c2", "d2", "s2")},
+       |g2 AS (SELECT vec_id, CAST(mk % 8 AS BIGINT) AS cluster,
+       |         CAST(mk // 8 AS BIGINT) AS sq_dist FROM s2),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_n
+       |       FROM g2 GROUP BY cluster)
+       |SELECT vec_id, cluster, sq_dist, cluster_n FROM g2 JOIN sz USING (cluster)"""
+  }) { (s, dir) =>
+    val k = 8
+    val xm = spread(load(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1e6)).cast("long")).as("xm"))
+      .localCheckpoint() // quantized once; reused by every round
+    // packed argmin key: d*8 + cluster (d <= 64 * (2^21)^2 << 2^60/8, so
+    // the pack cannot overflow; min == lexicographic (d, cluster))
+    def assignKey(cents: Array[(Long, Array[Long])]) = least(cents.map {
+      case (cid, cm) =>
+        aggregate(
+          zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v) * lit(8L) + lit(cid)
+    }: _*)
+    var cents: Array[(Long, Array[Long])] = xm.filter(col("vec_id") < k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1) // k·dim longs — bounded by contract (codebook rule)
+    for (_ <- 1 to 1) { // round 1 ends in the c2 update; round 2 assigns
+      val g = xm.select(col("vec_id"), col("xm"),
+        (assignKey(cents) % k).as("cl"))
+      cents = g.select(col("cl"), posexplode(col("xm")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(expr("sum(x) div count(1)").as("cm"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toArray
+        .map { case (cl, rows) =>
+          (cl, rows.sortBy(_._2).map(_._3).toArray)
+        }.sortBy(_._1)
+    }
+    val fin = xm.select(col("vec_id"), assignKey(cents).as("mk"))
+      .select(col("vec_id"), (col("mk") % k).as("cluster"),
+        expr("mk div 8").as("sq_dist"))
+    val sz = fin.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    fin.join(broadcast(sz), Seq("cluster"))
+      .select("vec_id", "cluster", "sq_dist", "cluster_n")
+  }
+
+  // -- LSH design evaluation: precision/recall of the MinHash-LSH
+  //    candidate pairs against exact kept-shingle Jaccard, at four
+  //    thresholds — the "are 4 bands x 4 rows right for this corpus"
+  //    readout a dedup operator consults before committing a banding
+  //    scheme (the S-curve, measured instead of assumed). Jaccard is an
+  //    integer micro-fraction and every cell is a BIGINT count, so the
+  //    report is engine-exact. Scale shape: truth and candidates are the
+  //    existing bucket-cut pair generators (never all-pairs); the
+  //    threshold table is 4 broadcast rows; everything after pair
+  //    generation is partial-agg'd counting.
+  q("q_lsh_pr_eval",
+    s"""WITH $SqlMinhashPairCtes,
+       |cand AS ($SqlMinhashPairSelect),
+       |keptsh AS (SELECT shingle FROM sh GROUP BY shingle
+       |           HAVING count(*) <= 50),
+       |ksh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keptsh USING (shingle)),
+       |sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |          FROM ksh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            CAST(count(*) AS BIGINT) AS ni
+       |          FROM ksh a JOIN ksh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |tj AS (SELECT doc_a, doc_b,
+       |         CAST(ni * 1000000 // (sa.n_sh + sb.n_sh - ni) AS BIGINT) AS jm
+       |       FROM inter JOIN sized sa ON sa.doc_id = doc_a
+       |       JOIN sized sb ON sb.doc_id = doc_b),
+       |cj AS (SELECT c.doc_a, c.doc_b, coalesce(tj.jm, 0) AS jm
+       |       FROM cand c LEFT JOIN tj USING (doc_a, doc_b)),
+       |th AS (SELECT CAST(unnest([500000, 600000, 700000, 800000]) AS BIGINT)
+       |         AS threshold_micro),
+       |tr AS (SELECT threshold_micro, CAST(count(tj.doc_a) AS BIGINT) AS n_truth
+       |       FROM th LEFT JOIN tj ON tj.jm >= th.threshold_micro
+       |       GROUP BY threshold_micro),
+       |tp AS (SELECT threshold_micro, CAST(count(cj.doc_a) AS BIGINT) AS tp
+       |       FROM th LEFT JOIN cj ON cj.jm >= th.threshold_micro
+       |       GROUP BY threshold_micro),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+       |SELECT tr.threshold_micro, tr.n_truth, nc.n_cand, tp.tp,
+       |  CAST(nc.n_cand - tp.tp AS BIGINT) AS n_fp,
+       |  CAST(tr.n_truth - tp.tp AS BIGINT) AS n_fn,
+       |  CAST(CASE WHEN nc.n_cand > 0 THEN tp.tp * 1000000 // nc.n_cand
+       |       ELSE 0 END AS BIGINT) AS precision_micro,
+       |  CAST(CASE WHEN tr.n_truth > 0 THEN tp.tp * 1000000 // tr.n_truth
+       |       ELSE 0 END AS BIGINT) AS recall_micro
+       |FROM tr JOIN tp USING (threshold_micro) CROSS JOIN nc""") { (s, dir) =>
+    import s.implicits._
+    val cand = minhashPairs(s, dir).localCheckpoint()
+    // exact kept-shingle Jaccard in integer micro units (the
+    // q_dedup_ngram_jaccard shape, unthresholded)
+    val sh = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("s"))
+    val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 50).localCheckpoint()
+    val sized = kept.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val tj = kept.filter(size(col("ids")) > 1)
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
+      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("ni * 1000000 div (sa.n_sh + sb.n_sh - ni)").as("jm"))
+      .localCheckpoint()
+    val cj = cand.join(tj, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), coalesce(col("jm"), lit(0L)).as("jm"))
+    val th = Seq(500000L, 600000L, 700000L, 800000L).toDF("threshold_micro")
+    val tr = broadcast(th).join(tj, col("jm") >= col("threshold_micro"), "left")
+      .groupBy("threshold_micro").agg(count(col("doc_a")).as("n_truth"))
+    val tp = broadcast(th).join(cj, col("jm") >= col("threshold_micro"), "left")
+      .groupBy("threshold_micro").agg(count(col("doc_a")).as("tp"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    tr.join(tp, Seq("threshold_micro")).crossJoin(broadcast(nc))
+      .select(col("threshold_micro"), col("n_truth"), col("n_cand"), col("tp"),
+        (col("n_cand") - col("tp")).as("n_fp"),
+        (col("n_truth") - col("tp")).as("n_fn"),
+        when(col("n_cand") > 0, expr("tp * 1000000 div n_cand"))
+          .otherwise(0L).as("precision_micro"),
+        when(col("n_truth") > 0, expr("tp * 1000000 div n_truth"))
+          .otherwise(0L).as("recall_micro"))
+  }
+
+  // -- dup-graph triangle census: per-node degree, triangle count, and
+  //    local clustering coefficient over the MinHash pair graph — dense
+  //    triangle neighborhoods are template farms / mirror rings (one
+  //    shared band is circumstantial; a closed triangle is structure), so
+  //    this is the "is this dup cluster a clique or a chain" signal the
+  //    representative picker pairs with q_pagerank_dupgraph. Triangles
+  //    enumerate once on the a<b<c ordered edge list (each triangle
+  //    counted exactly once, the compact-forward scheme) — two equi-joins
+  //    on node keys, never an open wedge explosion past the bucket-cut
+  //    degree bound; the coefficient is an integer micro-fraction.
+  q("q_graph_triangles",
+    s"""WITH $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS degree
+       |        FROM sym GROUP BY a),
+       |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |        FROM pairs e1
+       |        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+       |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |tn AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM
+       |         (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY n)
+       |SELECT deg.n AS doc_id, deg.degree,
+       |  coalesce(tn.n_triangles, 0) AS n_triangles,
+       |  CAST(CASE WHEN deg.degree >= 2 THEN
+       |    coalesce(tn.n_triangles, 0) * 2000000 // (deg.degree * (deg.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS clustering_micro
+       |FROM deg LEFT JOIN tn ON tn.n = deg.n""") { (s, dir) =>
+    val pairs = minhashPairs(s, dir).localCheckpoint()
+    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("degree"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(pairs.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+        col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    val tn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tn, Seq("n"), "left")
+      .select(col("n").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          expr("coalesce(n_triangles, 0) * 2000000 div (degree * (degree - 1))"))
+          .otherwise(0L).as("clustering_micro"))
+  }
+
+  // -- dup-graph degree distribution: the log₂ histogram of node degrees
+  //    plus the isolated-doc count — the first diagnostic a dedup
+  //    operator reads off the pair graph (a power-law tail means mirror
+  //    farms; a fat head means boilerplate bands leaking through the
+  //    bucket cut). Bucket = bitlength(degree) via length(bin(n)), the
+  //    q_skew_report idiom — integer on both engines. Scale shape: the
+  //    histogram is one hash agg over the degree table; the totals side
+  //    is a broadcast 1-row cross join; isolated docs = corpus count
+  //    minus connected count, never an anti-join over the corpus.
+  q("q_graph_degree_dist",
+    s"""WITH $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS degree
+       |        FROM sym GROUP BY a),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_connected,
+       |        CAST(sum(degree) AS BIGINT) AS sum_degree_all,
+       |        CAST(max(degree) AS BIGINT) AS max_degree FROM deg),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |h AS (SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket,
+       |        CAST(count(*) AS BIGINT) AS n_nodes,
+       |        CAST(sum(degree) AS BIGINT) AS sum_degree
+       |      FROM deg GROUP BY 1)
+       |SELECT h.bucket, h.n_nodes, h.sum_degree, t.n_connected, t.max_degree,
+       |  nd.n_docs - t.n_connected AS n_isolated
+       |FROM h CROSS JOIN t CROSS JOIN nd""") { (s, dir) =>
+    val pairs = minhashPairs(s, dir).localCheckpoint() // pair gen runs once
+    val deg = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .groupBy(col("a").as("n")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint() // degree table computed once for both sides
+    val t = deg.agg(count(lit(1)).as("n_connected"),
+      sum("degree").as("sum_degree_all"), max("degree").as("max_degree"))
+    val nd = load(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    deg.groupBy(length(bin(col("degree"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum("degree").as("sum_degree"))
+      .crossJoin(broadcast(t)).crossJoin(broadcast(nd))
+      .select(col("bucket"), col("n_nodes"), col("sum_degree"),
+        col("n_connected"), col("max_degree"),
+        (col("n_docs") - col("n_connected")).as("n_isolated"))
+  }
+
+  // -- PMI collocations: the top-100 bigrams by pointwise lift
+  //    p(ab)/(p(a)p(b)) — the multi-word-expression miner a tokenizer
+  //    designer runs before freezing a vocab (collocations that should
+  //    be single tokens). All-integer: the three probabilities quantize
+  //    to micro units FIRST, then lift = p_ab*1e9 div (p_a*p_b) in
+  //    milli units — every intermediate is <= 1e15 REGARDLESS of corpus
+  //    size (the micro-unit normalization bounds the operands, so the
+  //    arithmetic never outgrows BIGINT at 100 TB). Scale shape: bigrams
+  //    explode map-side into a partial-agg'd count; the unigram lexicon
+  //    is vocabulary-bounded and broadcast to both sides of the bigram
+  //    join; totals are broadcast 1-row cross joins; top-100 is
+  //    TakeOrderedAndProject, never a global sort.
+  q("q_pmi_collocations",
+    s"""WITH t AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |uni AS (SELECT unnest(ws) AS w FROM t),
+       |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+       |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+       |ix AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM t),
+       |bi AS (SELECT ws[i + 1] AS wa, ws[i + 2] AS wb FROM ix),
+       |bc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS c_ab
+       |       FROM bi GROUP BY wa, wb),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bi),
+       |p AS (SELECT bc.wa, bc.wb, bc.c_ab,
+       |        CAST(bc.c_ab * 1000000 // nb.n_bi AS BIGINT) AS p_ab_micro,
+       |        CAST(ua.c * 1000000 // nu.n_uni AS BIGINT) AS p_a_micro,
+       |        CAST(ub.c * 1000000 // nu.n_uni AS BIGINT) AS p_b_micro
+       |      FROM bc JOIN uc ua ON ua.w = bc.wa
+       |      JOIN uc ub ON ub.w = bc.wb
+       |      CROSS JOIN nu CROSS JOIN nb)
+       |SELECT wa, wb, c_ab,
+       |  CAST(p_ab_micro * 1000000000 // (p_a_micro * p_b_micro) AS BIGINT)
+       |    AS lift_milli
+       |FROM p
+       |WHERE c_ab >= 5 AND p_a_micro > 0 AND p_b_micro > 0
+       |ORDER BY lift_milli DESC, wa, wb LIMIT 100""") { (s, dir) =>
+    val toks = load(s, dir, "documents")
+      .select(T.tokens(col("text")).as("ws"))
+      .localCheckpoint() // tokenized once for unigram + bigram sides
+    val uni = toks.select(explode(col("ws")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocabulary-bounded lexicon, broadcast below
+    val nu = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(expr("""explode(transform(sequence(0, size(ws) - 2),
+        i -> struct(ws[i] AS wa, ws[i + 1] AS wb))) AS p"""))
+      .select(col("p.wa"), col("p.wb"))
+      .localCheckpoint() // bigram stream feeds both the count and total
+    val bc = bi.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+    val nb = bi.agg(count(lit(1)).as("n_bi"))
+    bc.join(broadcast(uc.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+      .join(broadcast(uc.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("wa"), col("wb"), col("c_ab"),
+        expr("c_ab * 1000000 div n_bi").as("p_ab_micro"),
+        expr("ca * 1000000 div n_uni").as("p_a_micro"),
+        expr("cb * 1000000 div n_uni").as("p_b_micro"))
+      .filter(col("c_ab") >= 5 && col("p_a_micro") > 0 && col("p_b_micro") > 0)
+      .select(col("wa"), col("wb"), col("c_ab"),
+        expr("p_ab_micro * 1000000000 div (p_a_micro * p_b_micro)")
+          .as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("wa"), col("wb"))
+      .limit(100)
+  }
+
+  // -- Johnson-Lindenstrauss random sign projection 64 -> 16: the
+  //    dimensionality-reduction step an ANN pipeline runs before
+  //    indexing when the embedding dim is too wide to bucket directly.
+  //    The projection matrix is DERIVED, not stored: r(i,j) = sign from
+  //    md5(i_j) — any executor (and the oracle) regenerates it
+  //    bit-identically, the Achlioptas-style database-friendly JL
+  //    construction. All-integer: micro-quantized inputs, sign values in
+  //    {-1, +1}, L1 mass report as a truncated micro ratio. Scale shape:
+  //    the 1024-cell matrix broadcasts; the corpus shuffles ONCE on
+  //    (vec_id, j) for the partial-agg'd dot products; the L1 sides fold
+  //    the same exploded stream.
+  q("q_random_projection",
+    s"""WITH xm AS (SELECT vec_id,
+       |    CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+       |  FROM embeddings),
+       |rm AS (SELECT i, j,
+       |    (${sqlMd5Long("CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} % 2) * 2 - 1 AS r
+       |  FROM (SELECT unnest(range(64)) AS i)
+       |  CROSS JOIN (SELECT unnest(range(16)) AS j)),
+       |proj AS (SELECT vec_id, j, CAST(sum(x * r) AS BIGINT) AS p
+       |         FROM xm JOIN rm USING (i) GROUP BY vec_id, j),
+       |l1 AS (SELECT vec_id, CAST(sum(abs(x)) AS BIGINT) AS l1_orig
+       |       FROM xm GROUP BY vec_id),
+       |pl AS (SELECT vec_id, CAST(sum(abs(p)) AS BIGINT) AS l1_proj
+       |       FROM proj GROUP BY vec_id)
+       |SELECT vec_id, l1_orig, l1_proj,
+       |  CAST(l1_proj * 250000 // l1_orig AS BIGINT) AS ratio_q_micro
+       |FROM l1 JOIN pl USING (vec_id)""") { (s, dir) =>
+    val xm = spread(load(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * lit(1e6)).cast("long")))
+          .as(Seq("i", "x")))
+      .localCheckpoint() // exploded once; feeds proj + the L1 fold
+    val rm = s.range(64).select(col("id").as("i"))
+      .crossJoin(s.range(16).select(col("id").as("j")))
+      .select(col("i"), col("j"),
+        (T.md5Long(concat(col("i").cast("string"), lit("_"),
+          col("j").cast("string"))) % 2 * 2 - 1).as("r"))
+    val proj = xm.join(broadcast(rm), "i")
+      .groupBy("vec_id", "j").agg(sum(col("x") * col("r")).as("p"))
+    val l1 = xm.groupBy("vec_id").agg(sum(abs(col("x"))).as("l1_orig"))
+    val pl = proj.groupBy("vec_id").agg(sum(abs(col("p"))).as("l1_proj"))
+    l1.join(pl, "vec_id")
+      .select(col("vec_id"), col("l1_orig"), col("l1_proj"),
+        expr("l1_proj * 250000 div l1_orig").as("ratio_q_micro"))
+  }
+
+  // -- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+  //    MOSS scheme): 8-char-gram md5 hashes, rightmost-minimum selection
+  //    per 4-gram window, then cross-doc shared-fingerprint pairs — the
+  //    position-robust overlap detector (guarantees every ≥11-char shared
+  //    run yields a shared fingerprint, unlike fixed-stride sampling).
+  //    The window argmin rides ONE packed BIGINT key (hash·2^21 +
+  //    (2^21-1-pos)), so min == (hash asc, pos desc) and the selection is
+  //    bit-exact in DuckDB; positions wrap at 2^21 chars (upstream
+  //    chunking bounds docs far below that — q_text_chunking is the
+  //    feeder). Scale shape: the window is PARTITIONED per doc (bounded
+  //    by doc length); pair generation reuses the dedup-family bucket cut
+  //    (2..50) on the fingerprint hash — never all-pairs.
+  q("q_winnowing_overlap",
+    s"""WITH docs AS (SELECT doc_id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents),
+       |g AS (SELECT doc_id, CAST(unnest(range(len(nt) - 7)) AS BIGINT) AS pos, nt
+       |      FROM docs WHERE len(nt) >= 8),
+       |h AS (SELECT doc_id, pos,
+       |        ${sqlMd5Long("substr(nt, CAST(pos AS INT) + 1, 8)")}
+       |          % 1099511627776 AS hv
+       |      FROM g),
+       |cmb AS (SELECT doc_id, pos,
+       |          hv * 2097152 + (2097151 - pos % 2097152) AS ck FROM h),
+       |wm AS (SELECT doc_id, pos, min(ck) OVER (PARTITION BY doc_id
+       |         ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+       |       FROM cmb),
+       |sel AS (SELECT DISTINCT doc_id, CAST(mk // 2097152 AS BIGINT) AS fh,
+       |          CAST(2097151 - mk % 2097152 AS BIGINT) AS fpos
+       |        FROM wm WHERE pos >= 3),
+       |df AS (SELECT DISTINCT doc_id, fh FROM sel),
+       |dfc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       |        FROM df GROUP BY doc_id),
+       |keptf AS (SELECT fh FROM df GROUP BY fh
+       |          HAVING count(*) BETWEEN 2 AND 50),
+       |kdf AS (SELECT df.* FROM df JOIN keptf USING (fh)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(count(*) AS BIGINT) AS n_shared
+       |      FROM kdf a JOIN kdf b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(n_shared * 1000000 // least(fa.n_fp, fb.n_fp) AS BIGINT)
+       |    AS overlap_micro
+       |FROM p JOIN dfc fa ON fa.doc_id = doc_a
+       |JOIN dfc fb ON fb.doc_id = doc_b
+       |WHERE n_shared * 1000000 // least(fa.n_fp, fb.n_fp) >= 300000""") { (s, dir) =>
+    val docs = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), T.normalizeText(col("text")).as("nt"))
+      .filter(length(col("nt")) >= 8)
+    val h = docs
+      .select(col("doc_id"), col("nt"),
+        explode(sequence(lit(0L), length(col("nt")).cast("long") - 8L))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (T.md5Long(expr("substring(nt, cast(pos as int) + 1, 8)"))
+          % 1099511627776L).as("hv"))
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    val sel = h
+      .select(col("doc_id"), col("pos"),
+        (col("hv") * 2097152L + (lit(2097151L) - col("pos") % 2097152L))
+          .as("ck"))
+      .select(col("doc_id"), col("pos"), min(col("ck")).over(w).as("mk"))
+      .filter(col("pos") >= 3)
+      .select(col("doc_id"), expr("mk div 2097152").as("fh"),
+        (lit(2097151L) - col("mk") % 2097152L).as("fpos"))
+      .distinct()
+    val df = sel.select("doc_id", "fh").distinct().localCheckpoint()
+    val dfc = df.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = df.groupBy("fh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(dfc.as("fa")), col("fa.doc_id") === col("doc_a"))
+      .join(broadcast(dfc.as("fb")), col("fb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("n_shared * 1000000 div least(fa.n_fp, fb.n_fp)")
+          .as("overlap_micro"))
+      // report bar: ≥30% containment of the smaller fingerprint set —
+      // below that the shared mass is boilerplate grams, not overlap
+      .filter(col("overlap_micro") >= 300000)
+  }
+
+  // -- LIVE lexicon stats — the continuously-maintained twin of
+  //    q_type_token_stats: the corpus replays through a running query
+  //    whose state is the (source, word) count table (the exact lexicon —
+  //    vocabulary-bounded at any corpus size; the cardinality-sketch twin
+  //    for unbounded key spaces is q_hll_distinct_live), and the
+  //    type/token/hapax rollup rides the final register table in batch.
+  //    Final report must hash-equal the batch oracle.
+  q("q_type_token_stats_live",
+    s"""WITH t AS (SELECT source, unnest($SqlTokens) AS w FROM documents),
+       |wc AS (SELECT source, w, count(*) AS c FROM t GROUP BY source, w),
+       |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |        CAST(count(*) AS BIGINT) AS n_types,
+       |        CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       |        CAST(max(c) AS BIGINT) AS top_count
+       |      FROM wc GROUP BY source)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_micro,
+       |  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_micro,
+       |  CAST(top_count * 1000000 // n_tokens AS BIGINT) AS top_share_micro
+       |FROM s""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val wc = docs
+      .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val name = s"ttl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    wc.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name).groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max("c").as("top_count"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micro"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_micro"),
+        expr("top_count * 1000000 div n_tokens").as("top_share_micro"))
+  }
 }

@@ -447,4 +447,128 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("k-means: assignment is map-only over broadcast centroid literals") {
+    val plan = planOf("q_kmeans_clusters")
+    // no join anywhere in assignment — centroids are codegen'd literals;
+    // the only join is the broadcast cluster-size attach
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("winnowing: the selection window is partitioned per doc") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_winnowing_overlap")(spark, dir)
+    val bad = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"q_winnowing_overlap: unpartitioned window:\n$bad")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("LSH PR eval: threshold table broadcasts, no cartesian pair join") {
+    val plan = planOf("q_lsh_pr_eval")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the 4-row threshold side and 1-row total must broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin BuildLeft") ||
+      plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(1500))
+  }
+
+  test("triangle census: ordered-edge equi-joins only, no cartesian") {
+    val plan = planOf("q_graph_triangles")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("z-order layout: rank windows ride the bounded cell histogram") {
+    // the ONLY unpartitioned windows are the cum-count over the <=65536-
+    // row cell table (HashAggregate child = the bounding node); the
+    // per-cell row_number is partitioned; no cartesian anywhere
+    assertUnpartitionedWindowsBounded(
+      SparkEntry.queries("q_zorder_layout")(spark, dir), "q_zorder_layout")
+    val plan = planOf("q_zorder_layout")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("SCD2 history: both validity windows share one user_id shuffle") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_scd2_history")(spark, dir)
+    // executedPlan: exchanges are inserted by EnsureRequirements there
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"$exchanges exchanges: ${plan.take(1500)}")
+    val unpart = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"q_scd2_history: unpartitioned window:\n$unpart")
+  }
+
+  test("attribution: per-user window partitioned, rollup partial-agg'd") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_attribution_last_touch")(spark, dir)
+    val unpart = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned window:\n$unpart")
+    val plan = planOf("q_attribution_last_touch")
+    assert(plan.contains("partial_"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("DQ rules: customer RI check broadcasts the dim, no cartesian") {
+    val plan = planOf("q_dq_rules")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("CDC apply: both sides reduce to one row per key before the join") {
+    val plan = planOf("q_cdc_apply")
+    // partial max_by/count on the map side of each grouped input
+    assert(plan.contains("partial_"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("equi-depth histogram: rank window rides the bounded cell table") {
+    assertUnpartitionedWindowsBounded(
+      SparkEntry.queries("q_histogram_equidepth")(spark, dir),
+      "q_histogram_equidepth")
+    assert(!planOf("q_histogram_equidepth").contains("CartesianProduct"))
+  }
+
+  test("PMI collocations: lexicon broadcasts, top-100 is TakeOrdered") {
+    val plan = planOf("q_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("k-anonymity: two hash aggs, totals broadcast, no cartesian") {
+    val plan = planOf("q_k_anonymity")
+    assert(plan.contains("partial_"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("bloom reduction: fact probed by broadcast semi joins, never sort-merged") {
+    val plan = planOf("q_bloom_semi_reduction")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("random projection: JL matrix broadcasts onto the exploded corpus") {
+    val plan = planOf("q_random_projection")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("partial_"), plan.take(1500))
+  }
+
+  test("linear attribution: corpus window pre-folds, final plan shuffle-free") {
+    // the five channel aggs ride the checkpointed purchase table — no
+    // hashpartitioning exchange may survive into the final plan
+    val plan = planOf("q_attribution_linear")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 0, s"$exchanges exchanges: ${plan.take(1500)}")
+  }
 }
