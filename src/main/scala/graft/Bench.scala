@@ -165,7 +165,9 @@ object Bench {
     "histogram-equidepth" -> "q_histogram_equidepth",
     "bloom-semi-reduction" -> "q_bloom_semi_reduction",
     "random-projection" -> "q_random_projection",
-    "attribution-linear" -> "q_attribution_linear")
+    "attribution-linear" -> "q_attribution_linear",
+    "cluster-purity" -> "q_cluster_purity",
+    "hilbert-layout" -> "q_hilbert_layout")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -456,7 +458,9 @@ object Bench {
       "k-anonymity" -> bytes("documents"),
       "histogram-equidepth" -> bytes("lineitem"),
       "bloom-semi-reduction" -> bytes("orders"),
-      "random-projection" -> bytes("embeddings")).withDefaultValue(bytes("events"))
+      "random-projection" -> bytes("embeddings"),
+      "cluster-purity" -> bytes("embeddings"),
+      "hilbert-layout" -> bytes("orders")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
       "consume" -> lineitemRows, "pricing-summary" -> lineitemRows,
@@ -547,7 +551,9 @@ object Bench {
       "k-anonymity" -> docRows,
       "histogram-equidepth" -> lineitemRows,
       "bloom-semi-reduction" -> orderRows,
-      "random-projection" -> embRows).withDefaultValue(eventRows)
+      "random-projection" -> embRows,
+      "cluster-purity" -> embRows,
+      "hilbert-layout" -> orderRows).withDefaultValue(eventRows)
 
     // ---- one measured attempt: load probes + every workload + the two
     // JSON payloads. An attempt that ends CONTENDED (external load at

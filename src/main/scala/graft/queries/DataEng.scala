@@ -142,7 +142,9 @@ object DataEng extends Catalog {
   //    version, is_current) — the dimension-table maintenance job. Both
   //    windows and the change filter share ONE user_id shuffle; the
   //    open-interval sentinel is the 9999-12-31 epoch on both engines.
-  q("q_scd2_history",
+  /** Shared SCD2 oracle: event-type runs collapsed into validity
+    * intervals; the open-interval sentinel is the 9999-12-31 epoch. */
+  private val Scd2Oracle =
     """WITH o AS (
       |  SELECT user_id, event_type, ts, event_id,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -157,7 +159,9 @@ object DataEng extends Catalog {
       |           253402214400) AS valid_to_s,
       |  CAST(version AS BIGINT) AS version,
       |  CAST(lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS BIGINT) AS is_current
-      |FROM ch""") { (s, dir) =>
+      |FROM ch""".stripMargin
+
+  q("q_scd2_history", Scd2Oracle) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wv = Window.partitionBy("user_id").orderBy("version")
     load(s, dir, "events")
@@ -172,6 +176,59 @@ object DataEng extends Catalog {
           lit(253402214400L)).as("valid_to_s"),
         col("version").cast("long").as("version"),
         lead(col("valid_from_s"), 1).over(wv).isNull.cast("long").as("is_current"))
+  }
+
+  // -- LIVE SCD2 — dimension maintenance as a changelog: per-user state
+  //    is the OPEN interval (status, valid_from, version); a status
+  //    change emits the closed predecessor AND the new open row, so each
+  //    version appears at most twice in the sink and min(valid_to)
+  //    collapses the pair to the interval's final form (the closed row
+  //    supersedes the open one; the last version stays open). That is
+  //    exactly how a warehouse SCD2 merge job applies a change feed —
+  //    and the final table must hash-equal the batch oracle.
+  q("q_scd2_history_live", Scd2Oracle) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api.GraftStreams
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sentinel = 253402214400L
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val stream = GraftStreams(s).stream[Long, String](ev, col("user_id"),
+      col("event_type"), col("ots"))
+    val rows = graft.streaming.StatefulOps
+      .flatTransformWithState[Long, String, (String, Long, Long),
+        (Long, String, Long, Long, Long)](stream) { (user, recs, state) =>
+        var (status, vf, ver) = state.getOption.getOrElse(("", 0L, 0L))
+        val out = Seq.newBuilder[(Long, String, Long, Long, Long)]
+        recs.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos)).foreach {
+          case (t, ts) =>
+            val tsS = Math.floorDiv(
+              ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L, 1000000L)
+            if (status.isEmpty) {
+              status = t; vf = tsS; ver = 1L
+              out += ((user, status, vf, sentinel, ver)) // open v1
+            } else if (t != status) {
+              out += ((user, status, vf, tsS, ver)) // close predecessor
+              status = t; vf = tsS; ver += 1L
+              out += ((user, status, vf, sentinel, ver)) // open successor
+            }
+        }
+        state.update((status, vf, ver))
+        out.result().iterator
+      }
+    val name = s"scd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    rows.toDF("user_id", "status", "valid_from_s", "vt", "version")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.table(name).groupBy("user_id", "version")
+      .agg(min("status").as("status"), min("valid_from_s").as("valid_from_s"),
+        min("vt").as("valid_to_s"))
+      .select(col("user_id"), col("status"), col("valid_from_s"),
+        col("valid_to_s"), col("version"),
+        (col("valid_to_s") === sentinel).cast("long").as("is_current"))
   }
 
   // -- CDC apply: merge a keyed snapshot with a change stream — latest
@@ -323,6 +380,153 @@ object DataEng extends Catalog {
     val touched = col("hi_x") >= 64 && col("lo_x") <= 127 &&
       col("hi_y") >= 64 && col("lo_y") <= 127
     files("zv", "zorder").unionAll(files("lv", "linear"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("files_total"),
+        count(when(touched, 1)).as("files_touched"))
+      .select(col("layout"), col("files_total"), col("files_touched"),
+        expr("(files_total - files_touched) * 1000000 div files_total")
+          .as("skip_micro"))
+  }
+
+  // -- Hilbert-curve layout evaluation: the same 256x256 grid, 64-file,
+  //    zone-map experiment as q_zorder_layout but with the Hilbert
+  //    space-filling curve added — the locality ordering Delta/Iceberg
+  //    reach for when Z-order's quadrant jumps hurt (Hilbert never
+  //    teleports: adjacent curve positions are adjacent cells). The
+  //    curve index is the classic bit-interleave-with-rotation transform
+  //    UNROLLED into 8 integer levels (quadrant digit + reflected/
+  //    swapped low bits), identical CTE-per-level on both engines —
+  //    validated cell-for-cell against the textbook xy2d algorithm on
+  //    the full 65536-cell grid. Report: files touched + skip ratio for
+  //    the 2-D range predicate under hilbert / zorder / linear.
+  q("q_hilbert_layout", {
+    val zbits = (0 to 7).map(i =>
+      s"(((bx >> $i) & 1) * 2 + ((by >> $i) & 1)) * ${1L << (2 * i)}")
+      .mkString(" + ")
+    // 8 Hilbert levels: quadrant digit ((3*rx) XOR ry as a CASE table),
+    // then keep the reflected/swapped low bits for the next level
+    val hLevels = (7 to 0 by -1).map { k =>
+      val s = 1L << k
+      val prev = if (k == 7) "hz" else s"h${k + 1}"
+      s"""h$k AS (
+         |  SELECT o_orderkey, bx, by, n, zv, lv,
+         |    acc + ${s * s} * (CASE WHEN (hx // $s) % 2 = 1
+         |        THEN (CASE WHEN (hy // $s) % 2 = 1 THEN 2 ELSE 3 END)
+         |        ELSE (CASE WHEN (hy // $s) % 2 = 1 THEN 1 ELSE 0 END) END) AS acc,
+         |    CASE WHEN (hy // $s) % 2 = 0 THEN
+         |      CASE WHEN (hx // $s) % 2 = 1 THEN $s - 1 - (hy % $s) ELSE hy % $s END
+         |    ELSE hx % $s END AS hx,
+         |    CASE WHEN (hy // $s) % 2 = 0 THEN
+         |      CASE WHEN (hx // $s) % 2 = 1 THEN $s - 1 - (hx % $s) ELSE hx % $s END
+         |    ELSE hy % $s END AS hy
+         |  FROM $prev)"""
+    }.mkString(",\n")
+    def lay(src: String, key: String, label: String) =
+      s"""c_$key AS (SELECT $key, count(*) AS cn FROM $src GROUP BY $key),
+         |m_$key AS (SELECT $key, sum(cn) OVER (ORDER BY $key) - cn AS bef FROM c_$key),
+         |r_$key AS (SELECT z.bx, z.by, '$label' AS layout,
+         |    CAST((m.bef + row_number() OVER (PARTITION BY z.$key ORDER BY z.o_orderkey) - 1)
+         |         * 64 // z.n AS BIGINT) AS fid
+         |  FROM $src z JOIN m_$key m USING ($key))"""
+    s"""WITH d AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+       |  FROM orders),
+       |lim AS (SELECT max(o_custkey) + 1 AS cmax,
+       |    min(day) AS dmin, max(day) - min(day) + 1 AS dspan,
+       |    CAST(count(*) AS BIGINT) AS n FROM d),
+       |b AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey * 256 // cmax AS BIGINT) AS bx,
+       |    CAST((day - dmin) * 256 // dspan AS BIGINT) AS by,
+       |    n
+       |  FROM d, lim),
+       |hz AS (SELECT o_orderkey, bx, by, n,
+       |    CAST($zbits AS BIGINT) AS zv,
+       |    CAST(by * 256 + bx AS BIGINT) AS lv,
+       |    CAST(0 AS BIGINT) AS acc, bx AS hx, by AS hy
+       |  FROM b),
+       |$hLevels,
+       |hv AS (SELECT o_orderkey, bx, by, n, zv, lv, acc AS hv FROM h0),
+       |${lay("hv", "hv", "hilbert")},
+       |${lay("hv", "zv", "zorder")},
+       |${lay("hv", "lv", "linear")},
+       |zm AS (SELECT layout, fid, min(bx) lo_x, max(bx) hi_x,
+       |         min(by) lo_y, max(by) hi_y
+       |       FROM (SELECT * FROM r_hv UNION ALL SELECT * FROM r_zv
+       |             UNION ALL SELECT * FROM r_lv)
+       |       GROUP BY layout, fid)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+       |  CAST(count(*) FILTER (hi_x >= 64 AND lo_x <= 127 AND hi_y >= 64 AND lo_y <= 127) AS BIGINT) AS files_touched,
+       |  CAST((count(*) - count(*) FILTER (hi_x >= 64 AND lo_x <= 127 AND hi_y >= 64 AND lo_y <= 127)) * 1000000 // count(*) AS BIGINT) AS skip_micro
+       |FROM zm GROUP BY layout"""
+  }) { (s, dir) =>
+    val orders = load(s, dir, "orders")
+    val lim = orders.agg(
+      (max("o_custkey") + 1).as("cmax"),
+      min(expr("unix_timestamp(o_orderdate) div 86400")).as("dmin"),
+      (max(expr("unix_timestamp(o_orderdate) div 86400"))
+        - min(expr("unix_timestamp(o_orderdate) div 86400")) + 1).as("dspan"),
+      count(lit(1)).as("n"))
+    val zbits = (0 to 7).map(i =>
+      s"((shiftright(bx, $i) & 1) * 2 + (shiftright(by, $i) & 1)) * ${1L << (2 * i)}")
+      .mkString(" + ")
+    var z = orders.crossJoin(broadcast(lim))
+      .select(col("o_orderkey"),
+        expr("o_custkey * 256 div cmax").as("bx"),
+        expr("(unix_timestamp(o_orderdate) div 86400 - dmin) * 256 div dspan")
+          .as("by"),
+        col("n"))
+      .withColumn("zv", expr(s"cast($zbits as bigint)"))
+      .withColumn("lv", expr("by * 256 + bx"))
+      .withColumn("acc", lit(0L))
+      .withColumn("hx", col("bx")).withColumn("hy", col("by"))
+    // 8 unrolled levels as chained projections: each level's rx/ry/low
+    // bits materialize ONCE per step, so codegen stays linear (a single
+    // nested expression would blow up 4^8)
+    for (k <- 7 to 0 by -1) {
+      val s1 = 1L << k
+      z = z
+        .withColumn("rx", expr(s"(hx div $s1) % 2"))
+        .withColumn("ry", expr(s"(hy div $s1) % 2"))
+        .withColumn("acc", col("acc") + lit(s1 * s1) *
+          when(col("rx") === 1,
+            when(col("ry") === 1, 2L).otherwise(3L))
+            .otherwise(when(col("ry") === 1, 1L).otherwise(0L)))
+        .withColumn("nx",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s1 - 1) - col("hy") % s1)
+              .otherwise(col("hy") % s1))
+            .otherwise(col("hx") % s1))
+        .withColumn("ny",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s1 - 1) - col("hx") % s1)
+              .otherwise(col("hx") % s1))
+            .otherwise(col("hy") % s1))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+    }
+    val base = z.select(col("o_orderkey"), col("bx"), col("by"), col("n"),
+      col("zv"), col("lv"), col("acc").as("hv"))
+      .localCheckpoint() // grid + all three curve keys computed once
+    def files(key: String, label: String) = {
+      val cells = base.groupBy(key).agg(count(lit(1)).as("cn"))
+      val cum = cells.withColumn("bef",
+        sum("cn").over(Window.orderBy(key)) - col("cn"))
+      base.join(broadcast(cum.select(col(key), col("bef"))), key)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(key).orderBy("o_orderkey")))
+        .select(col("bx"), col("by"),
+          expr("(bef + rn - 1) * 64 div n").as("fid"))
+        .groupBy("fid")
+        .agg(min("bx").as("lo_x"), max("bx").as("hi_x"),
+          min("by").as("lo_y"), max("by").as("hi_y"))
+        .select(lit(label).as("layout"), col("lo_x"), col("hi_x"),
+          col("lo_y"), col("hi_y"))
+    }
+    val touched = col("hi_x") >= 64 && col("lo_x") <= 127 &&
+      col("hi_y") >= 64 && col("lo_y") <= 127
+    files("hv", "hilbert").unionAll(files("zv", "zorder"))
+      .unionAll(files("lv", "linear"))
       .groupBy("layout")
       .agg(count(lit(1)).as("files_total"),
         count(when(touched, 1)).as("files_touched"))

@@ -5145,13 +5145,16 @@ object LlmPipeline extends Catalog {
   //    shuffle of k·dim cells; the driver holds k·dim longs (bounded by
   //    contract, the codebook rule). localCheckpoint per round keeps the
   //    plan constant.
-  q("q_kmeans_clusters", {
+  /** Shared oracle CTE chain for the 2-round integer Lloyd loop, ending
+    * at `g2(vec_id, cluster, sq_dist)` — reused by q_kmeans_clusters and
+    * the purity evaluation. */
+  private val KmeansOracleCtes: String = {
     def assign(c: String, d: String, sres: String) =
       s"""$d AS (SELECT xm.vec_id, $c.cl,
          |  CAST(sum((xm.x - $c.cm) * (xm.x - $c.cm)) AS BIGINT) AS d
          |  FROM xm JOIN $c ON $c.pos = xm.pos GROUP BY xm.vec_id, $c.cl),
          |$sres AS (SELECT vec_id, min(d * 8 + cl) AS mk FROM $d GROUP BY vec_id)"""
-    s"""WITH xm AS (SELECT vec_id,
+    s"""xm AS (SELECT vec_id,
        |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
        |  FROM embeddings),
@@ -5163,11 +5166,12 @@ object LlmPipeline extends Catalog {
        |       FROM xm JOIN g1 USING (vec_id) GROUP BY g1.cl, xm.pos),
        |${assign("c2", "d2", "s2")},
        |g2 AS (SELECT vec_id, CAST(mk % 8 AS BIGINT) AS cluster,
-       |         CAST(mk // 8 AS BIGINT) AS sq_dist FROM s2),
-       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_n
-       |       FROM g2 GROUP BY cluster)
-       |SELECT vec_id, cluster, sq_dist, cluster_n FROM g2 JOIN sz USING (cluster)"""
-  }) { (s, dir) =>
+       |         CAST(mk // 8 AS BIGINT) AS sq_dist FROM s2)""".stripMargin
+  }
+
+  /** Spark side of the shared Lloyd loop: (vec_id, cluster, sq_dist). */
+  private def kmeansAssignments(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val k = 8
     val xm = spread(load(s, dir, "embeddings"))
       .select(col("vec_id"),
@@ -5196,12 +5200,69 @@ object LlmPipeline extends Catalog {
           (cl, rows.sortBy(_._2).map(_._3).toArray)
         }.sortBy(_._1)
     }
-    val fin = xm.select(col("vec_id"), assignKey(cents).as("mk"))
+    xm.select(col("vec_id"), assignKey(cents).as("mk"))
       .select(col("vec_id"), (col("mk") % k).as("cluster"),
         expr("mk div 8").as("sq_dist"))
+  }
+
+  q("q_kmeans_clusters",
+    s"""WITH $KmeansOracleCtes,
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_n
+       |       FROM g2 GROUP BY cluster)
+       |SELECT vec_id, cluster, sq_dist, cluster_n FROM g2 JOIN sz USING (cluster)""") { (s, dir) =>
+    val fin = kmeansAssignments(s, dir)
     val sz = fin.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
     fin.join(broadcast(sz), Seq("cluster"))
       .select("vec_id", "cluster", "sq_dist", "cluster_n")
+  }
+
+  // -- cluster purity evaluation: how well the unsupervised topic
+  //    clusters recover the labeled classes — the quality gate a mixture
+  //    designer reads before trusting k-means buckets for sampling. Per
+  //    cluster: size, majority label (ties to the LOWEST label via ONE
+  //    packed argmax key, engine-exact), majority mass, purity micro;
+  //    corpus-weighted purity broadcast onto every row. Scale shape: the
+  //    label join is by vec_id on the assignment table; everything after
+  //    is k-bounded aggregation.
+  q("q_cluster_purity",
+    s"""WITH $KmeansOracleCtes,
+       |lab AS (SELECT g2.cluster, e.label
+       |        FROM g2 JOIN embeddings e USING (vec_id)),
+       |lc AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM lab GROUP BY cluster, label),
+       |top AS (SELECT cluster, max(cnt * 1024 + (1023 - label)) AS pk,
+       |          CAST(sum(cnt) AS BIGINT) AS cluster_n
+       |        FROM lc GROUP BY cluster),
+       |per AS (SELECT cluster, cluster_n,
+       |          CAST(1023 - pk % 1024 AS BIGINT) AS top_label,
+       |          CAST(pk // 1024 AS BIGINT) AS top_n
+       |        FROM top),
+       |tot AS (SELECT CAST(sum(top_n) * 1000000 // sum(cluster_n) AS BIGINT)
+       |          AS overall_purity_micro FROM per)
+       |SELECT cluster, cluster_n, top_label, top_n,
+       |  CAST(top_n * 1000000 // cluster_n AS BIGINT) AS purity_micro,
+       |  tot.overall_purity_micro
+       |FROM per CROSS JOIN tot""") { (s, dir) =>
+    val lab = kmeansAssignments(s, dir)
+      .join(load(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // k x |labels| rows; both rollups fold this
+    val per = lab
+      .groupBy("cluster")
+      .agg(max(col("cnt") * 1024 + (lit(1023) - col("label"))).as("pk"),
+        sum("cnt").as("cluster_n"))
+      .select(col("cluster"), col("cluster_n"),
+        (lit(1023) - col("pk") % 1024).cast("long").as("top_label"),
+        expr("pk div 1024").as("top_n"))
+      .localCheckpoint()
+    val tot = per.agg(
+      expr("sum(top_n) * 1000000 div sum(cluster_n)")
+        .as("overall_purity_micro"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("cluster_n"), col("top_label"),
+        col("top_n"),
+        expr("top_n * 1000000 div cluster_n").as("purity_micro"),
+        col("overall_purity_micro"))
   }
 
   // -- LSH design evaluation: precision/recall of the MinHash-LSH

@@ -550,6 +550,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("hilbert layout: rank windows ride the bounded cell histograms") {
+    assertUnpartitionedWindowsBounded(
+      SparkEntry.queries("q_hilbert_layout")(spark, dir), "q_hilbert_layout")
+    assert(!planOf("q_hilbert_layout").contains("CartesianProduct"))
+  }
+
   test("bloom reduction: fact probed by broadcast semi joins, never sort-merged") {
     val plan = planOf("q_bloom_semi_reduction")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
