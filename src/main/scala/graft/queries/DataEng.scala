@@ -681,9 +681,10 @@ object DataEng extends Catalog {
   }
 
   // -- integer-exact EWMA smoothing (alpha = 1/4): the nonlinear per-key
-  //    fold s <- s + floor((x - s) / 4) — floor division via arithmetic
-  //    shift on the Spark side and DuckDB's floor-div `//` in the oracle,
-  //    so every step is bit-identical. Windows can't express the
+  //    fold s <- s + trunc((x - s) / 4) — truncating division toward zero
+  //    on both engines (Scala Long `/` = DuckDB integer `//`; arithmetic
+  //    shift would FLOOR and diverge on negative deltas), so every step
+  //    is bit-identical. Windows can't express the
   //    recurrence (each step floors), so this is the per-key sorted fold
   //    (mapGroups) — the sessionize shape: state is one accumulator,
   //    group size is a user's history, never the corpus.
@@ -713,7 +714,7 @@ object DataEng extends Catalog {
       .mapGroups { (user, rows) =>
         var (n, sm, mn, mx) = (0L, 0L, Long.MaxValue, Long.MinValue)
         rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, xm) =>
-          sm = if (n == 0L) xm else sm + ((xm - sm) >> 2) // >> = floor div 4
+          sm = if (n == 0L) xm else sm + ((xm - sm) / 4) // trunc div = DuckDB //
           n += 1
           if (sm < mn) mn = sm
           if (sm > mx) mx = sm
@@ -762,7 +763,7 @@ object DataEng extends Catalog {
         val out = Seq.newBuilder[(Long, Long, Long)]
         rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos)).foreach {
           case (xm, _) =>
-            sm = if (n == 0L) xm else sm + ((xm - sm) >> 2)
+            sm = if (n == 0L) xm else sm + ((xm - sm) / 4)
             n += 1
             out += ((user, n, sm))
         }

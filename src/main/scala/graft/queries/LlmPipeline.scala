@@ -5417,13 +5417,13 @@ object LlmPipeline extends Catalog {
        |        CAST(sum(degree) AS BIGINT) AS sum_degree_all,
        |        CAST(max(degree) AS BIGINT) AS max_degree FROM deg),
        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-       |h AS (SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket,
+       |dh AS (SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket,
        |        CAST(count(*) AS BIGINT) AS n_nodes,
        |        CAST(sum(degree) AS BIGINT) AS sum_degree
        |      FROM deg GROUP BY 1)
-       |SELECT h.bucket, h.n_nodes, h.sum_degree, t.n_connected, t.max_degree,
+       |SELECT dh.bucket, dh.n_nodes, dh.sum_degree, t.n_connected, t.max_degree,
        |  nd.n_docs - t.n_connected AS n_isolated
-       |FROM h CROSS JOIN t CROSS JOIN nd""") { (s, dir) =>
+       |FROM dh CROSS JOIN t CROSS JOIN nd""") { (s, dir) =>
     val pairs = minhashPairs(s, dir).localCheckpoint() // pair gen runs once
     val deg = pairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
