@@ -70,13 +70,29 @@ object HyperLogLog {
   /** alpha_64 · m² in 2^-30 units · 1000: 709 · 4096 · 2^30 (exact). */
   private val AlphaNum: Long = 709L * 4096L * (1L << 30)
 
+  /** Linear-counting lookup: LcTable(V-1) = round(m · ln(m/V)) for
+    * V = 1..m empty registers. Precomputed ONCE here and interpolated as
+    * integer literals into both the Spark expression and the DuckDB
+    * oracle, so neither engine evaluates a transcendental at query time
+    * (the exact-isqrt discipline applied to ln). */
+  val LcTable: IndexedSeq[Long] =
+    (1 to M).map(v => math.round(M * math.log(M.toDouble / v)))
+
+  /** Small-range threshold 2.5·m (Flajolet et al. §4): below this the
+    * raw harmonic estimate is biased and linear counting takes over. */
+  val LcThreshold: Long = 5L * M / 2
+
   /** Integer HLL estimate per group from a register table:
     * S = Σ 2^(30 - m_j) over present registers + 2^30 per absent one;
-    * E = (709 · 4096 · 2^30) div (S · 1000). Emits
+    * raw E = (709 · 4096 · 2^30) div (S · 1000); when empty registers
+    * exist and E ≤ 2.5·m, the linear-counting correction
+    * round(m · ln(m/V)) (precomputed [[LcTable]]) replaces it. Emits
     * (groupCols..., hll_estimate, n_zero_registers). */
   def estimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
     val term = when(col("m_j") <= 30L,
       expr("shiftleft(cast(1 as bigint), cast(30 - m_j as int))")).otherwise(lit(0L))
+    val lc = element_at(array(LcTable.map(lit): _*),
+      col("n_zero_registers").cast("int"))
     registers
       .groupBy(groupCols.map(col): _*)
       .agg(sum(term).as("__s_present"), count(lit(1)).as("__n_present"))
@@ -85,7 +101,11 @@ object HyperLogLog {
           .as("__s") :+
         (lit(M.toLong) - col("__n_present")).as("n_zero_registers")): _*)
       .select((groupCols.map(col) :+
-        expr(s"$AlphaNum div (__s * 1000)").as("hll_estimate") :+
+        expr(s"$AlphaNum div (__s * 1000)").as("__raw") :+
+        col("n_zero_registers")): _*)
+      .select((groupCols.map(col) :+
+        when(col("n_zero_registers") > 0L && col("__raw") <= LcThreshold, lc)
+          .otherwise(col("__raw")).as("hll_estimate") :+
         col("n_zero_registers")): _*)
   }
 }

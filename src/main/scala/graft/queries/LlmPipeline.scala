@@ -4307,12 +4307,17 @@ object LlmPipeline extends Catalog {
        |      FROM r GROUP BY source),
        |e AS (SELECT source, (64 - np) * 1073741824 + sp AS s2,
        |        CAST(64 - np AS BIGINT) AS nz FROM s),
+       |raw AS (SELECT source, nz,
+       |        CAST(3118146387509248 // (s2 * 1000) AS BIGINT) AS re FROM e),
        |x AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
        |      FROM t GROUP BY source)
        |SELECT x.source, x.n_exact,
-       |  CAST(3118146387509248 // (s2 * 1000) AS BIGINT) AS hll_estimate,
+       |  CAST(CASE WHEN nz > 0 AND re <= ${graft.operators.HyperLogLog.LcThreshold}
+       |       THEN list_extract([${graft.operators.HyperLogLog.LcTable.mkString(", ")}],
+       |                         CAST(nz AS INT))
+       |       ELSE re END AS BIGINT) AS hll_estimate,
        |  nz AS n_zero_registers
-       |FROM x JOIN e USING (source)""".stripMargin
+       |FROM x JOIN raw USING (source)""".stripMargin
 
   // -- HyperLogLog distinct words per source (operators.HyperLogLog —
   //    64 BIGINT registers per group at ANY corpus size) read out against

@@ -226,7 +226,7 @@ object Relational extends Catalog {
   }
 
   // -- exact distinct count (oracle) — the HLL sketch variant is
-  //    q_approx_distinct (rows-only; estimates differ across engines).
+  //    q_approx_distinct (full oracle via operators.HyperLogLog).
   q("q_count_distinct",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
       |  count(DISTINCT l_suppkey) AS n_supps
@@ -336,11 +336,52 @@ object Relational extends Catalog {
         round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
   }
 
-  // -- HLL-sketch distinct (approx_count_distinct): the "novel sketch"
-  //    class — partial sketches merge map-side, constant state per group.
-  qNoOracle("q_approx_distinct") { (s, dir) =>
-    load(s, dir, "lineitem").groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+  // -- HLL-sketch distinct: the "novel sketch" class — partial sketches
+  //    merge map-side, constant (m = 64 registers) state per group.
+  //    Built on operators.HyperLogLog (NOT approx_count_distinct, whose
+  //    register layout is engine-private and therefore unverifiable):
+  //    md5-derived registers + all-integer harmonic estimate reproduce
+  //    bit-for-bit in DuckDB, so the former rows-only check is now a
+  //    full rows+schema+hash oracle. Read out against the exact
+  //    distinct count, the q_hll_distinct pattern on a fact table.
+  q("q_approx_distinct", {
+    import graft.operators.HyperLogLog.{LcTable, LcThreshold}
+    s"""WITH t AS (SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS w
+       |           FROM lineitem),
+       |h AS (SELECT l_returnflag, w,
+       |        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM t),
+       |r AS (SELECT l_returnflag, h % 64 AS j,
+       |        max(CASE WHEN h // 64 = 0 THEN 55
+       |            ELSE 55 - length(bin(h // 64)) END) AS mj
+       |      FROM h GROUP BY l_returnflag, h % 64),
+       |s AS (SELECT l_returnflag,
+       |        CAST(sum(CASE WHEN mj <= 30 THEN CAST(1 AS BIGINT) << (30 - mj)
+       |                 ELSE 0 END) AS BIGINT) AS sp,
+       |        count(*) AS np
+       |      FROM r GROUP BY l_returnflag),
+       |e AS (SELECT l_returnflag, (64 - np) * 1073741824 + sp AS s2,
+       |        CAST(64 - np AS BIGINT) AS nz FROM s),
+       |raw AS (SELECT l_returnflag, nz,
+       |        CAST(3118146387509248 // (s2 * 1000) AS BIGINT) AS re FROM e),
+       |x AS (SELECT l_returnflag, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+       |      FROM t GROUP BY l_returnflag)
+       |SELECT x.l_returnflag, x.n_exact,
+       |  CAST(CASE WHEN nz > 0 AND re <= $LcThreshold
+       |       THEN list_extract([${LcTable.mkString(", ")}], CAST(nz AS INT))
+       |       ELSE re END AS BIGINT) AS hll_estimate,
+       |  nz AS n_zero_registers
+       |FROM x JOIN raw USING (l_returnflag)""".stripMargin
+  }) { (s, dir) =>
+    import graft.operators.HyperLogLog
+    val items = load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("w"))
+    val regs = HyperLogLog.registers(items, "w", Seq("l_returnflag"))
+    val exact = items.groupBy("l_returnflag")
+      .agg(countDistinct(col("w")).as("n_exact"))
+    exact
+      .join(HyperLogLog.estimate(regs, Seq("l_returnflag")), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"), col("hll_estimate"),
+        col("n_zero_registers"))
   }
 
   // -- Q3-style shipping priority: selective dim filter broadcast into

@@ -48,6 +48,29 @@ class HyperLogLogSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("small cardinalities route through linear counting (~exact)") {
+    // Below 2.5·m = 160 the raw harmonic estimate is biased low/high;
+    // the LcTable branch must fire and land within ~15% even at n = 20
+    // (linear counting is near-exact while most registers are empty).
+    for (n <- Seq(2, 20, 80)) {
+      val df = items(2 * n, "lc") // n distinct per group
+      val est = HyperLogLog.estimate(
+        HyperLogLog.registers(df, "w", Seq("g")), Seq("g")).collect()
+      est.foreach { r =>
+        val e = r.getAs[Long]("hll_estimate").toDouble
+        assert(r.getAs[Long]("n_zero_registers") > 0L)
+        assert(math.abs(e - n) / n < 0.30, s"LC estimate $e for exact $n")
+      }
+    }
+  }
+
+  test("LcTable literals are stable (oracle interpolates these values)") {
+    assert(HyperLogLog.LcTable.length === 64)
+    assert(HyperLogLog.LcTable.head === math.round(64 * math.log(64.0)))
+    assert(HyperLogLog.LcTable.last === 0L)
+    assert(HyperLogLog.LcTable === HyperLogLog.LcTable.sorted.reverse)
+  }
+
   test("estimate lands in the ~1.04/sqrt(64) = 13% band (3 sigma = 39%)") {
     val df = items(6000, "a") // 3000 distinct per group
     val regs = HyperLogLog.registers(df, "w", Seq("g"))
