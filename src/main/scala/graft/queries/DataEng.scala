@@ -1145,4 +1145,140 @@ object DataEng extends Catalog {
     ch("click").unionAll(ch("view")).unionAll(ch("signup"))
       .unionAll(ch("error")).unionAll(direct)
   }
+
+  // ------------------------------------------------- time-series analysis
+
+  // -- integer-exact lag-k autocorrelation of the daily event-count
+  //    series, per event type, lags 1..7 — the seasonality probe a
+  //    metrics warehouse runs over ingest volumes (a spike at lag 7 =
+  //    weekly cycle, see q_seasonality_dow for the per-dow readout).
+  //    Engine-exact recipe: daily deviations land on a scale-free
+  //    1e-4 grid FIRST — e_d = (1e4·(N·c_d − S)) div (N·S), signed
+  //    truncating div on both engines (SignedDivisionSpec) — then
+  //    r_micro = (1e6 · Σ e_d·e_{d+k}) div (Σ e_d²). Because e is
+  //    relative (basis points), every intermediate fits Long at ANY
+  //    corpus size: overflow needs |e| > ~5.4e5 = a 54x daily swing at
+  //    N = 31. Scale shape: the corpus is touched ONCE (one hash agg to
+  //    |types|·|days| rows); deviations, the 7-lag self-join and both
+  //    sums fold that bounded table, with the totals broadcast.
+  q("q_autocorr_daily",
+    """WITH e AS (SELECT event_type,
+      |        CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+      |      FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+      |        CAST(sum(c) AS BIGINT) AS s FROM c GROUP BY 1),
+      |dev AS (SELECT c.event_type, c.day,
+      |          CAST((10000 * (t.nd * c.c - t.s)) // (t.nd * t.s) AS BIGINT) AS ed
+      |        FROM c JOIN t USING (event_type)),
+      |den AS (SELECT event_type, CAST(sum(ed * ed) AS BIGINT) AS den,
+      |          CAST(count(*) AS BIGINT) AS n_days FROM dev GROUP BY 1),
+      |lg AS (SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
+      |         CAST(sum(a.ed * b.ed) AS BIGINT) AS num,
+      |         CAST(count(*) AS BIGINT) AS n_pairs
+      |       FROM dev a
+      |       CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |       JOIN dev b ON b.event_type = a.event_type
+      |         AND b.day = a.day + l.lag
+      |       GROUP BY 1, 2)
+      |SELECT lg.event_type, lg.lag, den.n_days, lg.n_pairs,
+      |  CAST((1000000 * lg.num) // den.den AS BIGINT) AS r_micro
+      |FROM lg JOIN den USING (event_type)""") { (s, dir) =>
+    val e = load(s, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+    val c = e.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |types|·|days| rows; the corpus pass runs once
+    val t = c.groupBy("event_type").agg(count(lit(1)).as("nd"), sum("c").as("s"))
+    val dev = c.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("day"),
+        expr("(10000 * (nd * c - s)) div (nd * s)").as("ed"))
+      .localCheckpoint() // reused by den + 7-lag join
+    val den = dev.groupBy("event_type")
+      .agg(sum(expr("ed * ed")).as("den"), count(lit(1)).as("n_days"))
+    val lagged = dev
+      .withColumn("lag", explode(array((1 to 7).map(l => lit(l.toLong)): _*)))
+      .withColumn("day2", col("day") + col("lag"))
+    val num = lagged
+      .join(dev.toDF("event_type", "day2", "ed2"), Seq("event_type", "day2"))
+      .groupBy("event_type", "lag")
+      .agg(sum(expr("ed * ed2")).as("num"), count(lit(1)).as("n_pairs"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"), col("n_pairs"),
+        expr("(1000000 * num) div den").as("r_micro"))
+  }
+
+  // -- day-of-week seasonality profile per event type: count, traffic
+  //    share and deviation from the uniform 1/7 share, all in integer
+  //    micro units. dow = epoch-day mod 7 (day 0 = a Thursday) — the
+  //    timezone/locale-free day-of-week both engines compute identically
+  //    from the same integer. One hash agg over the corpus to |types|·7
+  //    rows; totals broadcast back.
+  q("q_seasonality_dow",
+    """WITH e AS (SELECT event_type,
+      |        CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |d AS (SELECT event_type, CAST(day % 7 AS BIGINT) AS dow,
+      |        CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY 1)
+      |SELECT d.event_type, d.dow, d.n,
+      |  CAST(d.n * 1000000 // t.tot AS BIGINT) AS share_micro,
+      |  CAST(d.n * 1000000 // t.tot - 142857 AS BIGINT) AS dev_micro
+      |FROM d JOIN t USING (event_type)""") { (s, dir) =>
+    val d = load(s, dir, "events")
+      .select(col("event_type"),
+        expr("(unix_timestamp(ts) div 86400) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|·7 rows; totals fold this, not the corpus
+    val t = d.groupBy("event_type").agg(sum("n").as("tot"))
+    d.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("n * 1000000 div tot").as("share_micro"),
+        expr("n * 1000000 div tot - 142857").as("dev_micro"))
+  }
+
+  // ----------------------------------------------------------- governance
+
+  /** Inverse-CDF magnitude table for seeded Laplace noise (b = 1, in
+    * 1e-3 count units): LapTable(i) = round(−1000·ln((i+0.5)/1024)) for
+    * i = 0..1023. Precomputed ONCE and interpolated as integer literals
+    * into both engines (the HyperLogLog.LcTable discipline), so no
+    * transcendental evaluates at query time. */
+  private val LapTable: IndexedSeq[Long] =
+    (0 until 1024).map(i => math.round(-1000.0 * math.log((i + 0.5) / 1024.0)))
+
+  // -- differentially-private count release (ε = 1, sensitivity 1 —
+  //    Dwork et al. 2006 Laplace mechanism), the governance step next to
+  //    q_k_anonymity: each released count carries additive Laplace(1)
+  //    noise in milli units. The noise draw is SEEDED — u = md5(group
+  //    key) mod 2048 picks sign + a 1024-bucket inverse-CDF magnitude
+  //    ([[LapTable]]) — so the release is reproducible run-over-run and
+  //    bit-identical in the oracle (a production deployment would swap
+  //    the seed source for a secret; the mechanism and the engine-side
+  //    plumbing are exactly this). Scale: one hash agg, noise is a
+  //    per-GROUP map over |groups| rows.
+  q("q_dp_noisy_counts", {
+    val lits = LapTable.mkString(", ")
+    s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |           FROM events GROUP BY 1),
+       |u AS (SELECT event_type, n,
+       |        ${sqlMd5Long("event_type")} % 2048 AS u FROM c)
+       |SELECT event_type, n,
+       |  CAST((CASE WHEN u >= 1024 THEN 1 ELSE -1 END) *
+       |       list_extract([$lits], CAST(u % 1024 AS INT) + 1) AS BIGINT)
+       |    AS noise_milli,
+       |  CAST(n * 1000 + (CASE WHEN u >= 1024 THEN 1 ELSE -1 END) *
+       |       list_extract([$lits], CAST(u % 1024 AS INT) + 1) AS BIGINT)
+       |    AS noisy_milli
+       |FROM u""".stripMargin
+  }) { (s, dir) =>
+    val lap = array(LapTable.map(lit): _*)
+    load(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(event_type), 1, 15), 16, 10) as bigint) % 2048"))
+      .withColumn("noise_milli",
+        (when(col("u") >= 1024, lit(1L)).otherwise(lit(-1L)) *
+          element_at(lap, (col("u") % 1024).cast("int") + 1)))
+      .select(col("event_type"), col("n"), col("noise_milli"),
+        (col("n") * 1000L + col("noise_milli")).as("noisy_milli"))
+  }
 }

@@ -5683,4 +5683,252 @@ object LlmPipeline extends Catalog {
         expr("n_hapax * 1000000 div n_types").as("hapax_micro"),
         expr("top_count * 1000000 div n_tokens").as("top_share_micro"))
   }
+
+  // ======================================================= KMV sketches
+
+  /** DuckDB mirror of the KMV bottom-k summary (operators.KMinValues)
+    * over the per-source 3-word shingle sets (the q_source_overlap
+    * universe — ~1.1–1.5k distinct per source, well past k, so the
+    * estimator branch is really exercised): distinct 50-bit md5 hashes
+    * per source, k = 256 smallest kept. Shared by the distinct /
+    * set-ops / live queries. */
+  private val SqlKmvSketch: String =
+    s"""d0 AS (SELECT source, $SqlTokens AS ws FROM documents),
+       |t AS (SELECT source, unnest($SqlShingles3) AS w FROM d0),
+       |dh AS (SELECT DISTINCT source, ${sqlMd5Long("w")} // 1024 AS h FROM t),
+       |kr AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+       |       FROM dh),
+       |sk AS (SELECT * FROM kr WHERE rank <= 256)""".stripMargin
+
+  /** Oracle shared by the batch and live KMV-distinct twins (identical
+    * final state by construction). 287104476244869120 = (k−1) · 2^50. */
+  private val SqlKmvQuery: String =
+    s"""WITH $SqlKmvSketch,
+       |est AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
+       |          max(CASE WHEN rank = 256 THEN h END) AS hk
+       |        FROM sk GROUP BY source),
+       |x AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+       |      FROM t GROUP BY source)
+       |SELECT x.source, x.n_exact, est.n_sketch,
+       |  CAST(CASE WHEN est.n_sketch < 256 THEN est.n_sketch
+       |       ELSE 287104476244869120 // est.hk END AS BIGINT) AS kmv_estimate
+       |FROM x JOIN est USING (source)""".stripMargin
+
+  // -- KMV (bottom-k) distinct 3-shingles per source, read out against
+  //    the exact count — the SECOND sketch family for cardinality
+  //    (operators.KMinValues): where q_hll_distinct's registers only
+  //    estimate one set's size, the KMV summary is a bottom-k SAMPLE of
+  //    the hashed key space, so two sources' sketches also answer
+  //    union/intersection/Jaccard (q_kmv_set_ops). Engine-exact: 50-bit
+  //    md5 hashes and one truncated division, mirrored bit-for-bit in
+  //    DuckDB. Scale: ONE partial-agg'd shuffle — the bounded buffer
+  //    dedups on insert, so map tasks emit ≤ k longs per group and the
+  //    whole summary is |sources| · k rows (KMinValuesSpec pins
+  //    mergeability + partitioning-independence).
+  q("q_kmv_distinct", SqlKmvQuery) { (s, dir) =>
+    import graft.operators.KMinValues
+    val toks = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(D.wordShingles(col("text"), 3)).as("w"))
+    val est = KMinValues.estimate(KMinValues.sketch(toks, "w", "source"), "source")
+    toks.groupBy("source").agg(countDistinct(col("w")).as("n_exact"))
+      .join(est, "source")
+      .select(col("source"), col("n_exact"), col("n_sketch"), col("kmv_estimate"))
+  }
+
+  // -- KMV set algebra between sources — the query register sketches
+  //    CANNOT answer: |A ∪ B|, |A ∩ B| and Jaccard for every source pair
+  //    from the k-row summaries ALONE (S_k(A ∪ B) = S_k(S(A) ∪ S(B)),
+  //    Beyer et al., SIGMOD 2007 §4). This is q_source_overlap's answer
+  //    at 100 TB: the exact version joins the full shingle sets; this one
+  //    touches the corpus once to build |sources|·k summaries and every
+  //    pair estimate after that is sketch-local (the per-pair rank window
+  //    is bounded at 2k = 512 rows by construction). All-integer:
+  //    jaccard_micro = 1e6·n_common div |union sketch|,
+  //    intersect_est = n_common·union_est div |union sketch|.
+  q("q_kmv_set_ops",
+    s"""WITH $SqlKmvSketch,
+       |ps AS (SELECT a.source AS source_a, b.source AS source_b
+       |       FROM (SELECT DISTINCT source FROM sk) a
+       |       JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+       |uh AS (SELECT p.source_a, p.source_b, s.h
+       |       FROM ps p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+       |       GROUP BY 1, 2, 3),
+       |ur AS (SELECT source_a, source_b, h,
+       |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY h)
+       |           AS rk
+       |       FROM uh),
+       |us AS (SELECT * FROM ur WHERE rk <= 256),
+       |ua AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_u,
+       |         max(CASE WHEN rk = 256 THEN h END) AS hk
+       |       FROM us GROUP BY 1, 2),
+       |ue AS (SELECT source_a, source_b, n_u,
+       |         CAST(CASE WHEN n_u < 256 THEN n_u
+       |              ELSE 287104476244869120 // hk END AS BIGINT) AS union_est
+       |       FROM ua),
+       |cm AS (SELECT u.source_a, u.source_b, CAST(count(*) AS BIGINT) AS nc
+       |       FROM us u
+       |       JOIN sk x ON x.source = u.source_a AND x.h = u.h
+       |       JOIN sk y ON y.source = u.source_b AND y.h = u.h
+       |       GROUP BY 1, 2)
+       |SELECT ue.source_a, ue.source_b, ue.union_est,
+       |  CAST(coalesce(cm.nc, 0) AS BIGINT) AS n_common,
+       |  CAST(coalesce(cm.nc, 0) * 1000000 // ue.n_u AS BIGINT) AS jaccard_micro,
+       |  CAST(coalesce(cm.nc, 0) * ue.union_est // ue.n_u AS BIGINT)
+       |    AS intersect_est
+       |FROM ue LEFT JOIN cm USING (source_a, source_b)""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.KMinValues
+    val toks = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(D.wordShingles(col("text"), 3)).as("w"))
+    // |sources|·k rows; the corpus pass runs ONCE, everything below is
+    // sketch-local (localCheckpoint cuts the reused lineage)
+    val sk = KMinValues.sketch(toks, "w", "source").localCheckpoint()
+    val srcs = sk.select("source").distinct()
+    val ps = srcs.toDF("source_a")
+      .join(srcs.toDF("source_b"), col("source_a") < col("source_b"))
+    val skA = sk.select(col("source").as("source_a"), col("h"))
+    val skB = sk.select(col("source").as("source_b"), col("h"))
+    val uh = ps.join(skA, "source_a").select("source_a", "source_b", "h")
+      .unionByName(ps.join(skB, "source_b").select("source_a", "source_b", "h"))
+      .distinct()
+    // bounded window: ≤ 2k = 512 rows per (source_a, source_b) partition
+    val us = uh
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source_a", "source_b").orderBy("h")))
+      .filter(col("rk") <= KMinValues.K)
+      .localCheckpoint()
+    val ue = us.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_u"),
+        max(when(col("rk") === KMinValues.K, col("h"))).as("hk"))
+      .select(col("source_a"), col("source_b"), col("n_u"),
+        when(col("n_u") < KMinValues.K, col("n_u"))
+          .otherwise(expr(s"${255L * KMinValues.HashSpace} div hk"))
+          .as("union_est"))
+    val cm = us.join(skA, Seq("source_a", "h")).join(skB, Seq("source_b", "h"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("nc"))
+    ue.join(cm, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("union_est"),
+        coalesce(col("nc"), lit(0L)).as("n_common"),
+        expr("coalesce(nc, 0) * 1000000 div n_u").as("jaccard_micro"),
+        expr("coalesce(nc, 0) * union_est div n_u").as("intersect_est"))
+  }
+
+  // -- LIVE KMV maintenance — the streaming shape: the bounded buffer IS
+  //    the state (≤ k longs per source, forever), maintained by the same
+  //    typed aggregation in complete mode; the final state must equal the
+  //    batch sketch, so the estimate matches the same oracle (the
+  //    q_hll_distinct_live pattern for the bottom-k family).
+  q("q_kmv_distinct_live", SqlKmvQuery) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.KMinValues
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val state = KMinValues.sketchState(
+      docs.select(col("source"), explode(D.wordShingles(col("text"), 3)).as("w")),
+      "w", "source")
+    val name = s"kmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    state.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val est = KMinValues.estimate(
+      KMinValues.fromState(s.table(name), "source"), "source")
+    val toks = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(D.wordShingles(col("text"), 3)).as("w"))
+    toks.groupBy("source").agg(countDistinct(col("w")).as("n_exact"))
+      .join(est, "source")
+      .select(col("source"), col("n_exact"), col("n_sketch"), col("kmv_estimate"))
+  }
+
+  // ==================================================== entity resolution
+
+  /** DuckDB CTEs shared by the ER pair and entity queries: multi-pass
+    * token-prefix blocking (keys = tokens 1–5 and 6–10 — the second pass
+    * catches variants whose edits land in the head, and a cross-pass
+    * match catches 5-token shifts), 2..50 bucket cut, candidate pairs,
+    * Levenshtein rescore on the 80-char normalized title, edge at
+    * distance ≤ 20. */
+  private val SqlErPairCtes: String =
+    s"""t AS (SELECT doc_id, $SqlTokens AS ws,
+       |        substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+       |               1, 80) AS title
+       |      FROM documents),
+       |k AS (SELECT doc_id, title, array_to_string(ws[1:5], ' ') AS bk FROM t
+       |      UNION ALL
+       |      SELECT doc_id, title, array_to_string(ws[6:10], ' ') AS bk FROM t),
+       |bc AS (SELECT bk FROM k GROUP BY bk HAVING count(*) BETWEEN 2 AND 50),
+       |cp AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |         a.title AS ta, c.title AS tb
+       |       FROM k a JOIN k c ON a.bk = c.bk AND a.doc_id < c.doc_id
+       |       WHERE a.bk IN (SELECT bk FROM bc))""".stripMargin
+
+  private val SqlErPairSelect: String =
+    """SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS lev
+      |FROM cp WHERE levenshtein(ta, tb) <= 20""".stripMargin
+
+  // -- entity resolution, candidate stage: the CHARACTER-level fuzzy
+  //    matcher the token-set dedup family doesn't cover — classic ER
+  //    blocking (Christen, "Data Matching" 2012: multi-pass canopy keys,
+  //    never all-pairs) + pairwise edit distance. Spark's codegen'd
+  //    levenshtein and DuckDB's agree exactly (same DP recurrence), so
+  //    the rescore is oracle-exact. Scale shape: the blocking join is the
+  //    MinHash-LSH bucket shape — equi-join on compact keys, buckets cut
+  //    to 2..50 BEFORE pairing, O(Σ bucket²) pairs, never O(n²); the
+  //    Levenshtein DP (80×80 cells max) runs only on survivors.
+  q("q_er_fuzzy_pairs",
+    s"""WITH $SqlErPairCtes
+       |$SqlErPairSelect""") { (s, dir) =>
+    erFuzzyPairs(s, dir)
+  }
+
+  /** Spark twin of the ER candidate CTEs (shared by pairs + entities). */
+  private def erFuzzyPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), T.tokens(col("text")).as("ws"),
+        substring(T.normalizeText(col("text")), 1, 80).as("title"))
+    val k = t.select(col("doc_id"), col("title"),
+        array_join(slice(col("ws"), 1, 5), " ").as("bk"))
+      .unionByName(t.select(col("doc_id"), col("title"),
+        array_join(slice(col("ws"), 6, 5), " ").as("bk")))
+    val bc = k.groupBy("bk").agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, 50)).select("bk")
+    val kk = k.join(broadcast(bc), "bk") // survivors of the bucket cut
+    val a = kk.select(col("bk"), col("doc_id").as("doc_a"), col("title").as("ta"))
+    val b = kk.select(col("bk"), col("doc_id").as("doc_b"), col("title").as("tb"))
+    a.join(b, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ta", "tb").distinct()
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("lev") <= 20)
+      .select("doc_a", "doc_b", "lev")
+  }
+
+  // -- entity resolution, cluster stage: transitive closure over the
+  //    fuzzy-match edges (the ONE shared ConnectedComponents operator —
+  //    text, embedding, image and now record modalities all close through
+  //    it), rolled up per entity: member count and how many sources the
+  //    entity spans (the cross-source linkage ER exists to find).
+  q("q_er_entities",
+    s"""WITH RECURSIVE $SqlErPairCtes,
+       |pairs AS ($SqlErPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.n),
+       |comp AS (SELECT n, min(m) AS entity FROM reach GROUP BY n)
+       |SELECT c.entity, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+       |FROM comp c JOIN documents d ON d.doc_id = c.n
+       |GROUP BY c.entity""") { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    ConnectedComponents.run(erFuzzyPairs(s, dir), "doc_a", "doc_b")
+      .join(docs, col("n") === col("doc_id"))
+      .groupBy(col("label").as("entity"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"))
+  }
 }
