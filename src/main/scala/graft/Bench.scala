@@ -167,7 +167,14 @@ object Bench {
     "random-projection" -> "q_random_projection",
     "attribution-linear" -> "q_attribution_linear",
     "cluster-purity" -> "q_cluster_purity",
-    "hilbert-layout" -> "q_hilbert_layout")
+    "hilbert-layout" -> "q_hilbert_layout",
+    // r9 operator batch
+    "kmv-distinct" -> "q_kmv_distinct",
+    "kmv-set-ops" -> "q_kmv_set_ops",
+    "er-entities" -> "q_er_entities",
+    "autocorr-daily" -> "q_autocorr_daily",
+    "seasonality-dow" -> "q_seasonality_dow",
+    "dp-noisy-counts" -> "q_dp_noisy_counts")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -197,24 +204,38 @@ object Bench {
     // r7 operator batch: scale readout for the round's new operators
     "pagerank-dupgraph", "heavy-hitters-cms", "multimodal-audio",
     "type-token-stats", "unigram-train", "unigram-train-soft",
-    // r8 operator batch (events-based workloads stay base-only: the 10x
-    // corpus scales documents + embeddings, events are symlinked)
+    // r8 operator batch
     "hll-distinct", "source-overlap", "image-ahash-dedup", "embed-drift",
     "audio-vad", "video-scenecut", "langid-confusion",
     // r8 second batch: clustering / fingerprint / graph-census operators
+    // (image-dedup-components@10x replaced by the image-dedup-serve
+    // custom block: the @10x wall was the synthetic PNG render chain,
+    // not the dedup operator — image-ahash-dedup stays as the one
+    // end-to-end image entry at 10x)
     "kmeans-clusters", "winnowing-overlap", "lsh-pr-eval",
-    "graph-triangles", "image-dedup-components",
-    // r8 third batch: the documents-based data-eng operators (the
-    // lineitem/orders/events-based ones stay base-only — the 10x corpus
-    // scales documents + embeddings)
+    "graph-triangles",
+    // r8 third batch: documents-based data-eng operators
     "compaction-plan", "graph-degree-dist", "pmi-collocations",
-    "k-anonymity", "random-projection")
+    "k-anonymity", "random-projection",
+    // r9: events-based data-eng batch — unlocked by the v3 10x corpus
+    // (events scale 10x in USERS; lineitem/orders-based workloads —
+    // layout trilogy, equi-depth histogram, profiling/DQ, bloom-semi —
+    // stay base-only: scaling TPC-H facts would break the FK web the
+    // copy recipe can't cheaply preserve; BASELINE.md documents this)
+    "scd2-history", "cdc-apply", "ohlc-bars", "attribution",
+    "attribution-linear", "audience-segments", "mv-delta", "window-ewma",
+    "cusum-drift", "sessionize", "event-funnel", "markov-stationary",
+    // r9 operator batch (documents- and events-based — both scale in v3)
+    "kmv-distinct", "kmv-set-ops", "er-entities", "autocorr-daily",
+    "seasonality-dow")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
     * into a NEAR-dup of its original (so the dedup pair graph densifies
-    * 10x, not just the row count), every other table symlinked from the
-    * source sf dir. Testdata itself is read-only — everything lands in
+    * 10x, not just the row count), events copied 10x across disjoint
+    * user-id ranges (10x keys, constant per-key history), the TPC-H
+    * tables symlinked from the source sf dir (scaling them would break
+    * the FK web). Testdata itself is read-only — everything lands in
     * [[benchDir]]. Same recipe as SCALE.md's empirical scaling probe. */
   private def ensure10xDir(spark: SparkSession, sfDir: String): Option[String] = {
     import org.apache.spark.sql.functions._
@@ -227,7 +248,11 @@ object Bench {
       // vectors at both scales against a 10x candidate set. The v1 scheme
       // (id*16+copy) silently narrowed those batches to near-dup copies of
       // ids 0-1. SCALE.md documents the invariant.
-      val marker = new java.io.File(dir, "_SUCCESS_10X_V2")
+      // v3: events also scales 10x (10x USERS with identical per-user
+      // histories — key count grows, per-key fold length stays constant:
+      // the honest scale-up for keyed-state/sorted-fold operators), which
+      // unlocks @10x rows for the events-based data-eng batch (r8 #7).
+      val marker = new java.io.File(dir, "_SUCCESS_10X_V3")
       if (!marker.exists()) {
         dir.mkdirs()
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -251,8 +276,24 @@ object Bench {
               .cast("float")))
           .drop("__copy")
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        // events: 10x users, each copy cohort identical to the original —
+        // event ids and user ids remapped disjointly (copy 0 = original),
+        // ts/type/value untouched so every per-user readout at 10x is the
+        // base answer replicated across 10x the key space
+        val evLink = java.nio.file.Paths.get(dir.toString, "events.parquet")
+        if (java.nio.file.Files.isSymbolicLink(evLink))
+          java.nio.file.Files.delete(evLink) // v2 dirs symlinked events
+        val ev = Tables.load(spark, sfDir, "events")
+        val Array(maxEv, maxUser) = ev
+          .agg(max(col("event_id")), max(col("user_id"))).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        ev.withColumn("__copy", explode(sequence(lit(0), lit(9))))
+          .withColumn("event_id", col("event_id") + col("__copy") * lit(maxEv + 1L))
+          .withColumn("user_id", col("user_id") + col("__copy") * lit(maxUser + 1L))
+          .drop("__copy")
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
         for (t <- Seq("region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events")) {
+            "orders", "lineitem")) {
           val link = java.nio.file.Paths.get(dir.toString, s"$t.parquet")
           if (!java.nio.file.Files.exists(link))
             java.nio.file.Files.createSymbolicLink(link,
@@ -460,6 +501,10 @@ object Bench {
       "bloom-semi-reduction" -> bytes("orders"),
       "random-projection" -> bytes("embeddings"),
       "cluster-purity" -> bytes("embeddings"),
+      "image-dedup-serve" -> bytes("documents"),
+      "kmv-distinct" -> bytes("documents"),
+      "kmv-set-ops" -> bytes("documents"),
+      "er-entities" -> bytes("documents"),
       "hilbert-layout" -> bytes("orders")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
@@ -553,6 +598,9 @@ object Bench {
       "bloom-semi-reduction" -> orderRows,
       "random-projection" -> embRows,
       "cluster-purity" -> embRows,
+      "kmv-distinct" -> docRows,
+      "kmv-set-ops" -> docRows,
+      "er-entities" -> docRows,
       "hilbert-layout" -> orderRows).withDefaultValue(eventRows)
 
     // ---- one measured attempt: load probes + every workload + the two
@@ -564,7 +612,7 @@ object Bench {
     // One-time build artifacts (10x corpus, codebooks, exact-pair audit,
     // near-dup index) are marker-guarded under benchDir, so a retry
     // re-pays only the measured work.
-    def oneAttempt(): (Boolean, String, String) = {
+    def oneAttempt(): (Boolean, String, String, Double) = {
       // co-tenant load probe BEFORE any measured work (see loadAvg /
       // calibrationSpinMs docs); the matching end-probe runs after the
       // last workload
@@ -584,7 +632,10 @@ object Bench {
         val fn = SparkEntry.queries(qname)
         var n = -1L
         try fn(spark, sfDir).count()
-        catch { case _: Throwable => () } // warmup failure surfaces below
+        catch { // NonFatal only: OOM/interrupt must propagate, not hide
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $wl warmup failed: $e")
+        }
         val secs = (1 to benchRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try { n = fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -718,6 +769,38 @@ object Bench {
         }
       }
 
+      // image-dedup-serve: r8's image-dedup-components@10x spent its 49 s
+      // in the synthetic PNG render chain (encode → resize → gray decode
+      // per doc) — it timed corpus synthesis, not dedup. At 100 TB the
+      // aHash signature is an ingest-time artifact computed once per
+      // asset, so the serve entry persists the signature table per bench
+      // dir (marker-guarded, the PQ-codebook pattern) and times what a
+      // dedup pass actually re-runs: banding + 2..50 bucket cut + Hamming
+      // rescore + connected-component closure.
+      def imageDedupServe(wl: String, dataDir: String, tag: String,
+          inRows: Long): Seq[Sample] =
+        try {
+          val p = s"$benchDir/ahash-sig-$tag"
+          if (!new java.io.File(s"$p/_SUCCESS").exists())
+            graft.queries.LlmPipeline.imageAhash(spark, dataDir)
+              .write.mode("overwrite").parquet(p)
+          var n = -1L
+          val secs = (1 to benchRuns).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              val sig = spark.read.parquet(p)
+              n = graft.operators.ConnectedComponents
+                .run(graft.queries.LlmPipeline.ahashPairsFrom(sig),
+                  "doc_a", "doc_b").count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $wl: $e"); None }
+          }
+          if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, inRows, n))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $wl setup: $e"); Seq.empty }
+      val imageServe = imageDedupServe("image-dedup-serve", sfDir, sfTag, docRows)
+
       // 10x-scale re-run of the noisiest workloads: at sf0.1 the dedup/ANN
       // suite finishes in 0.5-2.5 s with ±20 % cross-process noise and
       // ~3x min-max spreads, so a 1.5x median move is unreadable. The 10x
@@ -735,6 +818,7 @@ object Bench {
           case Some(dir10) =>
             val docRows10 = spark.read.parquet(s"$dir10/documents.parquet").count()
             val embRows10 = spark.read.parquet(s"$dir10/embeddings.parquet").count()
+            val evRows10 = Tables.load(spark, dir10, "events").count()
             val byWl = workloads.toMap
             val generic = x10Workloads.flatMap { wl =>
               val fn = SparkEntry.queries(byWl(wl))
@@ -747,7 +831,11 @@ object Bench {
               }
               if (secs.isEmpty) None
               else Some(Sample(s"$wl@10x", secs,
-                if (inputRows(wl) == embRows) embRows10 else docRows10, n))
+                inputRows(wl) match { // rec/sec basis per source table
+                  case r if r == embRows => embRows10
+                  case r if r == docRows => docRows10
+                  case _ => evRows10 // events-based data-eng batch (v3)
+                }, n))
             }
             // contrastive-self@10x: the PRODUCTION mining config, not the
             // base-scale oracle-exact one. nProbe = k (the base entry's
@@ -841,7 +929,9 @@ object Bench {
               System.err.println(s"[bench] contrastive-self@10x setup: $e")
               Seq.empty
             }
-            generic ++ contrastive
+            generic ++ contrastive ++
+              imageDedupServe("image-dedup-serve@10x", dir10,
+                s"10x-$sfTag", docRows10)
         }
 
       val lat = latencyPercentiles(spark)
@@ -871,7 +961,8 @@ object Bench {
       val contended = loadStart > cpusN || calibRatio > 1.5
 
       val allResults =
-        results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ streaming ++ x10Results
+        results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
+          streaming ++ x10Results
       val qs = allResults.map(s => s""""${s.wl}":${s.median}""").mkString("{", ",", "}")
       val rs = allResults.map(s => s""""${s.wl}":${(s.inRows / s.median).round}""")
         .mkString("{", ",", "}")
@@ -915,23 +1006,30 @@ object Bench {
         .map(s => f""""${s.wl}":${s.median}%.3f""").mkString("{", ",", "}")
       val stdoutLine =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$parityQs,"contended":$contended,"sf":"$sfDir"}"""
-      (contended, json, stdoutLine)
+      (contended, json, stdoutLine, calibRatio)
     } // oneAttempt
 
+    // Retry policy (r9): retry while the attempt is CONTENDED (hard gate)
+    // OR merely NOISY (calib_ratio > 1.15 — r8's committed 1.229 passed
+    // the gate but blurred sub-second medians), and commit the QUIETEST
+    // attempt by calib_ratio, not the last one — so burning a retry on a
+    // busier machine can never make the committed artifact worse.
     val maxAttempts =
       1 + sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
     var attempt = 0
-    var outcome: (Boolean, String, String) = (true, "", "")
+    var best: (Boolean, String, String, Double) = (true, "", "", Double.MaxValue)
     var done = false
     while (!done) {
       attempt += 1
-      outcome = oneAttempt()
-      if (!outcome._1 || attempt >= maxAttempts) done = true
+      val o = oneAttempt()
+      if (o._4 < best._4 || best._2.isEmpty) best = o
+      if ((!o._1 && o._4 <= 1.15) || attempt >= maxAttempts) done = true
       else System.err.println(
-        s"[bench] attempt $attempt was CONTENDED - retrying " +
+        f"[bench] attempt $attempt ${if (o._1) "CONTENDED" else "noisy"} " +
+          f"(calib_ratio ${o._4}%.3f) - retrying " +
           s"(${maxAttempts - attempt} attempt(s) left)")
     }
-    val (_, json, stdoutLine) = outcome
+    val (_, json, stdoutLine, _) = best
     val w = new java.io.PrintWriter("BENCH.json")
     try w.write(json + "\n") finally w.close()
     spark.stop()

@@ -4713,7 +4713,7 @@ object LlmPipeline extends Catalog {
     * distinct bases hash apart), then the REAL imageio chain runs
     * resize-to-8×8 → gray decode → integer mean → 64 above-mean bits,
     * split into two 32-bit halves (no sign-bit arithmetic anywhere). */
-  private def imageAhash(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  def imageAhash(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import graft.multimodal.MediaCodec
     import s.implicits._
     spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
@@ -4819,8 +4819,15 @@ object LlmPipeline extends Catalog {
   }
 
   /** Spark twin of `apairs` (shared by the pair and components queries). */
-  private def imageAhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val ah = imageAhash(s, dir)
+  private def imageAhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ahashPairsFrom(imageAhash(s, dir))
+
+  /** Banding + 2..50 bucket cut + Hamming-rescore pairing over an
+    * ALREADY-COMPUTED signature table (doc_id, ahash_hi, ahash_lo) — the
+    * work a dedup pass re-runs when signatures are an ingest-time
+    * artifact (the bench's image-dedup-serve shape; at 100 TB the codec
+    * chain runs once per asset at intake, never per dedup pass). */
+  def ahashPairsFrom(ah: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
         explode(array((0 until 4).map(lit): _*)).as("band"))
       .withColumn("v", expr(

@@ -427,7 +427,8 @@ object StatefulOps {
           // arrivals fold in record-ts order (stable) — the micro-batch
           // iterator carries no order contract, the reference's process()
           // sees records in stream order
-          rows.toVector.sortBy(_._3.getTime).foreach { case (k, v, ts) =>
+          rows.toVector.sortBy(r => (r._3.getTime, r._3.getNanos)).foreach {
+            case (k, v, ts) =>
             val t = ts.getTime
             if (t > streamTime) streamTime = t
             val i = buf.indexWhere(_._3 == k)
