@@ -174,7 +174,11 @@ object Bench {
     "er-entities" -> "q_er_entities",
     "autocorr-daily" -> "q_autocorr_daily",
     "seasonality-dow" -> "q_seasonality_dow",
-    "dp-noisy-counts" -> "q_dp_noisy_counts")
+    "dp-noisy-counts" -> "q_dp_noisy_counts",
+    "topk-per-source" -> "q_topk_per_source",
+    "weighted-sample" -> "q_weighted_sample",
+    "l-diversity" -> "q_l_diversity",
+    "seasonal-anomaly" -> "q_seasonal_anomaly")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -227,7 +231,9 @@ object Bench {
     "cusum-drift", "sessionize", "event-funnel", "markov-stationary",
     // r9 operator batch (documents- and events-based — both scale in v3)
     "kmv-distinct", "kmv-set-ops", "er-entities", "autocorr-daily",
-    "seasonality-dow")
+    "seasonality-dow",
+    // r9 second batch: bounded top-k select + governance/anomaly readouts
+    "topk-per-source", "weighted-sample", "l-diversity", "seasonal-anomaly")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -505,6 +511,9 @@ object Bench {
       "kmv-distinct" -> bytes("documents"),
       "kmv-set-ops" -> bytes("documents"),
       "er-entities" -> bytes("documents"),
+      "topk-per-source" -> bytes("documents"),
+      "weighted-sample" -> bytes("documents"),
+      "l-diversity" -> bytes("documents"),
       "hilbert-layout" -> bytes("orders")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
@@ -601,6 +610,9 @@ object Bench {
       "kmv-distinct" -> docRows,
       "kmv-set-ops" -> docRows,
       "er-entities" -> docRows,
+      "topk-per-source" -> docRows,
+      "weighted-sample" -> docRows,
+      "l-diversity" -> docRows,
       "hilbert-layout" -> orderRows).withDefaultValue(eventRows)
 
     // ---- one measured attempt: load probes + every workload + the two

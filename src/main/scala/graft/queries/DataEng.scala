@@ -1281,4 +1281,117 @@ object DataEng extends Catalog {
       .select(col("event_type"), col("n"), col("noise_milli"),
         (col("n") * 1000L + col("noise_milli")).as("noisy_milli"))
   }
+
+  // -- l-diversity report, the companion readout to q_k_anonymity
+  //    (Machanavajjhala et al., ICDE 2006): k-anonymity bounds class
+  //    SIZE, but a class whose sensitive attribute is homogeneous leaks
+  //    anyway — here, per quasi-identifier class (source, length bucket),
+  //    how many distinct sensitive values (lang) it holds and how
+  //    dominant the top one is, plus the global minimum l and the row
+  //    mass in classes below l = 3. Scale: ONE corpus hash agg to the
+  //    (class, lang) table, everything after folds that bounded table
+  //    with the 1-row totals broadcast.
+  q("q_l_diversity",
+    """WITH sl AS (
+      |  SELECT source, n_chars // 100 AS len_bucket, lang,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2, 3),
+      |cls AS (SELECT source, len_bucket,
+      |          CAST(sum(n) AS BIGINT) AS class_size,
+      |          CAST(count(*) AS BIGINT) AS l_distinct,
+      |          CAST(max(n) AS BIGINT) AS top_lang_n
+      |        FROM sl GROUP BY 1, 2),
+      |t AS (SELECT CAST(min(l_distinct) AS BIGINT) AS l_min,
+      |        CAST(sum(class_size) AS BIGINT) AS n_rows,
+      |        CAST(sum(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END) AS BIGINT)
+      |          AS rows_at_risk
+      |      FROM cls)
+      |SELECT cls.source, cls.len_bucket, cls.class_size, cls.l_distinct,
+      |  CAST(top_lang_n * 1000000 // class_size AS BIGINT) AS dominant_micro,
+      |  t.l_min, t.rows_at_risk,
+      |  CAST(t.rows_at_risk * 1000000 // t.n_rows AS BIGINT) AS risk_micro
+      |FROM cls CROSS JOIN t""") { (s, dir) =>
+    val sl = load(s, dir, "documents")
+      .groupBy(col("source"), expr("n_chars div 100").as("len_bucket"),
+        col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val cls = sl.groupBy("source", "len_bucket")
+      .agg(sum("n").as("class_size"), count(lit(1)).as("l_distinct"),
+        max("n").as("top_lang_n"))
+      .localCheckpoint() // class table computed once for both sides
+    val t = cls.agg(min("l_distinct").as("l_min"),
+      sum("class_size").as("n_rows"),
+      sum(when(col("l_distinct") < 3, col("class_size")).otherwise(0L))
+        .as("rows_at_risk"))
+    cls.crossJoin(broadcast(t))
+      .select(col("source"), col("len_bucket"), col("class_size"),
+        col("l_distinct"),
+        expr("top_lang_n * 1000000 div class_size").as("dominant_micro"),
+        col("l_min"), col("rows_at_risk"),
+        expr("rows_at_risk * 1000000 div n_rows").as("risk_micro"))
+  }
+
+  // -- seasonal anomaly detection on daily ingest volumes: residual of
+  //    each (event type, day) count against its day-of-week mean (the
+  //    q_seasonality_dow profile), flagged when the absolute residual
+  //    exceeds 3x the type's median absolute residual — the
+  //    volume-monitoring alarm a metrics warehouse runs nightly.
+  //    All-integer: expected = (dow sum * 1e6) div dow days; the median
+  //    absolute residual is the q_length_quantiles discrete selection at
+  //    floor((n-1)/2), so both engines pick the SAME element. Scale: one
+  //    corpus hash agg to |types|·|days| rows; the dow profile, residuals
+  //    and the per-type median all fold that bounded table (per-type
+  //    windows over |days| rows).
+  q("q_seasonal_anomaly",
+    """WITH e AS (SELECT event_type,
+      |        CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+      |      FROM e GROUP BY 1, 2),
+      |dw AS (SELECT event_type, day % 7 AS dow, CAST(sum(c) AS BIGINT) AS s,
+      |         CAST(count(*) AS BIGINT) AS nd FROM c GROUP BY 1, 2),
+      |r AS (SELECT c.event_type, c.day, c.c,
+      |        CAST(s * 1000000 // nd AS BIGINT) AS expected_micro,
+      |        CAST(c.c * 1000000 - (s * 1000000 // nd) AS BIGINT) AS resid_micro
+      |      FROM c JOIN dw ON dw.event_type = c.event_type
+      |        AND dw.dow = c.day % 7),
+      |o AS (SELECT event_type, day, c, expected_micro, resid_micro,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY abs(resid_micro), day) - 1 AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM r),
+      |m AS (SELECT event_type,
+      |        max(CASE WHEN rn = (n - 1) * 50 // 100
+      |            THEN abs(resid_micro) END) AS mad_micro
+      |      FROM o GROUP BY 1)
+      |SELECT o.event_type, o.day, o.c, o.expected_micro, o.resid_micro,
+      |  m.mad_micro,
+      |  CAST(CASE WHEN abs(o.resid_micro) > 3 * m.mad_micro
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM o JOIN m USING (event_type)""") { (s, dir) =>
+    val c = load(s, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |types|·|days| rows; the corpus pass runs once
+    val dw = c.groupBy(col("event_type").as("et"), (col("day") % 7).as("dow"))
+      .agg(sum("c").as("s"), count(lit(1)).as("nd"))
+    val r = c.join(broadcast(dw),
+        col("event_type") === col("et") && col("day") % 7 === col("dow"))
+      .select(col("event_type"), col("day"), col("c"),
+        expr("s * 1000000 div nd").as("expected_micro"),
+        expr("c * 1000000 - (s * 1000000 div nd)").as("resid_micro"))
+    // bounded windows: |days| rows per event type by construction
+    val o = r
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(abs(col("resid_micro")), col("day"))).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val m = o.groupBy("event_type")
+      .agg(max(when(col("rn") === expr("(n - 1) * 50 div 100"),
+        abs(col("resid_micro")))).as("mad_micro"))
+    o.select("event_type", "day", "c", "expected_micro", "resid_micro")
+      .join(broadcast(m), "event_type")
+      .select(col("event_type"), col("day"), col("c"), col("expected_micro"),
+        col("resid_micro"), col("mad_micro"),
+        when(abs(col("resid_micro")) > lit(3L) * col("mad_micro"), 1L)
+          .otherwise(0L).as("is_anomaly"))
+  }
 }

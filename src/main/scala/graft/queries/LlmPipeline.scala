@@ -5938,4 +5938,98 @@ object LlmPipeline extends Catalog {
       .agg(count(lit(1)).as("n_members"),
         countDistinct(col("source")).as("n_sources"))
   }
+
+  // ================================================= bounded top-k select
+
+  // -- top-5 words per source by corpus frequency through the bounded
+  //    [[graft.operators.GroupTopK]] aggregation — the scale-correct form of
+  //    the `row_number OVER (PARTITION BY source ORDER BY n DESC)` idiom
+  //    when the per-group item universe (a source's vocabulary) is NOT
+  //    bounded: a window sort would shuffle every (source, word, n) row
+  //    into one partition per source; the aggregator reduces each map
+  //    task's slice to a 5-entry buffer BEFORE the exchange (top-k
+  //    distributes over union), so per-group network cost is
+  //    #partitions·k rows. The oracle mirrors the exact ordering contract
+  //    (n DESC, word ASC) with the window it replaces.
+  q("q_topk_per_source",
+    s"""WITH d0 AS (SELECT source, $SqlTokens AS ws FROM documents),
+       |t AS (SELECT source, unnest(ws) AS w FROM d0),
+       |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+       |      FROM t GROUP BY 1, 2),
+       |r AS (SELECT source, w, n,
+       |        CAST(row_number() OVER (PARTITION BY source
+       |                                ORDER BY n DESC, w) AS BIGINT) AS rank
+       |      FROM c)
+       |SELECT source, rank, w AS word, n FROM r WHERE rank <= 5""") { (s, dir) =>
+    import graft.operators.GroupTopK
+    val counts = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    GroupTopK.topK(counts, "source", "w", "n", 5)
+      .select(col("source"), col("rank"), col("item").as("word"),
+        col("score").as("n"))
+  }
+
+  // ------------------------------------------------- weighted sampling
+
+  /** Oracle shared by the batch and live weighted-sample twins (identical
+    * final state by construction): deterministic priority sampling — each
+    * doc draws priority = md5-60bit(doc_id) div n_chars (bigger weight →
+    * proportionally smaller priority → more likely in the bottom k; the
+    * integer-grid stand-in for the Efraimidis–Spirakis u^(1/w) order
+    * sample, seeded so both engines draw the SAME sample), 10 smallest
+    * kept per source. */
+  private val SqlWeightedSample: String =
+    s"""WITH p AS (SELECT source, doc_id,
+       |        ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} // n_chars AS priority
+       |      FROM documents WHERE n_chars > 0),
+       |r AS (SELECT source, doc_id, priority,
+       |        CAST(row_number() OVER (PARTITION BY source
+       |               ORDER BY priority, CAST(doc_id AS VARCHAR)) AS BIGINT)
+       |          AS rank
+       |      FROM p)
+       |SELECT source, rank, doc_id, priority FROM r WHERE rank <= 10""".stripMargin
+
+  /** Spark twin of the weighted-priority table (shared batch + live). */
+  private def weightedPriorities(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) div n_chars")
+          .as("priority"))
+
+  // -- deterministic weighted sample (weight = n_chars): the
+  //    length-proportional inspection draw a curation pass uses when
+  //    uniform q_inspection_sample under-represents long documents.
+  //    Selection = bottom-10 priorities per source through TopK
+  //    smallest-first — same bounded-buffer shape, same oracle-exact
+  //    (priority ASC, doc_id ASC) ordering contract.
+  q("q_weighted_sample", SqlWeightedSample) { (s, dir) =>
+    import graft.operators.GroupTopK
+    GroupTopK.topK(weightedPriorities(spread(load(s, dir, "documents"))),
+        "source", "doc_id", "priority", 10, smallestFirst = true)
+      .select(col("source"), col("rank"),
+        col("item").cast("long").as("doc_id"), col("score").as("priority"))
+  }
+
+  // -- LIVE weighted-sample maintenance — the streaming shape: the
+  //    10-entry best-first buffer IS the state (bounded per source
+  //    forever), maintained by the same typed aggregation in complete
+  //    mode; the final state must equal the batch draw, so it shares the
+  //    batch oracle (the q_kmv_distinct_live pattern).
+  q("q_weighted_sample_live", SqlWeightedSample) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.GroupTopK
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val state = GroupTopK.topKState(weightedPriorities(docs),
+      "source", "doc_id", "priority", 10, smallestFirst = true)
+    val name = s"ws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    state.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    GroupTopK.fromState(s.table(name), "source")
+      .select(col("source"), col("rank"),
+        col("item").cast("long").as("doc_id"), col("score").as("priority"))
+  }
 }

@@ -577,4 +577,49 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 0, s"$exchanges exchanges: ${plan.take(1500)}")
   }
+
+  // ---- r9 batch: bounded-buffer selects and sketch shapes
+
+  test("topk-per-source: bounded aggregation, NO Window over the vocabulary") {
+    // the point of GroupTopK: a rank window here would sort every
+    // (source, word, n) row inside one partition per source
+    val plan = planOf("q_topk_per_source")
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("partial_"), plan.take(1500)) // map-side combine
+  }
+
+  test("weighted sample: bounded aggregation, NO Window over the corpus") {
+    val plan = planOf("q_weighted_sample")
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("partial_"), plan.take(1500))
+  }
+
+  test("kmv sketch: ONE corpus exchange, partial-agg'd, no Window/sort-join") {
+    // the bounded KmvAgg buffer dedups map-side: the exploded shingle
+    // table crosses the wire once, as <= k longs per (partition, group)
+    val plan = planOf("q_kmv_distinct")
+    assert(plan.contains("partial_"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("seasonal anomaly: windows partition by event_type over the day agg") {
+    // the per-type median window may only see the |types|*|days| agg
+    // table, never raw events: every WindowExec must be partitioned and
+    // fed by an aggregate
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_seasonal_anomaly")(spark, dir)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w")
+      val agg = w.child.collectFirst {
+        case n: org.apache.spark.sql.execution.aggregate.HashAggregateExec => n
+        case n: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => n
+        case n: org.apache.spark.sql.execution.aggregate.SortAggregateExec => n
+        case n if n.getClass.getSimpleName.contains("Checkpoint") => n
+        case n: org.apache.spark.sql.execution.RDDScanExec => n // localCheckpoint
+      }
+      assert(agg.isDefined, s"window not fed by the bounded day agg:\n$w")
+    }
+  }
 }
