@@ -178,7 +178,8 @@ object Bench {
     "topk-per-source" -> "q_topk_per_source",
     "weighted-sample" -> "q_weighted_sample",
     "l-diversity" -> "q_l_diversity",
-    "seasonal-anomaly" -> "q_seasonal_anomaly")
+    "seasonal-anomaly" -> "q_seasonal_anomaly",
+    "user-streaks" -> "q_user_streaks")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -233,7 +234,8 @@ object Bench {
     "kmv-distinct", "kmv-set-ops", "er-entities", "autocorr-daily",
     "seasonality-dow",
     // r9 second batch: bounded top-k select + governance/anomaly readouts
-    "topk-per-source", "weighted-sample", "l-diversity", "seasonal-anomaly")
+    "topk-per-source", "weighted-sample", "l-diversity", "seasonal-anomaly",
+    "user-streaks")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -796,16 +798,20 @@ object Bench {
           if (!new java.io.File(s"$p/_SUCCESS").exists())
             graft.queries.LlmPipeline.imageAhash(spark, dataDir)
               .write.mode("overwrite").parquet(p)
+          def closure(): Long = graft.operators.ConnectedComponents
+            .run(graft.queries.LlmPipeline.ahashPairsFrom(
+              spark.read.parquet(p)), "doc_a", "doc_b").count()
+          // untimed warmup (same policy as the generic workloads): the
+          // iterative closure JIT-compiles a plan per round — without
+          // this the BASE entry pays all of it and reads slower than @10x
+          try closure()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $wl warmup failed: $e") }
           var n = -1L
           val secs = (1 to benchRuns).flatMap { _ =>
             val t0 = System.nanoTime()
-            try {
-              val sig = spark.read.parquet(p)
-              n = graft.operators.ConnectedComponents
-                .run(graft.queries.LlmPipeline.ahashPairsFrom(sig),
-                  "doc_a", "doc_b").count()
-              Some((System.nanoTime() - t0) / 1e9)
-            } catch { case e: Throwable =>
+            try { n = closure(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
               System.err.println(s"[bench] $wl: $e"); None }
           }
           if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, inRows, n))

@@ -1213,7 +1213,9 @@ object DataEng extends Catalog {
   //    timezone/locale-free day-of-week both engines compute identically
   //    from the same integer. One hash agg over the corpus to |types|·7
   //    rows; totals broadcast back.
-  q("q_seasonality_dow",
+  /** Oracle shared by the batch and live dow-profile twins (identical
+    * final state by construction). */
+  private val SqlSeasonalityDow: String =
     """WITH e AS (SELECT event_type,
       |        CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
       |d AS (SELECT event_type, CAST(day % 7 AS BIGINT) AS dow,
@@ -1222,17 +1224,88 @@ object DataEng extends Catalog {
       |SELECT d.event_type, d.dow, d.n,
       |  CAST(d.n * 1000000 // t.tot AS BIGINT) AS share_micro,
       |  CAST(d.n * 1000000 // t.tot - 142857 AS BIGINT) AS dev_micro
-      |FROM d JOIN t USING (event_type)""") { (s, dir) =>
-    val d = load(s, dir, "events")
-      .select(col("event_type"),
-        expr("(unix_timestamp(ts) div 86400) % 7").as("dow"))
-      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // |types|·7 rows; totals fold this, not the corpus
+      |FROM d JOIN t USING (event_type)""".stripMargin
+
+  /** Share/deviation readout over a (event_type, dow, n) count table
+    * (shared by the batch and live dow-profile twins). */
+  private def dowReadout(d: org.apache.spark.sql.DataFrame) = {
     val t = d.groupBy("event_type").agg(sum("n").as("tot"))
     d.join(broadcast(t), "event_type")
       .select(col("event_type"), col("dow"), col("n"),
         expr("n * 1000000 div tot").as("share_micro"),
         expr("n * 1000000 div tot - 142857").as("dev_micro"))
+  }
+
+  q("q_seasonality_dow", SqlSeasonalityDow) { (s, dir) =>
+    dowReadout(load(s, dir, "events")
+      .select(col("event_type"),
+        expr("(unix_timestamp(ts) div 86400) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      .localCheckpoint()) // |types|·7 rows; totals fold this, not the corpus
+  }
+
+  // -- LIVE dow-profile maintenance — the streaming shape: state is the
+  //    bounded (event_type, dow) count table (≤ |types|·7 rows forever),
+  //    maintained by one streaming hash agg in complete mode; the
+  //    share/deviation readout runs on the sunk state, so the final
+  //    answer matches the batch oracle exactly (the q_hll_distinct_live
+  //    pattern for the seasonality family).
+  q("q_seasonality_dow_live", SqlSeasonalityDow) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawE = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(rawE.schema).parquet(s"$dir/events.parq*")
+      .transform(df => df.withColumn("ots", graft.Tables.eventTs(df)))
+    val counts = ev
+      .select(col("event_type"),
+        expr("(unix_timestamp(ots) div 86400) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val name = s"dow_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    counts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    dowReadout(s.table(name).localCheckpoint())
+  }
+
+  // -- gaps-and-islands: per-user daily activity streaks — consecutive
+  //    active days collapse into islands via the classic
+  //    day − row_number() grouping key (constant within a run of
+  //    consecutive days, distinct across gaps), then per-user rollup:
+  //    streak count, active days, longest streak, and the most recent
+  //    streak via max_by(len, end_day) (argmax semantics agree across
+  //    engines; end days are unique per user by construction). The
+  //    per-user window rides the DISTINCT (user, day) table, bounded by
+  //    the per-key history contract (the sessionize/EWMA shape) — state
+  //    is a user's active-day set, never the corpus.
+  q("q_user_streaks",
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |          AS grp
+      |      FROM d),
+      |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+      |        CAST(max(day) AS BIGINT) AS end_day
+      |      FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(sum(len) AS BIGINT) AS active_days,
+      |  CAST(max(len) AS BIGINT) AS max_streak,
+      |  CAST(max_by(len, end_day) AS BIGINT) AS last_streak,
+      |  CAST(max(end_day) AS BIGINT) AS last_day
+      |FROM s GROUP BY user_id""") { (s, dir) =>
+    val d = load(s, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    // bounded window: a user's distinct active days (per-key history)
+    val g = d.withColumn("grp", col("day") -
+      row_number().over(Window.partitionBy("user_id").orderBy("day")))
+    val st = g.groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), max("day").as("end_day"))
+    st.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum("len").as("active_days"),
+        max("len").as("max_streak"),
+        max_by(col("len"), col("end_day")).as("last_streak"),
+        max("end_day").as("last_day"))
   }
 
   // ----------------------------------------------------------- governance
