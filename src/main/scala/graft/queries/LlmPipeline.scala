@@ -5753,7 +5753,9 @@ object LlmPipeline extends Catalog {
   //    is bounded at 2k = 512 rows by construction). All-integer:
   //    jaccard_micro = 1e6·n_common div |union sketch|,
   //    intersect_est = n_common·union_est div |union sketch|.
-  q("q_kmv_set_ops",
+  /** Oracle shared by the batch and live KMV set-ops twins (identical
+    * final sketch state by construction). */
+  private val SqlKmvSetOps: String =
     s"""WITH $SqlKmvSketch,
        |ps AS (SELECT a.source AS source_a, b.source AS source_b
        |       FROM (SELECT DISTINCT source FROM sk) a
@@ -5783,14 +5785,25 @@ object LlmPipeline extends Catalog {
        |  CAST(coalesce(cm.nc, 0) * 1000000 // ue.n_u AS BIGINT) AS jaccard_micro,
        |  CAST(coalesce(cm.nc, 0) * ue.union_est // ue.n_u AS BIGINT)
        |    AS intersect_est
-       |FROM ue LEFT JOIN cm USING (source_a, source_b)""") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+       |FROM ue LEFT JOIN cm USING (source_a, source_b)""".stripMargin
+
+  q("q_kmv_set_ops", SqlKmvSetOps) { (s, dir) =>
     import graft.operators.KMinValues
     val toks = spread(load(s, dir, "documents"))
       .select(col("source"), explode(D.wordShingles(col("text"), 3)).as("w"))
     // |sources|·k rows; the corpus pass runs ONCE, everything below is
     // sketch-local (localCheckpoint cuts the reused lineage)
-    val sk = KMinValues.sketch(toks, "w", "source").localCheckpoint()
+    kmvSetOpsFrom(KMinValues.sketch(toks, "w", "source").localCheckpoint())
+  }
+
+  /** Pairwise set algebra over an ALREADY-BUILT KMV summary table
+    * (source, h, rank) — shared by the batch and live twins: union
+    * sketch per source pair (S_k(A ∪ B) = S_k(S(A) ∪ S(B))), union /
+    * intersection / Jaccard estimates, all sketch-local (the per-pair
+    * rank window sees ≤ 2k rows by construction). */
+  private def kmvSetOpsFrom(sk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.KMinValues
     val srcs = sk.select("source").distinct()
     val ps = srcs.toDF("source_a")
       .join(srcs.toDF("source_b"), col("source_a") < col("source_b"))
@@ -5846,6 +5859,28 @@ object LlmPipeline extends Catalog {
     toks.groupBy("source").agg(countDistinct(col("w")).as("n_exact"))
       .join(est, "source")
       .select(col("source"), col("n_exact"), col("n_sketch"), col("kmv_estimate"))
+  }
+
+  // -- LIVE KMV set algebra — what streaming sketch maintenance BUYS: the
+  //    bounded per-source buffers accumulate in complete mode, and every
+  //    pairwise union/intersection/Jaccard estimate is then computed from
+  //    the ≤ k-row summaries ALONE, never re-reading the stream. Final
+  //    state equals the batch sketch, so it shares the batch oracle.
+  q("q_kmv_set_ops_live", SqlKmvSetOps) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.KMinValues
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parq*")
+    val state = KMinValues.sketchState(
+      docs.select(col("source"), explode(D.wordShingles(col("text"), 3)).as("w")),
+      "w", "source")
+    val name = s"kmvso_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    state.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    kmvSetOpsFrom(
+      KMinValues.fromState(s.table(name), "source").localCheckpoint())
   }
 
   // ==================================================== entity resolution
