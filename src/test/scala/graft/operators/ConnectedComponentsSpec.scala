@@ -59,4 +59,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(cliques.forall(c => c.forall(m => got(m) == c.min)))
     assert(got.values.toSet == Set(1L, 10L, 20L))
   }
+
+  test("a 2000-node chain converges inside 20 rounds (pointer jumping)") {
+    // diameter 2000 >> maxIter: plain hashmin would need ~2000 rounds
+    // and (round-9 fix) must THROW rather than return a partial closure;
+    // with path halving distance information doubles per round, so this
+    // converges in O(log 2000) ~ 11 rounds. The sf0.1 image-aHash pair
+    // graph actually hit the old cap in the round-9 bench probe.
+    val edges = (0L until 1999L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(got.length === 2000)
+    assert(got.forall(_._2 == 0L), "every node must reach the min endpoint")
+  }
 }
