@@ -67,8 +67,13 @@ object HyperLogLog {
   private def hSql(itemCol: String): String =
     s"cast(conv(substring(md5($itemCol), 1, 15), 16, 10) as bigint)"
 
-  /** alpha_64 · m² in 2^-30 units · 1000: 709 · 4096 · 2^30 (exact). */
-  private val AlphaNum: Long = 709L * 4096L * (1L << 30)
+  /** alpha_64 · m² in 2^-30 units · 1000: 709 · 4096 · 2^30 (exact).
+    * PUBLIC and interpolated into both oracle SQL strings (the LcTable /
+    * LcThreshold discipline) — r9 ADVICE caught a hand-written oracle
+    * literal that diverged from this value (3118146387509248 vs the true
+    * 3118214976372736), so floor(A / (s·1000)) flipped once estimates
+    * reached ~10^4. One definition, two engines. */
+  val AlphaNum: Long = 709L * 4096L * (1L << 30)
 
   /** Linear-counting lookup: LcTable(V-1) = round(m · ln(m/V)) for
     * V = 1..m empty registers. Precomputed ONCE here and interpolated as

@@ -115,6 +115,22 @@ object HashKernels {
     out
   }
 
+  /** FNV-1a fold over an array of longs, basis xor'd with a seed — the
+    * compact band-key mixer for LSH banding (q_dedup_minhash_native).
+    * Wrapping Long multiply by design (ANSI-mode `*` on Columns throws
+    * on overflow, so this lives behind a codegen'd Expression); the
+    * oracle replays it as a HUGEINT-mod-2^64 list_reduce. */
+  def fnvFoldLongs(arr: ArrayData, seed: Long): Long = {
+    var h = FnvOffset ^ seed
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      h = (h ^ arr.getLong(i)) * FnvPrime
+      i += 1
+    }
+    h
+  }
+
   /** Java regex `\s`: ASCII whitespace only (unlike Character.isWhitespace). */
   private def isRegexSpace(c: Char): Boolean =
     c == ' ' || (c >= '\t' && c <= '\r') // \t \n VT \f \r
@@ -168,10 +184,29 @@ case class SimHash64Native(child: Expression, bits: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `fnv_fold_longs(array<long>, seed)` — seeded FNV-1a fold over long
+  * lanes (wrapping multiply in codegen, exempt from ANSI overflow
+  * checks); the LSH band-key compressor. */
+case class FnvFoldLongs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(arr: Any, seed: Any): Any =
+    HashKernels.fnvFoldLongs(arr.asInstanceOf[ArrayData],
+      seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, s) => s"graft.plans.HashKernels.fnvFoldLongs($a, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FnvFoldLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeHash {
   import org.apache.spark.sql.GraftColumns.{column, expression}
 
   def fnv64(c: Column): Column = column(Fnv64(expression(c)))
+  def fnvFoldLongs(arr: Column, seed: Column): Column =
+    column(FnvFoldLongs(expression(arr), expression(seed)))
   def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
   def simhash64Native(c: Column, bits: Int = 60): Column =
     column(SimHash64Native(expression(c), bits))

@@ -1318,16 +1318,19 @@ object DataEng extends Catalog {
   private val LapTable: IndexedSeq[Long] =
     (0 until 1024).map(i => math.round(-1000.0 * math.log((i + 0.5) / 1024.0)))
 
-  // -- differentially-private count release (ε = 1, sensitivity 1 —
-  //    Dwork et al. 2006 Laplace mechanism), the governance step next to
-  //    q_k_anonymity: each released count carries additive Laplace(1)
-  //    noise in milli units. The noise draw is SEEDED — u = md5(group
-  //    key) mod 2048 picks sign + a 1024-bucket inverse-CDF magnitude
-  //    ([[LapTable]]) — so the release is reproducible run-over-run and
-  //    bit-identical in the oracle (a production deployment would swap
-  //    the seed source for a secret; the mechanism and the engine-side
-  //    plumbing are exactly this). Scale: one hash agg, noise is a
-  //    per-GROUP map over |groups| rows.
+  // -- DETERMINISTIC TWIN of a Laplace count release (ε = 1,
+  //    sensitivity 1 — Dwork et al. 2006): this query benchmarks the
+  //    ENGINE PLUMBING of the mechanism — the inverse-CDF magnitude
+  //    table ([[LapTable]]), sign/bucket selection, milli-unit additive
+  //    noise — NOT a private release. The "noise" here is a
+  //    deterministic function of the public group key (u = md5(key) mod
+  //    2048), and the output deliberately exposes the true count n and
+  //    noise_milli so the oracle can pin the arithmetic bit-exactly; by
+  //    construction it provides NO privacy (r9 ADVICE — a real DP
+  //    release needs fresh per-release randomness, which no
+  //    deterministic-twin oracle can pin; swap element selection for a
+  //    CSPRNG draw and drop n/noise_milli to deploy the mechanism).
+  //    Scale: one hash agg, noise is a per-GROUP map over |groups| rows.
   q("q_dp_noisy_counts", {
     val lits = LapTable.mkString(", ")
     s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

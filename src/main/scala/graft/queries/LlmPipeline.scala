@@ -37,6 +37,28 @@ object LlmPipeline extends Catalog {
   private def sqlMd5Long(e: String) =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** DuckDB fragment: UNSIGNED 64-bit FNV-1a over a hex-encoded byte
+    * string (as produced by `hex(encode(col))`), returned as HUGEINT in
+    * [0, 2^64) — the bit-exact mirror of `plans.HashKernels.fnv64` (one
+    * xor-multiply fold per byte, multiply in HUGEINT mod 2^64). Taking
+    * the PRE-HEXED column (materialized once in a prior CTE) keeps the
+    * per-byte lambda O(1) instead of re-encoding the string per byte.
+    * The validated recipe behind the r10 rows-only-to-full-oracle
+    * promotions (q_fingerprint_rolling, q_dedup_*_native). */
+  private def sqlFnvFromHex(hx: String) =
+    s"""list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(range(1, len($hx)//2 + 1),
+       |          i -> CAST(CAST('0x' || substr($hx, 2*i-1, 2) AS INTEGER) AS HUGEINT))),
+       |      (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+       |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** DuckDB fragment: reinterpret an unsigned HUGEINT in [0, 2^64) as the
+    * two's-complement signed BIGINT Spark's Long arithmetic produces. */
+  private def sqlU64Signed(u: String) =
+    s"""CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT
+       |     THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)""".stripMargin
+
   /** DuckDB fragment: distinct 3-word shingles of normalized text (mirror
     * of DedupFunctions.wordShingles(_, 3)). */
   private val SqlShingles3 =
@@ -214,9 +236,12 @@ object LlmPipeline extends Catalog {
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /
       (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))
+    // per-doc sizes join UNHINTED: `sized` is one row PER DOCUMENT, so a
+    // forced broadcast dies at corpus scale (r9 verdict) — the equi-key
+    // join lets AQE broadcast when actually small, shuffle-hash otherwise
     pairs
-      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
-      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      .join(sized.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sized.as("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac > 0.5)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
@@ -258,9 +283,10 @@ object LlmPipeline extends Catalog {
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /
       (col("sa.n_sh") + col("sb.n_sh") - col("n_inter"))
+    // unhinted per-doc size join (corpus-proportional side; AQE decides)
     pairs
-      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
-      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      .join(sized.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sized.as("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(jac > 0.6)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
@@ -306,9 +332,10 @@ object LlmPipeline extends Catalog {
       .agg(count(lit(1)).as("n_inter"))
     val contA = col("n_inter").cast("double") / col("sa.n_sh")
     val contB = col("n_inter").cast("double") / col("sb.n_sh")
+    // unhinted per-doc size join (corpus-proportional side; AQE decides)
     pairs
-      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
-      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      .join(sized.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sized.as("sb"), col("sb.doc_id") === col("doc_b"))
       .filter(greatest(contA, contB) >= 0.8)
       .select(col("doc_a"), col("doc_b"),
         round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
@@ -444,8 +471,11 @@ object LlmPipeline extends Catalog {
     val losers = ConnectedComponents.run(minhashPairs(s, dir), "doc_a", "doc_b")
       .filter(col("n") =!= col("label"))
       .select(col("n").as("doc_id"))
+    // losers is one row per DUPLICATE doc — web crawls run 30-50% dup
+    // mass, so it scales with the corpus: no broadcast hint (the anti
+    // join stays an equi-key hash join; AQE broadcasts iff truly small)
     load(s, dir, "documents")
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_chars")
   }
 
@@ -548,10 +578,46 @@ object LlmPipeline extends Catalog {
   }
 
   // -- native-Expression MinHash+LSH (codegen'd one-pass shingle hashing
-  //    via graft.plans.ShingleHashes + xxhash64 band keys): same LSH
+  //    via graft.plans.ShingleHashes + FNV-folded band keys): same LSH
   //    structure as q_dedup_minhash_lsh but on the cheap non-crypto hash
-  //    path — the production-perf variant; md5 keeps the oracle-exact one.
-  qNoOracle("q_dedup_minhash_native") { (s, dir) =>
+  //    path — the production-perf variant. FULL oracle since r10: the
+  //    band key is an FNV-1a fold over (band, 4 signature lanes) in
+  //    plain Long arithmetic (replacing r9's xxhash64, whose internal
+  //    row hashing no second engine replays), so the ENTIRE pipeline —
+  //    shingle FNV, 16 affine permutations, band fold, 2..50 bucket cut,
+  //    in-bucket pairing — mirrors in DuckDB integer-for-integer.
+  q("q_dedup_minhash_native",
+    s"""WITH docs AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest($SqlShingles3) AS shingle FROM docs),
+       |hx AS (SELECT doc_id, hex(encode(shingle)) AS hs FROM sh),
+       |hu AS (SELECT doc_id, ${sqlFnvFromHex("hs")} AS hu FROM hx),
+       |h AS (SELECT doc_id, ${sqlU64Signed("hu")} AS h FROM hu),
+       |p AS (SELECT doc_id, ((h % 2147483647) + 2147483647) % 2147483647 AS hp
+       |      FROM h),
+       |mh AS (SELECT doc_id, i,
+       |         min((hp * (2*i + 1) + 12345 + 7919*i) % 2147483647) AS mv
+       |       FROM p CROSS JOIN (SELECT unnest(range(16)) AS i)
+       |       GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+       |bandkeys AS (
+       |  SELECT doc_id, bd,
+       |    list_reduce(
+       |      list_prepend(
+       |        CAST(xor(14695981039346656037::UBIGINT, CAST(bd AS UBIGINT))
+       |             AS HUGEINT),
+       |        list_transform(sig[bd*4 + 1 : bd*4 + 4], v -> CAST(v AS HUGEINT))),
+       |      (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+       |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+       |      AS bandhash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS bd)),
+       |small AS (
+       |  SELECT bd, bandhash FROM bandkeys GROUP BY bd, bandhash
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |kb AS (SELECT bandkeys.* FROM bandkeys JOIN small USING (bd, bandhash))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM kb a JOIN kb b
+       |  ON a.bd = b.bd AND a.bandhash = b.bandhash AND a.doc_id < b.doc_id""") {
+    (s, dir) =>
     import graft.plans.NativeHash
     val P = 2147483647L
     val sigs = spread(load(s, dir, "documents"))
@@ -564,7 +630,12 @@ object LlmPipeline extends Catalog {
     sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), expr("slice(sig, band*4 + 1, 4)")).as("bandhash"))
+        // FNV-1a fold over the band's 4 signature lanes, seeded by the
+        // band id — a codegen'd Expression because the fold MUST wrap
+        // mod 2^64 (ANSI-mode Column `*` throws on Long overflow); the
+        // oracle replays it as a HUGEINT-mod-2^64 list_reduce
+        NativeHash.fnvFoldLongs(expr("slice(sig, band*4 + 1, 4)"),
+          col("band").cast("long")).as("bandhash"))
       .groupBy("band", "bandhash")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, 50))
@@ -729,9 +800,40 @@ object LlmPipeline extends Catalog {
 
   // -- native-hash SimHash pairing twin (one-pass codegen'd kernel, FNV
   //    family): same 4x15-bit banding + hamming rescoring as
-  //    q_dedup_simhash_pairs; different hash family => rows-only, overlap
-  //    with the md5 twin pinned by CrossCheckSpec.
-  qNoOracle("q_dedup_simhash_native") { (s, dir) =>
+  //    q_dedup_simhash_pairs. FULL oracle since r10 — the per-token FNV
+  //    is a pure integer byte fold DuckDB replays exactly (sqlFnvFromHex),
+  //    so the whole vote/band/rescore pipeline shares the md5 twin's SQL
+  //    with only the hash CTE swapped. CrossCheckSpec additionally pins
+  //    overlap with the md5 twin.
+  q("q_dedup_simhash_native",
+    s"""WITH t AS (SELECT doc_id, unnest($SqlTokens) AS tok FROM documents),
+       |hx AS (SELECT doc_id, hex(encode(tok)) AS hs FROM t),
+       |hu AS (SELECT doc_id, ${sqlFnvFromHex("hs")} AS hu FROM hx),
+       |h AS (SELECT doc_id, ${sqlU64Signed("hu")} AS hv FROM hu),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+       |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
+       |  GROUP BY doc_id, b),
+       |fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS h
+       |       FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, (h >> (b * 15)) & 32767 AS chunk, b AS band
+       |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       |small AS (
+       |  SELECT band, chunk FROM bands GROUP BY band, chunk
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |kb AS (SELECT bands.* FROM bands JOIN small USING (band, chunk)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kb a JOIN kb b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(fa.h, fb.h)) AS hamming
+       |FROM pairs
+       |JOIN fp fa ON fa.doc_id = doc_a
+       |JOIN fp fb ON fb.doc_id = doc_b
+       |WHERE bit_count(xor(fa.h, fb.h)) <= 5""") { (s, dir) =>
     import graft.plans.NativeHash
     simhashBandPairs(spread(load(s, dir, "documents"))
       .select(col("doc_id"), NativeHash.simhash64Native(col("text")).as("h")))
@@ -1627,9 +1729,18 @@ object LlmPipeline extends Catalog {
     s.table(name)
   }
 
-  // -- rolling-hash document fingerprint on the native codegen'd FNV path
-  //    (md5-based q_dedup_exact stays the oracle-exact variant).
-  qNoOracle("q_fingerprint_rolling") { (s, dir) =>
+  // -- rolling-hash document fingerprint on the native codegen'd FNV
+  //    path. FULL oracle since r10: FNV-1a is a pure 64-bit integer fold
+  //    over the normalized UTF-8 bytes, so DuckDB replays it bit-exactly
+  //    with a per-byte list_reduce in HUGEINT-mod-2^64 arithmetic
+  //    (sqlFnvFromHex — the LcTable "no transcendental at query time"
+  //    discipline applied to a hash kernel).
+  q("q_fingerprint_rolling",
+    s"""WITH d AS (SELECT doc_id,
+       |  hex(encode(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS hs
+       |  FROM documents),
+       |u AS (SELECT doc_id, ${sqlFnvFromHex("hs")} AS hu FROM d)
+       |SELECT doc_id, ${sqlU64Signed("hu")} AS fp64 FROM u""") { (s, dir) =>
     import graft.plans.NativeHash
     load(s, dir, "documents").select(
       col("doc_id"),
@@ -2912,9 +3023,28 @@ object LlmPipeline extends Catalog {
   }
 
   // -- native span dedup twin: fnv64 instead of md5 on the span hash (the
-  //    production fast path — same spans, same buckets, no oracle tax).
-  //    CrossCheckSpec pins its (doc,pos) population to the md5 twin.
-  qNoOracle("q_dedup_spans_native") { (s, dir) =>
+  //    production fast path — same spans, same buckets). FULL oracle
+  //    since r10 (the md5 oracle SQL with the hash CTE swapped for the
+  //    byte-fold FNV mirror); CrossCheckSpec additionally pins its
+  //    (doc,pos) population to the md5 twin.
+  q("q_dedup_spans_native",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |idx AS (SELECT CAST(range AS INT) AS pos FROM range(1000)),
+       |s AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(toks[pos + 1 : pos + 8], ' ') AS span
+       |  FROM t JOIN idx ON pos <= len(toks) - 8),
+       |h0 AS (SELECT doc_id, pos, span, hex(encode(span)) AS hs FROM s),
+       |h1 AS (SELECT doc_id, pos, span, ${sqlFnvFromHex("hs")} AS hu FROM h0),
+       |h AS (SELECT doc_id, pos, span, ${sqlU64Signed("hu")} AS span_hash FROM h1),
+       |g AS (
+       |  SELECT span_hash, count(*) AS n_occ FROM h GROUP BY span_hash
+       |  HAVING count(*) BETWEEN 2 AND 50 AND count(DISTINCT doc_id) >= 2)
+       |SELECT h.span_hash, h.doc_id, h.pos, h.span, g.n_occ
+       |FROM h JOIN g USING (span_hash)""") { (s, dir) =>
     import graft.plans.NativeHash
     spanOccurrences(s, dir, NativeHash.fnv64)
   }
@@ -4308,7 +4438,7 @@ object LlmPipeline extends Catalog {
        |e AS (SELECT source, (64 - np) * 1073741824 + sp AS s2,
        |        CAST(64 - np AS BIGINT) AS nz FROM s),
        |raw AS (SELECT source, nz,
-       |        CAST(3118146387509248 // (s2 * 1000) AS BIGINT) AS re FROM e),
+       |        CAST(${graft.operators.HyperLogLog.AlphaNum} // (s2 * 1000) AS BIGINT) AS re FROM e),
        |x AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
        |      FROM t GROUP BY source)
        |SELECT x.source, x.n_exact,
@@ -4434,6 +4564,34 @@ object LlmPipeline extends Catalog {
   //    sample-exact end to end or the hash mismatches (the
   //    q_multimodal_resize discipline, extended to audio). Map-only: one
   //    partition-wise 1→8 expansion, zero shuffle before the final agg.
+  /** Per-doc synthetic PCM16 WAV, plain-signal recipe (q_multimodal_audio). */
+  private[graft] def plainWavBytes(id: Long): Array[Byte] = {
+    val n = (800 + (id % 5) * 80).toInt
+    val samples = Array.tabulate(n)(i =>
+      ((id * 131L + i * 17L) % 4096L - 2048L).toShort)
+    graft.multimodal.MediaCodec.encodeWavPcm16(8000, samples)
+  }
+
+  /** Decode+analyze half of q_multimodal_audio: real RIFF parse + PCM
+    * decode + 8-window energy — the work a 100 TB pass re-runs per asset
+    * (synthesis is the corpus, not the operator). */
+  private[graft] def audioEnergyRows(id: Long,
+      wav: Array[Byte]): Iterator[(Long, Long, Long, Long, Long)] = {
+    import graft.multimodal.MediaCodec
+    val (sr, ch, frames) = MediaCodec.audioMeta(wav).getOrElse(
+      sys.error(s"JDK audio reader rejected wav for doc $id"))
+    require(ch == 1, s"doc $id decoded $ch channels")
+    val decoded = MediaCodec.decodePcm16(wav).getOrElse(
+      sys.error(s"wav failed PCM decode for doc $id"))
+    val winLen = decoded.length / 8
+    (0 until 8).iterator.map { w =>
+      var sum = 0L
+      var i = w * winLen
+      while (i < (w + 1) * winLen) { sum += math.abs(decoded(i).toLong); i += 1 }
+      (id, sr.toLong, frames, w.toLong, sum)
+    }
+  }
+
   q("q_multimodal_audio",
     """WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents),
       |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
@@ -4445,29 +4603,10 @@ object LlmPipeline extends Catalog {
       |  CAST(i // (n // 8) AS BIGINT) AS win,
       |  CAST(sum(a) AS BIGINT) AS abs_sum
       |FROM v GROUP BY doc_id, n, i // (n // 8)""") { (s, dir) =>
-    import graft.multimodal.MediaCodec
     import s.implicits._
     spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
-      .mapPartitions { it =>
-        it.flatMap { id =>
-          val n = (800 + (id % 5) * 80).toInt
-          val samples = Array.tabulate(n)(i =>
-            ((id * 131L + i * 17L) % 4096L - 2048L).toShort)
-          val wav = MediaCodec.encodeWavPcm16(8000, samples)
-          val (sr, ch, frames) = MediaCodec.audioMeta(wav).getOrElse(
-            sys.error(s"JDK audio reader rejected its own wav for doc $id"))
-          require(ch == 1, s"doc $id decoded $ch channels")
-          val decoded = MediaCodec.decodePcm16(wav).getOrElse(
-            sys.error(s"wav failed PCM decode for doc $id"))
-          val winLen = n / 8
-          (0 until 8).iterator.map { w =>
-            var sum = 0L
-            var i = w * winLen
-            while (i < (w + 1) * winLen) { sum += math.abs(decoded(i).toLong); i += 1 }
-            (id, sr.toLong, frames, w.toLong, sum)
-          }
-        }
-      }.toDF("doc_id", "sample_rate", "n_frames", "win", "abs_sum")
+      .mapPartitions(_.flatMap(id => audioEnergyRows(id, plainWavBytes(id))))
+      .toDF("doc_id", "sample_rate", "n_frames", "win", "abs_sum")
   }
 
   // -- frame-container "video" path: real PNG frames in a length-prefixed
@@ -4550,34 +4689,42 @@ object LlmPipeline extends Catalog {
       |  coalesce(rr.n_silent_runs, 0) AS n_silent_runs,
       |  coalesce(rr.longest_silent_run, 0) AS longest_silent_run
       |FROM base b LEFT JOIN rr USING (doc_id)""") { (s, dir) =>
-    import graft.multimodal.MediaCodec
     import s.implicits._
     spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val n = (800 + (id % 5) * 80).toInt
-          val samples = Array.tabulate(n) { i =>
-            if (((i / 50) + id) % 4 == 0) 0.toShort
-            else if ((id * 31L + i * 7L) % 23L == 0L)
-              (if (i % 2 == 0) 2047 else -2048).toShort
-            else ((id * 131L + i * 17L) % 4096L - 2048L).toShort
-          }
-          val wav = MediaCodec.encodeWavPcm16(8000, samples)
-          val decoded = MediaCodec.decodePcm16(wav).getOrElse(
-            sys.error(s"wav failed PCM decode for doc $id"))
-          var (nClip, nSil, runs, longest, cur) = (0L, 0L, 0L, 0L, 0L)
-          decoded.foreach { v =>
-            if (v == 2047 || v == -2048) nClip += 1
-            if (v == 0) {
-              nSil += 1; cur += 1
-              if (cur == 1L) runs += 1
-              if (cur > longest) longest = cur
-            } else cur = 0L
-          }
-          (id, n.toLong, nClip, nSil, runs, longest)
-        }
-      }.toDF("doc_id", "n_samples", "n_clipped", "n_silent",
+      .mapPartitions(_.map(id => vadRow(id, vadWavBytes(id))))
+      .toDF("doc_id", "n_samples", "n_clipped", "n_silent",
         "n_silent_runs", "longest_silent_run")
+  }
+
+  /** Per-doc synthetic PCM16 WAV, VAD-signal recipe (silent 50-sample
+    * blocks every 4th block, scattered clipped samples). */
+  private[graft] def vadWavBytes(id: Long): Array[Byte] = {
+    val n = (800 + (id % 5) * 80).toInt
+    val samples = Array.tabulate(n) { i =>
+      if (((i / 50) + id) % 4 == 0) 0.toShort
+      else if ((id * 31L + i * 7L) % 23L == 0L)
+        (if (i % 2 == 0) 2047 else -2048).toShort
+      else ((id * 131L + i * 17L) % 4096L - 2048L).toShort
+    }
+    graft.multimodal.MediaCodec.encodeWavPcm16(8000, samples)
+  }
+
+  /** Decode+analyze half of q_audio_vad: real PCM decode + clip count +
+    * silence-run scan over the DECODED samples. */
+  private[graft] def vadRow(id: Long,
+      wav: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+    val decoded = graft.multimodal.MediaCodec.decodePcm16(wav).getOrElse(
+      sys.error(s"wav failed PCM decode for doc $id"))
+    var (nClip, nSil, runs, longest, cur) = (0L, 0L, 0L, 0L, 0L)
+    decoded.foreach { v =>
+      if (v == 2047 || v == -2048) nClip += 1
+      if (v == 0) {
+        nSil += 1; cur += 1
+        if (cur == 1L) runs += 1
+        if (cur > longest) longest = cur
+      } else cur = 0L
+    }
+    (id, decoded.length.toLong, nClip, nSil, runs, longest)
   }
 
   // -- video scene-cut detection over the frame container: per-doc frame
@@ -4606,25 +4753,87 @@ object LlmPipeline extends Catalog {
       |  CAST(fi AS BIGINT) AS frame_idx, diff_sum,
       |  diff_sum > 40 * w * 8 AS is_cut
       |FROM d""") { (s, dir) =>
-    import graft.multimodal.MediaCodec
     import s.implicits._
     spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
-      .mapPartitions { it =>
-        it.flatMap { id =>
-          val nf = (4 + id % 4).toInt
-          val w = (8 + id % 8).toInt
-          def seed(f: Int): Long = id * 7L + f + (f / 3) * 199L
-          val container = MediaCodec.encodeFrameContainer(
-            (0 until nf).map(f => MediaCodec.encodePng(w, 8, seed(f))))
-          val frames = MediaCodec.decodeFrameContainer(container).getOrElse(
-            sys.error(s"container parse failed for doc $id"))
-          (1 until nf).iterator.map { fi =>
-            val diff = MediaCodec.rasterAbsDiff(frames(fi - 1), frames(fi))
-              .getOrElse(sys.error(s"frame decode failed for doc $id/$fi"))
-            (id, nf.toLong, fi.toLong, diff, diff > 40L * w * 8)
-          }
-        }
-      }.toDF("doc_id", "n_frames", "frame_idx", "diff_sum", "is_cut")
+      .mapPartitions(_.flatMap(id => scenecutRows(id, scenecutContainerBytes(id))))
+      .toDF("doc_id", "n_frames", "frame_idx", "diff_sum", "is_cut")
+  }
+
+  /** Per-doc synthetic frame container, scene-cut recipe: frame seeds
+    * advance by 1 within a scene and jump +199 every 3rd frame. */
+  private[graft] def scenecutContainerBytes(id: Long): Array[Byte] = {
+    import graft.multimodal.MediaCodec
+    val nf = (4 + id % 4).toInt
+    val w = (8 + id % 8).toInt
+    def seed(f: Int): Long = id * 7L + f + (f / 3) * 199L
+    MediaCodec.encodeFrameContainer(
+      (0 until nf).map(f => MediaCodec.encodePng(w, 8, seed(f))))
+  }
+
+  /** Decode+analyze half of q_video_scenecut: demux + per-frame imageio
+    * decode + consecutive |Δgray| threshold. Frame width derives from the
+    * decoded raster via the doc-id recipe (threshold is 40·pixels). */
+  private[graft] def scenecutRows(id: Long,
+      container: Array[Byte]): Iterator[(Long, Long, Long, Long, Boolean)] = {
+    import graft.multimodal.MediaCodec
+    val frames = MediaCodec.decodeFrameContainer(container).getOrElse(
+      sys.error(s"container parse failed for doc $id"))
+    val nf = frames.length
+    val w = (8 + id % 8).toInt
+    (1 until nf).iterator.map { fi =>
+      val diff = MediaCodec.rasterAbsDiff(frames(fi - 1), frames(fi))
+        .getOrElse(sys.error(s"frame decode failed for doc $id/$fi"))
+      (id, nf.toLong, fi.toLong, diff, diff > 40L * w * 8)
+    }
+  }
+
+  // --------------- bench-serve surface: persisted media corpora --------
+
+  /** (doc_id, media) corpus for the bench serve entries, one kind per
+    * modality recipe. At 100 TB the media bytes are ingest-time artifacts
+    * in the object store — Bench persists these ONCE per bench dir
+    * (marker-guarded, the PQ-codebook pattern) so the @10x serve entries
+    * time decode+analysis rather than PNG/WAV synthesis (r9 verdict: the
+    * synth chain was ~half the @10x media wall). */
+  def mediaCorpus(s: org.apache.spark.sql.SparkSession, dir: String,
+      kind: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ids = spread(load(s, dir, "documents").select(col("doc_id"))).as[Long]
+    (kind match {
+      case "vad-wav" => ids.mapPartitions(_.map(id => (id, vadWavBytes(id))))
+      case "plain-wav" => ids.mapPartitions(_.map(id => (id, plainWavBytes(id))))
+      case "frames" =>
+        ids.mapPartitions(_.map(id => (id, scenecutContainerBytes(id))))
+      case other => sys.error(s"unknown media corpus kind: $other")
+    }).toDF("doc_id", "media")
+  }
+
+  /** q_audio_vad's decode+analysis over a persisted (doc_id, media) corpus. */
+  def audioVadServe(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, m) => vadRow(id, m) })
+      .toDF("doc_id", "n_samples", "n_clipped", "n_silent",
+        "n_silent_runs", "longest_silent_run")
+  }
+
+  /** q_multimodal_audio's decode+analysis over a persisted corpus. */
+  def audioEnergyServe(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, m) => audioEnergyRows(id, m) })
+      .toDF("doc_id", "sample_rate", "n_frames", "win", "abs_sum")
+  }
+
+  /** q_video_scenecut's demux+decode+analysis over a persisted corpus. */
+  def videoScenecutServe(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, m) => scenecutRows(id, m) })
+      .toDF("doc_id", "n_frames", "frame_idx", "diff_sum", "is_cut")
   }
 
   // -- source-pair shingle overlap: the |sources|×|sources| corpus
@@ -5337,8 +5546,9 @@ object LlmPipeline extends Catalog {
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("ni"))
-      .join(broadcast(sized.as("sa")), col("sa.doc_id") === col("doc_a"))
-      .join(broadcast(sized.as("sb")), col("sb.doc_id") === col("doc_b"))
+      // unhinted per-doc size join (corpus-proportional side; AQE decides)
+      .join(sized.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sized.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("ni * 1000000 div (sa.n_sh + sb.n_sh - ni)").as("jm"))
       .localCheckpoint()
@@ -5639,9 +5849,11 @@ object LlmPipeline extends Catalog {
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
+    // unhinted per-doc fingerprint-count join (corpus-proportional side —
+    // same r9-verdict pattern as the dedup sized tables; AQE decides)
     pairs
-      .join(broadcast(dfc.as("fa")), col("fa.doc_id") === col("doc_a"))
-      .join(broadcast(dfc.as("fb")), col("fb.doc_id") === col("doc_b"))
+      .join(dfc.as("fa"), col("fa.doc_id") === col("doc_a"))
+      .join(dfc.as("fb"), col("fb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("n_shared * 1000000 div least(fa.n_fp, fb.n_fp)")
           .as("overlap_micro"))
@@ -5706,20 +5918,27 @@ object LlmPipeline extends Catalog {
        |kr AS (SELECT source, h,
        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rank
        |       FROM dh),
-       |sk AS (SELECT * FROM kr WHERE rank <= 256)""".stripMargin
+       |sk AS (SELECT * FROM kr WHERE rank <= ${graft.operators.KMinValues.K})""".stripMargin
+
+  /** (k−1) · HashSpace — the KMV estimator numerator, computed from the
+    * SAME constants the sketch uses (r9 ADVICE: a hardcoded 255·2^50
+    * would silently go stale if K changed) and interpolated into both
+    * oracle SQL strings. */
+  private val KmvEstNum: Long =
+    (graft.operators.KMinValues.K - 1).toLong * graft.operators.KMinValues.HashSpace
 
   /** Oracle shared by the batch and live KMV-distinct twins (identical
-    * final state by construction). 287104476244869120 = (k−1) · 2^50. */
+    * final state by construction). */
   private val SqlKmvQuery: String =
     s"""WITH $SqlKmvSketch,
        |est AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
-       |          max(CASE WHEN rank = 256 THEN h END) AS hk
+       |          max(CASE WHEN rank = ${graft.operators.KMinValues.K} THEN h END) AS hk
        |        FROM sk GROUP BY source),
        |x AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
        |      FROM t GROUP BY source)
        |SELECT x.source, x.n_exact, est.n_sketch,
-       |  CAST(CASE WHEN est.n_sketch < 256 THEN est.n_sketch
-       |       ELSE 287104476244869120 // est.hk END AS BIGINT) AS kmv_estimate
+       |  CAST(CASE WHEN est.n_sketch < ${graft.operators.KMinValues.K} THEN est.n_sketch
+       |       ELSE ${KmvEstNum} // est.hk END AS BIGINT) AS kmv_estimate
        |FROM x JOIN est USING (source)""".stripMargin
 
   // -- KMV (bottom-k) distinct 3-shingles per source, read out against
@@ -5767,13 +5986,13 @@ object LlmPipeline extends Catalog {
        |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY h)
        |           AS rk
        |       FROM uh),
-       |us AS (SELECT * FROM ur WHERE rk <= 256),
+       |us AS (SELECT * FROM ur WHERE rk <= ${graft.operators.KMinValues.K}),
        |ua AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_u,
-       |         max(CASE WHEN rk = 256 THEN h END) AS hk
+       |         max(CASE WHEN rk = ${graft.operators.KMinValues.K} THEN h END) AS hk
        |       FROM us GROUP BY 1, 2),
        |ue AS (SELECT source_a, source_b, n_u,
-       |         CAST(CASE WHEN n_u < 256 THEN n_u
-       |              ELSE 287104476244869120 // hk END AS BIGINT) AS union_est
+       |         CAST(CASE WHEN n_u < ${graft.operators.KMinValues.K} THEN n_u
+       |              ELSE ${KmvEstNum} // hk END AS BIGINT) AS union_est
        |       FROM ua),
        |cm AS (SELECT u.source_a, u.source_b, CAST(count(*) AS BIGINT) AS nc
        |       FROM us u
@@ -5823,7 +6042,7 @@ object LlmPipeline extends Catalog {
         max(when(col("rk") === KMinValues.K, col("h"))).as("hk"))
       .select(col("source_a"), col("source_b"), col("n_u"),
         when(col("n_u") < KMinValues.K, col("n_u"))
-          .otherwise(expr(s"${255L * KMinValues.HashSpace} div hk"))
+          .otherwise(expr(s"${(KMinValues.K - 1).toLong * KMinValues.HashSpace} div hk"))
           .as("union_est"))
     val cm = us.join(skA, Seq("source_a", "h")).join(skB, Seq("source_b", "h"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("nc"))
@@ -5936,7 +6155,9 @@ object LlmPipeline extends Catalog {
         array_join(slice(col("ws"), 6, 5), " ").as("bk")))
     val bc = k.groupBy("bk").agg(count(lit(1)).as("c"))
       .filter(col("c").between(2, 50)).select("bk")
-    val kk = k.join(broadcast(bc), "bk") // survivors of the bucket cut
+    // bc is one row per surviving bucket key — grows with the corpus, so
+    // no broadcast hint (equi-key semi-reduction; AQE picks the strategy)
+    val kk = k.join(bc, "bk")
     val a = kk.select(col("bk"), col("doc_id").as("doc_a"), col("title").as("ta"))
     val b = kk.select(col("bk"), col("doc_id").as("doc_b"), col("title").as("tb"))
     a.join(b, Seq("bk")).filter(col("doc_a") < col("doc_b"))

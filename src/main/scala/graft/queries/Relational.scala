@@ -362,7 +362,7 @@ object Relational extends Catalog {
        |e AS (SELECT l_returnflag, (64 - np) * 1073741824 + sp AS s2,
        |        CAST(64 - np AS BIGINT) AS nz FROM s),
        |raw AS (SELECT l_returnflag, nz,
-       |        CAST(3118146387509248 // (s2 * 1000) AS BIGINT) AS re FROM e),
+       |        CAST(${graft.operators.HyperLogLog.AlphaNum} // (s2 * 1000) AS BIGINT) AS re FROM e),
        |x AS (SELECT l_returnflag, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
        |      FROM t GROUP BY l_returnflag)
        |SELECT x.l_returnflag, x.n_exact,

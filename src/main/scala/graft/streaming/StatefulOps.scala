@@ -398,13 +398,17 @@ object StatefulOps {
     *     the oldest-first eviction the per-key variants cannot express
     *     (their GroupState can't reach another key's buffer).
     *
-    * Divergence (documented): entries with EQUAL buffer time order FIFO
-    * by arrival, where the reference tie-breaks on serialized key bytes
-    * (`BufferKey.compareTo`) — an artifact of its byte-store layout, not
-    * a semantic contract. Stream time advances per buffer instance, as in
-    * the reference (per task). Deterministic: driven entirely by record
-    * timestamps, no wall clock. Works in batch (one fold) and streaming.
-    */
+    * Equal-time tie-break (FULL reference parity since r10): entries with
+    * the SAME buffer time order by the key's serialized bytes, compared
+    * lexicographically UNSIGNED — exactly `BufferKey.compareTo` over the
+    * byte-store layout (time-prefixed key bytes). [[serdeKeyBytes]] mirrors
+    * the reference's default serdes: String → UTF-8
+    * (`StringSerializer.serialize`), fixed-width integers → big-endian
+    * (`LongSerializer`/`IntegerSerializer`), anything else a stable
+    * object serialization. Stream time advances per buffer instance, as
+    * in the reference (per task). Deterministic: driven entirely by
+    * record timestamps, no wall clock. Works in batch (one fold) and
+    * streaming. */
   def suppressUntilTimeLimitOrdered[K: Encoder, V: Encoder](
       stream: KStream[K, V], delayMs: Long, maxRecordsPerBuffer: Long,
       numBuffers: Int = 8): Dataset[(K, V)] = {
@@ -412,17 +416,19 @@ object StatefulOps {
     implicit val kvEnc: Encoder[(K, V)] =
       Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
     implicit val t3: Encoder[(K, V, Timestamp)] = Rec.tupleEnc[K, V]
-    // (sorted buffer entries (time, seq, key, value), next seq, streamTime)
-    type Buf = (Vector[(Long, Long, K, V)], Long, Long)
+    // (sorted buffer entries (time, keyBytes, key, value), streamTime);
+    // (time, keyBytes) is unique per entry — a re-put of a buffered key
+    // REPLACES in place, so no further tie-break exists to break
+    type Buf = (Vector[(Long, Array[Byte], K, V)], Long)
     implicit val stEnc: Encoder[Buf] = Encoders.kryo[Buf]
     stream.toDataset
       .groupByKey(r => math.floorMod(r._1.hashCode, numBuffers))(Encoders.scalaInt)
       .flatMapGroupsWithState[Buf, (K, V)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
-          var (buf, seq, streamTime) =
-            state.getOption.getOrElse((Vector.empty[(Long, Long, K, V)],
-              0L, Long.MinValue))
+          var (buf, streamTime) =
+            state.getOption.getOrElse(
+              (Vector.empty[(Long, Array[Byte], K, V)], Long.MinValue))
           val out = Vector.newBuilder[(K, V)]
           // arrivals fold in record-ts order (stable) — the micro-batch
           // iterator carries no order contract, the reference's process()
@@ -432,14 +438,15 @@ object StatefulOps {
             val t = ts.getTime
             if (t > streamTime) streamTime = t
             val i = buf.indexWhere(_._3 == k)
-            if (i >= 0) // non-resetting put: keep (time, seq) slot
+            if (i >= 0) // non-resetting put: keep the (time, bytes) slot
               buf = buf.updated(i, (buf(i)._1, buf(i)._2, k, v))
             else {
-              val pos = buf.indexWhere(e => e._1 > t || (e._1 == t && e._2 > seq))
-              val entry = (t, seq, k, v)
+              val kb = serdeKeyBytes(k)
+              val pos = buf.indexWhere(e =>
+                e._1 > t || (e._1 == t && compareUnsigned(e._2, kb) > 0))
+              val entry = (t, kb, k, v)
               buf = if (pos < 0) buf :+ entry
                     else (buf.take(pos) :+ entry) ++ buf.drop(pos)
-              seq += 1
             }
             // time-limit eviction, oldest first
             val expiry = streamTime - delayMs
@@ -451,9 +458,41 @@ object StatefulOps {
               out += ((buf.head._3, buf.head._4)); buf = buf.tail
             }
           }
-          state.update((buf, seq, streamTime))
+          state.update((buf, streamTime))
           out.result().iterator
       }
+  }
+
+  /** The reference's default-serde byte layout for a suppress-buffer key
+    * (`BufferKey` stores the serialized key; ordering is the serde's
+    * byte output compared unsigned): String → UTF-8, fixed-width
+    * integers → big-endian two's complement, anything else Java object
+    * serialization (stable for a fixed class, the catch-all a custom
+    * serde would replace). */
+  private[graft] def serdeKeyBytes(k: Any): Array[Byte] = k match {
+    case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case l: Long => java.nio.ByteBuffer.allocate(8).putLong(l).array()
+    case i: Int => java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    case s: Short => java.nio.ByteBuffer.allocate(2).putShort(s).array()
+    case b: Byte => Array(b)
+    case other =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(other); oos.close()
+      bos.toByteArray
+  }
+
+  /** Unsigned lexicographic byte comparison — the reference's
+    * `Bytes.BYTES_LEXICO_COMPARATOR` contract. */
+  private[graft] def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Buffered timestamps + the watermark up to which windows have already

@@ -622,4 +622,43 @@ class PlanSpec extends AnyFunSuite {
       assert(agg.isDefined, s"window not fed by the bounded day agg:\n$w")
     }
   }
+
+  test("dedup/ER corpus-sized joins carry NO broadcast hint (AQE decides)") {
+    // r9 verdict: a hard-coded broadcast() on a corpus-proportional table
+    // (per-doc shingle sizes, dedup losers, surviving bucket keys,
+    // per-doc fingerprint counts) is the one dies-not-degrades pattern at
+    // 100x scale — the hint must NOT exist in the plan. AQE still
+    // broadcasts when a side is genuinely small; the pin is that nothing
+    // REQUIRES it. (Bounded-side hints — eval sets, threshold literals,
+    // k-row centroid tables — live in other queries and stay.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_char_ngram",
+        "q_dedup_containment", "q_dedup_keep", "q_er_fuzzy_pairs",
+        "q_er_entities", "q_winnowing_overlap")) {
+      val hints = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q: forced join hint on a corpus-sized side:\n" +
+        hints.mkString("\n").take(1200))
+      // and the unhinted equi-joins must never degrade to cartesian
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1200)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(1200)}")
+    }
+  }
+
+  test("q_lsh_pr_eval: only the 4-row threshold table is hinted") {
+    // the per-doc `sized` joins went unhinted in r10; the two surviving
+    // hints are the bounded threshold-literal table (plus its total row)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("q_lsh_pr_eval")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // every hinted subtree must be the threshold/total literals (bounded):
+    // a LocalRelation or a 1-row aggregate, never a documents scan
+    hints.foreach { h =>
+      val scansDocs = h.child.collectFirst {
+        case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => r
+      }.isDefined || h.child.toString.contains("documents.parquet")
+      assert(!scansDocs, s"q_lsh_pr_eval: corpus-sized hint:\n${h.toString.take(800)}")
+    }
+  }
 }

@@ -201,6 +201,50 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ORDERED suppress tie-breaks EQUAL timestamps by serialized key " +
+      "bytes (reference BufferKey.compareTo, not arrival FIFO)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val stream = builder.stream[String, String](mem.toDF(), $"_1", $"_2", $"_3")
+    val suppressed = StatefulOps.suppressUntilTimeLimitOrdered(stream,
+      delayMs = 50000L, maxRecordsPerBuffer = 2L, numBuffers = 1)
+    val q = suppressed.toDF("k", "v").writeStream.format("memory")
+      .queryName("supptiebreak").outputMode(OutputMode.Append).start()
+    def got() = spark.table("supptiebreak").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    try {
+      // Z arrives FIRST but its UTF-8 bytes sort after A's: with the
+      // reference's serialized-key-bytes order the buffer head at
+      // ts=1000 is A, so the capacity overflow (C) must evict A — the
+      // pre-r10 FIFO tie-break would have evicted Z
+      mem.addData(("Z", "z1", ts(1000L)), ("A", "a1", ts(1000L)))
+      q.processAllAvailable()
+      assert(got().isEmpty, "buffer holds Z, A — nothing due")
+      mem.addData(("C", "c1", ts(2000L)))
+      q.processAllAvailable()
+      assert(got() === Set(("A", "a1")), s"got ${got()}")
+      // next overflow evicts Z (same ts slot, larger key bytes)
+      mem.addData(("D", "d1", ts(3000L)))
+      q.processAllAvailable()
+      assert(got() === Set(("A", "a1"), ("Z", "z1")), s"got ${got()}")
+    } finally q.stop()
+  }
+
+  test("serde key bytes order: unsigned lexicographic, reference layout") {
+    import graft.streaming.StatefulOps.{compareUnsigned, serdeKeyBytes}
+    // unsigned: 0x80 (-128 signed) must sort AFTER 0x7f
+    assert(compareUnsigned(Array(0x80.toByte), Array(0x7f.toByte)) > 0)
+    // prefix sorts first
+    assert(compareUnsigned("ab".getBytes, "abc".getBytes) < 0)
+    // big-endian long layout: 2L sorts after 1L, and non-negative longs
+    // sort in numeric order
+    assert(compareUnsigned(serdeKeyBytes(1L), serdeKeyBytes(2L)) < 0)
+    assert(serdeKeyBytes(1L).length === 8 && serdeKeyBytes(1).length === 4)
+    // UTF-8 string layout matches StringSerializer
+    assert(serdeKeyBytes("ké").sameElements(
+      "ké".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
   test("bounded suppress buffer SHUT_DOWN policy fails the query on overflow") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
