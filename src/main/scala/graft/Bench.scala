@@ -179,7 +179,11 @@ object Bench {
     "weighted-sample" -> "q_weighted_sample",
     "l-diversity" -> "q_l_diversity",
     "seasonal-anomaly" -> "q_seasonal_anomaly",
-    "user-streaks" -> "q_user_streaks")
+    "user-streaks" -> "q_user_streaks",
+    // r10: KIP-557 emit-on-change (idempotent-update suppression) + ER
+    // survivorship (golden-record election over the resolved entities)
+    "emit-on-change" -> "q_emit_on_change",
+    "er-golden-record" -> "q_er_golden_record")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -234,9 +238,10 @@ object Bench {
     "scd2-history", "cdc-apply", "ohlc-bars", "attribution",
     "attribution-linear", "audience-segments", "mv-delta", "window-ewma",
     "cusum-drift", "sessionize", "event-funnel", "markov-stationary",
+    "emit-on-change",
     // r9 operator batch (documents- and events-based — both scale in v3)
-    "kmv-distinct", "kmv-set-ops", "er-entities", "autocorr-daily",
-    "seasonality-dow",
+    "kmv-distinct", "kmv-set-ops", "er-entities", "er-golden-record",
+    "autocorr-daily", "seasonality-dow",
     // r9 second batch: bounded top-k select + governance/anomaly readouts
     "topk-per-source", "weighted-sample", "l-diversity", "seasonal-anomaly",
     "user-streaks")
@@ -520,6 +525,7 @@ object Bench {
       "kmv-distinct" -> bytes("documents"),
       "kmv-set-ops" -> bytes("documents"),
       "er-entities" -> bytes("documents"),
+      "er-golden-record" -> bytes("documents"),
       "topk-per-source" -> bytes("documents"),
       "weighted-sample" -> bytes("documents"),
       "l-diversity" -> bytes("documents"),
@@ -619,6 +625,7 @@ object Bench {
       "kmv-distinct" -> docRows,
       "kmv-set-ops" -> docRows,
       "er-entities" -> docRows,
+      "er-golden-record" -> docRows,
       "topk-per-source" -> docRows,
       "weighted-sample" -> docRows,
       "l-diversity" -> docRows,

@@ -6195,6 +6195,71 @@ object LlmPipeline extends Catalog {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  // -- entity resolution, survivorship stage ("golden record" — Christen
+  //    2012 ch.6; the MDM step after matching+clustering): per resolved
+  //    entity, elect the canonical record (longest text wins, smallest
+  //    doc_id breaks ties — a deterministic survivorship rule) and the
+  //    majority lang (count, then lang desc). Scale shape: the membership
+  //    table is dup-mass-sized (never corpus-sized); both elections are
+  //    partial-aggregable arg-max folds over it (max_by with a composite
+  //    order struct — the q_ktable_latest_per_key discipline), so a hot
+  //    entity folds map-side instead of rank-sorting in one task. The
+  //    oracle mirrors the elections as rank windows over the same bounded
+  //    membership.
+  q("q_er_golden_record",
+    s"""WITH RECURSIVE $SqlErPairCtes,
+       |pairs AS ($SqlErPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.n),
+       |comp AS (SELECT n, min(m) AS entity FROM reach GROUP BY n),
+       |mem AS (SELECT c.entity, d.doc_id, d.lang, d.n_chars
+       |        FROM comp c JOIN documents d ON d.doc_id = c.n),
+       |sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members
+       |       FROM mem GROUP BY entity),
+       |canon AS (SELECT entity, doc_id, n_chars,
+       |            row_number() OVER (PARTITION BY entity
+       |                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |          FROM mem),
+       |lc AS (SELECT entity, lang, CAST(count(*) AS BIGINT) AS ln
+       |       FROM mem GROUP BY 1, 2),
+       |lt AS (SELECT entity, lang, ln,
+       |         row_number() OVER (PARTITION BY entity
+       |                            ORDER BY ln DESC, lang DESC) AS rn
+       |       FROM lc)
+       |SELECT sz.entity, sz.n_members,
+       |  c.doc_id AS canon_doc_id, CAST(c.n_chars AS BIGINT) AS canon_n_chars,
+       |  lt.lang AS top_lang, lt.ln AS top_lang_n
+       |FROM sz
+       |JOIN canon c ON c.entity = sz.entity AND c.rn = 1
+       |JOIN lt ON lt.entity = sz.entity AND lt.rn = 1""") { (s, dir) =>
+    import graft.operators.ConnectedComponents
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val mem = ConnectedComponents.run(erFuzzyPairs(s, dir), "doc_a", "doc_b")
+      .join(docs, col("n") === col("doc_id"))
+      .select(col("label").as("entity"), col("doc_id"), col("lang"),
+        col("n_chars"))
+      .localCheckpoint() // membership reused by both elections
+    val canon = mem.groupBy("entity")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("doc_id"), col("n_chars")),
+          struct(col("n_chars"), (col("doc_id") * -1L).as("nid"))).as("c"))
+    val top = mem.groupBy("entity", "lang")
+      .agg(count(lit(1)).as("ln"))
+      .groupBy("entity")
+      .agg(max_by(struct(col("lang"), col("ln")),
+        struct(col("ln"), col("lang"))).as("t"))
+    canon.join(top, "entity")
+      .select(col("entity"), col("n_members"),
+        col("c.doc_id").as("canon_doc_id"),
+        col("c.n_chars").cast("long").as("canon_n_chars"),
+        col("t.lang").as("top_lang"), col("t.ln").as("top_lang_n"))
+  }
+
   // ================================================= bounded top-k select
 
   // -- top-5 words per source by corpus frequency through the bounded

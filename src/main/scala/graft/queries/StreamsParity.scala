@@ -1189,6 +1189,57 @@ object StreamsParity extends Catalog {
     table.toStream.toDF.select(col("key").as("user_id"), col("value"))
   }
 
+  /** Oracle shared by the emit-on-change twins: a changelog update is a
+    * NO-OP when the key's value is unchanged — only transitions survive
+    * (lag over the per-key (ts, event_id) total order). */
+  private val SqlEmitOnChange =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      |  FROM events)
+      |WHERE pv IS NULL OR pv <> event_type""".stripMargin
+
+  // -- KIP-557 emit-on-change (Kafka 2.6 — parity-plus, like KIP-450 /
+  //    KIP-889): drop table updates whose value equals the key's current
+  //    value, so downstream never reprocesses idempotent writes. Batch
+  //    twin: one per-key lag window over the (ts, event_id) total order —
+  //    the window partitions by key and sees only that key's history
+  //    (the as-of-join bound), ONE shuffle, no corpus-wide sort.
+  q("q_emit_on_change", SqlEmitOnChange) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("pv", lag(col("event_type"), 1).over(w))
+      .filter(col("pv").isNull || col("pv") =!= col("event_type"))
+      .select("user_id", "event_id", "event_type")
+  }
+
+  // -- LIVE emit-on-change: the changelog replays through
+  //    StatefulOps.emitOnChange (per-key current-value state, append-mode
+  //    change emissions, in-batch event-time order + cross-batch state)
+  //    and the emitted set must hash-equal the batch lag-window oracle.
+  q("q_emit_on_change_live", SqlEmitOnChange) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .transform(graft.Tables.tsNormalized)
+    val ks = GraftStreams(s).stream[Long, (Long, String)](ev,
+      col("user_id"),
+      struct(col("event_id").as("_1"), col("event_type").as("_2")),
+      col("ts"))
+    val changes = graft.streaming.StatefulOps.emitOnChange(ks)
+    val name = s"eoc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    changes.toDF("user_id", "event_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name)
+  }
+
   // -- KTable⋈KTable outer (KTableKTableOuterJoin.java): either side may
   //    be absent; view keyed by coalesced key.
   q("q_table_outer_join",

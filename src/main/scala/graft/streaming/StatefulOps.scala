@@ -463,6 +463,38 @@ object StatefulOps {
       }
   }
 
+  /** KIP-557 emit-on-change (Kafka 2.6 — parity-plus, same class as
+    * KIP-450/KIP-889): a table update whose new value EQUALS the key's
+    * current value is a no-op and is DROPPED instead of propagated, so
+    * downstream operators never reprocess idempotent writes. State per
+    * key = the current value (exactly what the table materializes
+    * anyway — constant size, unbounded-stream safe). Records fold in
+    * (event-time, tie) order per micro-batch, so a replay is
+    * deterministic and the full-replay emission set equals the batch
+    * lag-window twin (q_emit_on_change). Append mode: only real changes
+    * flow. `T` is the caller's total-order tie-break (an event id). */
+  def emitOnChange[K: Encoder, T: Encoder, V: Encoder](
+      stream: KStream[K, (T, V)])(
+      implicit ord: Ordering[T]): Dataset[(K, T, V)] = {
+    implicit val outEnc: Encoder[(K, T, V)] = Encoders.tuple(
+      implicitly[Encoder[K]], implicitly[Encoder[T]], implicitly[Encoder[V]])
+    stream.toDataset
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[V, (K, T, V)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (k, rows, state) =>
+        var cur = state.getOption
+        val out = Vector.newBuilder[(K, T, V)]
+        rows.toVector
+          .sortBy(r => (r._3.getTime, r._3.getNanos, r._2._1))(
+            Ordering.Tuple3(Ordering.Long, Ordering.Int, ord))
+          .foreach { case (_, (t, v), _) =>
+            if (!cur.contains(v)) { out += ((k, t, v)); cur = Some(v) }
+          }
+        cur.foreach(state.update)
+        out.result().iterator
+      }
+  }
+
   /** The reference's default-serde byte layout for a suppress-buffer key
     * (`BufferKey` stores the serialized key; ordering is the serde's
     * byte output compared unsigned): String → UTF-8, fixed-width

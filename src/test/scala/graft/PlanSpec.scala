@@ -623,6 +623,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("emit-on-change: lag window partitions per key, one shuffle") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_emit_on_change")(spark, dir)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window:\n${wins.mkString("\n").take(800)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(1200))
+  }
+
   test("dedup/ER corpus-sized joins carry NO broadcast hint (AQE decides)") {
     // r9 verdict: a hard-coded broadcast() on a corpus-proportional table
     // (per-doc shingle sizes, dedup losers, surviving bucket keys,
