@@ -78,4 +78,80 @@ object LinearModel {
     df.withColumn("score", lit(1.0) / (lit(1.0) + exp(-m)))
       .withColumn("pred", col("score") >= 0.5)
   }
+
+  // ------------------- integer-grid variant (oracle-exact training) ----
+
+  /** Micro-grid logistic model: weights and bias in 1e-6 units. */
+  final case class LrModelMicro(wMicro: Array[Long], biasMicro: Long)
+
+  /** Sigmoid lookup table: σ over [−8.192, 8.192) in 4096 cells of width
+    * 0.004, midpoint-sampled, in micro units. Precomputed ONCE here and
+    * interpolated as integer literals into both the Spark expression and
+    * the DuckDB oracle (the HyperLogLog.LcTable discipline), so neither
+    * engine evaluates exp() at query time and the whole training loop is
+    * bit-identical cross-engine. Piecewise-constant σ costs ≤ 1e-3
+    * absolute — irrelevant to a linear probe, decisive for determinism. */
+  val SigTable: IndexedSeq[Long] = (0 until 4096).map(i =>
+    math.round(1e6 / (1.0 + math.exp(8.192 - (i + 0.5) * 0.004))))
+
+  /** Embedding quantized ONCE to the 1e-6 grid (the PowerIteration
+    * recipe): float→double is exact, round is ties-away-from-zero in
+    * both engines. */
+  private def quantCol(embCol: Column): Column =
+    transform(embCol.cast("array<double>"), x => round(x * 1e6).cast("long"))
+
+  /** Per-row micro margin + table sigmoid columns (shared by train and
+    * score): mm = bias + (Σ wᵈ·xqᵈ) div 1e6, idx = clipped cell, all
+    * BIGINT with truncated division — DuckDB `//` and Scala `/` agree on
+    * negatives. Expects an `xq` column. */
+  private def withMarginMicro(df: DataFrame, w: Array[Long],
+      bias: Long): DataFrame =
+    df.withColumn("dot",
+        aggregate(zip_with(col("xq"), typedLit(w.toSeq), (x, wi) => x * wi),
+          lit(0L), _ + _))
+      .withColumn("mm", lit(bias) + expr("dot div 1000000"))
+      .withColumn("idx", expr(
+        "cast((least(greatest(mm, -8192000), 8191999) + 8192000) div 4000 as int)"))
+
+  /** [[trainLogistic]] re-founded on the 1e-6 integer grid end to end:
+    * quantized inputs, BIGINT weights, table sigmoid, truncated-division
+    * updates (lr = 1/2 is the division). Same one-scan-per-iteration
+    * shape (dim+1 partial-agg'd longs cross the wire); beyond
+    * partition-independence, training is now BIT-IDENTICAL in DuckDB, so
+    * the classifier carries a full hash oracle (q_quality_classifier).
+    * Label column must hold 0/1 longs. */
+  def trainLogisticMicro(df: DataFrame, embCol: String, labelCol: String,
+      iters: Int = 3): LrModelMicro = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val n = df.count()
+    require(n > 0, "trainLogisticMicro: empty input")
+    val sig = typedLit(SigTable)
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    for (_ <- 0 until iters) {
+      val base = withMarginMicro(
+        df.select(col(labelCol).as("y"), quantCol(col(embCol)).as("xq")),
+        w, bias)
+        .withColumn("err", element_at(sig, col("idx") + 1) - col("y") * 1000000L)
+      val sums = base
+        .select(posexplode(concat(array(col("err")),
+          expr("transform(xq, x -> (err * x) div 1000000)"))).as(Seq("pos", "g")))
+        .groupBy("pos").agg(sum("g").as("gs"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val den = 2L * n // lr = 1/2 folded into the truncated division
+      bias -= sums(0) / den
+      var j = 0
+      while (j < dim) { w(j) -= sums(j + 1) / den; j += 1 }
+    }
+    LrModelMicro(w, bias)
+  }
+
+  /** Map-only scoring on the micro grid: `score_micro` = table sigmoid of
+    * the margin, `pred` = score_micro >= 500000. Zero shuffle. */
+  def scoreMicro(df: DataFrame, embCol: String, m: LrModelMicro): DataFrame =
+    withMarginMicro(df.withColumn("xq", quantCol(col(embCol))),
+      m.wMicro, m.biasMicro)
+      .withColumn("score_micro", element_at(typedLit(SigTable), col("idx") + 1))
+      .withColumn("pred", col("score_micro") >= 500000L)
+      .drop("xq", "dot", "mm", "idx")
 }

@@ -3481,15 +3481,75 @@ object LlmPipeline extends Catalog {
   //    the broadcast weights. Rows-only: the sigmoid's exp() is not
   //    mirrorable across engines; LinearModelSpec pins determinism and
   //    accuracy on separable data.
-  qNoOracle("q_quality_classifier") { (s, dir) =>
+  /** One unrolled micro-grid logistic GD step (oracle mirror of
+    * LinearModel.trainLogisticMicro): margins from w{k-1}, table sigmoid,
+    * per-dim gradient sums, truncated-division update with lr = 1/2. */
+  private def sqlLogitStep(k: Int): String = {
+    val p = k - 1
+    s"""m$k AS (SELECT e.vec_id, e.y, e.xq,
+       |  w$p.b + CAST(list_sum(list_transform(range(len(e.xq)),
+       |      d -> w$p.w[d+1] * e.xq[d+1])) // 1000000 AS BIGINT) AS mm
+       |  FROM e CROSS JOIN w$p),
+       |r$k AS (SELECT vec_id, y, xq,
+       |  CAST(sig.t[CAST((least(greatest(mm, -8192000), 8191999) + 8192000)
+       |                  // 4000 AS INT) + 1] - y * 1000000 AS BIGINT) AS err
+       |  FROM m$k CROSS JOIN sig),
+       |gd$k AS (SELECT CAST(dd.d AS INT) AS d,
+       |    CAST(sum((r.err * r.xq[dd.d + 1]) // 1000000) AS BIGINT) AS g
+       |  FROM r$k r CROSS JOIN
+       |    (SELECT unnest(range((SELECT len(xq) FROM e LIMIT 1))) AS d) dd
+       |  GROUP BY dd.d),
+       |gb$k AS (SELECT CAST(sum(err) AS BIGINT) AS gb FROM r$k),
+       |w$k AS (SELECT
+       |  (SELECT w$p.b - gb$k.gb // (2 * n.n) FROM w$p CROSS JOIN gb$k CROSS JOIN n) AS b,
+       |  (SELECT list(wd ORDER BY d) FROM (
+       |     SELECT gd$k.d AS d, wp.wd - gd$k.g // (2 * n.n) AS wd
+       |     FROM gd$k CROSS JOIN n
+       |     JOIN (SELECT CAST(unnest(range(len(w))) AS INT) AS d, unnest(w) AS wd
+       |           FROM w$p) wp USING (d))) AS w)""".stripMargin
+  }
+
+  // -- embedding-gated quality classifier (the FineWeb-Edu shape,
+  //    arXiv:2406.17557 §3.2: a linear probe over frozen embeddings
+  //    gates documents). FULL oracle since r10: training moved onto the
+  //    1e-6 integer grid end to end (LinearModel.trainLogisticMicro —
+  //    quantized inputs, BIGINT weights, 4096-cell table sigmoid
+  //    interpolated into both engines, truncated-division updates), so
+  //    3 GD iterations unroll as DuckDB CTEs exactly like q_embed_pca's
+  //    power steps. Scale shape unchanged: one linear scan + one
+  //    partial-agg'd shuffle of dim+1 longs per iteration; scoring is
+  //    map-only.
+  q("q_quality_classifier", {
+    val steps = (1 to 3).map(sqlLogitStep).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CASE WHEN label = 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS y,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |sig AS (SELECT [${graft.functions.LinearModel.SigTable.mkString(", ")}] AS t),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS b,
+       |  list_transform(range((SELECT len(xq) FROM e LIMIT 1)),
+       |    d -> CAST(0 AS BIGINT)) AS w),
+       |$steps,
+       |mf AS (SELECT e.vec_id, e.label,
+       |  w3.b + CAST(list_sum(list_transform(range(len(e.xq)),
+       |      d -> w3.w[d+1] * e.xq[d+1])) // 1000000 AS BIGINT) AS mm
+       |  FROM e CROSS JOIN w3)
+       |SELECT vec_id, label,
+       |  CAST(sig.t[CAST((least(greatest(mm, -8192000), 8191999) + 8192000)
+       |                  // 4000 AS INT) + 1] AS BIGINT) AS score_micro,
+       |  sig.t[CAST((least(greatest(mm, -8192000), 8191999) + 8192000)
+       |             // 4000 AS INT) + 1] >= 500000 AS pred
+       |FROM mf CROSS JOIN sig""".stripMargin
+  }) { (s, dir) =>
     import graft.functions.LinearModel
     val emb = spread(load(s, dir, "embeddings"))
-      .withColumn("y", (col("label") === 0).cast("double"))
-    val model = LinearModel.trainLogistic(emb, "embedding", "y",
-      iters = 5, lr = 0.5)
-    LinearModel.score(emb, "embedding", model)
-      .select(col("vec_id"), col("label"),
-        round(col("score"), 4).as("score_r"), col("pred"))
+      .withColumn("y", (col("label") === 0).cast("long"))
+    val model = LinearModel.trainLogisticMicro(emb, "embedding", "y", iters = 3)
+    LinearModel.scoreMicro(emb, "embedding", model)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("score_micro"), col("pred"))
   }
 
   // -- IVF+PQ serving path: prune to nProbe inverted-file cells, score

@@ -50,6 +50,35 @@ class LinearModelSpec extends AnyFunSuite {
     assert(m1.bias === m7.bias)
   }
 
+  test("micro-grid trainer learns the separable concept too") {
+    val df = separable(400).withColumn("yl", col("y").cast("long"))
+    val m = LinearModel.trainLogisticMicro(df, "embedding", "yl", iters = 8)
+    val acc = LinearModel.scoreMicro(df, "embedding", m)
+      .select(avg((col("pred").cast("double") === col("y")).cast("double")))
+      .head().getDouble(0)
+    assert(acc > 0.97, s"accuracy $acc")
+    assert(m.wMicro(0) > 0 && m.wMicro(1) > 0)
+  }
+
+  test("micro-grid weights are bit-identical across partitionings") {
+    val df = separable(300).withColumn("yl", col("y").cast("long"))
+    val m1 = LinearModel.trainLogisticMicro(df.repartition(1), "embedding",
+      "yl", iters = 3)
+    val m7 = LinearModel.trainLogisticMicro(df.repartition(7), "embedding",
+      "yl", iters = 3)
+    assert(m1.wMicro.toSeq === m7.wMicro.toSeq)
+    assert(m1.biasMicro === m7.biasMicro)
+  }
+
+  test("sigmoid table: monotone, symmetric, midpoint 0.5 at the center") {
+    val t = LinearModel.SigTable
+    assert(t.size === 4096)
+    assert(t.sliding(2).forall(p => p(0) <= p(1)), "monotone")
+    // σ(-x) = 1 - σ(x): cell i mirrors cell 4095-i on the midpoint grid
+    assert((0 until 4096).forall(i => math.abs(t(i) + t(4095 - i) - 1000000L) <= 1))
+    assert(math.abs(t(2047) + t(2048) - 1000000L) <= 1)
+  }
+
   test("catalog query scores every embedding and is deterministic") {
     val q = graft.SparkEntry.queries("q_quality_classifier")
     val a = q(spark, "/root/testdata/sf0.001").collect()
