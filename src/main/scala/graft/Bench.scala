@@ -183,7 +183,8 @@ object Bench {
     // r10: KIP-557 emit-on-change (idempotent-update suppression) + ER
     // survivorship (golden-record election over the resolved entities)
     "emit-on-change" -> "q_emit_on_change",
-    "er-golden-record" -> "q_er_golden_record")
+    "er-golden-record" -> "q_er_golden_record",
+    "hll-windowed" -> "q_hll_windowed")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -238,7 +239,7 @@ object Bench {
     "scd2-history", "cdc-apply", "ohlc-bars", "attribution",
     "attribution-linear", "audience-segments", "mv-delta", "window-ewma",
     "cusum-drift", "sessionize", "event-funnel", "markov-stationary",
-    "emit-on-change",
+    "emit-on-change", "hll-windowed",
     // r9 operator batch (documents- and events-based — both scale in v3)
     "kmv-distinct", "kmv-set-ops", "er-entities", "er-golden-record",
     "autocorr-daily", "seasonality-dow",

@@ -4531,6 +4531,56 @@ object LlmPipeline extends Catalog {
         col("n_zero_registers"))
   }
 
+  // -- WINDOWED HLL: distinct users per 1-hour tumbling window through
+  //    the same bit-reproducible register algebra — sketch COMPOSED with
+  //    event-time windowing, the "unique visitors per hour at any
+  //    cardinality" report. Scale shape: state is |windows|·64 BIGINT
+  //    registers regardless of user cardinality (exact countDistinct
+  //    would shuffle every (window, user) pair; the registers
+  //    partial-agg map-side). The exact count rides along at oracle
+  //    scale as the accuracy readout.
+  q("q_hll_windowed", {
+    import graft.operators.HyperLogLog.{AlphaNum, LcTable, LcThreshold}
+    s"""WITH t AS (SELECT ts - to_microseconds(epoch_us(ts) % 3600000000)
+       |             AS window_start,
+       |           CAST(user_id AS VARCHAR) AS w
+       |      FROM events),
+       |h AS (SELECT window_start, w, ${sqlMd5Long("w")} AS h FROM t),
+       |r AS (SELECT window_start, h % 64 AS j,
+       |        max(CASE WHEN h // 64 = 0 THEN 55
+       |            ELSE 55 - length(bin(h // 64)) END) AS mj
+       |      FROM h GROUP BY window_start, h % 64),
+       |s AS (SELECT window_start,
+       |        CAST(sum(CASE WHEN mj <= 30 THEN CAST(1 AS BIGINT) << (30 - mj)
+       |                 ELSE 0 END) AS BIGINT) AS sp,
+       |        count(*) AS np
+       |      FROM r GROUP BY window_start),
+       |e AS (SELECT window_start, (64 - np) * 1073741824 + sp AS s2,
+       |        CAST(64 - np AS BIGINT) AS nz FROM s),
+       |raw AS (SELECT window_start, nz,
+       |        CAST($AlphaNum // (s2 * 1000) AS BIGINT) AS re FROM e),
+       |x AS (SELECT window_start, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+       |      FROM t GROUP BY window_start)
+       |SELECT x.window_start, x.n_exact,
+       |  CAST(CASE WHEN nz > 0 AND re <= $LcThreshold
+       |       THEN list_extract([${LcTable.mkString(", ")}], CAST(nz AS INT))
+       |       ELSE re END AS BIGINT) AS hll_estimate,
+       |  nz AS n_zero_registers
+       |FROM x JOIN raw USING (window_start)""".stripMargin
+  }) { (s, dir) =>
+    import graft.operators.HyperLogLog
+    val items = load(s, dir, "events")
+      .select(window(col("ts"), "1 hour")("start").as("window_start"),
+        col("user_id").cast("string").as("w"))
+    val regs = HyperLogLog.registers(items, "w", Seq("window_start"))
+    val exact = items.groupBy("window_start")
+      .agg(countDistinct(col("w")).as("n_exact"))
+    exact.join(HyperLogLog.estimate(regs, Seq("window_start")),
+        Seq("window_start"))
+      .select(col("window_start"), col("n_exact"), col("hll_estimate"),
+        col("n_zero_registers"))
+  }
+
   // -- LIVE register maintenance — the streaming shape: the corpus
   //    replays through a running query whose ONLY state is the
   //    (source, register) max table (update mode — bounded at

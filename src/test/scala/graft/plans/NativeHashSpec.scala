@@ -51,6 +51,34 @@ class NativeHashSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("fnv_fold_longs: seeded FNV over long lanes, wrapping multiply") {
+    // independent reimplementation of the fold (mod-2^64 BigInt arithmetic)
+    def ref(seed: Long, xs: Seq[Long]): Long = {
+      val M = BigInt(1) << 64
+      var h = BigInt(HashKernels.FnvOffset ^ seed) & (M - 1)
+      xs.foreach { x =>
+        h = ((h ^ (BigInt(x) & (M - 1))) * BigInt(HashKernels.FnvPrime)).mod(M)
+      }
+      (h - (if (h >= (BigInt(1) << 63)) M else BigInt(0))).toLong
+    }
+    val rows = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L)),
+      (3L, Seq(2147483646L, 0L, 7919L, 12345L)),
+      (1L, Seq.empty[Long]))
+    val got = rows.toDF("seed", "xs")
+      .select(NativeHash.fnvFoldLongs($"xs", $"seed")).collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((seed, xs), g) =>
+      assert(g === ref(seed, xs), s"seed=$seed xs=$xs")
+    }
+    // different seeds (bands) must produce different keys for equal lanes
+    assert(ref(0L, Seq(5L, 6L, 7L, 8L)) !== ref(1L, Seq(5L, 6L, 7L, 8L)))
+    // stays inside whole-stage codegen over a real scan
+    val plan = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(NativeHash.fnvFoldLongs(array(col("doc_id")), lit(0L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("native minhash query finds the same near-dup structure as the md5 path") {
     val dir = "/root/testdata/sf0.001"
     val md5Pairs = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
