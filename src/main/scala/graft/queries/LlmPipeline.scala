@@ -4539,7 +4539,9 @@ object LlmPipeline extends Catalog {
   //    would shuffle every (window, user) pair; the registers
   //    partial-agg map-side). The exact count rides along at oracle
   //    scale as the accuracy readout.
-  q("q_hll_windowed", {
+  /** Oracle shared by the windowed-HLL batch and live twins (identical
+    * final registers by construction). */
+  private val SqlHllWindowed: String = {
     import graft.operators.HyperLogLog.{AlphaNum, LcTable, LcThreshold}
     s"""WITH t AS (SELECT ts - to_microseconds(epoch_us(ts) % 3600000000)
        |             AS window_start,
@@ -4567,7 +4569,9 @@ object LlmPipeline extends Catalog {
        |       ELSE re END AS BIGINT) AS hll_estimate,
        |  nz AS n_zero_registers
        |FROM x JOIN raw USING (window_start)""".stripMargin
-  }) { (s, dir) =>
+  }
+
+  q("q_hll_windowed", SqlHllWindowed) { (s, dir) =>
     import graft.operators.HyperLogLog
     val items = load(s, dir, "events")
       .select(window(col("ts"), "1 hour")("start").as("window_start"),
@@ -4607,6 +4611,39 @@ object LlmPipeline extends Catalog {
       .agg(countDistinct(col("w")).as("n_exact"))
     exact.join(HyperLogLog.estimate(finalRegs, Seq("source")), Seq("source"))
       .select(col("source"), col("n_exact"), col("hll_estimate"),
+        col("n_zero_registers"))
+  }
+
+  // -- LIVE windowed-HLL maintenance: events replay through a running
+  //    query whose ONLY state is the (window, register) max table
+  //    (complete mode — |windows|·64 rows forever); the final registers
+  //    must equal the batch build, so the per-window estimates match the
+  //    batch oracle verbatim (the q_hll_distinct_live pattern composed
+  //    with event-time windowing).
+  q("q_hll_windowed_live", SqlHllWindowed) { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.operators.HyperLogLog
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .transform(graft.Tables.tsNormalized)
+    val regs = HyperLogLog.registers(
+      ev.select(window(col("ts"), "1 hour")("start").as("window_start"),
+        col("user_id").cast("string").as("w")),
+      "w", Seq("window_start"))
+    val name = s"hllw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    regs.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val finalRegs = s.table(name)
+    val items = load(s, dir, "events")
+      .select(window(col("ts"), "1 hour")("start").as("window_start"),
+        col("user_id").cast("string").as("w"))
+    val exact = items.groupBy("window_start")
+      .agg(countDistinct(col("w")).as("n_exact"))
+    exact.join(HyperLogLog.estimate(finalRegs, Seq("window_start")),
+        Seq("window_start"))
+      .select(col("window_start"), col("n_exact"), col("hll_estimate"),
         col("n_zero_registers"))
   }
 
