@@ -184,7 +184,8 @@ object Bench {
     // survivorship (golden-record election over the resolved entities)
     "emit-on-change" -> "q_emit_on_change",
     "er-golden-record" -> "q_er_golden_record",
-    "hll-windowed" -> "q_hll_windowed")
+    "hll-windowed" -> "q_hll_windowed",
+    "dedup-prefix-filter" -> "q_dedup_prefix_filter")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -242,7 +243,7 @@ object Bench {
     "emit-on-change", "hll-windowed",
     // r9 operator batch (documents- and events-based — both scale in v3)
     "kmv-distinct", "kmv-set-ops", "er-entities", "er-golden-record",
-    "autocorr-daily", "seasonality-dow",
+    "dedup-prefix-filter", "autocorr-daily", "seasonality-dow",
     // r9 second batch: bounded top-k select + governance/anomaly readouts
     "topk-per-source", "weighted-sample", "l-diversity", "seasonal-anomaly",
     "user-streaks")
@@ -527,6 +528,7 @@ object Bench {
       "kmv-set-ops" -> bytes("documents"),
       "er-entities" -> bytes("documents"),
       "er-golden-record" -> bytes("documents"),
+      "dedup-prefix-filter" -> bytes("documents"),
       "topk-per-source" -> bytes("documents"),
       "weighted-sample" -> bytes("documents"),
       "l-diversity" -> bytes("documents"),
@@ -627,6 +629,7 @@ object Bench {
       "kmv-set-ops" -> docRows,
       "er-entities" -> docRows,
       "er-golden-record" -> docRows,
+      "dedup-prefix-filter" -> docRows,
       "topk-per-source" -> docRows,
       "weighted-sample" -> docRows,
       "l-diversity" -> docRows,

@@ -341,6 +341,82 @@ object LlmPipeline extends Catalog {
         round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
   }
 
+  // -- prefix-filtered set-similarity join (PPJoin's candidate stage —
+  //    Xiao et al., WWW 2008 "Efficient Similarity Joins for Near
+  //    Duplicate Detection"): the THIRD candidate-generation family next
+  //    to LSH banding and the df-cut inverted index, and the only EXACT
+  //    one — if J(A,B) >= t, the two prefixes under one global token
+  //    order must intersect, so bucketing ONLY the prefixes finds every
+  //    qualifying pair while posting |prefix| << |set| tokens per doc.
+  //    Global order = rarest-token-first (df asc, token asc), prefix
+  //    length = m - ceil(t·m) + 1 with t = 0.7 as the exact integer
+  //    (7m+9) div 10. Scale shape: the df join is an equi-join on the
+  //    token (AQE decides — vocab-sized side, never hinted); the per-doc
+  //    prefix comes from a sort of THAT DOC's token set inside one
+  //    aggregation buffer (sort_array over collect_list — no corpus
+  //    window); buckets carry the 2..50 skew cut mirrored in the oracle;
+  //    survivors verify by exact Jaccard.
+  q("q_dedup_prefix_filter",
+    s"""WITH d0 AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |tk AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM d0),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY w),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM tk GROUP BY doc_id),
+       |ord AS (SELECT t.doc_id, t.w, s.m,
+       |          row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w)
+       |            AS rk
+       |        FROM tk t JOIN dfreq d USING (w) JOIN sz s USING (doc_id)),
+       |pref AS (SELECT doc_id, w FROM ord
+       |         WHERE rk <= m - ((7 * m + 9) // 10) + 1),
+       |bkt AS (SELECT w FROM pref GROUP BY w HAVING count(*) BETWEEN 2 AND 50),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pref a
+       |         JOIN bkt USING (w)
+       |         JOIN pref b ON b.w = a.w AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+       |          FROM cand c
+       |          JOIN tk x ON x.doc_id = c.doc_a
+       |          JOIN tk y ON y.doc_id = c.doc_b AND y.w = x.w
+       |          GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.ni AS n_inter,
+       |  CAST(ni * 1000000 // (sa.m + sb.m - ni) AS BIGINT) AS jaccard_micro
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.doc_a
+       |JOIN sz sb ON sb.doc_id = i.doc_b
+       |WHERE ni * 1000000 // (sa.m + sb.m - ni) >= 700000""") { (s, dir) =>
+    val tk = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), explode(array_distinct(T.tokens(col("text"))))
+        .as("w"))
+    val dfreq = tk.groupBy("w").agg(count(lit(1)).as("df"))
+    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    // per-doc prefix: sort THIS doc's tokens by the global (df, w) order
+    // inside one agg buffer (doc-bounded), slice the prefix — no window
+    val pref = tk.join(dfreq, "w") // vocab-sized side, unhinted (AQE)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("os"))
+      .select(col("doc_id"),
+        expr("slice(os, 1, cast(size(os) - ((7 * size(os) + 9) div 10) + 1 as int))")
+          .as("ps"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.w").as("w"))
+    val cand = pref.groupBy("w")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+      .select(explode(D.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(tk.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
+      .join(tk.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a")) // per-doc sizes:
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b")) // unhinted (AQE)
+      .withColumn("jaccard_micro",
+        expr("n_inter * 1000000 div (sa.m + sb.m - n_inter)"))
+      .filter(col("jaccard_micro") >= 700000L)
+      .select("doc_a", "doc_b", "n_inter", "jaccard_micro")
+  }
+
   /** DuckDB CTE chain producing MinHash+LSH candidate pairs — shared by
     * q_dedup_minhash_lsh (emits the pairs) and q_dedup_components (closes
     * them into dedup groups). */

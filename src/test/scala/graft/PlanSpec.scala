@@ -623,6 +623,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter join: no corpus window, no cartesian, no forced hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_dedup_prefix_filter")(spark, dir)
+    // the per-doc prefix comes from sort_array inside an agg buffer —
+    // the plan may not contain ANY window (a rank over the corpus token
+    // table would be the non-scalable formulation the oracle uses)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty, s"window in prefix-filter plan:\n$wins")
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, "forced join hint on a corpus/vocab-sized side")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(plan.contains("partial_"), plan.take(1200))
+  }
+
   test("emit-on-change: lag window partitions per key, one shuffle") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q_emit_on_change")(spark, dir)
