@@ -463,6 +463,82 @@ object StatefulOps {
       }
   }
 
+  /** EAGER-spurious windowed stream-stream left/outer join — the
+    * reference's EXACT 2.2-era trace semantics (`kstream/internals/
+    * KStreamKStreamJoin.java:97-99`: an arriving record that finds no
+    * match in the other side's window store emits `joiner(v, null)`
+    * IMMEDIATELY, and the spurious null is never retracted when the
+    * match arrives later — the behavior KIP-633/Kafka 3.1 later fixed).
+    * `KStream.leftJoin/outerJoin` stay the watermark-final default
+    * (set-equivalent, arguably better — SURVEY §7.4); this operator is
+    * the opt-in for users diffing record-for-record traces against the
+    * reference.
+    *
+    * Per-key state = both sides' window buffers, evicted below
+    * streamTime − (before + after + graceMs) — bounded by window span ×
+    * per-key rate, the reference's window-store footprint. Records fold
+    * in (event-time, left-before-right) order per micro-batch so batch
+    * replays are deterministic; a later right record still completes an
+    * earlier left record's join (the spurious null already emitted
+    * stands, exactly as in the reference). `outer = true` also emits
+    * eagerly for unmatched RIGHT arrivals. */
+  def intervalJoinEager[K: Encoder, VL: Encoder, VO: Encoder, VR: Encoder](
+      left: KStream[K, VL], right: KStream[K, VO],
+      beforeMs: Long, afterMs: Long, graceMs: Long = 0L,
+      outer: Boolean = false)(
+      joiner: (Option[VL], Option[VO]) => VR): Dataset[(K, VR)] = {
+    implicit val pairEnc: Encoder[(Option[VL], Option[VO])] =
+      Encoders.tuple(Rec.optionEnc[VL], Rec.optionEnc[VO])
+    implicit val unionEnc: Encoder[(K, (Option[VL], Option[VO]), Timestamp)] =
+      Rec.tupleEnc[K, (Option[VL], Option[VO])]
+    implicit val outEnc: Encoder[(K, VR)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[VR]])
+    type Buf = (Vector[(Long, VL)], Vector[(Long, VO)], Long)
+    implicit val stEnc: Encoder[Buf] = Encoders.kryo[Buf]
+    val lu = left.toDataset.map(r =>
+      (r._1, (Option(r._2), Option.empty[VO]), r._3))(unionEnc)
+    val ru = right.toDataset.map(r =>
+      (r._1, (Option.empty[VL], Option(r._2)), r._3))(unionEnc)
+    lu.union(ru)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Buf, (K, VR)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (k, rows, state) =>
+        var (lbuf, rbuf, streamTime) =
+          state.getOption.getOrElse(
+            (Vector.empty[(Long, VL)], Vector.empty[(Long, VO)], Long.MinValue))
+        val out = Vector.newBuilder[(K, VR)]
+        // event-time order; equal timestamps fold LEFT side first (the
+        // reference's per-task arrival order made deterministic)
+        rows.toVector.sortBy(r =>
+          (r._3.getTime, r._3.getNanos, if (r._2._1.isDefined) 0 else 1))
+          .foreach { case (_, (lv, rv), ts) =>
+            val t = ts.getTime
+            if (t > streamTime) streamTime = t
+            lv.foreach { v => // left arrival: window = [t-before, t+after]
+              val matches = rbuf.filter(e =>
+                e._1 >= t - beforeMs && e._1 <= t + afterMs)
+              if (matches.isEmpty) out += ((k, joiner(Some(v), None)))
+              else matches.foreach(e => out += ((k, joiner(Some(v), Some(e._2)))))
+              lbuf :+= ((t, v))
+            }
+            rv.foreach { v => // right arrival: symmetric window
+              val matches = lbuf.filter(e =>
+                e._1 >= t - afterMs && e._1 <= t + beforeMs)
+              if (matches.isEmpty) {
+                if (outer) out += ((k, joiner(None, Some(v))))
+              } else matches.foreach(e => out += ((k, joiner(Some(e._2), Some(v)))))
+              rbuf :+= ((t, v))
+            }
+            // retention eviction: nothing below this can ever join again
+            val floor = streamTime - (beforeMs + afterMs + graceMs)
+            lbuf = lbuf.filter(_._1 >= floor)
+            rbuf = rbuf.filter(_._1 >= floor)
+          }
+        state.update((lbuf, rbuf, streamTime))
+        out.result().iterator
+      }
+  }
+
   /** KIP-557 emit-on-change (Kafka 2.6 — parity-plus, same class as
     * KIP-450/KIP-889): a table update whose new value EQUALS the key's
     * current value is a no-op and is DROPPED instead of propagated, so

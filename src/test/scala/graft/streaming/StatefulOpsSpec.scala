@@ -201,6 +201,74 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EAGER-spurious windowed join reproduces the reference's 2.2 trace " +
+      "(immediate null on miss, never retracted when the match lands)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val rMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val l = builder.stream[String, String](lMem.toDF(), $"_1", $"_2", $"_3")
+    val r = builder.stream[String, String](rMem.toDF(), $"_1", $"_2", $"_3")
+    val joined = StatefulOps.intervalJoinEager(l, r,
+      beforeMs = 1000L, afterMs = 1000L, outer = false) { (lv, rv) =>
+      s"${lv.getOrElse("-")}|${rv.getOrElse("-")}"
+    }
+    val q = joined.toDF("k", "v").writeStream.format("memory")
+      .queryName("eagerjoin").outputMode(OutputMode.Append).start()
+    def got() = spark.table("eagerjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    try {
+      // left arrives with NO match in the right window store: the
+      // reference emits joiner(v, null) IMMEDIATELY (KStreamKStreamJoin
+      // :97-99) — the watermark-final default would hold it back
+      lMem.addData(("A", "l1", ts(1000L)))
+      q.processAllAvailable()
+      assert(got() === Seq(("A", "l1|-")), s"got ${got()}")
+      // the match lands later, within the window: the join emits AND the
+      // spurious null from the earlier batch STANDS (2.2 never retracts)
+      rMem.addData(("A", "r1", ts(1500L)))
+      q.processAllAvailable()
+      assert(got() === Seq(("A", "l1|-"), ("A", "l1|r1")), s"got ${got()}")
+      // left mode: an unmatched RIGHT arrival emits nothing (and the
+      // stream time advance evicts the expired left buffer entry)
+      rMem.addData(("A", "r2", ts(5000L)))
+      q.processAllAvailable()
+      assert(got() === Seq(("A", "l1|-"), ("A", "l1|r1")), s"got ${got()}")
+      // a fresh left within r2's window joins it — but only r2 (r1 was
+      // evicted at floor = streamTime - (before+after))
+      lMem.addData(("A", "l2", ts(5400L)))
+      q.processAllAvailable()
+      assert(got() === Seq(("A", "l1|-"), ("A", "l1|r1"), ("A", "l2|r2")),
+        s"got ${got()}")
+    } finally q.stop()
+  }
+
+  test("EAGER-spurious OUTER join also emits immediately for unmatched right") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val rMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val l = builder.stream[String, String](lMem.toDF(), $"_1", $"_2", $"_3")
+    val r = builder.stream[String, String](rMem.toDF(), $"_1", $"_2", $"_3")
+    val joined = StatefulOps.intervalJoinEager(l, r,
+      beforeMs = 1000L, afterMs = 1000L, outer = true) { (lv, rv) =>
+      s"${lv.getOrElse("-")}|${rv.getOrElse("-")}"
+    }
+    val q = joined.toDF("k", "v").writeStream.format("memory")
+      .queryName("eagerouter").outputMode(OutputMode.Append).start()
+    def got() = spark.table("eagerouter").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    try {
+      rMem.addData(("B", "r1", ts(1000L)))
+      q.processAllAvailable()
+      assert(got() === Seq(("B", "-|r1")), s"got ${got()}")
+      // equal timestamps fold LEFT first: l1 sees no right at fold time?
+      // no — r1@1000 is already buffered from the prior batch, so l1
+      // joins it; the spurious -|r1 stands
+      lMem.addData(("B", "l1", ts(1200L)))
+      q.processAllAvailable()
+      assert(got() === Seq(("B", "-|r1"), ("B", "l1|r1")), s"got ${got()}")
+    } finally q.stop()
+  }
+
   test("ORDERED suppress tie-breaks EQUAL timestamps by serialized key " +
       "bytes (reference BufferKey.compareTo, not arrival FIFO)") {
     implicit val sqlCtx = spark.sqlContext
