@@ -185,7 +185,8 @@ object Bench {
     "emit-on-change" -> "q_emit_on_change",
     "er-golden-record" -> "q_er_golden_record",
     "hll-windowed" -> "q_hll_windowed",
-    "dedup-prefix-filter" -> "q_dedup_prefix_filter")
+    "dedup-prefix-filter" -> "q_dedup_prefix_filter",
+    "quality-budget" -> "q_quality_budget_threshold")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -529,6 +530,7 @@ object Bench {
       "er-entities" -> bytes("documents"),
       "er-golden-record" -> bytes("documents"),
       "dedup-prefix-filter" -> bytes("documents"),
+      "quality-budget" -> bytes("documents"),
       "topk-per-source" -> bytes("documents"),
       "weighted-sample" -> bytes("documents"),
       "l-diversity" -> bytes("documents"),
@@ -630,6 +632,7 @@ object Bench {
       "er-entities" -> docRows,
       "er-golden-record" -> docRows,
       "dedup-prefix-filter" -> docRows,
+      "quality-budget" -> docRows,
       "topk-per-source" -> docRows,
       "weighted-sample" -> docRows,
       "l-diversity" -> docRows,

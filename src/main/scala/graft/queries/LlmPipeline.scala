@@ -341,6 +341,67 @@ object LlmPipeline extends Catalog {
         round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"))
   }
 
+  // -- budgeted quality-threshold calibration (the FineWeb/DCLM "keep the
+  //    top-X% of TOKENS by classifier score" curation step,
+  //    arXiv:2406.17557 §3.2): given a per-doc integer quality score
+  //    (alpha-token ratio in micro units — cheap, deterministic), find
+  //    the MAXIMUM threshold bucket whose kept-token mass still meets a
+  //    50%-of-corpus token budget, and report the achieved selection.
+  //    Scale shape: ONE corpus scan folds each doc to (bucket, tokens);
+  //    everything after — the cumulative sweep, the budget pick — runs
+  //    on the BOUNDED ≤1001-row score histogram (the equi-depth
+  //    discipline: windows only over bounded aggregates). Output is one
+  //    row; the operator costs a scan regardless of corpus size.
+  q("q_quality_budget_threshold",
+    s"""WITH d AS (SELECT doc_id, $SqlTokens AS ws FROM documents),
+       |sc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+       |         CAST(len(list_filter(ws, w -> regexp_full_match(w, '[a-z]+')))
+       |              * 1000000 // len(ws) AS BIGINT) AS score_micro
+       |       FROM d WHERE len(ws) > 0),
+       |h AS (SELECT score_micro // 1000 AS bucket,
+       |        CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |      FROM sc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM h),
+       |cum AS (SELECT bucket, n_docs, n_tokens,
+       |          CAST(sum(n_tokens) OVER (ORDER BY bucket DESC
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS kept_tokens,
+       |          CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS kept_docs
+       |        FROM h),
+       |pick AS (SELECT cum.*, tot.total_tokens FROM cum CROSS JOIN tot
+       |         WHERE kept_tokens >= total_tokens // 2
+       |         ORDER BY bucket DESC LIMIT 1)
+       |SELECT CAST(bucket AS BIGINT) AS threshold_bucket, kept_docs,
+       |  kept_tokens, total_tokens,
+       |  CAST(kept_tokens * 1000000 // total_tokens AS BIGINT) AS kept_ppm
+       |FROM pick""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc = spread(load(s, dir, "documents"))
+      .select(D.bindOnce(T.tokens(col("text"))) { ws =>
+        struct(size(ws).cast("long").as("n_tok"),
+          size(filter(ws, w => w.rlike("^[a-z]+$"))).cast("long").as("n_alpha"))
+      }.as("t"))
+      .filter(col("t.n_tok") > 0L)
+      .select(col("t.n_tok").as("n_tok"),
+        expr("t.n_alpha * 1000000 div t.n_tok").as("score_micro"))
+    val h = sc.groupBy(expr("score_micro div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .localCheckpoint() // bounded <=1001 rows: windows ride this, not docs
+    // the unpartitioned cumulative window sees ONLY the bounded histogram
+    val w = Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = h.select(col("bucket"), col("n_docs"), col("n_tokens"),
+      sum("n_tokens").over(w).as("kept_tokens"),
+      sum("n_docs").over(w).as("kept_docs"))
+    val tot = h.agg(sum("n_tokens").as("total_tokens"))
+    cum.crossJoin(broadcast(tot)) // 1-row total
+      .filter(col("kept_tokens") >= expr("total_tokens div 2"))
+      .orderBy(col("bucket").desc).limit(1)
+      .select(col("bucket").cast("long").as("threshold_bucket"),
+        col("kept_docs"), col("kept_tokens"), col("total_tokens"),
+        expr("kept_tokens * 1000000 div total_tokens").as("kept_ppm"))
+  }
+
   // -- prefix-filtered set-similarity join (PPJoin's candidate stage —
   //    Xiao et al., WWW 2008 "Efficient Similarity Joins for Near
   //    Duplicate Detection"): the THIRD candidate-generation family next

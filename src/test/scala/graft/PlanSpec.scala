@@ -417,6 +417,23 @@ class PlanSpec extends AnyFunSuite {
       SparkEntry.queries("q_vocab_growth")(spark, dir), "q_vocab_growth")
   }
 
+  test("q_quality_budget_threshold: cumulative sweep rides the <=1001-bucket histogram") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_quality_budget_threshold")(spark, dir)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    // the histogram is localCheckpoint'd (ONE corpus scan feeds both the
+    // sweep and the total), so the window's input is the checkpoint RDD
+    // of the bounded agg — never a document scan
+    wins.foreach { w =>
+      val ck = w.child.collectFirst { case n: RDDScanExec => n }
+      assert(ck.isDefined, s"window not fed by the bounded histogram:\n$w")
+      assert(!w.child.toString.contains("parquet"),
+        s"window reads the corpus directly:\n$w")
+    }
+  }
+
   test("source overlap: distinct-collapsed equi-join, no cartesian") {
     val plan = planOf("q_source_overlap")
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
