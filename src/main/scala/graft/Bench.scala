@@ -333,7 +333,7 @@ object Bench {
     * `inRows` is the input cardinality (rec/sec basis), `outRows` the
     * result cardinality. */
   private final case class Sample(wl: String, secs: Seq[Double],
-      inRows: Long, outRows: Long) {
+      inRows: Long, outRows: Long, quiet: Boolean = true) {
     private val sorted = secs.sorted
     /** True median: even run counts average the two middle samples (the
       * upper-middle pick would report the SLOWER of two runs — a
@@ -387,7 +387,129 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** Full-width calibration spin (r11): `n` threads of the LCG loop,
+    * min wall-ms over 3 reps (min discards transient scheduler stalls).
+    * The r10 contention miss: a ~6-core co-tenant held loadavg ~6
+    * through all four guard passes while the SINGLE-threaded spin read
+    * 1.005 — one spinning thread always finds a free core, but the
+    * 32-thread streaming replay loses exactly the cores the co-tenant
+    * holds. A spin that competes for EVERY core sees them: on this box
+    * a 6-core co-tenant inflates the min wall ~1.7x (quiet ~205 ms,
+    * loaded ~355 ms at 32 threads x 150M steps). */
+  private def parallelSpinMs(n: Int): Double = {
+    def spin(iters: Long): Unit = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      if (x == 42L) System.err.println("")
+    }
+    spin(1000000L) // JIT warmup outside the measurement
+    (1 to 3).map { _ =>
+      val ts = (1 to n).map(_ => new Thread(() => spin(150000000L)))
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }.min
+  }
+
+  /** Quietest full-width spin ever observed on this machine (persisted
+    * under benchDir, keyed by thread count) — the ABSOLUTE reference a
+    * contended-from-the-start run is judged against. A within-run
+    * start/end ratio only sees co-tenants that arrive or leave
+    * MID-suite; r10's co-tenant was present the whole run and every
+    * relative probe read quiet. */
+  private def quietSpinRef(n: Int, observed: Double): Double = {
+    val f = new java.io.File(benchDir, s"spin-quiet-$n.txt")
+    val prior =
+      try {
+        if (f.exists())
+          new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toDouble
+        else Double.MaxValue
+      } catch { case _: Throwable => Double.MaxValue }
+    val best = math.min(prior, observed)
+    try java.nio.file.Files.write(f.toPath, f"$best%.1f".getBytes)
+    catch { case _: Throwable => () }
+    best
+  }
+
+  /** 5-minute loadavg — distinguishes a SUSTAINED co-tenant (visible at
+    * suite start even though our own sbt/JVM startup pollutes the 1-min
+    * figure) from our own just-finished work. */
+  private def loadAvg5(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(1).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  // ---- r11 reliability plumbing: the r10 driver bench died rc 124 (a
+  // checkpoint-write failure wedged a processAllAvailable() forever and
+  // the suite never printed its stdout line). Three defenses:
+  //  1. a total wall-clock budget checked before every workload — when
+  //     exceeded the suite stops measuring and EMITS the artifact with
+  //     what exists (a partial artifact beats rc 124);
+  //  2. a watchdog around every streaming drain that stops the query and
+  //     discards the sample instead of hanging;
+  //  3. explicit checkpoint locations under benchDir (the r10 stack
+  //     died in ChecksumFs temp-file creation on the /tmp default).
+  @volatile private var deadlineNs: Long = Long.MaxValue
+  private def budgetOk: Boolean = System.nanoTime() < deadlineNs
+  private val skippedWls = scala.collection.mutable.LinkedHashSet.empty[String]
+  /** Budget gate for one workload: true to run; false records the skip. */
+  private def budgetGate(wl: String): Boolean =
+    if (budgetOk) true
+    else { skippedWls.synchronized(skippedWls += wl); false }
+
+  private lazy val drainWatchdogS: Long =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_WATCHDOG_S", "120").toLong
+  /** Run `q.processAllAvailable()` under a watchdog: on timeout the query
+    * is stopped and the sample discarded (callers catch and drop). */
+  private def watchdogDrain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "bench-drain-watchdog"); t.setDaemon(true); t
+    })
+    val f = ex.submit(new Runnable { def run(): Unit = q.processAllAvailable() })
+    try f.get(drainWatchdogS, java.util.concurrent.TimeUnit.SECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          s"[bench] drain watchdog fired (${drainWatchdogS}s) - stopping query")
+        try q.stop() catch { case _: Throwable => () }
+        throw new RuntimeException(s"streaming drain exceeded ${drainWatchdogS}s")
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally ex.shutdownNow()
+  }
+
+  /** Full-width spin geometry + the machine's known quiet floor (min-
+    * seeded from the committed BENCH.json and the benchDir marker file,
+    * min-updated by every spin this run). */
+  @volatile private var spinThreads: Int = 32
+  @volatile private var quietSpinMs: Double = Double.MaxValue
+
+  private val ckptSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Fresh per-query checkpoint dir under benchDir; the whole ckpt tree
+    * is wiped at suite start so stale state never leaks across runs. */
+  private def ckptDir(name: String): String =
+    s"$benchDir/ckpt/$name-${ckptSeq.incrementAndGet()}"
+
   def main(args: Array[String]): Unit = {
+    // total wall-clock budget (r11): the driver enforces its own timeout
+    // with SIGKILL — overshooting it loses the WHOLE artifact (r10 was
+    // rc 124 with zero parsed numbers). The suite self-limits well under
+    // that and emits whatever it measured.
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toLong
+    deadlineNs = System.nanoTime() + budgetS * 1000000000L
+    // wipe the checkpoint tree from any prior run (fresh state per query)
+    try {
+      val ck = new java.io.File(benchDir, "ckpt")
+      if (ck.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ck.toPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(p => p.toFile.delete())
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // every persisted bench artifact (codebooks, exact-pair audit, near-dup
     // index, tuned nProbe) is keyed by the sf it was built from — a smoke
@@ -398,6 +520,25 @@ object Bench {
     // production/durability setting, required by transformWithState stages)
     // vs "hdfs" (the in-heap HDFSBackedStateStoreProvider)
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    spinThreads = try cpus.toInt catch { case _: Throwable => 32 }
+    // seed the quiet-spin floor from the committed artifact: benchDir
+    // lives under target/ (not committed), so a fresh driver checkout
+    // would otherwise bootstrap its reference from a possibly-contended
+    // first observation — exactly the r10 blindness
+    quietSpinMs = try {
+      val f = new java.io.File("BENCH.json")
+      if (!f.exists()) Double.MaxValue
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        // only trust the committed floor when it was measured at the
+        // same spin width (the floor scales with thread count)
+        val sameWidth = Option(root.get("spin_threads"))
+          .exists(_.asInt() == spinThreads)
+        if (!sameWidth) Double.MaxValue
+        else Option(root.get("spin_quiet_ms")).map(_.asDouble())
+          .filter(_ > 0).getOrElse(Double.MaxValue)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -662,14 +803,19 @@ object Bench {
     case class Attempt(contended: Boolean, samples: Seq[Sample],
         lat: Map[String, Double], streamLat: Map[String, Map[String, Double]],
         contrastive: (Double, Int), loadStart: Double, loadEnd: Double,
-        calibStart: Double, calibEnd: Double, calibRatio: Double)
+        calibStart: Double, calibEnd: Double, calibRatio: Double,
+        pcalibStart: Double, pcalibEnd: Double, pcalibRatio: Double,
+        pcalibVsQuiet: Double, streamProbeMs: Double, streamQuiet: Boolean)
 
     def oneAttempt(pass: String => Boolean, full: Boolean): Attempt = {
       // co-tenant load probe BEFORE any measured work (see loadAvg /
-      // calibrationSpinMs docs); the matching end-probe runs after the
-      // last workload
+      // calibrationSpinMs / parallelSpinMs docs); the matching end-probe
+      // runs after the last workload
       val loadStart = loadAvg()
+      val loadStart5 = loadAvg5()
       val calibStartMs = calibrationSpinMs()
+      val pcalibStartMs = parallelSpinMs(spinThreads)
+      quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, pcalibStartMs))
 
       // one UNTIMED warmup execution, then benchRuns (≥3) timed
       // iterations per workload, report the MEDIAN. The warmup pays the
@@ -680,7 +826,8 @@ object Bench {
       // (BASELINE.md round-8 note: ann-cosine-topk/dedup-jaccard).
       // Failed iterations yield NO timing sample (a fast failure would
       // otherwise skew the stats and report absurd throughput).
-      val results: Seq[Sample] = workloads.filter(w => pass(w._1)).flatMap {
+      val results: Seq[Sample] = workloads.iterator
+        .filter(w => pass(w._1) && budgetGate(w._1)).flatMap {
         case (wl, qname) =>
         val fn = SparkEntry.queries(qname)
         var n = -1L
@@ -696,11 +843,13 @@ object Bench {
         }
         if (secs.isEmpty) None // no sample: omit rather than emit NaN JSON
         else Some(Sample(wl, secs, inputRows(wl), n))
-      }
+      }.toSeq
 
       // consumeproduce: the read->write roundtrip (SimpleBenchmark's
       // workload with a produce side) — scan events, write parquet
-      val consumeProduce = if (!pass("consumeproduce")) Seq.empty else {
+      val consumeProduce =
+        if (!pass("consumeproduce") || !budgetGate("consumeproduce")) Seq.empty
+        else {
         val out = java.nio.file.Files.createTempDirectory("bench-cp").toString
         val secs = (1 to benchRuns).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -745,7 +894,7 @@ object Bench {
             }
           val queries = emb.filter(col("vec_id") < 20)
           def timed(wl: String)(once: () => Unit): Seq[Sample] = {
-            if (!pass(wl)) return Seq.empty
+            if (!pass(wl) || !budgetGate(wl)) return Seq.empty
             val secs = (1 to benchRuns).flatMap { _ =>
               val t0 = System.nanoTime()
               try { once(); Some((System.nanoTime() - t0) / 1e9) }
@@ -795,7 +944,9 @@ object Bench {
       // a batch is accepted, not when the next one is probed. The timed
       // path is what a daily crawl pays: band the batch, load the index,
       // one combined bucket shuffle, in-bucket pairing + signature rescore.
-      val indexProbe = if (!pass("dedup-index-probe")) Seq.empty else {
+      val indexProbe =
+        if (!pass("dedup-index-probe") || !budgetGate("dedup-index-probe")) Seq.empty
+        else {
         import org.apache.spark.sql.functions.col
         import graft.operators.NearDupIndex
         try {
@@ -835,7 +986,7 @@ object Bench {
       // rescore + connected-component closure.
       def imageDedupServe(wl: String, dataDir: String, tag: String,
           inRows: Long): Seq[Sample] =
-        if (!pass(wl)) Seq.empty
+        if (!pass(wl) || !budgetGate(wl)) Seq.empty
         else try {
           val p = s"$benchDir/ahash-sig-$tag"
           if (!new java.io.File(s"$p/_SUCCESS").exists())
@@ -871,7 +1022,7 @@ object Bench {
       def mediaServe(wl: String, kind: String,
           serve: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
           dataDir: String, tag: String, inRows: Long): Seq[Sample] =
-        if (!pass(wl)) Seq.empty
+        if (!pass(wl) || !budgetGate(wl)) Seq.empty
         else try {
           val p = s"$benchDir/media-$kind-$tag"
           if (!new java.io.File(s"$p/_SUCCESS").exists())
@@ -918,7 +1069,9 @@ object Bench {
             val embRows10 = spark.read.parquet(s"$dir10/embeddings.parquet").count()
             val evRows10 = Tables.load(spark, dir10, "events").count()
             val byWl = workloads.toMap
-            val generic = x10Workloads.filter(wl => pass(s"$wl@10x")).flatMap { wl =>
+            val generic = x10Workloads.iterator
+              .filter(wl => pass(s"$wl@10x") && budgetGate(s"$wl@10x"))
+              .flatMap { wl =>
               val fn = SparkEntry.queries(byWl(wl))
               var n = -1L
               val secs = (1 to benchRuns).flatMap { _ =>
@@ -934,7 +1087,7 @@ object Bench {
                   case r if r == docRows => docRows10
                   case _ => evRows10 // events-based data-eng batch (v3)
                 }, n))
-            }
+            }.toSeq
             // contrastive-self@10x: the PRODUCTION mining config, not the
             // base-scale oracle-exact one. nProbe = k (the base entry's
             // setting, kept only so the brute-force SQL oracle is exact)
@@ -947,7 +1100,9 @@ object Bench {
             // per vector (selfScored's materialized index) removes the
             // duplicated k·N ranking term. Frontier: recall 0.906 at
             // ~12.6 s vs r7's 0.749 at 6.8 s / untuned 0.932 at 23.4 s.
-            val contrastive = if (!pass("contrastive-self@10x")) Seq.empty
+            val contrastive =
+              if (!pass("contrastive-self@10x") ||
+                !budgetGate("contrastive-self@10x")) Seq.empty
             else try {
               import org.apache.spark.sql.functions.{avg, col, when}
               import graft.functions.VectorIndex
@@ -1044,27 +1199,44 @@ object Bench {
 
       // end-to-end latency percentiles only ride FULL attempts (the probe
       // is its own streaming query; targeted re-runs chase throughput)
-      val lat = if (full) latencyPercentiles(spark) else Map.empty[String, Double]
-      val (streaming, streamLat) =
+      val lat =
+        if (full && budgetOk) latencyPercentiles(spark)
+        else Map.empty[String, Double]
+      val (streaming, streamLat, streamProbeMs, streamQuiet) =
         streamingThroughput(spark, sfDir, eventRows, streamCycles, pass)
 
       // end-probe: all measured work is done, Spark is idle — a calibration
       // spin slower than the start spin means a co-tenant arrived mid-suite
       val loadEnd = loadAvg()
       val calibEndMs = calibrationSpinMs()
-      val cpusN = try cpus.toDouble catch { case _: Throwable => 32.0 }
+      val pcalibEndMs = parallelSpinMs(spinThreads)
+      quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, pcalibEndMs))
       val calibRatio =
         math.max(calibStartMs, calibEndMs) / math.min(calibStartMs, calibEndMs)
-      // contended = external CPU pressure before we started, or the
-      // calibration drifted >1.5x across the suite. Samples from a
-      // contended run cannot certify a perf gate (r5 lesson).
-      val contended = loadStart > cpusN || calibRatio > 1.5
+      val pcalibRatio =
+        math.max(pcalibStartMs, pcalibEndMs) / math.min(pcalibStartMs, pcalibEndMs)
+      // a co-tenant present for the WHOLE attempt inflates both ends
+      // equally (ratio 1.0) — the absolute check against the quietest
+      // spin this machine has ever shown catches it (r10 blindness)
+      val pcalibVsQuiet =
+        math.min(pcalibStartMs, pcalibEndMs) / quietSpinMs
+      // contended = sustained external CPU pressure at suite start
+      // (loadavg-5min > 2.5 — the r10 co-tenant held ~6; our own sbt
+      // startup pollutes only the 1-min figure), a heavy instantaneous
+      // 1-min reading, calibration drift across the suite (single- or
+      // full-width), or a full-width spin that never approached the
+      // machine's known quiet floor. Samples from a contended run cannot
+      // certify a perf gate (r5 lesson; r10 parallel-blindness lesson).
+      val contended = loadStart5 > 2.5 || loadStart > 6.0 ||
+        calibRatio > 1.5 || pcalibRatio > 1.3 || pcalibVsQuiet > 1.35
 
       Attempt(contended,
         results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
           streaming ++ x10Results,
         lat, streamLat, (contrastiveRecall10, contrastiveNProbe10),
-        loadStart, loadEnd, calibStartMs, calibEndMs, calibRatio)
+        loadStart, loadEnd, calibStartMs, calibEndMs, calibRatio,
+        pcalibStartMs, pcalibEndMs, pcalibRatio, pcalibVsQuiet,
+        streamProbeMs, streamQuiet)
     } // oneAttempt
 
     // ---- retry policy (r10): whole-suite retries chase a CONTENDED or
@@ -1113,7 +1285,10 @@ object Bench {
         // healthy r9 readings: 204k / 160k / 101k rec/s — floors at ~0.5x
         "state-store" -> (streamRecords / 100000.0),
         "stream-table-join-live" -> (streamRecords / 80000.0),
-        "yahoo-streaming" -> (streamRecords / 60000.0),
+        // r11: the memory-sink drag is out of the timed path (the sink
+        // A/B measured noop 123-157k vs memory 16-83k rec/s at 1M) —
+        // the floor rises from 60k to 90k
+        "yahoo-streaming" -> (streamRecords / 90000.0),
         // batch steady states (r8/r9 healthy runs, BASELINE.md)
         "dedup-jaccard" -> 4.0,
         "ann-cosine-topk" -> 1.7)
@@ -1123,8 +1298,14 @@ object Bench {
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Sample]
     val rerunCounts = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
-    var lat = Map.empty[String, Double]
-    val streamLat = scala.collection.mutable.Map.empty[String, Map[String, Double]]
+    // latency percentiles ride the QUIETEST attempt that produced them
+    // (keyed by calib_ratio), mirroring the loadJson `quietest` pick —
+    // through r10 `lat` was first-wins (pinned to attempt 1 even when
+    // that attempt was the contended one that forced a retry) and
+    // streamLat was last-wins (overwritten by targeted passes).
+    var latBest: Option[(Double, Map[String, Double])] = None
+    val streamLatBest =
+      scala.collection.mutable.Map.empty[String, (Double, Map[String, Double])]
     var contrastive = (-1.0, -1)
     val attemptProbes = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -1132,15 +1313,24 @@ object Bench {
       a.samples.foreach { s =>
         if (merged.get(s.wl).forall(_.median > s.median)) merged(s.wl) = s
       }
-      if (a.lat.nonEmpty && lat.isEmpty) lat = a.lat
-      a.streamLat.foreach { case (wl, m) => streamLat(wl) = m }
+      if (a.lat.nonEmpty && latBest.forall(_._1 > a.calibRatio))
+        latBest = Some((a.calibRatio, a.lat))
+      a.streamLat.foreach { case (wl, m) =>
+        if (streamLatBest.get(wl).forall(_._1 > a.calibRatio))
+          streamLatBest(wl) = (a.calibRatio, m)
+      }
       if (a.contrastive._2 > 0) contrastive = a.contrastive
-      attemptProbes += f"""{"loadavg_start":${a.loadStart}%.2f,"loadavg_end":${a.loadEnd}%.2f,"calib_start_ms":${a.calibStart}%.1f,"calib_end_ms":${a.calibEnd}%.1f,"calib_ratio":${a.calibRatio}%.3f,"contended":${a.contended}}"""
+      attemptProbes += f"""{"loadavg_start":${a.loadStart}%.2f,"loadavg_end":${a.loadEnd}%.2f,"calib_start_ms":${a.calibStart}%.1f,"calib_end_ms":${a.calibEnd}%.1f,"calib_ratio":${a.calibRatio}%.3f,"pcalib_start_ms":${a.pcalibStart}%.1f,"pcalib_end_ms":${a.pcalibEnd}%.1f,"pcalib_ratio":${a.pcalibRatio}%.3f,"pcalib_vs_quiet":${a.pcalibVsQuiet}%.3f,"stream_probe_ms":${a.streamProbeMs}%.1f,"stream_quiet":${a.streamQuiet},"contended":${a.contended}}"""
     }
 
+    // suspect = median above 3x its same-sf prior / pinned ceiling, OR
+    // (r11) the winning sample was measured under a NON-quiet streaming
+    // segment probe — re-run until the probe reads quiet or the re-run
+    // budget is spent
     def suspectsNow(): Set[String] = merged.iterator.collect {
       case (wl, s) if rerunCounts(wl) < 2 &&
-          (priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
+          (!s.quiet ||
+           priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
            suspectCeilingSec.get(wl).exists(c => s.median > c)) => wl
     }.toSet
 
@@ -1148,7 +1338,10 @@ object Bench {
     var a = oneAttempt(_ => true, full = true)
     absorb(a)
     var quietest = a
-    while (attempt < maxAttempts && (a.contended || a.calibRatio > 1.15)) {
+    // every loop is ALSO bounded by the wall-clock budget (r11): a busy
+    // machine must produce a partial-but-parsed artifact, never rc 124
+    while (attempt < maxAttempts && budgetOk &&
+        (a.contended || a.calibRatio > 1.15)) {
       System.err.println(
         f"[bench] attempt $attempt ${if (a.contended) "CONTENDED" else "noisy"} " +
           f"(calib_ratio ${a.calibRatio}%.3f) - retrying " +
@@ -1159,12 +1352,12 @@ object Bench {
       if (a.calibRatio < quietest.calibRatio) quietest = a
     }
     // targeted per-workload re-runs (bounded: <= 3 extra passes, <= 2
-    // re-runs per workload) — each pass re-measures ONLY the suspects and
-    // the min-median merge keeps whichever sample was quicker
+    // re-runs per workload, budget) — each pass re-measures ONLY the
+    // suspects and the min-median merge keeps whichever sample was quicker
     var targetedPasses = 0
     var sus = suspectsNow()
     val rerunLog = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (sus.nonEmpty && targetedPasses < 3) {
+    while (sus.nonEmpty && targetedPasses < 3 && budgetOk) {
       System.err.println(
         s"[bench] contention guard: re-running ${sus.toSeq.sorted.mkString(", ")}")
       rerunLog ++= sus
@@ -1176,9 +1369,12 @@ object Bench {
     // suspects that survived their re-run budget are REAL slowdowns (or a
     // hopelessly busy machine) — name them in the artifact either way
     val unresolved = merged.iterator.collect {
-      case (wl, s) if priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
+      case (wl, s) if !s.quiet ||
+          priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
           suspectCeilingSec.get(wl).exists(c => s.median > c) => wl
     }.toSeq.sorted
+    val lat = latBest.map(_._2).getOrElse(Map.empty[String, Double])
+    val streamLat = streamLatBest.map { case (wl, (_, m)) => wl -> m }
 
     val allResults = merged.values.toSeq
     val qs = allResults.map(s => s""""${s.wl}":${s.median}""").mkString("{", ",", "}")
@@ -1215,8 +1411,10 @@ object Bench {
       f"""{"cpus":${cpusN.toInt},"loadavg_start":${quietest.loadStart}%.2f,"loadavg_end":${quietest.loadEnd}%.2f,"calib_start_ms":${quietest.calibStart}%.1f,"calib_end_ms":${quietest.calibEnd}%.1f,"calib_ratio":${quietest.calibRatio}%.3f,"contended":${quietest.contended}}"""
     val guardJson =
       s""""guard":{"targeted_passes":$targetedPasses,"reran":${rerunLog.toSeq.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"unresolved":${unresolved.map("\"" + _ + "\"").mkString("[", ",", "]")},"attempts":${attemptProbes.mkString("[", ",", "]")}}"""
+    val skippedJson =
+      skippedWls.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},$guardJson,"load":$loadJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},$guardJson,"load":$loadJson,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
     // STDOUT CONTRACT (driver tail-parses the LAST stdout line, and its
     // tail window has truncated a full queries map in 4 of 5 rounds):
     // print ONLY total + the 11 SimpleBenchmark-parity workloads + the
@@ -1254,17 +1452,24 @@ object Bench {
       val mem = MemoryStream[(Long, Double)]
       val counts = mem.toDF().toDF("k", "v")
         .groupBy(col("k") % 64).agg(count(lit(1)), sum(col("v")))
+      // this probe doubles as the suite's memory-sink correctness check
+      // (the timed streaming workloads all write to `noop` since r11):
+      // small bounded output, rows asserted > 0 after the replay
       val q = counts.writeStream.format("memory").queryName("bench_latency")
+        .option("checkpointLocation", ckptDir("latency"))
         .outputMode(OutputMode.Update).start()
       val durations = try {
         (1 to 30).map { round =>
           val batch = (0 until 1000).map(i => ((round * 1000 + i).toLong, i.toDouble))
           val t0 = System.nanoTime()
           mem.addData(batch)
-          q.processAllAvailable()
+          watchdogDrain(q)
           (System.nanoTime() - t0) / 1e6
         }.drop(5).sorted // drop warm-up rounds
       } finally q.stop()
+      val sunk = spark.sql("SELECT count(*) FROM bench_latency").head().getLong(0)
+      if (sunk <= 0) System.err.println(
+        "[bench] WARNING: memory-sink probe produced zero rows")
       def pct(p: Double) = durations(math.min(durations.size - 1,
         (p * durations.size).toInt))
       Map("p50" -> pct(0.50), "p95" -> pct(0.95), "p99" -> pct(0.99))
@@ -1282,12 +1487,28 @@ object Bench {
     * workloads; the batch workloads above measure the analytic engine. */
   private def streamingThroughput(spark: SparkSession, sfDir: String,
       eventRows: Long, cycles: Int, pass: String => Boolean)
-      : (Seq[Sample], Map[String, Map[String, Double]]) = {
+      : (Seq[Sample], Map[String, Map[String, Double]], Double, Boolean) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val streamWls = Seq("yahoo-streaming", "stream-table-join-live",
+      "state-store", "window-store")
+    if (!streamWls.exists(w => pass(w) && budgetOk))
+      return (Seq.empty, Map.empty, -1.0, true)
+    // segment probe (r11): the 1-min loadavg is polluted by our OWN
+    // just-finished batch section, so the streaming segment's contention
+    // signal is the instantaneous full-width spin against the machine's
+    // known quiet floor. A non-quiet probe tags every sample it covers;
+    // the guard re-runs tagged workloads until their probe reads quiet
+    // (or the re-run/budget allowance is spent — then they are named in
+    // guard.unresolved, never silently committed).
+    val probeMs = parallelSpinMs(spinThreads)
+    quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, probeMs))
+    val segQuiet = probeMs <= 1.35 * quietSpinMs
+    if (!segQuiet) System.err.println(
+      f"[bench] streaming segment probe NOT quiet: spin $probeMs%.0f ms vs floor $quietSpinMs%.0f ms")
     // state fan-out sized for the stream's key cardinality, not the batch
     // engine's width (deployment tuning, like the latency probe)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1324,28 +1545,39 @@ object Bench {
           .foreach { ch => addChunk(ch); drain() }
       }
 
+      // r11: the timed replay writes to the `noop` sink, like the other
+      // three streaming workloads. Through r10 this was the one workload
+      // on a `memory` sink, whose update-mode buffer RETAINS every
+      // emitted row driver-side across the whole 1M-record replay — a
+      // sink-side drag that grew with windows x keys and is the prime
+      // suspect for the three-round 123k -> 101k -> 77k drift (VERDICT
+      // r10 #3). Correctness of the topology is Verify's job
+      // (q_window_tumbling_count_live et al.); the memory-sink plumbing
+      // keeps a probe in latencyPercentiles. BASELINE.md re-pins the
+      // baseline at the noop-sink number with this note.
       def yahooStreamingOnce(paced: Boolean): (Double, Seq[Double]) = {
         val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
         val counts = mem.toDF().toDF("user_id", "event_type", "ts")
           .filter(col("event_type") === "view")
           .groupBy(window(col("ts"), "1 hour"), col("user_id") % 25)
           .agg(count(lit(1)))
-        val q = counts.writeStream.format("memory").queryName("bench_streaming")
+        val q = counts.writeStream.format("noop").queryName("bench_streaming")
+          .option("checkpointLocation", ckptDir("yahoo"))
           .outputMode(OutputMode.Update).start()
         try {
           mem.addData(events.take(100))
-          q.processAllAvailable()
+          watchdogDrain(q)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             events.grouped(50000).foreach(mem.addData(_)); c += 1
           }
-          q.processAllAvailable()
+          watchdogDrain(q)
           val secs = (System.nanoTime() - t0) / 1e9
           val floodEnd = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
           if (paced)
             pacedReplay[(Long, String, java.sql.Timestamp)](
-              mem.addData(_), () => q.processAllAvailable(),
+              mem.addData(_), () => watchdogDrain(q),
               scala.collection.immutable.ArraySeq.unsafeWrapArray(events), cycles)
           (secs, if (paced) batchLatencies(q, floodEnd) else Seq.empty)
         } finally q.stop()
@@ -1361,23 +1593,24 @@ object Bench {
         val joined = b.stream[Long, Long](sMem.toDF(), col("_1"), col("_2"), col("_3"))
           .joinTable(b.table[Long, Long](tMem.toDF(), col("_1"), col("_2"), col("_3")))(_ + _)
         val q2 = joined.toDF.writeStream.format("noop").queryName("bench_stjoin")
+          .option("checkpointLocation", ckptDir("stjoin"))
           .outputMode(OutputMode.Append).start()
         val streamSide = events.map(e => (e._1, e._1 * 2, e._3))
         try {
           tMem.addData(events.map(e => (e._1, e._1, e._3)).distinctBy(_._1))
           sMem.addData(streamSide.take(100))
-          q2.processAllAvailable()
+          watchdogDrain(q2)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             streamSide.grouped(50000).foreach(sMem.addData(_)); c += 1
           }
-          q2.processAllAvailable()
+          watchdogDrain(q2)
           val secs = (System.nanoTime() - t0) / 1e9
           val floodEnd = Option(q2.lastProgress).map(_.batchId).getOrElse(-1L)
           if (paced)
             pacedReplay[(Long, Long, java.sql.Timestamp)](
-              sMem.addData(_), () => q2.processAllAvailable(),
+              sMem.addData(_), () => watchdogDrain(q2),
               scala.collection.immutable.ArraySeq.unsafeWrapArray(streamSide), cycles)
           (secs, if (paced) batchLatencies(q2, floodEnd) else Seq.empty)
         } finally q2.stop()
@@ -1399,22 +1632,23 @@ object Bench {
               Iterator.single((key, acc))
           }
         val q3 = stateful.writeStream.format("noop").queryName("bench_statestore")
+          .option("checkpointLocation", ckptDir("statestore"))
           .outputMode(OutputMode.Append).start()
         val kvSide = events.map(e => (e._1, 1.0, e._3))
         try {
           kvMem.addData(kvSide.take(100))
-          q3.processAllAvailable()
+          watchdogDrain(q3)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             kvSide.grouped(50000).foreach(kvMem.addData(_)); c += 1
           }
-          q3.processAllAvailable()
+          watchdogDrain(q3)
           val secs = (System.nanoTime() - t0) / 1e9
           val floodEnd = Option(q3.lastProgress).map(_.batchId).getOrElse(-1L)
           if (paced)
             pacedReplay[(Long, Double, java.sql.Timestamp)](
-              kvMem.addData(_), () => q3.processAllAvailable(),
+              kvMem.addData(_), () => watchdogDrain(q3),
               scala.collection.immutable.ArraySeq.unsafeWrapArray(kvSide), cycles)
           (secs, if (paced) batchLatencies(q3, floodEnd) else Seq.empty)
         } finally q3.stop()
@@ -1429,21 +1663,22 @@ object Bench {
           .groupBy(window(col("ts"), "1 hour"), col("user_id"))
           .agg(count(lit(1)))
         val q4 = windowed.writeStream.format("noop").queryName("bench_windowstore")
+          .option("checkpointLocation", ckptDir("windowstore"))
           .outputMode(OutputMode.Update).start()
         try {
           wMem.addData(events.take(100))
-          q4.processAllAvailable()
+          watchdogDrain(q4)
           val t0 = System.nanoTime()
           var c = 0
           while (c < cycles) {
             events.grouped(50000).foreach(wMem.addData(_)); c += 1
           }
-          q4.processAllAvailable()
+          watchdogDrain(q4)
           val secs = (System.nanoTime() - t0) / 1e9
           val floodEnd = Option(q4.lastProgress).map(_.batchId).getOrElse(-1L)
           if (paced)
             pacedReplay[(Long, String, java.sql.Timestamp)](
-              wMem.addData(_), () => q4.processAllAvailable(),
+              wMem.addData(_), () => watchdogDrain(q4),
               scala.collection.immutable.ArraySeq.unsafeWrapArray(events), cycles)
           (secs, if (paced) batchLatencies(q4, floodEnd) else Seq.empty)
         } finally q4.stop()
@@ -1452,6 +1687,7 @@ object Bench {
       val latAcc = scala.collection.mutable.Map.empty[String, Seq[Double]]
       def sample(wl: String)(once: Boolean => (Double, Seq[Double])): Seq[Sample] = {
         if (!pass(wl)) return Seq.empty // targeted re-run filter (r10 guard)
+        if (!budgetGate(wl)) return Seq.empty
         // paced latency pass rides the FIRST run only: 40+ bounded-trigger
         // samples are plenty for p50/p95/p99, and the flood timings of the
         // remaining runs stay exactly the baseline-comparable measurement
@@ -1463,7 +1699,8 @@ object Bench {
         if (runs.isEmpty) Seq.empty
         else {
           latAcc(wl) = runs.flatMap(_._2)
-          Seq(Sample(wl, runs.map(_._1), eventRows * cycles, eventRows * cycles))
+          Seq(Sample(wl, runs.map(_._1), eventRows * cycles, eventRows * cycles,
+            quiet = segQuiet))
         }
       }
 
@@ -1479,11 +1716,11 @@ object Bench {
         wl -> Map("p50" -> pct(xs, 0.50), "p95" -> pct(xs, 0.95),
           "p99" -> pct(xs, 0.99))
       }
-      (samples, latMap)
+      (samples, latMap, probeMs, segQuiet)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming throughput failed: $e")
-        (Seq.empty, Map.empty[String, Map[String, Double]])
+        (Seq.empty, Map.empty[String, Map[String, Double]], probeMs, segQuiet)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
