@@ -1219,6 +1219,13 @@ object StreamsParity extends Catalog {
   //    StatefulOps.emitOnChange (per-key current-value state, append-mode
   //    change emissions, in-batch event-time order + cross-batch state)
   //    and the emitted set must hash-equal the batch lag-window oracle.
+  //    SINGLE-BATCH ASSUMPTION: the replay deliberately sets NO
+  //    maxFilesPerTrigger, so AvailableNow folds the whole corpus in one
+  //    micro-batch and the in-batch (ts, event_id) sort is a TOTAL order.
+  //    emitOnChange state is order-sensitive across batches — a
+  //    multi-batch replay of event-time-interleaved files could emit a
+  //    different representative event_id for the same transition, which
+  //    the lag-window oracle would not match.
   q("q_emit_on_change_live", SqlEmitOnChange) { (s, dir) =>
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import graft.api._
@@ -1238,6 +1245,75 @@ object StreamsParity extends Catalog {
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
     s.table(name)
+  }
+
+  // -- EAGER-spurious windowed stream-stream OUTER join through the LIVE
+  //    streaming path (StatefulOps.intervalJoinEager): the reference's
+  //    exact 2.2-era trace semantics (KStreamKStreamJoin.java:97-99) — an
+  //    arrival with no match in the other side's window store emits the
+  //    half-null row IMMEDIATELY and it is never retracted. views(left) ⋈
+  //    clicks(right) per user, asymmetric window [v - 10min, v + 1h].
+  //    Deterministic fold order = (full-precision ts, left-before-right),
+  //    so the emitted multiset is SQL-expressible:
+  //      * every in-window (v, c) pair emits exactly ONCE — at the later
+  //        arrival in fold order;
+  //      * a view emits (v, null) iff NO click folded BEFORE it (c.ts <
+  //        v.ts at full precision) lies in its window;
+  //      * a click emits (null, c) iff NO view folded before it (v.ts <=
+  //        c.ts — equal timestamps fold left first) lies in ITS window
+  //        (the mirrored [c - 1h, c + 10min]).
+  //    Window bounds compare at MILLISECOND precision (the operator's
+  //    buffer keys are epoch ms, like the reference's window store); the
+  //    fold-order tiebreak compares the full microsecond timestamp.
+  //    SINGLE-BATCH ASSUMPTION (like q_emit_on_change_live): no
+  //    maxFilesPerTrigger, one AvailableNow batch, so the time-sorted
+  //    fold sees no late records and retention eviction never cuts a
+  //    live window. Missing sides surface as -1 sentinels in BOTH
+  //    engines (BIGINT-cast in the oracle).
+  q("q_interval_join_eager",
+    """WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |  FROM v JOIN c ON v.user_id = c.user_id
+      |    AND epoch_ms(c.ts) BETWEEN epoch_ms(v.ts) - 600000
+      |                           AND epoch_ms(v.ts) + 3600000),
+      |lnull AS (
+      |  SELECT v.user_id, v.event_id AS view_id, CAST(-1 AS BIGINT) AS click_id
+      |  FROM v WHERE NOT EXISTS (SELECT 1 FROM c
+      |    WHERE c.user_id = v.user_id AND c.ts < v.ts
+      |      AND epoch_ms(c.ts) >= epoch_ms(v.ts) - 600000
+      |      AND epoch_ms(c.ts) <= epoch_ms(v.ts) + 3600000)),
+      |rnull AS (
+      |  SELECT c.user_id, CAST(-1 AS BIGINT) AS view_id, c.event_id AS click_id
+      |  FROM c WHERE NOT EXISTS (SELECT 1 FROM v
+      |    WHERE v.user_id = c.user_id AND v.ts <= c.ts
+      |      AND epoch_ms(v.ts) >= epoch_ms(c.ts) - 3600000
+      |      AND epoch_ms(v.ts) <= epoch_ms(c.ts) + 600000))
+      |SELECT * FROM pairs
+      |UNION ALL SELECT * FROM lnull
+      |UNION ALL SELECT * FROM rnull""") { (s, dir) =>
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.api._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def src() = s.readStream.schema(raw.schema).parquet(s"$dir/events.parq*")
+      .transform(graft.Tables.tsNormalized)
+    val b = GraftStreams(s)
+    val views = b.stream[Long, Long](src().filter(col("event_type") === "view"),
+      col("user_id"), col("event_id"), col("ts"))
+    val clicks = b.stream[Long, Long](src().filter(col("event_type") === "click"),
+      col("user_id"), col("event_id"), col("ts"))
+    val joined = graft.streaming.StatefulOps.intervalJoinEager(
+      views, clicks, beforeMs = 600000L, afterMs = 3600000L, graceMs = 0L,
+      outer = true) { (lv, rv) => (lv.getOrElse(-1L), rv.getOrElse(-1L)) }
+    val name = s"ije_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    s.table(name).select(col("_1").as("user_id"),
+      col("_2._1").as("view_id"), col("_2._2").as("click_id"))
   }
 
   // -- KTable⋈KTable outer (KTableKTableOuterJoin.java): either side may

@@ -507,6 +507,37 @@ object StatefulOps {
           state.getOption.getOrElse(
             (Vector.empty[(Long, VL)], Vector.empty[(Long, VO)], Long.MinValue))
         val out = Vector.newBuilder[(K, VR)]
+        // time-SORTED buffers with binary-search slice bounds (r11):
+        // per-arrival cost O(log B + matches + insert) instead of a full
+        // O(B) predicate scan per record — the reference's window store
+        // iterates its fetch range in time order too, so match emission
+        // order gains parity as a side effect
+        def lowerBound[A](buf: Vector[(Long, A)], x: Long): Int = {
+          var lo = 0; var hi = buf.length
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (buf(m)._1 < x) lo = m + 1 else hi = m
+          }
+          lo
+        }
+        def upperBound[A](buf: Vector[(Long, A)], x: Long): Int = {
+          var lo = 0; var hi = buf.length
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (buf(m)._1 <= x) lo = m + 1 else hi = m
+          }
+          lo
+        }
+        // stable at equal timestamps: inserts after existing peers
+        def insertSorted[A](buf: Vector[(Long, A)], t: Long, v: A)
+            : Vector[(Long, A)] = {
+          val i = upperBound(buf, t)
+          if (i == buf.length) buf :+ ((t, v))
+          else (buf.take(i) :+ ((t, v))) ++ buf.drop(i)
+        }
+        def rangeOf[A](buf: Vector[(Long, A)], lo: Long, hi: Long)
+            : Vector[(Long, A)] =
+          buf.slice(lowerBound(buf, lo), upperBound(buf, hi))
         // event-time order; equal timestamps fold LEFT side first (the
         // reference's per-task arrival order made deterministic)
         rows.toVector.sortBy(r =>
@@ -514,25 +545,29 @@ object StatefulOps {
           .foreach { case (_, (lv, rv), ts) =>
             val t = ts.getTime
             if (t > streamTime) streamTime = t
-            lv.foreach { v => // left arrival: window = [t-before, t+after]
-              val matches = rbuf.filter(e =>
-                e._1 >= t - beforeMs && e._1 <= t + afterMs)
+            lv.foreach { v =>
+              // left arrival: fetch window = [max(0, t-before), t+after]
+              // — the 0-clamp is the reference's verbatim bound
+              // (KStreamKStreamJoin.java:97 Math.max(0L, ts - before))
+              val matches = rangeOf(rbuf, math.max(0L, t - beforeMs),
+                t + afterMs)
               if (matches.isEmpty) out += ((k, joiner(Some(v), None)))
               else matches.foreach(e => out += ((k, joiner(Some(v), Some(e._2)))))
-              lbuf :+= ((t, v))
+              lbuf = insertSorted(lbuf, t, v)
             }
             rv.foreach { v => // right arrival: symmetric window
-              val matches = lbuf.filter(e =>
-                e._1 >= t - afterMs && e._1 <= t + beforeMs)
+              val matches = rangeOf(lbuf, math.max(0L, t - afterMs),
+                t + beforeMs)
               if (matches.isEmpty) {
                 if (outer) out += ((k, joiner(None, Some(v))))
               } else matches.foreach(e => out += ((k, joiner(Some(e._2), Some(v)))))
-              rbuf :+= ((t, v))
+              rbuf = insertSorted(rbuf, t, v)
             }
             // retention eviction: nothing below this can ever join again
+            // (sorted buffers: one binary search + head drop)
             val floor = streamTime - (beforeMs + afterMs + graceMs)
-            lbuf = lbuf.filter(_._1 >= floor)
-            rbuf = rbuf.filter(_._1 >= floor)
+            lbuf = lbuf.drop(lowerBound(lbuf, floor))
+            rbuf = rbuf.drop(lowerBound(rbuf, floor))
           }
         state.update((lbuf, rbuf, streamTime))
         out.result().iterator
