@@ -2149,15 +2149,61 @@ object LlmPipeline extends Catalog {
   }
 
   // -- IVF ANN (the other scale path): k-means cells + nProbe search.
-  //    Approximation depends on float summation order in centroid
-  //    training, so the oracle is rows-only; recall vs brute force is
-  //    pinned by VectorIndexSpec.
-  qNoOracle("q_ann_ivf") { (s, dir) =>
-    import graft.functions.VectorIndex
-    val emb = spread(load(s, dir, "embeddings"))
-    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
-    VectorIndex.search(emb, emb.filter(col("vec_id") < 20),
-      "vec_id", "embedding", cb, nProbe = 4, topK = 10)
+  //    FULL ORACLE since r11 via the integer-grid Lloyd recipe
+  //    (q_kmeans_clusters' k=8 coarse quantizer re-founded on the micro
+  //    grid): centroids, cell assignment, query-side cell ranking and the
+  //    in-cell exact distances are all BIGINT arithmetic, so the whole
+  //    serve path — rank cells once per query, probe the nProbe=2
+  //    closest, exact top-10 within the probed cells — is bit-exact in
+  //    DuckDB. The float production twin (VectorIndex.train/search, the
+  //    shape the bench serves) stays recall-pinned by VectorIndexSpec.
+  //    Scale shape: queries broadcast (bounded batch), candidates =
+  //    nProbe/k of the corpus per query via the cell equi-join (never
+  //    all-pairs), top-k is the bounded-buffer fold (no rank window).
+  q("q_ann_ivf",
+    s"""WITH $KmeansOracleCtes,
+       |pr AS (SELECT vec_id AS query_id, cl AS cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS crank
+       |       FROM d2 WHERE vec_id < 20),
+       |probed AS (SELECT query_id, cell FROM pr WHERE crank <= 2),
+       |cand AS (SELECT p.query_id, g2.vec_id AS neighbor_id
+       |         FROM probed p JOIN g2 ON g2.cluster = p.cell
+       |         WHERE g2.vec_id <> p.query_id),
+       |dist AS (SELECT c.query_id, c.neighbor_id,
+       |           CAST(sum((qa.x - xa.x) * (qa.x - xa.x)) AS BIGINT) AS d
+       |         FROM cand c
+       |         JOIN xm qa ON qa.vec_id = c.query_id
+       |         JOIN xm xa ON xa.vec_id = c.neighbor_id AND xa.pos = qa.pos
+       |         GROUP BY c.query_id, c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(d AS DOUBLE) AS sq_dist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |      FROM dist)
+       |SELECT query_id, neighbor_id, sq_dist, rank FROM r WHERE rank <= 10""") { (s, dir) =>
+    val k = 8
+    val nProbe = 2
+    val xm = microGrid(s, dir)
+    val cents = kmeansIntCentroids(xm, k)
+    val assigned = xm.select(col("vec_id"), col("xm"),
+      (kmAssignKey(cents, k) % k).as("cell"))
+    // query-side cell ranking: ALL k packed (d*k + cl) keys, sorted
+    // ascending, first nProbe — rank-cells-once, integer-exact
+    val packed = array(cents.map { case (cid, cm) =>
+      aggregate(
+        zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v) * lit(k.toLong) + lit(cid)
+    }: _*)
+    val probed = xm.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("xm").as("qm"),
+        explode(slice(array_sort(packed), 1, nProbe)).as("pk"))
+      .select(col("query_id"), col("qm"), (col("pk") % k).as("cell"))
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qm"), col("xm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d"))
+    graft.operators.TopK.perGroup(cand, "query_id", "neighbor_id", "d",
+      k = 10, ascending = true)
+      .withColumnRenamed("d", "sq_dist")
   }
 
   // -- SemDeDup (arXiv:2303.09540): semantic near-dup pairs within
@@ -2182,15 +2228,53 @@ object LlmPipeline extends Catalog {
   }
 
   // -- PQ/ADC search: compressed-domain top-k (m=8 codes per vector, 32x
-  //    smaller corpus; per-pair distance = 8 table adds). Rows-only —
-  //    float k-means across engines isn't mirrorable; recall is pinned
-  //    against exact L2 by ProductQuantizerSpec.
-  qNoOracle("q_ann_pq") { (s, dir) =>
-    import graft.functions.ProductQuantizer
-    val emb = spread(load(s, dir, "embeddings"))
-    val cb = ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
-    ProductQuantizer.search(emb, emb.filter(col("vec_id") < 20),
-      "vec_id", "embedding", cb, topK = 10)
+  //    smaller corpus; per-pair distance = 8 table adds). FULL ORACLE
+  //    since r11: sub-quantizers train on the integer micro grid (the
+  //    q_kmeans_clusters Lloyd recipe per subspace — PqOracleCtes), so
+  //    codes, the per-query ADC tables and the summed ADC distances are
+  //    all BIGINT and bit-exact in DuckDB. The float production twin
+  //    (ProductQuantizer.train/search, the shape the bench serves) stays
+  //    recall-pinned by ProductQuantizerSpec. Scale shape: the codebook
+  //    is 1024 longs (broadcast literals), the corpus is touched once to
+  //    encode and once to scan codes; per-candidate cost = m adds
+  //    against the 2560-row broadcast ADC table; top-k is the bounded
+  //    fold.
+  q("q_ann_pq",
+    s"""WITH $MicroGridCte,
+       |$PqOracleCtes,
+       |cd AS (SELECT a.query_id, c.vec_id AS neighbor_id,
+       |         CAST(sum(a.d) AS BIGINT) AS d
+       |       FROM codes c JOIN adc a ON a.sub = c.sub AND a.cl = c.code
+       |       WHERE c.vec_id <> a.query_id
+       |       GROUP BY a.query_id, c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(d AS DOUBLE) AS adc_dist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |      FROM cd)
+       |SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 10""") { (s, dir) =>
+    val m = 8; val ksub = 16; val dsub = 8
+    val xm = microGrid(s, dir)
+    val subv = subGrid(xm, m, dsub).localCheckpoint()
+    val cents = pqIntCentroids(subv, m, ksub)
+    val codes = subv.select(col("vec_id"), col("sub"),
+      (pqAssignExpr(cents, m, ksub) % ksub).as("code"))
+    val centsDf = s.createDataFrame(
+      cents.toSeq.map { case ((su, cl), cm) => (su, cl, cm.toSeq) })
+      .toDF("csub", "cl", "cm")
+    val adc = subv.filter(col("vec_id") < 20)
+      .join(broadcast(centsDf), col("sub") === col("csub"))
+      .select(col("vec_id").as("query_id"), col("sub").as("asub"), col("cl"),
+        aggregate(zip_with(col("sv"), col("cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s2, v) => s2 + v).as("ad"))
+    val cd = codes
+      .join(broadcast(adc),
+        col("sub") === col("asub") && col("code") === col("cl"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("ad").as("adc_dist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+    graft.operators.TopK.perGroup(cd, "query_id", "neighbor_id", "adc_dist",
+      k = 10, ascending = true)
   }
 
   // -- LSH-bucketed ANN (the scale path): bucket by the sign pattern of
@@ -3692,17 +3776,72 @@ object LlmPipeline extends Catalog {
   // -- IVF+PQ serving path: prune to nProbe inverted-file cells, score
   //    survivors by compressed-domain ADC distance — the standard
   //    billion-scale ANN composition (cells bound the candidate scan,
-  //    codes bound per-candidate cost to m table adds). Rows-only —
-  //    float k-means isn't mirrorable; ProductQuantizerSpec pins
-  //    agreement with full-scan ADC and candidate pruning.
-  qNoOracle("q_ann_ivf_pq") { (s, dir) =>
-    import graft.functions.{ProductQuantizer, VectorIndex}
-    val emb = spread(load(s, dir, "embeddings"))
-    val ivf = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
-    val pq = ProductQuantizer.train(emb, "vec_id", "embedding",
-      m = 8, ksub = 16, iters = 2)
-    ProductQuantizer.searchWithCells(emb, emb.filter(col("vec_id") < 20),
-      "vec_id", "embedding", ivf, pq, nProbe = 4, topK = 10)
+  //    codes bound per-candidate cost to m table adds). FULL ORACLE
+  //    since r11: the k=8 integer coarse quantizer (KmeansOracleCtes)
+  //    prunes candidates to the nProbe=2 closest cells per query and the
+  //    integer PQ chain (PqOracleCtes) scores the survivors in the
+  //    compressed domain — every stage BIGINT, bit-exact in DuckDB. The
+  //    float production twin (searchWithCells, the bench serving shape)
+  //    stays pinned by ProductQuantizerSpec.
+  q("q_ann_ivf_pq",
+    s"""WITH $KmeansOracleCtes,
+       |$PqOracleCtes,
+       |pr AS (SELECT vec_id AS query_id, cl AS cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS crank
+       |       FROM d2 WHERE vec_id < 20),
+       |probed AS (SELECT query_id, cell FROM pr WHERE crank <= 2),
+       |cand AS (SELECT p.query_id, g2.vec_id AS neighbor_id
+       |         FROM probed p JOIN g2 ON g2.cluster = p.cell
+       |         WHERE g2.vec_id <> p.query_id),
+       |cd AS (SELECT ca.query_id, ca.neighbor_id, CAST(sum(a.d) AS BIGINT) AS d
+       |       FROM cand ca
+       |       JOIN codes c ON c.vec_id = ca.neighbor_id
+       |       JOIN adc a ON a.query_id = ca.query_id
+       |         AND a.sub = c.sub AND a.cl = c.code
+       |       GROUP BY ca.query_id, ca.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(d AS DOUBLE) AS adc_dist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |      FROM cd)
+       |SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 10""") { (s, dir) =>
+    val k = 8; val nProbe = 2; val m = 8; val ksub = 16; val dsub = 8
+    val xm = microGrid(s, dir)
+    // coarse quantizer: cells + query-side cell ranking (the q_ann_ivf path)
+    val cents = kmeansIntCentroids(xm, k)
+    val assigned = xm.select(col("vec_id"), (kmAssignKey(cents, k) % k).as("cell"))
+    val packed = array(cents.map { case (cid, cm) =>
+      aggregate(
+        zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v) * lit(k.toLong) + lit(cid)
+    }: _*)
+    val probed = xm.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(array_sort(packed), 1, nProbe)).as("pk"))
+      .select(col("query_id"), (col("pk") % k).as("cell"))
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // PQ compressed domain: codes + per-query ADC tables (the q_ann_pq path)
+    val subv = subGrid(xm, m, dsub).localCheckpoint()
+    val pq = pqIntCentroids(subv, m, ksub)
+    val codes = subv.select(col("vec_id"), col("sub"),
+      (pqAssignExpr(pq, m, ksub) % ksub).as("code"))
+    val centsDf = s.createDataFrame(
+      pq.toSeq.map { case ((su, cl), cm) => (su, cl, cm.toSeq) })
+      .toDF("csub", "cl", "cm")
+    val adc = subv.filter(col("vec_id") < 20)
+      .join(broadcast(centsDf), col("sub") === col("csub"))
+      .select(col("vec_id").as("aquery_id"), col("sub").as("asub"), col("cl"),
+        aggregate(zip_with(col("sv"), col("cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s2, v) => s2 + v).as("ad"))
+    val cd = cand
+      .join(codes, col("neighbor_id") === codes("vec_id"))
+      .join(broadcast(adc),
+        col("query_id") === col("aquery_id") &&
+          col("sub") === col("asub") && col("code") === col("cl"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum("ad").as("adc_dist"))
+    graft.operators.TopK.perGroup(cd, "query_id", "neighbor_id", "adc_dist",
+      k = 10, ascending = true)
   }
 
   // -- corpus-level exact line dedup (the RefinedWeb/C4 repeated-line
@@ -5651,18 +5790,57 @@ object LlmPipeline extends Catalog {
   //    contract, the codebook rule). localCheckpoint per round keeps the
   //    plan constant.
   /** Shared oracle CTE chain for the 2-round integer Lloyd loop, ending
-    * at `g2(vec_id, cluster, sq_dist)` — reused by q_kmeans_clusters and
-    * the purity evaluation. */
-  private val KmeansOracleCtes: String = {
+    * at `g2(vec_id, cluster, sq_dist)` — reused by q_kmeans_clusters, the
+    * purity evaluation, and (r11) the IVF ANN serving oracle, which also
+    * reads `d2` (every vector's distance to every round-2 centroid — the
+    * query-side cell ranking) and `xm` (the micro-grid vectors — the
+    * exact in-cell distances). Lazy: q_ann_ivf registers earlier in the
+    * constructor than this val's declaration. */
+  /** `xm(vec_id, pos, x)`: the once-quantized micro grid — the shared
+    * prefix of every integer-exact vector oracle. */
+  private lazy val MicroGridCte: String =
+    """xm AS (SELECT vec_id,
+      |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+      |  FROM embeddings)""".stripMargin
+
+  /** Integer-grid PQ chain (r11): m=8 subspaces of 8 dims, ksub=16
+    * sub-centroids per subspace via the SAME 2-round integer Lloyd loop
+    * (seed = first-16 sub-vectors, update = sum DIV n, argmin ties to
+    * the lowest code via the packed d*16+code key). Ends at
+    * `codes(vec_id, sub, code)` (the compressed corpus) and
+    * `adc(query_id, sub, cl, d)` (each query's distance table to every
+    * sub-centroid — `pd2` restricted to the query batch). All BIGINT, so
+    * PQ/ADC search is bit-exact cross-engine. Assumes `xm` in scope. */
+  private lazy val PqOracleCtes: String = {
+    def assign(c: String, d: String, sres: String) =
+      s"""$d AS (SELECT s.vec_id, s.sub, $c.cl,
+         |  CAST(sum((s.x - $c.cm) * (s.x - $c.cm)) AS BIGINT) AS d
+         |  FROM sub s JOIN $c ON $c.sub = s.sub AND $c.spos = s.spos
+         |  GROUP BY s.vec_id, s.sub, $c.cl),
+         |$sres AS (SELECT vec_id, sub, min(d * 16 + cl) AS mk
+         |          FROM $d GROUP BY vec_id, sub)"""
+    s"""sub AS (SELECT vec_id, pos // 8 AS sub, pos % 8 AS spos, x FROM xm),
+       |p1 AS (SELECT CAST(vec_id AS BIGINT) AS cl, sub, spos, x AS cm
+       |       FROM sub WHERE vec_id < 16),
+       |${assign("p1", "pd1", "ps1")},
+       |pg1 AS (SELECT vec_id, sub, mk % 16 AS cl FROM ps1),
+       |p2 AS (SELECT pg1.cl, s.sub, s.spos,
+       |         CAST(sum(s.x) // count(*) AS BIGINT) AS cm
+       |       FROM sub s JOIN pg1 ON pg1.vec_id = s.vec_id AND pg1.sub = s.sub
+       |       GROUP BY pg1.cl, s.sub, s.spos),
+       |${assign("p2", "pd2", "ps2")},
+       |codes AS (SELECT vec_id, sub, CAST(mk % 16 AS BIGINT) AS code FROM ps2),
+       |adc AS (SELECT vec_id AS query_id, sub, cl, d FROM pd2 WHERE vec_id < 20)""".stripMargin
+  }
+
+  private lazy val KmeansOracleCtes: String = {
     def assign(c: String, d: String, sres: String) =
       s"""$d AS (SELECT xm.vec_id, $c.cl,
          |  CAST(sum((xm.x - $c.cm) * (xm.x - $c.cm)) AS BIGINT) AS d
          |  FROM xm JOIN $c ON $c.pos = xm.pos GROUP BY xm.vec_id, $c.cl),
          |$sres AS (SELECT vec_id, min(d * 8 + cl) AS mk FROM $d GROUP BY vec_id)"""
-    s"""xm AS (SELECT vec_id,
-       |    CAST(unnest(range(len(embedding))) AS INT) AS pos,
-       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
-       |  FROM embeddings),
+    s"""$MicroGridCte,
        |c1 AS (SELECT CAST(vec_id AS BIGINT) AS cl, pos, x AS cm
        |       FROM xm WHERE vec_id < 8),
        |${assign("c1", "d1", "s1")},
@@ -5674,29 +5852,39 @@ object LlmPipeline extends Catalog {
        |         CAST(mk // 8 AS BIGINT) AS sq_dist FROM s2)""".stripMargin
   }
 
-  /** Spark side of the shared Lloyd loop: (vec_id, cluster, sq_dist). */
-  private def kmeansAssignments(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val k = 8
-    val xm = spread(load(s, dir, "embeddings"))
+  /** Micro-grid quantized embeddings: (vec_id, xm BIGINT[]) — the shared
+    * integer lattice every cross-engine-exact vector twin computes on. */
+  private def microGrid(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    spread(load(s, dir, "embeddings"))
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * lit(1e6)).cast("long")).as("xm"))
       .localCheckpoint() // quantized once; reused by every round
-    // packed argmin key: d*8 + cluster (d <= 64 * (2^21)^2 << 2^60/8, so
-    // the pack cannot overflow; min == lexicographic (d, cluster))
-    def assignKey(cents: Array[(Long, Array[Long])]) = least(cents.map {
+
+  /** Packed integer argmin key over broadcast centroid literals:
+    * d*k + cluster (d <= 64 * (2^21)^2 << 2^60/k, so the pack cannot
+    * overflow; min == lexicographic (d, cluster)). Map-only codegen'd
+    * least-of-k — no join, no explode. */
+  private def kmAssignKey(cents: Array[(Long, Array[Long])], k: Int) =
+    least(cents.map {
       case (cid, cm) =>
         aggregate(
           zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, v) => acc + v) * lit(8L) + lit(cid)
+          lit(0L), (acc, v) => acc + v) * lit(k.toLong) + lit(cid)
     }: _*)
+
+  /** One integer-Lloyd update round from the first-k seed: the round-2
+    * centroids (`c2` in [[KmeansOracleCtes]]) — k·dim longs, bounded by
+    * contract (the codebook rule). */
+  private def kmeansIntCentroids(xm: org.apache.spark.sql.DataFrame,
+      k: Int): Array[(Long, Array[Long])] = {
     var cents: Array[(Long, Array[Long])] = xm.filter(col("vec_id") < k)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1) // k·dim longs — bounded by contract (codebook rule)
+      .sortBy(_._1)
     for (_ <- 1 to 1) { // round 1 ends in the c2 update; round 2 assigns
       val g = xm.select(col("vec_id"), col("xm"),
-        (assignKey(cents) % k).as("cl"))
+        (kmAssignKey(cents, k) % k).as("cl"))
       cents = g.select(col("cl"), posexplode(col("xm")).as(Seq("pos", "x")))
         .groupBy("cl", "pos").agg(expr("sum(x) div count(1)").as("cm"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
@@ -5705,9 +5893,67 @@ object LlmPipeline extends Catalog {
           (cl, rows.sortBy(_._2).map(_._3).toArray)
         }.sortBy(_._1)
     }
-    xm.select(col("vec_id"), assignKey(cents).as("mk"))
+    cents
+  }
+
+  /** Per-subspace view of the micro grid: (vec_id, sub, sv BIGINT[dsub])
+    * — the PQ twin of [[microGrid]] (m slices per vector). */
+  private def subGrid(xm: org.apache.spark.sql.DataFrame, m: Int,
+      dsub: Int): org.apache.spark.sql.DataFrame =
+    xm.select(col("vec_id"), posexplode(
+        array((0 until m).map(su => slice(col("xm"), su * dsub + 1, dsub)): _*))
+      .as(Seq("sub", "sv")))
+
+  /** Packed per-subspace argmin over the surviving sub-centroids: a CASE
+    * chain on `sub`, each arm a codegen'd least-of-ksub (the
+    * [[kmAssignKey]] recipe per subspace; packs cannot overflow —
+    * per-sub d <= 8 * (4e6)^2 ~ 2^47, * 16 << 2^63). */
+  private def pqAssignExpr(cents: Map[(Int, Long), Array[Long]], m: Int,
+      ksub: Int): org.apache.spark.sql.Column =
+    (0 until m).foldLeft(lit(Long.MaxValue)) { (acc, su) =>
+      val packs = (0 until ksub).flatMap { cl =>
+        cents.get((su, cl.toLong)).map { cm =>
+          aggregate(zip_with(col("sv"), typedLit(cm),
+              (a, b) => (a - b) * (a - b)), lit(0L), (s2, v) => s2 + v) *
+            lit(ksub.toLong) + lit(cl.toLong)
+        }
+      }
+      when(col("sub") === su, least(packs: _*)).otherwise(acc)
+    }
+
+  /** The 2-round integer PQ codebook (`p2` in [[PqOracleCtes]]):
+    * (sub, code) -> dsub longs — m*ksub*dsub = 1024 longs, bounded by
+    * contract (the codebook rule). Seed = the first-ksub sub-vectors;
+    * update = per-(sub, code, spos) sum DIV n; empty codes drop out
+    * (mirrored by the oracle's join-absence). */
+  private def pqIntCentroids(subv: org.apache.spark.sql.DataFrame, m: Int,
+      ksub: Int): Map[(Int, Long), Array[Long]] = {
+    var cents: Map[(Int, Long), Array[Long]] =
+      subv.filter(col("vec_id") < ksub).collect()
+        .map(r => ((r.getInt(1), r.getLong(0)), r.getSeq[Long](2).toArray))
+        .toMap
+    for (_ <- 1 to 1) {
+      val g = subv.select(col("vec_id"), col("sub"), col("sv"),
+        (pqAssignExpr(cents, m, ksub) % ksub).as("cl"))
+      cents = g
+        .select(col("sub"), col("cl"), posexplode(col("sv")).as(Seq("spos", "x")))
+        .groupBy("sub", "cl", "spos").agg(expr("sum(x) div count(1)").as("cm"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (k2, rows) => (k2, rows.sortBy(_._3).map(_._4).toArray) }
+    }
+    cents
+  }
+
+  /** Spark side of the shared Lloyd loop: (vec_id, cluster, sq_dist). */
+  private def kmeansAssignments(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val k = 8
+    val xm = microGrid(s, dir)
+    val cents = kmeansIntCentroids(xm, k)
+    xm.select(col("vec_id"), kmAssignKey(cents, k).as("mk"))
       .select(col("vec_id"), (col("mk") % k).as("cluster"),
-        expr("mk div 8").as("sq_dist"))
+        expr(s"mk div $k").as("sq_dist"))
   }
 
   q("q_kmeans_clusters",
