@@ -186,7 +186,10 @@ object Bench {
     "er-golden-record" -> "q_er_golden_record",
     "hll-windowed" -> "q_hll_windowed",
     "dedup-prefix-filter" -> "q_dedup_prefix_filter",
-    "quality-budget" -> "q_quality_budget_threshold")
+    "quality-budget" -> "q_quality_budget_threshold",
+    // r11: eager-spurious join trace (live), IVF recall audit
+    "interval-join-eager" -> "q_interval_join_eager",
+    "ivf-recall-eval" -> "q_ivf_recall_eval")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -406,6 +409,12 @@ object Bench {
       }
       if (x == 42L) System.err.println("")
     }
+    // drain our OWN JVM's GC backlog first: a spin right after a heavy
+    // batch section competes with concurrent GC threads and reads ~2x
+    // the floor on an otherwise-idle machine (r11 first-run evidence:
+    // post-batch segment probe 428 ms vs 212 ms floor, zero co-tenants)
+    System.gc()
+    try Thread.sleep(200) catch { case _: InterruptedException => () }
     spin(1000000L) // JIT warmup outside the measurement
     (1 to 3).map { _ =>
       val ts = (1 to n).map(_ => new Thread(() => spin(150000000L)))
@@ -675,6 +684,7 @@ object Bench {
       "topk-per-source" -> bytes("documents"),
       "weighted-sample" -> bytes("documents"),
       "l-diversity" -> bytes("documents"),
+      "ivf-recall-eval" -> bytes("embeddings"),
       "hilbert-layout" -> bytes("orders")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
@@ -777,6 +787,7 @@ object Bench {
       "topk-per-source" -> docRows,
       "weighted-sample" -> docRows,
       "l-diversity" -> docRows,
+      "ivf-recall-eval" -> embRows,
       "hilbert-layout" -> orderRows).withDefaultValue(eventRows)
 
     // the reference's canonical streaming scale is 10M records
@@ -807,7 +818,8 @@ object Bench {
         pcalibStart: Double, pcalibEnd: Double, pcalibRatio: Double,
         pcalibVsQuiet: Double, streamProbeMs: Double, streamQuiet: Boolean)
 
-    def oneAttempt(pass: String => Boolean, full: Boolean): Attempt = {
+    def oneAttempt(pass: String => Boolean, full: Boolean,
+        first: Boolean = false): Attempt = {
       // co-tenant load probe BEFORE any measured work (see loadAvg /
       // calibrationSpinMs / parallelSpinMs docs); the matching end-probe
       // runs after the last workload
@@ -816,6 +828,15 @@ object Bench {
       val calibStartMs = calibrationSpinMs()
       val pcalibStartMs = parallelSpinMs(spinThreads)
       quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, pcalibStartMs))
+
+      // idle-path micro-batch latency rides the START of a full attempt
+      // (r11): through r10 it ran after the batch + 10x sections, where
+      // the JVM's GC backlog inflated the percentiles ~3x — the
+      // EndToEndLatency analogue wants the cleanest idle-path reading,
+      // which is right here, before any heavy work
+      val lat =
+        if (full && budgetOk) latencyPercentiles(spark)
+        else Map.empty[String, Double]
 
       // one UNTIMED warmup execution, then benchRuns (≥3) timed
       // iterations per workload, report the MEDIAN. The warmup pays the
@@ -1197,11 +1218,6 @@ object Bench {
                 dir10, s"10x-$sfTag", docRows10)
         }
 
-      // end-to-end latency percentiles only ride FULL attempts (the probe
-      // is its own streaming query; targeted re-runs chase throughput)
-      val lat =
-        if (full && budgetOk) latencyPercentiles(spark)
-        else Map.empty[String, Double]
       val (streaming, streamLat, streamProbeMs, streamQuiet) =
         streamingThroughput(spark, sfDir, eventRows, streamCycles, pass)
 
@@ -1227,7 +1243,12 @@ object Bench {
       // full-width), or a full-width spin that never approached the
       // machine's known quiet floor. Samples from a contended run cannot
       // certify a perf gate (r5 lesson; r10 parallel-blindness lesson).
-      val contended = loadStart5 > 2.5 || loadStart > 6.0 ||
+      // The loadavg gates apply ONLY to the first attempt: on retries
+      // the loadavg is dominated by our OWN just-finished attempt, so a
+      // retry would always re-read "contended" and burn the whole retry
+      // budget (r11 first-run evidence: attempt-2 loadavg_start 5.2 on
+      // an idle machine).
+      val contended = (first && (loadStart5 > 2.5 || loadStart > 6.0)) ||
         calibRatio > 1.5 || pcalibRatio > 1.3 || pcalibVsQuiet > 1.35
 
       Attempt(contended,
@@ -1309,8 +1330,18 @@ object Bench {
     var contrastive = (-1.0, -1)
     val attemptProbes = scala.collection.mutable.ArrayBuffer.empty[String]
 
+    // a workload counts as VERIFIED-QUIET once ANY attempt measured it
+    // under a quiet probe — the committed number stays the min-median
+    // (contention only slows, so a faster sample from a noisy-probe
+    // segment is still trustworthy), but resolution requires one quiet
+    // confirmation (r11: the first artifact listed state-store at a
+    // healthy 235k rec/s as "unresolved" because its WINNING sample rode
+    // the noisy-probe attempt even though the quiet re-run confirmed it)
+    val everQuiet = scala.collection.mutable.Set.empty[String]
+
     def absorb(a: Attempt): Unit = {
       a.samples.foreach { s =>
+        if (s.quiet) everQuiet += s.wl
         if (merged.get(s.wl).forall(_.median > s.median)) merged(s.wl) = s
       }
       if (a.lat.nonEmpty && latBest.forall(_._1 > a.calibRatio))
@@ -1329,13 +1360,13 @@ object Bench {
     // budget is spent
     def suspectsNow(): Set[String] = merged.iterator.collect {
       case (wl, s) if rerunCounts(wl) < 2 &&
-          (!s.quiet ||
+          (!everQuiet.contains(wl) ||
            priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
            suspectCeilingSec.get(wl).exists(c => s.median > c)) => wl
     }.toSet
 
     var attempt = 1
-    var a = oneAttempt(_ => true, full = true)
+    var a = oneAttempt(_ => true, full = true, first = true)
     absorb(a)
     var quietest = a
     // every loop is ALSO bounded by the wall-clock budget (r11): a busy
@@ -1369,7 +1400,7 @@ object Bench {
     // suspects that survived their re-run budget are REAL slowdowns (or a
     // hopelessly busy machine) — name them in the artifact either way
     val unresolved = merged.iterator.collect {
-      case (wl, s) if !s.quiet ||
+      case (wl, s) if !everQuiet.contains(wl) ||
           priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
           suspectCeilingSec.get(wl).exists(c => s.median > c) => wl
     }.toSeq.sorted

@@ -2179,14 +2179,20 @@ object LlmPipeline extends Catalog {
        |        row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
        |      FROM dist)
        |SELECT query_id, neighbor_id, sq_dist, rank FROM r WHERE rank <= 10""") { (s, dir) =>
-    val k = 8
-    val nProbe = 2
-    val xm = microGrid(s, dir)
+    ivfIntTopK(microGrid(s, dir), k = 8, nProbe = 2, topK = 10)
+      .withColumnRenamed("d", "sq_dist")
+  }
+
+  /** The integer-grid IVF serve path shared by q_ann_ivf and
+    * q_ivf_recall_eval: train the k-cell coarse quantizer, rank cells
+    * ONCE per query (packed d*k+cl keys, sorted, first nProbe), probe
+    * via the cell equi-join, exact integer top-k via the bounded fold.
+    * Emits (query_id, neighbor_id, d, rank). */
+  private def ivfIntTopK(xm: org.apache.spark.sql.DataFrame, k: Int,
+      nProbe: Int, topK: Int): org.apache.spark.sql.DataFrame = {
     val cents = kmeansIntCentroids(xm, k)
     val assigned = xm.select(col("vec_id"), col("xm"),
       (kmAssignKey(cents, k) % k).as("cell"))
-    // query-side cell ranking: ALL k packed (d*k + cl) keys, sorted
-    // ascending, first nProbe — rank-cells-once, integer-exact
     val packed = array(cents.map { case (cid, cm) =>
       aggregate(
         zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
@@ -2202,28 +2208,153 @@ object LlmPipeline extends Catalog {
         aggregate(zip_with(col("qm"), col("xm"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v).as("d"))
     graft.operators.TopK.perGroup(cand, "query_id", "neighbor_id", "d",
-      k = 10, ascending = true)
-      .withColumnRenamed("d", "sq_dist")
+      k = topK, ascending = true)
+  }
+
+  // -- IVF recall evaluation (r11, the "measure, don't guess" readout):
+  //    recall@10 of the nProbe=2 integer IVF serve path against the
+  //    EXACT integer top-10 per query — the knob-tuning evidence an ANN
+  //    operator owner reads before committing a probe width (the
+  //    q_lsh_pr_eval discipline applied to IVF, and fully oracle-exact
+  //    because both sides live on the micro grid). Scale shape: exact
+  //    side is one corpus scan against the broadcast query batch with a
+  //    bounded top-k fold — an audit cost paid at index-build cadence,
+  //    never per query (the contrastive exact-pairs pattern).
+  q("q_ivf_recall_eval",
+    s"""WITH $KmeansOracleCtes,
+       |pr AS (SELECT vec_id AS query_id, cl AS cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS crank
+       |       FROM d2 WHERE vec_id < 20),
+       |probed AS (SELECT query_id, cell FROM pr WHERE crank <= 2),
+       |cand AS (SELECT p.query_id, g2.vec_id AS neighbor_id
+       |         FROM probed p JOIN g2 ON g2.cluster = p.cell
+       |         WHERE g2.vec_id <> p.query_id),
+       |dist AS (SELECT c.query_id, c.neighbor_id,
+       |           CAST(sum((qa.x - xa.x) * (qa.x - xa.x)) AS BIGINT) AS d
+       |         FROM cand c
+       |         JOIN xm qa ON qa.vec_id = c.query_id
+       |         JOIN xm xa ON xa.vec_id = c.neighbor_id AND xa.pos = qa.pos
+       |         GROUP BY c.query_id, c.neighbor_id),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |             SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |             FROM dist) WHERE rank <= 10),
+       |bd AS (SELECT qa.vec_id AS query_id, xa.vec_id AS neighbor_id,
+       |         CAST(sum((qa.x - xa.x) * (qa.x - xa.x)) AS BIGINT) AS d
+       |       FROM xm qa JOIN xm xa ON xa.pos = qa.pos AND xa.vec_id <> qa.vec_id
+       |       WHERE qa.vec_id < 20
+       |       GROUP BY qa.vec_id, xa.vec_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |            SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |            FROM bd) WHERE rank <= 10),
+       |hits AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM approx a JOIN exact e
+       |           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |         GROUP BY a.query_id)
+       |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) * 100000 AS BIGINT) AS recall_micro
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN hits h USING (query_id)""") { (s, dir) =>
+    val xm = microGrid(s, dir)
+    val approx = ivfIntTopK(xm, k = 8, nProbe = 2, topK = 10)
+      .select("query_id", "neighbor_id")
+    val queries = xm.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("xm").as("qm"))
+    val exactD = xm.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qm"), col("xm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d"))
+    val exact = graft.operators.TopK.perGroup(exactD, "query_id",
+      "neighbor_id", "d", k = 10, ascending = true)
+      .select("query_id", "neighbor_id")
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 100000).cast("long").as("recall_micro"))
   }
 
   // -- SemDeDup (arXiv:2303.09540): semantic near-dup pairs within
-  //    k-means cells, exact-cosine rescored, then the kept corpus after
-  //    dropping non-representatives. Rows-only — float k-means isn't
-  //    mirrorable in SQL; precision/recall vs brute-force pairs is pinned
-  //    by SemDedupSpec.
-  qNoOracle("q_semdedup_pairs") { (s, dir) =>
-    import graft.functions.{SemDedup, VectorIndex}
-    val emb = spread(load(s, dir, "embeddings"))
-    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
-    SemDedup.pairs(emb, "vec_id", "embedding", cb, tau = 0.35)
-      .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  //    k-means cells, cosine rescored, then the kept corpus after
+  //    dropping non-representatives. FULL ORACLE since r11: cells come
+  //    from the k=8 integer coarse quantizer (KmeansOracleCtes) and the
+  //    cosine threshold compares WITHOUT a sqrt — cos >= 0.35 = 7/20 ⟺
+  //    dot > 0 ∧ 400·dot² >= 49·na·nb, all integer (dot/na/nb are
+  //    BIGINT; the squares ride HUGEINT in DuckDB and DECIMAL(38,0) in
+  //    Spark — both exact at ≤ 32 digits). The float production twin
+  //    (SemDedup.pairs/keep over VectorIndex codebooks) stays
+  //    precision/recall-pinned by SemDedupSpec. Scale shape unchanged:
+  //    candidates from the cell equi-join (never all-pairs), threshold
+  //    is a codegen'd per-pair kernel, grouping is pointer-jump closure.
+  private lazy val SqlSemdedupPairCtes: String =
+    """na AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nv FROM xm GROUP BY vec_id),
+      |spr AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b, ca.cluster AS cell
+      |        FROM g2 ca JOIN g2 cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id),
+      |sdt AS (SELECT spr.id_a, spr.id_b, spr.cell,
+      |          CAST(sum(xa.x * xb.x) AS BIGINT) AS dot
+      |        FROM spr JOIN xm xa ON xa.vec_id = spr.id_a
+      |                 JOIN xm xb ON xb.vec_id = spr.id_b AND xb.pos = xa.pos
+      |        GROUP BY spr.id_a, spr.id_b, spr.cell),
+      |spairs AS (SELECT cell, id_a, id_b, dot
+      |           FROM sdt JOIN na a2 ON a2.vec_id = sdt.id_a
+      |                    JOIN na b2 ON b2.vec_id = sdt.id_b
+      |           WHERE dot > 0
+      |             AND 400 * (CAST(dot AS HUGEINT) * dot)
+      |                 >= 49 * (CAST(a2.nv AS HUGEINT) * b2.nv))""".stripMargin
+
+  /** Spark side of [[SqlSemdedupPairCtes]]: (cell, id_a, id_b, dot). */
+  private def semdedupIntPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val k = 8
+    val xm = microGrid(s, dir)
+    val cents = kmeansIntCentroids(xm, k)
+    val cells = xm.select(col("vec_id"), col("xm"),
+        (kmAssignKey(cents, k) % k).as("cell"))
+      .withColumn("nv", aggregate(col("xm"), lit(0L), (acc, x) => acc + x * x))
+      .localCheckpoint()
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("xm").as("xa"), col("nv").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+      col("xm").as("xb"), col("nv").as("nb"))
+    a.join(b, "cell").filter(col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(zip_with(col("xa"), col("xb"),
+        (p, q2) => p * q2), lit(0L), (acc, v) => acc + v))
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(19,0)") * col("dot").cast("decimal(19,0)") * 400 >=
+          col("na").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)") * 49)
+      .select(col("cell"), col("id_a"), col("id_b"), col("dot"))
   }
 
-  qNoOracle("q_semdedup_keep") { (s, dir) =>
-    import graft.functions.{SemDedup, VectorIndex}
-    val emb = spread(load(s, dir, "embeddings"))
-    val cb = VectorIndex.train(emb, "vec_id", "embedding", k = 16, iters = 2)
-    SemDedup.keep(emb, "vec_id", "embedding", cb, tau = 0.35)
+  q("q_semdedup_pairs",
+    s"""WITH $KmeansOracleCtes,
+       |$SqlSemdedupPairCtes
+       |SELECT cell, id_a, id_b, dot FROM spairs""") { (s, dir) =>
+    semdedupIntPairs(s, dir)
+  }
+
+  // keep: drop every non-representative (representative = min id per
+  // duplicate group; closure via pointer jumping on the Spark side, a
+  // recursive min-label CTE on the oracle side — the pair graph is
+  // dup-mass-sized, so the closure input is bounded).
+  q("q_semdedup_keep",
+    s"""WITH RECURSIVE $KmeansOracleCtes,
+       |$SqlSemdedupPairCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM spairs
+       |          UNION ALL SELECT id_b, id_a FROM spairs),
+       |cc AS (SELECT a AS node, a AS lbl FROM edges
+       |       UNION
+       |       SELECT e.b AS node, cc.lbl FROM cc JOIN edges e ON e.a = cc.node),
+       |comp AS (SELECT node, min(lbl) AS lbl FROM cc GROUP BY node),
+       |drops AS (SELECT node FROM comp WHERE node <> lbl)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT node FROM drops)""") { (s, dir) =>
+    val pairs = semdedupIntPairs(s, dir)
+    val comps = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+    val drops = comps.filter(col("n") =!= col("label"))
+      .select(col("n").as("vec_id"))
+    load(s, dir, "embeddings").join(drops, Seq("vec_id"), "left_anti")
       .select("vec_id", "label")
   }
 

@@ -705,4 +705,45 @@ class PlanSpec extends AnyFunSuite {
       assert(!scansDocs, s"q_lsh_pr_eval: corpus-sized hint:\n${h.toString.take(800)}")
     }
   }
+
+  test("integer-grid ANN/semdedup queries: bounded folds, no rank window, " +
+      "no cartesian, corpus sides unhinted") {
+    // r11 promotions: the top-k stages are the bounded-buffer fold (a
+    // rank window over the candidate table would ship every candidate
+    // of a query to one task), candidate generation is the cell
+    // equi-join (never all-pairs), and the only broadcast hints are the
+    // bounded query-batch / codebook sides — the corpus-sized cell
+    // tables stay unhinted so AQE decides.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_ann_ivf", "q_ann_pq", "q_ann_ivf_pq",
+        "q_semdedup_pairs", "q_ivf_recall_eval")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.isEmpty, s"$q: rank window in an ANN plan:\n$wins")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1200)}")
+      // q_ivf_recall_eval's EXACT audit side is deliberately the
+      // q_ann_cosine_topk shape — corpus scanned once against the
+      // broadcast query batch (a non-equi BNLJ on the bounded side);
+      // the serve paths must never need one
+      if (q != "q_ivf_recall_eval")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(1200)}")
+      // hinted sides must be bounded (query batch / codebook / ADC
+      // table), never an embeddings-corpus scan
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      val corpusHints = hints.filter { h =>
+        val c = h.child.toString
+        // a bounded hinted side is either a literal LocalRelation (the
+        // collected codebook/ADC table) or a `vec_id < 20` query-batch
+        // slice of the corpus; a hint on the RAW corpus scan (the r9
+        // dies-not-degrades pattern) has the parquet relation with no
+        // such filter
+        c.contains("embeddings.parquet") && !c.contains("< 20")
+      }
+      assert(corpusHints.isEmpty,
+        s"$q: forced hint on a corpus-sized side:\n" +
+          corpusHints.mkString("\n").take(1200))
+    }
+  }
 }
