@@ -3276,26 +3276,121 @@ object LlmPipeline extends Catalog {
   //    log-probs. Training is hard (Viterbi) EM over the distinct-word
   //    table — each round ONE distributed segment+count pass with the
   //    bounded vocab collected to the driver (the BPE-trainer contract).
-  //    Float log-probs make the model engine-internal, so both queries
-  //    are rows-only; UnigramLmSpec pins Viterbi optimality against
-  //    brute-force enumeration, the EM objective's monotone improvement,
-  //    determinism across partitionings, and codegen participation.
-  qNoOracle("q_unigram_train") { (s, dir) =>
+  //    FULL ORACLE since r11: the catalog entry runs UnigramIntLm — the
+  //    same EM loop on FIXED-POINT log2 scores (exponent = bit length,
+  //    mantissa from a data-independent 1024-entry LUT interpolated into
+  //    both engines), so seeding, every Viterbi pass (strict-improvement
+  //    / longest-first tie-break mirrored by a packed (score*8+len)
+  //    argmax), the piece counts and the alphabet-floored M-steps are
+  //    bit-exact in DuckDB. The 3 unrolled rounds generate ~70 CTEs
+  //    (per-round: score table, 8 DP layers, 8 backpointer-walk layers,
+  //    count + floor) — honest recomputation from the parquet, nothing
+  //    precomputed. The float trainer (natural-log) remains the
+  //    production twin, spec-pinned by UnigramLmSpec.
+
+  /** `ilog2` as SQL over the `lut` CTE (exact UnigramIntLm.ilog2 mirror). */
+  private def sqlIlog2(c: String): String = {
+    val b = s"(length(bin($c)) - 1)"
+    s"($b * 65536 + (SELECT lv FROM lut WHERE i = (((($c) * 1024) >> $b) - 1024)))"
+  }
+
+  private def unigramScoreCte(r: Int, vtab: String): String =
+    s"""t$r AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM $vtab),
+       |s$r AS MATERIALIZED (SELECT piece,
+       |  CAST(${sqlIlog2("c")} - (SELECT ${sqlIlog2("tc")} FROM t$r) AS BIGINT) AS s
+       |  FROM $vtab)""".stripMargin
+
+  /** One Viterbi pass under `s$r`: 8 DP layers (packed (score, len)
+    * argmax per end position — longest-last-piece-on-tie, the
+    * UnigramKernel contract), backpointer walk, per-piece counts. */
+  private def unigramDpCtes(r: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"d${r}_0 AS (SELECT w, CAST(0 AS BIGINT) AS score FROM ws)"
+    for (j <- 1 to 8) {
+      val cands = (1 to math.min(6, j)).map { l =>
+        val i = j - l
+        s"SELECT d.w, (d.score + s.s + (1::BIGINT << 40)) * 8 + $l AS pk " +
+          s"FROM d${r}_$i d JOIN ws USING (w) " +
+          s"JOIN s$r s ON s.piece = substr(d.w, ${i + 1}, $l) WHERE ws.len >= $j"
+      }
+      parts += s"d${r}_${j}raw AS (SELECT w, max(pk) AS pk FROM (${cands.mkString(" UNION ALL ")}) GROUP BY w)"
+      parts += s"d${r}_$j AS MATERIALIZED (SELECT w, pk // 8 - (1::BIGINT << 40) AS score, CAST(pk % 8 AS BIGINT) AS bp FROM d${r}_${j}raw)"
+    }
+    parts += s"dall$r AS MATERIALIZED (${(1 to 8).map(j => s"SELECT w, $j AS pos, bp FROM d${r}_$j").mkString(" UNION ALL ")})"
+    parts += s"walk${r}_0 AS (SELECT w, len AS pos FROM ws)"
+    for (k <- 1 to 8)
+      parts += s"walk${r}_$k AS (SELECT wk.w, wk.pos - da.bp AS pos, " +
+        s"substr(wk.w, CAST(wk.pos - da.bp + 1 AS INT), CAST(da.bp AS INT)) AS piece, wk.pos - da.bp + 1 AS start " +
+        s"FROM walk${r}_${k - 1} wk JOIN dall$r da ON da.w = wk.w AND da.pos = wk.pos WHERE wk.pos > 0)"
+    parts += s"pieces$r AS (${(1 to 8).map(k => s"SELECT w, piece, start FROM walk${r}_$k").mkString(" UNION ALL ")})"
+    parts += s"cnt$r AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM pieces$r JOIN ws USING (w) GROUP BY piece)"
+    parts.result().mkString(",\n")
+  }
+
+  /** M-step: counted pieces kept, alphabet floored at one use. */
+  private def unigramMstepCte(r: Int): String =
+    s"""v${r + 1} AS MATERIALIZED (SELECT piece, CAST(max(c) AS BIGINT) AS c FROM (
+       |  SELECT piece, c FROM cnt$r UNION ALL SELECT piece, 1 AS c FROM alpha)
+       |  GROUP BY piece)""".stripMargin
+
+  /** LUT + word table + seed + 3 EM rounds, ending at the trained model
+    * `s4(piece, s)`. Shared by q_unigram_train and q_unigram_encode. */
+  private lazy val UnigramOracleBase: String = {
+    val lut = graft.functions.UnigramIntLm.Log2Lut.mkString(",")
+    s"""lut AS MATERIALIZED (SELECT CAST(unnest(range(1024)) AS BIGINT) AS i,
+       |  unnest([$lut]) AS lv),
+       |ws0 AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |ws AS MATERIALIZED (SELECT w, f, CAST(len(w) AS INT) AS len FROM ws0),
+       |sub AS (SELECT piece, CAST(sum(f) AS BIGINT) AS pf FROM (
+       |  SELECT unnest(flatten(list_transform(range(1, len(w)+1), i ->
+       |    list_filter(list_transform([2,3,4,5,6], l ->
+       |      CASE WHEN i + l - 1 <= len(w) THEN substr(w, CAST(i AS INT), l) END),
+       |      p -> p IS NOT NULL)))) AS piece, f
+       |  FROM ws) GROUP BY piece),
+       |top AS (SELECT piece, pf FROM sub ORDER BY pf DESC, piece LIMIT 400),
+       |chars AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS pf FROM (
+       |  SELECT unnest(list_transform(range(1, len(w)+1),
+       |    i -> substr(w, CAST(i AS INT), 1))) AS piece, f
+       |  FROM ws) GROUP BY piece),
+       |alpha AS (SELECT DISTINCT piece FROM chars),
+       |v1 AS MATERIALIZED (SELECT piece, CAST(max(pf) AS BIGINT) AS c FROM
+       |  (SELECT piece, pf FROM top UNION ALL SELECT piece, pf FROM chars)
+       |  GROUP BY piece),
+       |${unigramScoreCte(1, "v1")},
+       |${unigramDpCtes(1)},
+       |${unigramMstepCte(1)},
+       |${unigramScoreCte(2, "v2")},
+       |${unigramDpCtes(2)},
+       |${unigramMstepCte(2)},
+       |${unigramScoreCte(3, "v3")},
+       |${unigramDpCtes(3)},
+       |${unigramMstepCte(3)},
+       |${unigramScoreCte(4, "v4")}""".stripMargin
+  }
+
+  q("q_unigram_train",
+    s"""WITH $UnigramOracleBase
+       |SELECT piece, s AS logprob_fp FROM s4""") { (s, dir) =>
     val wf = spread(load(s, dir, "documents"))
       .select(explode(T.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
-    val model = graft.functions.UnigramLm.train(wf, rounds = 3)
+    val model = graft.functions.UnigramIntLm.train(wf, rounds = 3)
     import s.implicits._
-    model.logProbs.toSeq.sortBy(_._1)
-      .map { case (p, lp) => (p, math.rint(lp * 1e6) / 1e6) }
-      .toDF("piece", "logprob")
+    model.toSeq.sortBy(_._1).toDF("piece", "logprob_fp")
   }
 
   // -- soft-EM twin of q_unigram_train: the paper's exact E-step
   //    (forward-backward posterior expected counts over the lattice,
-  //    plans.UnigramMarginals) instead of hard Viterbi counts. Rows-only
-  //    for the same reason (float log-prob iteration isn't SQL-
-  //    mirrorable); the logZ>=Viterbi bound, brute-force logsumexp
+  //    plans.UnigramMarginals) instead of hard Viterbi counts. The LAST
+  //    rows-only entry in the catalog (r11): the posterior weights ride
+  //    float logsumexp/exp, which has no engine-exact SQL mirror without
+  //    redefining the operator's arithmetic wholesale (the hard-EM twin
+  //    above IS that redefinition — fixed-point log2 — but soft EM also
+  //    needs exp and logsumexp LUT-ized, which would change the
+  //    published algorithm's E-step semantics, not just its number
+  //    format). The logZ>=Viterbi bound, brute-force logsumexp
   //    agreement, objective dominance over hard EM and partition-
   //    independence are pinned by UnigramLmSpec.
   qNoOracle("q_unigram_train_soft") { (s, dir) =>
@@ -3309,13 +3404,26 @@ object LlmPipeline extends Catalog {
       .toDF("piece", "logprob")
   }
 
-  qNoOracle("q_unigram_encode") { (s, dir) =>
+  // -- encode under the trained integer model: FULL ORACLE since r11 —
+  //    one more mirrored Viterbi pass (round-4 DP + backpointer walk)
+  //    under s4, segmentation re-assembled by string_agg over the
+  //    walk's start positions.
+  q("q_unigram_encode",
+    s"""WITH $UnigramOracleBase,
+       |${unigramDpCtes(4)},
+       |enc AS (SELECT w, string_agg(piece, ' ' ORDER BY start) AS segmentation,
+       |          CAST(count(*) AS BIGINT) AS n_pieces
+       |        FROM pieces4 GROUP BY w)
+       |SELECT ws.w, enc.segmentation, enc.n_pieces, ws.f,
+       |  CAST(ws.f * enc.n_pieces AS BIGINT) AS corpus_pieces
+       |FROM enc JOIN ws USING (w)""") { (s, dir) =>
     val wf = spread(load(s, dir, "documents"))
       .select(explode(T.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
-    val model = graft.functions.UnigramLm.train(wf, rounds = 3)
+    val model = graft.functions.UnigramIntLm.train(wf, rounds = 3)
+    val sd = model.map { case (p, x) => p -> x.toDouble }
     wf.select(col("w"),
-        graft.plans.Unigram.segment(col("w"), model.logProbs).as("segmentation"),
+        graft.plans.Unigram.segment(col("w"), sd).as("segmentation"),
         col("f"))
       .select(col("w"), col("segmentation"),
         size(split(col("segmentation"), " ")).cast("long").as("n_pieces"),
