@@ -1243,18 +1243,31 @@ object Bench {
       // full-width), or a full-width spin that never approached the
       // machine's known quiet floor. Samples from a contended run cannot
       // certify a perf gate (r5 lesson; r10 parallel-blindness lesson).
-      // The loadavg gate applies ONLY to the first attempt (on retries
-      // the loadavg is dominated by our OWN just-finished attempt) and
-      // ONLY when the instantaneous full-width spin corroborates it
-      // (>= ~2 held cores): loadavg is a decaying HISTORY — the sbt
-      // compile that launches this very suite leaves loadavg-5min > 2.5
-      // for minutes after its cores are free, which made a first r11
-      // driver-shaped run retry the whole suite on a quiet machine. The
-      // r10 scenario (a ~6-core co-tenant present throughout: loadavg ~6
-      // AND spin ~1.7x floor) still fires both terms.
+      // contended — the WHOLE-SUITE retry trigger — uses only signals
+      // that are reliable where they are measured:
+      //  * the START spin runs in a fresh-ish JVM: its absolute reading
+      //    vs the machine's quiet floor catches a co-tenant present at
+      //    launch (the r10 blindness);
+      //  * the loadavg gate (first attempt only — retries see our own
+      //    load) needs the start spin to corroborate: loadavg is a
+      //    decaying HISTORY and the sbt compile that launches the suite
+      //    leaves loadavg-5min > 2.5 for minutes after its cores free;
+      //  * the single-threaded start/end drift catches heavy mid-suite
+      //    arrivals.
+      // The END full-width spin is deliberately NOT a retry trigger: it
+      // runs inside a JVM that just finished the streaming section and
+      // reads 1.4-1.5x the floor from GC/allocator noise alone (r11
+      // measurements on an idle machine, even after an explicit GC) —
+      // indistinguishable from a ~4-core co-tenant. Partial mid-suite
+      // arrivals are instead caught per-workload: the ceiling/prior
+      // guard for the batch section, the segment probe + quiet-
+      // confirmation re-runs for the streaming section. The end spin is
+      // still recorded in the attempt probes (and min-updates the
+      // floor).
+      val startVsQuiet = pcalibStartMs / quietSpinMs
       val contended =
-        (first && loadStart5 > 2.5 && pcalibVsQuiet > 1.15) ||
-        calibRatio > 1.5 || pcalibRatio > 1.4 || pcalibVsQuiet > 1.35
+        (first && loadStart5 > 2.5 && startVsQuiet > 1.15) ||
+        calibRatio > 1.5 || startVsQuiet > 1.35
 
       Attempt(contended,
         results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
