@@ -250,7 +250,11 @@ object Bench {
     "dedup-prefix-filter", "autocorr-daily", "seasonality-dow",
     // r9 second batch: bounded top-k select + governance/anomaly readouts
     "topk-per-source", "weighted-sample", "l-diversity", "seasonal-anomaly",
-    "user-streaks")
+    "user-streaks",
+    // r11: the eager-join live trace at 10x events (10x keys through the
+    // flatMapGroupsWithState buffers) and the recall audit at 10x
+    // vectors (exact side scales linearly — the audit-cadence cost)
+    "interval-join-eager", "ivf-recall-eval")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -548,6 +552,17 @@ object Bench {
           .filter(_ > 0).getOrElse(Double.MaxValue)
       }
     } catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
+    // the LAUNCH spin: measured at main entry in the freshly-forked JVM
+    // (run/fork := true), BEFORE SparkSession exists — the one full-width
+    // reading free of our own GC/allocator noise, and therefore the one
+    // reading whose absolute comparison against the machine's quiet
+    // floor can be trusted to mean "co-tenant present at launch" (the
+    // r10 blindness). In-suite spins (attempt start/end, streaming
+    // segment) read 1.15-1.5x the floor from JVM-internal noise alone
+    // and only gate per-workload re-runs, never whole-suite retries.
+    val launchSpinMs = parallelSpinMs(spinThreads)
+    quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, launchSpinMs))
+    val launchVsQuiet = launchSpinMs / quietSpinMs
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -1245,29 +1260,25 @@ object Bench {
       // certify a perf gate (r5 lesson; r10 parallel-blindness lesson).
       // contended — the WHOLE-SUITE retry trigger — uses only signals
       // that are reliable where they are measured:
-      //  * the START spin runs in a fresh-ish JVM: its absolute reading
-      //    vs the machine's quiet floor catches a co-tenant present at
-      //    launch (the r10 blindness);
-      //  * the loadavg gate (first attempt only — retries see our own
-      //    load) needs the start spin to corroborate: loadavg is a
-      //    decaying HISTORY and the sbt compile that launches the suite
-      //    leaves loadavg-5min > 2.5 for minutes after its cores free;
+      //  * the LAUNCH spin (fresh forked JVM, pre-Spark — see main):
+      //    absolute vs the quiet floor = "co-tenant present at launch",
+      //    standalone above 1.5x, loadavg-corroborated above 1.15x
+      //    (loadavg alone is decaying history — the launching sbt
+      //    compile keeps loadavg-5min > 2.5 for minutes);
       //  * the single-threaded start/end drift catches heavy mid-suite
       //    arrivals.
-      // The END full-width spin is deliberately NOT a retry trigger: it
-      // runs inside a JVM that just finished the streaming section and
-      // reads 1.4-1.5x the floor from GC/allocator noise alone (r11
-      // measurements on an idle machine, even after an explicit GC) —
-      // indistinguishable from a ~4-core co-tenant. Partial mid-suite
-      // arrivals are instead caught per-workload: the ceiling/prior
-      // guard for the batch section, the segment probe + quiet-
-      // confirmation re-runs for the streaming section. The end spin is
-      // still recorded in the attempt probes (and min-updates the
-      // floor).
-      val startVsQuiet = pcalibStartMs / quietSpinMs
+      // The IN-SUITE full-width spins (attempt start/end, streaming
+      // segment) are deliberately NOT retry triggers: three consecutive
+      // r11 runs on an idle machine read them at 1.15-1.5x the floor
+      // from the JVM's own GC/allocator noise (even after explicit GC) —
+      // indistinguishable from a mid-size co-tenant. They are recorded
+      // in the attempt probes, min-update the floor, and the streaming
+      // segment probe gates per-workload quiet-confirmation re-runs —
+      // cheap targeted passes instead of 28-minute whole-suite retries.
       val contended =
-        (first && loadStart5 > 2.5 && startVsQuiet > 1.15) ||
-        calibRatio > 1.5 || startVsQuiet > 1.35
+        (first && ((loadStart5 > 2.5 && launchVsQuiet > 1.15) ||
+          launchVsQuiet > 1.5)) ||
+        calibRatio > 1.5
 
       Attempt(contended,
         results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
@@ -1457,7 +1468,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val cpusN = try cpus.toDouble catch { case _: Throwable => 32.0 }
     val loadJson =
-      f"""{"cpus":${cpusN.toInt},"loadavg_start":${quietest.loadStart}%.2f,"loadavg_end":${quietest.loadEnd}%.2f,"calib_start_ms":${quietest.calibStart}%.1f,"calib_end_ms":${quietest.calibEnd}%.1f,"calib_ratio":${quietest.calibRatio}%.3f,"contended":${quietest.contended}}"""
+      f"""{"cpus":${cpusN.toInt},"loadavg_start":${quietest.loadStart}%.2f,"loadavg_end":${quietest.loadEnd}%.2f,"calib_start_ms":${quietest.calibStart}%.1f,"calib_end_ms":${quietest.calibEnd}%.1f,"calib_ratio":${quietest.calibRatio}%.3f,"launch_spin_ms":$launchSpinMs%.1f,"launch_vs_quiet":$launchVsQuiet%.3f,"contended":${quietest.contended}}"""
     val guardJson =
       s""""guard":{"targeted_passes":$targetedPasses,"reran":${rerunLog.toSeq.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"unresolved":${unresolved.map("\"" + _ + "\"").mkString("[", ",", "]")},"attempts":${attemptProbes.mkString("[", ",", "]")}}"""
     val skippedJson =

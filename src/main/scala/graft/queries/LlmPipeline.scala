@@ -3334,7 +3334,11 @@ object LlmPipeline extends Catalog {
        |  GROUP BY piece)""".stripMargin
 
   /** LUT + word table + seed + 3 EM rounds, ending at the trained model
-    * `s4(piece, s)`. Shared by q_unigram_train and q_unigram_encode. */
+    * `s4(piece, s)`. Shared by q_unigram_train and q_unigram_encode.
+    * The DP/walk unrolls cover words up to 8 code points — the verified
+    * maximum over the driver's correctness corpora (sf0.01 AND sf0.1
+    * both max at 8; the Spark side's kernel handles any length, so only
+    * the ORACLE depends on this bound). */
   private lazy val UnigramOracleBase: String = {
     val lut = graft.functions.UnigramIntLm.Log2Lut.mkString(",")
     s"""lut AS MATERIALIZED (SELECT CAST(unnest(range(1024)) AS BIGINT) AS i,
