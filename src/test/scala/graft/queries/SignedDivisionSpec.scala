@@ -79,7 +79,13 @@ class SignedDivisionSpec extends AnyFunSuite {
       """ahash_hi >> """.r,
       """\(x \+ s / x\) >> 1""".r, // isqrt Newton step, x,s >= 0
       """\(rgb >> 16\)""".r,       // ARGB byte extract: & 0xff after the
-      """\(rgb >> 8\)""".r         // shift masks sign bits — shift kind moot
+      """\(rgb >> 8\)""".r,        // shift masks sign bits — shift kind moot
+      // UnigramIntLm.ilog2 mantissa extraction: c >= 1 (require-guarded)
+      // so c << 10 >= 0 and the shift matches DuckDB's >> on BIGINT
+      """\(\(c << 10\) >> b\)""".r,
+      // its SQL mirror (a string literal, not Scala arithmetic): operand
+      // is a piece/total count, >= 1 by construction
+      """\(\(\(\(\$c\) \* 1024\) >> \$b\)""".r
     )
     val files = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala")).toSeq
