@@ -187,9 +187,11 @@ object Bench {
     "hll-windowed" -> "q_hll_windowed",
     "dedup-prefix-filter" -> "q_dedup_prefix_filter",
     "quality-budget" -> "q_quality_budget_threshold",
-    // r11: eager-spurious join trace (live), IVF recall audit
+    // r11: eager-spurious join trace (live), IVF recall audit,
+    // leakage-safe split (cluster-keyed train/val/test)
     "interval-join-eager" -> "q_interval_join_eager",
-    "ivf-recall-eval" -> "q_ivf_recall_eval")
+    "ivf-recall-eval" -> "q_ivf_recall_eval",
+    "split-leakage-safe" -> "q_split_leakage_safe")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -252,9 +254,11 @@ object Bench {
     "topk-per-source", "weighted-sample", "l-diversity", "seasonal-anomaly",
     "user-streaks",
     // r11: the eager-join live trace at 10x events (10x keys through the
-    // flatMapGroupsWithState buffers) and the recall audit at 10x
-    // vectors (exact side scales linearly — the audit-cadence cost)
-    "interval-join-eager", "ivf-recall-eval")
+    // flatMapGroupsWithState buffers), the recall audit at 10x vectors
+    // (exact side scales linearly — the audit-cadence cost), and the
+    // leakage-safe split at 10x docs (10x-denser pair graph by corpus
+    // construction, like the other dedup entries)
+    "interval-join-eager", "ivf-recall-eval", "split-leakage-safe")
 
   /** Generate (once; marker-guarded) the 10x corpus under the bench work
     * dir: documents and embeddings copied 10x with each copy perturbed
@@ -700,6 +704,7 @@ object Bench {
       "weighted-sample" -> bytes("documents"),
       "l-diversity" -> bytes("documents"),
       "ivf-recall-eval" -> bytes("embeddings"),
+      "split-leakage-safe" -> bytes("documents"),
       "hilbert-layout" -> bytes("orders")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
@@ -803,6 +808,7 @@ object Bench {
       "weighted-sample" -> docRows,
       "l-diversity" -> docRows,
       "ivf-recall-eval" -> embRows,
+      "split-leakage-safe" -> docRows,
       "hilbert-layout" -> orderRows).withDefaultValue(eventRows)
 
     // the reference's canonical streaming scale is 10M records

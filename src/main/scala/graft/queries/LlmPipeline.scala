@@ -1255,6 +1255,52 @@ object LlmPipeline extends Catalog {
           Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
   }
 
+  // -- LEAKAGE-SAFE train/val/test split (r11): q_train_val_split hashes
+  //    each doc independently, which leaks near-duplicates across the
+  //    split boundary — a val paraphrase of a train doc inflates every
+  //    eval (the Lee et al. arXiv:2107.06499 §6.2 dedup-test-leakage
+  //    problem, applied to one's own split). This variant buckets the
+  //    NEAR-DUP CLUSTER label (MinHash-LSH pairs closed by connected
+  //    components; singletons = own id), so an entire duplicate family
+  //    lands on one side by construction. Scale shape: the pair graph +
+  //    closure are the q_dedup_components machinery (dup-mass-sized,
+  //    never all-pairs); the corpus joins the membership table once
+  //    (left join — membership is the dup mass, AQE broadcasts iff
+  //    small) and the hash assignment is map-only.
+  q("q_split_leakage_safe",
+    s"""WITH RECURSIVE $SqlMinhashPairCtes,
+       |pairs AS ($SqlMinhashPairSelect),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.n),
+       |comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+       |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |b AS (SELECT doc_id, cluster,
+       |        ${sqlMd5Long("CAST(cluster AS VARCHAR) || 'split-v1'")} % 100 AS bucket
+       |      FROM lab)
+       |SELECT doc_id, cluster, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""") { (s, dir) =>
+    import graft.functions.Sampling
+    import graft.operators.ConnectedComponents
+    val comp = ConnectedComponents.run(minhashPairs(s, dir), "doc_a", "doc_b")
+      .select(col("n").as("doc_id"), col("label").as("comp_label"))
+    load(s, dir, "documents").select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_label"), col("doc_id")).as("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        Sampling.bucket100(col("cluster"), "split-v1").as("bucket"),
+        Sampling.splitAssign(col("cluster"), "split-v1",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+  }
+
   // -- C4-style cleanup composite: quality-score filter -> predicted-
   //    English filter -> exact dedup keep-min-id. The end-to-end corpus
   //    construction pass, built from the oracle-proven fragments.
