@@ -191,7 +191,8 @@ object Bench {
     // leakage-safe split (cluster-keyed train/val/test)
     "interval-join-eager" -> "q_interval_join_eager",
     "ivf-recall-eval" -> "q_ivf_recall_eval",
-    "split-leakage-safe" -> "q_split_leakage_safe")
+    "split-leakage-safe" -> "q_split_leakage_safe",
+    "mixture-epochs" -> "q_mixture_epochs")
 
   /** The 11 SimpleBenchmark-parity workloads — the ONLY per-query numbers
     * that ride on the stdout line (driver tail-parses the last line; a
@@ -705,6 +706,7 @@ object Bench {
       "l-diversity" -> bytes("documents"),
       "ivf-recall-eval" -> bytes("embeddings"),
       "split-leakage-safe" -> bytes("documents"),
+      "mixture-epochs" -> bytes("documents"),
       "hilbert-layout" -> bytes("orders")).withDefaultValue(bytes("events"))
 
     val inputRows: Map[String, Long] = Map(
@@ -809,6 +811,7 @@ object Bench {
       "l-diversity" -> docRows,
       "ivf-recall-eval" -> embRows,
       "split-leakage-safe" -> docRows,
+      "mixture-epochs" -> docRows,
       "hilbert-layout" -> orderRows).withDefaultValue(eventRows)
 
     // the reference's canonical streaming scale is 10M records

@@ -4394,6 +4394,65 @@ object LlmPipeline extends Catalog {
         expr("w * 1000000 div tw").as("alpha_ppm"))
   }
 
+  // -- mixture EPOCH/REPEAT planner (r11): given the temperature-mixture
+  //    weights and a token budget, how many PASSES over each source does
+  //    the training run make — the table a data-mixture owner actually
+  //    ships to the loader. Composes q_mixture_temperature's alpha=0.5
+  //    weights: target_s = B·w_s/Σw; epochs = target/tokens (micro),
+  //    capped at 4 epochs (repeating data beyond ~4 passes stops paying
+  //    — the arXiv:2305.16264 repetition knee), with the capped
+  //    sources' unmet budget reported as underfill. ALL-INTEGER (ppm /
+  //    micro-epoch fractions via div), so the plan is bit-exact
+  //    cross-engine. Scale shape: one partial-agg'd scan to per-source
+  //    token counts; everything after is |sources|-bounded arithmetic
+  //    on a broadcast total.
+  q("q_mixture_epochs",
+    s"""WITH lt AS (
+       |  SELECT lang, CAST(sum(len($SqlTokens)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_tokens,
+       |  CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS w
+       |  FROM lt),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       |p AS (SELECT w.lang, w.n_tokens,
+       |        w.w * 1000000 // t.tw AS alpha_ppm,
+       |        CAST(10000000 AS BIGINT) * w.w // t.tw AS target_tokens
+       |      FROM w CROSS JOIN t),
+       |e AS (SELECT lang, n_tokens, alpha_ppm, target_tokens,
+       |        target_tokens * 1000000 // n_tokens AS epochs_micro,
+       |        least(target_tokens * 1000000 // n_tokens,
+       |              CAST(4000000 AS BIGINT)) AS epochs_capped_micro
+       |      FROM p)
+       |SELECT lang, n_tokens, alpha_ppm, target_tokens, epochs_micro,
+       |  epochs_capped_micro,
+       |  n_tokens * epochs_capped_micro // 1000000 AS realized_tokens,
+       |  target_tokens - n_tokens * epochs_capped_micro // 1000000
+       |    AS underfill_tokens
+       |FROM e""") { (s, dir) =>
+    val lt = spread(load(s, dir, "documents"))
+      .groupBy("lang")
+      .agg(sum(size(T.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val wdf = lt.withColumn("w",
+      floor(sqrt((col("n_tokens") * 1000000L).cast("double"))).cast("long"))
+    val tot = wdf.agg(sum("w").as("tw"))
+    wdf.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        expr("w * 1000000 div tw").as("alpha_ppm"),
+        expr("cast(10000000 as bigint) * w div tw").as("target_tokens"))
+      .select(col("lang"), col("n_tokens"), col("alpha_ppm"),
+        col("target_tokens"),
+        expr("target_tokens * 1000000 div n_tokens").as("epochs_micro"),
+        least(expr("target_tokens * 1000000 div n_tokens"),
+          lit(4000000L)).as("epochs_capped_micro"))
+      .select(col("lang"), col("n_tokens"), col("alpha_ppm"),
+        col("target_tokens"), col("epochs_micro"), col("epochs_capped_micro"),
+        expr("n_tokens * epochs_capped_micro div 1000000")
+          .as("realized_tokens"),
+        (col("target_tokens") -
+          expr("n_tokens * epochs_capped_micro div 1000000"))
+          .as("underfill_tokens"))
+  }
+
   // -- corpus length-distribution report: exact per-source discrete
   //    quantiles of n_chars (p25/50/75/90 = the sorted element at index
   //    ⌊(n−1)·p⌋ — integer selection, no float interpolation, so the
