@@ -746,4 +746,30 @@ class PlanSpec extends AnyFunSuite {
           corpusHints.mkString("\n").take(1200))
     }
   }
+
+  test("leakage-safe split: membership join unhinted, no corpus window, " +
+      "no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_split_leakage_safe")(spark, dir)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty, s"corpus window in split plan:\n$wins")
+    // the cluster-membership table is dup-mass-sized: no forced hint
+    // (AQE broadcasts iff genuinely small) — the same rule as the other
+    // dedup-closure consumers
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, "forced hint on the dup-mass membership side")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("mixture epochs: one partial-agg'd corpus scan, totals broadcast") {
+    val plan = planOf("q_mixture_epochs")
+    assert(plan.contains("partial_"), plan.take(800))
+    // the |sources|-row total joins back via broadcast, never sort-merge
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
 }
