@@ -1480,8 +1480,12 @@ object Bench {
       f"""{"cpus":${cpusN.toInt},"loadavg_start":${quietest.loadStart}%.2f,"loadavg_end":${quietest.loadEnd}%.2f,"calib_start_ms":${quietest.calibStart}%.1f,"calib_end_ms":${quietest.calibEnd}%.1f,"calib_ratio":${quietest.calibRatio}%.3f,"launch_spin_ms":$launchSpinMs%.1f,"launch_vs_quiet":$launchVsQuiet%.3f,"contended":${quietest.contended}}"""
     val guardJson =
       s""""guard":{"targeted_passes":$targetedPasses,"reran":${rerunLog.toSeq.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"unresolved":${unresolved.map("\"" + _ + "\"").mkString("[", ",", "]")},"attempts":${attemptProbes.mkString("[", ",", "]")}}"""
+    // a workload "skipped" by the budget during a late targeted pass may
+    // still carry a perfectly good sample from an earlier attempt — only
+    // NEVER-measured workloads are reported as missing
     val skippedJson =
-      skippedWls.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+      skippedWls.filterNot(merged.contains).toSeq
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},$guardJson,"load":$loadJson,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
     // STDOUT CONTRACT (driver tail-parses the LAST stdout line, and its
