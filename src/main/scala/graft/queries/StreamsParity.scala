@@ -1268,8 +1268,13 @@ object StreamsParity extends Catalog {
   //    SINGLE-BATCH ASSUMPTION (like q_emit_on_change_live): no
   //    maxFilesPerTrigger, one AvailableNow batch, so the time-sorted
   //    fold sees no late records and retention eviction never cuts a
-  //    live window. Missing sides surface as -1 sentinels in BOTH
-  //    engines (BIGINT-cast in the oracle).
+  //    live window. AvailableNow computes both sources' offsets ONCE at
+  //    start, so both sides land in the same micro-batch — unlike a
+  //    continuously-triggered query, where a trigger can fire between
+  //    two sources' feeds and split them (EagerJoinPropertySpec pins the
+  //    operator against a naive model under exactly such multi-batch
+  //    replays). Missing sides surface as -1 sentinels in BOTH engines
+  //    (BIGINT-cast in the oracle).
   q("q_interval_join_eager",
     """WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
       |     c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
