@@ -472,12 +472,35 @@ object Bench {
   //  3. explicit checkpoint locations under benchDir (the r10 stack
   //     died in ChecksumFs temp-file creation on the /tmp default).
   @volatile private var deadlineNs: Long = Long.MaxValue
-  private def budgetOk: Boolean = System.nanoTime() < deadlineNs
+  // r12 (VERDICT #1a): deadline for the CURRENT phase. Full attempts run
+  // against `deadline - guard reserve` (~22% of the budget by default) so
+  // the targeted guard ALWAYS has wall-clock left to re-run streaming
+  // pins and ceiling-capped suspects — r11's driver artifact burned the
+  // whole 2700 s on one contention-slowed full attempt and committed
+  // `contended: true` with 18 unresolved suspects and targeted_passes: 0.
+  // The guard phase lifts this back to the true deadline.
+  @volatile private var phaseDeadlineNs: Long = Long.MaxValue
+  private def budgetOk: Boolean =
+    System.nanoTime() < math.min(deadlineNs, phaseDeadlineNs)
+  // r12 (VERDICT #1b): mid-attempt co-tenant abort. During a FULL attempt
+  // every ~10th workload gate runs one full-width spin against the
+  // machine's quiet floor; a reading past 1.6x the floor (idle-JVM noise
+  // tops out ~1.5x — r11 three-run evidence; the r10/r11 co-tenant
+  // signatures read 1.7x and 6.4x) means a co-tenant arrived, so the
+  // attempt stops measuring base-scale entries (samples already taken
+  // stay, min-median merge keeps the quick ones) and falls through to
+  // the targeted guard, which re-runs everything never measured.
+  @volatile private var attemptAborted = false
+  @volatile private var midProbe: () => Unit = () => ()
   private val skippedWls = scala.collection.mutable.LinkedHashSet.empty[String]
-  /** Budget gate for one workload: true to run; false records the skip. */
-  private def budgetGate(wl: String): Boolean =
-    if (budgetOk) true
+  /** Budget gate for one workload: true to run; false records the skip
+    * (budget exhausted OR the attempt was aborted mid-suite — either way
+    * the workload becomes a targeted-guard suspect until measured). */
+  private def budgetGate(wl: String): Boolean = {
+    midProbe()
+    if (budgetOk && !attemptAborted) true
     else { skippedWls.synchronized(skippedWls += wl); false }
+  }
 
   private lazy val drainWatchdogS: Long =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_WATCHDOG_S", "120").toLong
@@ -519,6 +542,12 @@ object Bench {
     val budgetS =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toLong
     deadlineNs = System.nanoTime() + budgetS * 1000000000L
+    // guard-only reserve (r12, VERDICT #1a): the slice of the budget the
+    // full attempts may NOT consume, so the targeted guard always runs
+    val guardFrac =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARD_FRAC", "0.22").toDouble
+    phaseDeadlineNs =
+      System.nanoTime() + (budgetS * (1.0 - guardFrac) * 1e9).toLong
     // wipe the checkpoint tree from any prior run (fresh state per query)
     try {
       val ck = new java.io.File(benchDir, "ckpt")
@@ -840,7 +869,8 @@ object Bench {
         contrastive: (Double, Int), loadStart: Double, loadEnd: Double,
         calibStart: Double, calibEnd: Double, calibRatio: Double,
         pcalibStart: Double, pcalibEnd: Double, pcalibRatio: Double,
-        pcalibVsQuiet: Double, streamProbeMs: Double, streamQuiet: Boolean)
+        pcalibVsQuiet: Double, streamProbeMs: Double, streamQuiet: Boolean,
+        aborted: Boolean)
 
     def oneAttempt(pass: String => Boolean, full: Boolean,
         first: Boolean = false): Attempt = {
@@ -852,14 +882,41 @@ object Bench {
       val calibStartMs = calibrationSpinMs()
       val pcalibStartMs = parallelSpinMs(spinThreads)
       quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, pcalibStartMs))
+      // arm the mid-attempt abort probe (full attempts only — a targeted
+      // pass is already the fall-through and must keep measuring)
+      attemptAborted = false
+      var gateCalls = 0
+      midProbe =
+        if (!full) () => ()
+        else () => {
+          gateCalls += 1
+          if (gateCalls % 10 == 0 && !attemptAborted && budgetOk) {
+            val spin = parallelSpinMs(spinThreads)
+            quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, spin))
+            if (spin > 1.6 * quietSpinMs) {
+              attemptAborted = true
+              System.err.println(
+                f"[bench] mid-attempt spin $spin%.0f ms > 1.6x floor " +
+                  f"$quietSpinMs%.0f ms - co-tenant arrived; aborting this " +
+                  "attempt, remaining workloads go to the targeted guard")
+            }
+          }
+        }
 
       // idle-path micro-batch latency rides the START of a full attempt
       // (r11): through r10 it ran after the batch + 10x sections, where
       // the JVM's GC backlog inflated the percentiles ~3x — the
       // EndToEndLatency analogue wants the cleanest idle-path reading,
       // which is right here, before any heavy work
+      // belt-and-suspenders (r12 ADVICE): the probe has its own internal
+      // catch, but a failure here must NEVER abort the suite before the
+      // artifact is printed (the rc-124 class of outcome)
       val lat =
-        if (full && budgetOk) latencyPercentiles(spark)
+        if (full && budgetOk)
+          try latencyPercentiles(spark)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] latency probe crashed: $e")
+            Map.empty[String, Double] }
         else Map.empty[String, Double]
 
       // one UNTIMED warmup execution, then benchRuns (≥3) timed
@@ -1289,13 +1346,14 @@ object Bench {
           launchVsQuiet > 1.5)) ||
         calibRatio > 1.5
 
+      midProbe = () => () // disarm — end probes above already ran
       Attempt(contended,
         results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
           streaming ++ x10Results,
         lat, streamLat, (contrastiveRecall10, contrastiveNProbe10),
         loadStart, loadEnd, calibStartMs, calibEndMs, calibRatio,
         pcalibStartMs, pcalibEndMs, pcalibRatio, pcalibVsQuiet,
-        streamProbeMs, streamQuiet)
+        streamProbeMs, streamQuiet, attemptAborted)
     } // oneAttempt
 
     // ---- retry policy (r10): whole-suite retries chase a CONTENDED or
@@ -1339,15 +1397,17 @@ object Bench {
     val suspectCeilingSec: Map[String, Double] =
       if (sfTag != "sf0.1") Map.empty
       else Map(
-        // >= ~0.8x the r6 58k rec/s window-store baseline
-        "window-store" -> (streamRecords / 46000.0),
-        // healthy r9 readings: 204k / 160k / 101k rec/s — floors at ~0.5x
-        "state-store" -> (streamRecords / 100000.0),
-        "stream-table-join-live" -> (streamRecords / 80000.0),
-        // r11: the memory-sink drag is out of the timed path (the sink
-        // A/B measured noop 123-157k vs memory 16-83k rec/s at 1M) —
-        // the floor rises from 60k to 90k
-        "yahoo-streaming" -> (streamRecords / 90000.0),
+        // r12 re-pin (VERDICT #2): floors at ~0.7x the r11 quiet-box
+        // medians (two independent quiet runs each — judge 141.3k /
+        // builder 136k, judge 223.2k / builder 218k, judge 222.5k /
+        // builder 199k, judge 148.8k yahoo). The old floors (46k / 100k
+        // / 80k / 90k) would have accepted a 2x real regression silently.
+        // (floor basis = 0.7x the LOWER of the two quiet runs, so honest
+        // run-to-run variance doesn't read as a regression)
+        "window-store" -> (streamRecords / 95000.0),
+        "state-store" -> (streamRecords / 152000.0),
+        "stream-table-join-live" -> (streamRecords / 139000.0),
+        "yahoo-streaming" -> (streamRecords / 104000.0),
         // batch steady states (r8/r9 healthy runs, BASELINE.md)
         "dedup-jaccard" -> 4.0,
         "ann-cosine-topk" -> 1.7)
@@ -1394,22 +1454,32 @@ object Bench {
 
     // suspect = median above 3x its same-sf prior / pinned ceiling, OR
     // (r11) the winning sample was measured under a NON-quiet streaming
-    // segment probe — re-run until the probe reads quiet or the re-run
-    // budget is spent
-    def suspectsNow(): Set[String] = merged.iterator.collect {
-      case (wl, s) if rerunCounts(wl) < 2 &&
-          (!everQuiet.contains(wl) ||
-           priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
-           suspectCeilingSec.get(wl).exists(c => s.median > c)) => wl
-    }.toSet
+    // segment probe, OR (r12) a workload never measured at all because a
+    // full attempt aborted or ran out of its reserved slice — re-run
+    // until the probe reads quiet or the re-run budget is spent
+    def suspectsNow(): Set[String] = {
+      val measured = merged.iterator.collect {
+        case (wl, s) if rerunCounts(wl) < 2 &&
+            (!everQuiet.contains(wl) ||
+             priorMedians.get(wl).exists(p => s.median > 3.0 * p) ||
+             suspectCeilingSec.get(wl).exists(c => s.median > c)) => wl
+      }.toSet
+      val missed = skippedWls.synchronized(skippedWls.toSet)
+        .filterNot(merged.contains).filter(rerunCounts(_) < 2)
+      measured ++ missed
+    }
 
     var attempt = 1
     var a = oneAttempt(_ => true, full = true, first = true)
     absorb(a)
     var quietest = a
     // every loop is ALSO bounded by the wall-clock budget (r11): a busy
-    // machine must produce a partial-but-parsed artifact, never rc 124
-    while (attempt < maxAttempts && budgetOk &&
+    // machine must produce a partial-but-parsed artifact, never rc 124.
+    // An ABORTED attempt (r12: mid-attempt co-tenant spin) skips the
+    // whole-suite retry entirely — the co-tenant is still there, so a
+    // second 28-minute full pass would burn the reserve for nothing;
+    // the targeted guard re-runs everything unmeasured instead.
+    while (attempt < maxAttempts && budgetOk && !a.aborted &&
         (a.contended || a.calibRatio > 1.15)) {
       System.err.println(
         f"[bench] attempt $attempt ${if (a.contended) "CONTENDED" else "noisy"} " +
@@ -1422,7 +1492,10 @@ object Bench {
     }
     // targeted per-workload re-runs (bounded: <= 3 extra passes, <= 2
     // re-runs per workload, budget) — each pass re-measures ONLY the
-    // suspects and the min-median merge keeps whichever sample was quicker
+    // suspects and the min-median merge keeps whichever sample was
+    // quicker. The guard phase runs against the TRUE deadline: the
+    // reserve the full attempts could not consume is spent here (r12)
+    phaseDeadlineNs = Long.MaxValue
     var targetedPasses = 0
     var sus = suspectsNow()
     val rerunLog = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1568,8 +1641,15 @@ object Bench {
     implicit val sqlCtx = spark.sqlContext
     val streamWls = Seq("yahoo-streaming", "stream-table-join-live",
       "state-store", "window-store")
-    if (!streamWls.exists(w => pass(w) && budgetOk))
+    if (!streamWls.exists(pass)) return (Seq.empty, Map.empty, -1.0, true)
+    if (!budgetOk || attemptAborted) {
+      // record the skips so the targeted guard re-runs them (r12) —
+      // through r11 a budget-exhausted full attempt silently dropped the
+      // whole streaming section from the suspect set
+      streamWls.filter(pass).foreach(w =>
+        skippedWls.synchronized(skippedWls += w))
       return (Seq.empty, Map.empty, -1.0, true)
+    }
     // segment probe (r11): the 1-min loadavg is polluted by our OWN
     // just-finished batch section, so the streaming segment's contention
     // signal is the instantaneous full-width spin against the machine's

@@ -202,6 +202,99 @@ object UnigramKernel {
   }
 }
 
+/** Integer-lattice forward-backward (r12): [[UnigramKernel.marginals]]
+  * re-founded on the fixed-point log2 grid so the soft E-step is
+  * bit-exact cross-engine — logsumexp via [[graft.functions.UnigramIntLm
+  * .logAdd]] (delta-LUT), posterior occurrence weights via
+  * [[graft.functions.UnigramIntLm.exp2Fp]] (2^-20 count units). Same
+  * lattice, same scan order (positions ascending, candidate lengths
+  * longest-first) as the float kernel; the SQL mirror nests the logadd
+  * chain in exactly the longest-first fold order, since quantized logadd
+  * is commutative but NOT associative. */
+object UnigramIntKernel {
+  import graft.functions.UnigramIntLm.{NegInf, exp2Fp, logAdd}
+
+  private def forward(cps: Array[Int], n: Int,
+      vocab: java.util.HashMap[String, java.lang.Long], maxLen: Int): Array[Long] = {
+    val a = Array.fill(n + 1)(NegInf)
+    a(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var l = math.min(maxLen, j)
+      while (l >= 1) {
+        val i = j - l
+        if (a(i) != NegInf) {
+          val p = vocab.get(new String(cps, i, l))
+          if (p != null) a(j) = logAdd(a(j), a(i) + p)
+        }
+        l -= 1
+      }
+      j += 1
+    }
+    a
+  }
+
+  /** Posterior expected piece counts in 2^-20 fixed-point units:
+    * weight per occurrence w[i..i+l) = exp2Fp(max(0, logZ − (α(i) +
+    * score + β(i+l)))) — the deficit clamps at 0 because LUT rounding
+    * can nudge one path's score a few ulps past the quantized total.
+    * Empty map when the word is uncoverable. */
+  def marginalsFp(w: UTF8String, vocab: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    val cps = w.toString.codePoints().toArray
+    val n = cps.length
+    val acc = new java.util.LinkedHashMap[String, java.lang.Long]()
+    if (n > 0) {
+      val a = forward(cps, n, vocab, maxLen)
+      if (a(n) != NegInf) {
+        val b = Array.fill(n + 1)(NegInf)
+        b(n) = 0L
+        var i = n - 1
+        while (i >= 0) {
+          var l = math.min(maxLen, n - i)
+          while (l >= 1) {
+            if (b(i + l) != NegInf) {
+              val p = vocab.get(new String(cps, i, l))
+              if (p != null) b(i) = logAdd(b(i), p + b(i + l))
+            }
+            l -= 1
+          }
+          i -= 1
+        }
+        i = 0
+        while (i < n) {
+          var l = math.min(maxLen, n - i)
+          while (l >= 1) {
+            if (a(i) != NegInf && b(i + l) != NegInf) {
+              val piece = new String(cps, i, l)
+              val p = vocab.get(piece)
+              if (p != null) {
+                val wgt = exp2Fp(math.max(0L, a(n) - (a(i) + p + b(i + l))))
+                val prev = acc.get(piece)
+                acc.put(piece, if (prev == null) wgt else prev + wgt)
+              }
+            }
+            l -= 1
+          }
+          i += 1
+        }
+      }
+    }
+    val keys = new Array[Any](acc.size)
+    val vals = new Array[Any](acc.size)
+    val it = acc.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue.longValue()
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}
+
 /** `unigram_segment(word)` under a run-provided (piece -> logprob) model;
   * the model ships as a task-binary reference object, bounded small by
   * contract (seed top-K + alphabet). */
@@ -259,6 +352,27 @@ case class UnigramMarginals(child: Expression,
     copy(child = newChild)
 }
 
+/** `unigram_marginals_fp(word)` — posterior expected piece counts in
+  * 2^-20 fixed-point units under an INTEGER (piece -> fixed-point log2)
+  * model: the soft E-step on the bit-exact grid (r12). */
+case class UnigramMarginalsFp(child: Expression,
+    vocab: java.util.HashMap[String, java.lang.Long], maxPieceLen: Int)
+    extends UnaryExpression {
+  require(maxPieceLen >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType,
+      org.apache.spark.sql.types.LongType, valueContainsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramIntKernel.marginalsFp(input.asInstanceOf[UTF8String], vocab, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramIntVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.UnigramIntKernel.marginalsFp($c, $ref, $maxPieceLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramMarginalsFp =
+    copy(child = newChild)
+}
+
 /** `unigram_marginal_score(word)` — log Z(w), the marginal likelihood over
   * all segmentations (the soft-EM objective term; NaN when uncoverable). */
 case class UnigramMarginalScore(child: Expression,
@@ -297,4 +411,10 @@ object Unigram {
 
   def marginalScore(c: Column, logProbs: Map[String, Double], maxPieceLen: Int = 6): Column =
     column(UnigramMarginalScore(expression(c), toMap(logProbs), maxPieceLen))
+
+  def marginalsFp(c: Column, scoresFp: Map[String, Long], maxPieceLen: Int = 6): Column = {
+    val m = new java.util.HashMap[String, java.lang.Long](scoresFp.size * 2)
+    scoresFp.foreach { case (k, v) => m.put(k, v) }
+    column(UnigramMarginalsFp(expression(c), m, maxPieceLen))
+  }
 }

@@ -20,6 +20,22 @@ import Catalog.dec2
   */
 object DataEng extends Catalog {
 
+  /** Bounded-cell contract, ENFORCED at runtime (r12 VERDICT #6): the
+    * layout/histogram queries below run an UNPARTITIONED cum-count window
+    * over a cell table that is grid-bounded by construction (<= 65,536 /
+    * <= 4,096 rows) — safe, but a future edit to the grid constants could
+    * silently single-task a corpus-sized table through that window. This
+    * guard asserts the cell KEY domain row-by-row on the (bounded) cell
+    * table itself: zero extra passes, and the filter node survives column
+    * pruning where a projected-then-dropped assert would not. PlanSpec
+    * pins the guard's presence in the executed plan. */
+  private[graft] def boundedCells(cells: org.apache.spark.sql.DataFrame,
+      key: String, limit: Long, who: String): org.apache.spark.sql.DataFrame =
+    cells.where(assert_true(col(key) >= 0 && col(key) < limit,
+      lit(s"$who: cell key '$key' escaped [0, $limit) — the bounded " +
+        "unpartitioned-window contract requires a grouped re-derivation " +
+        "before widening the grid")).isNull)
+
   // ------------------------------------------------------------ reshaping
 
   // -- unpivot wide metrics to long form + per-metric rollup: the
@@ -363,7 +379,8 @@ object DataEng extends Catalog {
     // BOUNDED <= 65536 rows so the unpartitioned window is by-contract)
     // + per-cell partitioned row_number; fid = floor(rank * 64 / n)
     def files(key: String, label: String) = {
-      val cells = z.groupBy(key).agg(count(lit(1)).as("cn"))
+      val cells = boundedCells(z.groupBy(key).agg(count(lit(1)).as("cn")),
+        key, 65536L, "q_zorder_layout")
       val cum = cells.withColumn("bef",
         sum("cn").over(Window.orderBy(key)) - col("cn"))
       z.join(broadcast(cum.select(col(key), col("bef"))), key)
@@ -509,7 +526,8 @@ object DataEng extends Catalog {
       col("zv"), col("lv"), col("acc").as("hv"))
       .localCheckpoint() // grid + all three curve keys computed once
     def files(key: String, label: String) = {
-      val cells = base.groupBy(key).agg(count(lit(1)).as("cn"))
+      val cells = boundedCells(base.groupBy(key).agg(count(lit(1)).as("cn")),
+        key, 65536L, "q_hilbert_layout")
       val cum = cells.withColumn("bef",
         sum("cn").over(Window.orderBy(key)) - col("cn"))
       base.join(broadcast(cum.select(col(key), col("bef"))), key)
@@ -999,8 +1017,10 @@ object DataEng extends Catalog {
       .groupBy("cid", "n")
       .agg(count(lit(1)).as("cn"), min("cents").as("lo_c"),
         max("cents").as("hi_c"))
-    // cum over the <= 4096-row cell table: bounded-by-construction window
-    g.withColumn("bef", sum("cn").over(Window.orderBy("cid")) - col("cn"))
+    // cum over the <= 4096-row cell table: bounded-by-construction window,
+    // contract enforced by the cid-domain guard
+    boundedCells(g, "cid", 4096L, "q_histogram_equidepth")
+      .withColumn("bef", sum("cn").over(Window.orderBy("cid")) - col("cn"))
       .select(expr("bef * 16 div n").as("bucket"), col("cn"), col("lo_c"),
         col("hi_c"))
       .groupBy("bucket")

@@ -3379,13 +3379,135 @@ object LlmPipeline extends Catalog {
        |  SELECT piece, c FROM cnt$r UNION ALL SELECT piece, 1 AS c FROM alpha)
        |  GROUP BY piece)""".stripMargin
 
+  // ------------------------------------------------ soft-EM mirror (r12)
+  // The forward-backward E-step of UnigramIntLm.trainSoft, CTE-for-CTE:
+  // logadd rides lut_la (delta quantized to the 2^-6 grid — see the
+  // Scaladoc's table-domain analysis), posterior occurrence weights ride
+  // lut_e2 in 2^-20 units, expected counts are BIGINT sums. Quantized
+  // logadd is commutative but NOT associative, so every chain nests in
+  // the kernel's exact longest-first fold order via lateral column
+  // aliases (m5..m1).
+
+  /** NULL-propagating fixed-point logadd over two column aliases. */
+  private def sqlLogAdd(a: String, b: String): String =
+    s"CASE WHEN $a IS NULL THEN $b WHEN $b IS NULL THEN $a ELSE " +
+      s"greatest($a, $b) + (SELECT lv FROM lut_la WHERE i = " +
+      s"least((greatest($a, $b) - least($a, $b)) >> 10, 1151)) END"
+
+  /** Longest-first logadd fold over candidate aliases c{lmax}..c1 as
+    * lateral-alias steps, final alias `a`. */
+  private def sqlLaChain(lmax: Int): String =
+    if (lmax == 1) "c1 AS a"
+    else (lmax - 1 to 1 by -1).map { k =>
+      val prev = if (k == lmax - 1) s"c$lmax" else s"m${k + 1}"
+      val alias = if (k == 1) "a" else s"m$k"
+      s"${sqlLogAdd(prev, s"c$k")} AS $alias"
+    }.mkString(",\n      ")
+
+  /** Forward lattice: alpha(j) per end position, 8 unrolled layers. */
+  private def unigramFwdCtes(r: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"fw${r}_0 AS (SELECT w, CAST(0 AS BIGINT) AS a FROM ws)"
+    for (j <- 1 to 8) {
+      val lmax = math.min(6, j)
+      val cands = (1 to lmax).map { l =>
+        s"CASE WHEN p$l.a IS NULL OR q$l.s IS NULL THEN NULL ELSE p$l.a + q$l.s END AS c$l"
+      }
+      val joins = (1 to lmax).map { l =>
+        val i = j - l
+        s"LEFT JOIN fw${r}_$i p$l ON p$l.w = ws.w " +
+          s"LEFT JOIN s$r q$l ON q$l.piece = substr(ws.w, ${i + 1}, $l)"
+      }
+      parts += s"""fw${r}_$j AS MATERIALIZED (SELECT w, a FROM (
+        SELECT ws.w, ${cands.mkString(",\n      ")},
+      ${sqlLaChain(lmax)}
+        FROM ws ${joins.mkString("\n        ")}
+        WHERE ws.len >= $j))"""
+    }
+    parts.result().mkString(",\n")
+  }
+
+  /** Backward lattice: beta(i), layers i = 7..0 (base beta(len) = 0). */
+  private def unigramBwdCtes(r: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"bw${r}_8 AS (SELECT w, CAST(0 AS BIGINT) AS a FROM ws WHERE len = 8)"
+    for (i <- 7 to 0 by -1) {
+      val lmax = math.min(6, 8 - i)
+      val cands = (1 to lmax).map { l =>
+        s"CASE WHEN p$l.a IS NULL OR q$l.s IS NULL THEN NULL ELSE q$l.s + p$l.a END AS c$l"
+      }
+      val joins = (1 to lmax).map { l =>
+        s"LEFT JOIN bw${r}_${i + l} p$l ON p$l.w = ws.w " +
+          s"LEFT JOIN s$r q$l ON q$l.piece = substr(ws.w, ${i + 1}, $l)"
+      }
+      parts += s"""bw${r}_$i AS MATERIALIZED (SELECT w, CASE WHEN len = $i THEN CAST(0 AS BIGINT) ELSE a END AS a FROM (
+        SELECT ws.w, ws.len, ${cands.mkString(",\n      ")},
+      ${sqlLaChain(lmax)}
+        FROM ws ${joins.mkString("\n        ")}
+        WHERE ws.len >= $i))"""
+    }
+    parts.result().mkString(",\n")
+  }
+
+  /** logZ per word + posterior expected counts in 2^-20 units: one
+    * branch per (start, len) occurrence slot, deficit clamped at 0
+    * (LUT rounding can nudge a path past the quantized total). */
+  private def unigramSoftCntCtes(r: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"z$r AS MATERIALIZED (${(1 to 8).map(j =>
+      s"SELECT f.w, f.a FROM fw${r}_$j f JOIN ws ON ws.w = f.w AND ws.len = $j")
+      .mkString(" UNION ALL ")})"
+    val branches = for (l <- 1 to 6; i <- 0 to 8 - l) yield
+      s"""SELECT ws.f, q.piece, greatest(0, z.a - (fi.a + q.s + bb.a)) AS d
+         FROM ws JOIN fw${r}_$i fi ON fi.w = ws.w
+         JOIN bw${r}_${i + l} bb ON bb.w = ws.w
+         JOIN s$r q ON q.piece = substr(ws.w, ${i + 1}, $l)
+         JOIN z$r z ON z.w = ws.w
+         WHERE fi.a IS NOT NULL AND bb.a IS NOT NULL AND z.a IS NOT NULL"""
+    parts += s"occ$r AS (${branches.mkString(" UNION ALL ")})"
+    parts += s"cnt$r AS (SELECT piece, CAST(sum(f * (CASE WHEN (d >> 16) > 20 " +
+      s"THEN 0 ELSE (SELECT ev FROM lut_e2 WHERE i = (d % 65536) >> 6) >> (d >> 16) END)) " +
+      s"AS BIGINT) AS c FROM occ$r GROUP BY piece)"
+    parts.result().mkString(",\n")
+  }
+
+  /** Soft M-step: keep expected count >= one use (2^20), alphabet
+    * floored at one use — UnigramLm's soft semantics, integer grid. */
+  private def unigramSoftMstepCte(r: Int): String =
+    s"""v${r + 1} AS MATERIALIZED (SELECT piece, CAST(max(c) AS BIGINT) AS c FROM (
+       |  SELECT piece, c FROM cnt$r UNION ALL SELECT piece, CAST(1048576 AS BIGINT) AS c FROM alpha)
+       |  GROUP BY piece HAVING max(c) >= 1048576)""".stripMargin
+
+  /** Soft-EM oracle chain: seed + 3 forward-backward rounds to s4. */
+  private lazy val UnigramSoftOracleBase: String = {
+    val la = graft.functions.UnigramIntLm.LogAddLut.mkString(",")
+    val e2 = graft.functions.UnigramIntLm.Exp2Lut.mkString(",")
+    val rounds = (1 to 3).map { r =>
+      s"""${unigramScoreCte(r, s"v$r")},
+         |${unigramFwdCtes(r)},
+         |${unigramBwdCtes(r)},
+         |${unigramSoftCntCtes(r)},
+         |${unigramSoftMstepCte(r)}""".stripMargin
+    }.mkString(",\n")
+    s"""lut_la AS MATERIALIZED (SELECT CAST(unnest(range(1152)) AS BIGINT) AS i,
+       |  unnest([$la]) AS lv),
+       |lut_e2 AS MATERIALIZED (SELECT CAST(unnest(range(1024)) AS BIGINT) AS i,
+       |  unnest([$e2]) AS ev),
+       |$UnigramSeedCtes,
+       |$rounds,
+       |${unigramScoreCte(4, "v4")}""".stripMargin
+  }
+
   /** LUT + word table + seed + 3 EM rounds, ending at the trained model
     * `s4(piece, s)`. Shared by q_unigram_train and q_unigram_encode.
     * The DP/walk unrolls cover words up to 8 code points — the verified
     * maximum over the driver's correctness corpora (sf0.01 AND sf0.1
     * both max at 8; the Spark side's kernel handles any length, so only
     * the ORACLE depends on this bound). */
-  private lazy val UnigramOracleBase: String = {
+  /** Shared seeding: ilog2 LUT, distinct-word table, top-400 + alphabet
+    * candidate counts (v1) — the common prefix of the hard and soft
+    * oracle chains. */
+  private lazy val UnigramSeedCtes: String = {
     val lut = graft.functions.UnigramIntLm.Log2Lut.mkString(",")
     s"""lut AS MATERIALIZED (SELECT CAST(unnest(range(1024)) AS BIGINT) AS i,
        |  unnest([$lut]) AS lv),
@@ -3407,7 +3529,11 @@ object LlmPipeline extends Catalog {
        |alpha AS (SELECT DISTINCT piece FROM chars),
        |v1 AS MATERIALIZED (SELECT piece, CAST(max(pf) AS BIGINT) AS c FROM
        |  (SELECT piece, pf FROM top UNION ALL SELECT piece, pf FROM chars)
-       |  GROUP BY piece),
+       |  GROUP BY piece)""".stripMargin
+  }
+
+  private lazy val UnigramOracleBase: String =
+    s"""$UnigramSeedCtes,
        |${unigramScoreCte(1, "v1")},
        |${unigramDpCtes(1)},
        |${unigramMstepCte(1)},
@@ -3418,7 +3544,6 @@ object LlmPipeline extends Catalog {
        |${unigramDpCtes(3)},
        |${unigramMstepCte(3)},
        |${unigramScoreCte(4, "v4")}""".stripMargin
-  }
 
   q("q_unigram_train",
     s"""WITH $UnigramOracleBase
@@ -3432,26 +3557,28 @@ object LlmPipeline extends Catalog {
   }
 
   // -- soft-EM twin of q_unigram_train: the paper's exact E-step
-  //    (forward-backward posterior expected counts over the lattice,
-  //    plans.UnigramMarginals) instead of hard Viterbi counts. The LAST
-  //    rows-only entry in the catalog (r11): the posterior weights ride
-  //    float logsumexp/exp, which has no engine-exact SQL mirror without
-  //    redefining the operator's arithmetic wholesale (the hard-EM twin
-  //    above IS that redefinition — fixed-point log2 — but soft EM also
-  //    needs exp and logsumexp LUT-ized, which would change the
-  //    published algorithm's E-step semantics, not just its number
-  //    format). The logZ>=Viterbi bound, brute-force logsumexp
-  //    agreement, objective dominance over hard EM and partition-
-  //    independence are pinned by UnigramLmSpec.
-  qNoOracle("q_unigram_train_soft") { (s, dir) =>
+  //    (forward-backward posterior expected counts over the lattice)
+  //    instead of hard Viterbi counts. FULL ORACLE since r12 — the LAST
+  //    rows-only entry promoted by re-founding the soft E-step on the
+  //    fixed-point grid (UnigramIntLm.trainSoft / UnigramIntKernel
+  //    .marginalsFp): logsumexp via the lut_la delta table, posterior
+  //    weights via the lut_e2 exp2 table in 2^-20 count units, expected
+  //    counts BIGINT sums, M-step keep/floor at one expected use. The
+  //    oracle unrolls 3 forward-backward rounds CTE-for-CTE, nesting
+  //    every logadd in the kernel's longest-first fold order (quantized
+  //    logadd does not associate). The FLOAT soft trainer (UnigramLm
+  //    soft=true) remains the production twin, pinned by UnigramLmSpec
+  //    (logZ>=Viterbi, brute-force logsumexp agreement, objective
+  //    dominance, partition-independence).
+  q("q_unigram_train_soft",
+    s"""WITH $UnigramSoftOracleBase
+       |SELECT piece, s AS logprob_fp FROM s4""") { (s, dir) =>
     val wf = spread(load(s, dir, "documents"))
       .select(explode(T.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f")).localCheckpoint()
-    val model = graft.functions.UnigramLm.train(wf, rounds = 3, soft = true)
+    val model = graft.functions.UnigramIntLm.trainSoft(wf, rounds = 3)
     import s.implicits._
-    model.logProbs.toSeq.sortBy(_._1)
-      .map { case (p, lp) => (p, math.rint(lp * 1e6) / 1e6) }
-      .toDF("piece", "logprob")
+    model.toSeq.sortBy(_._1).toDF("piece", "logprob_fp")
   }
 
   // -- encode under the trained integer model: FULL ORACLE since r11 —

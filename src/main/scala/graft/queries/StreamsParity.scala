@@ -1256,7 +1256,10 @@ object StreamsParity extends Catalog {
   //    Deterministic fold order = (full-precision ts, left-before-right),
   //    so the emitted multiset is SQL-expressible:
   //      * every in-window (v, c) pair emits exactly ONCE — at the later
-  //        arrival in fold order;
+  //        arrival in fold order, against the later side's 0-CLAMPED
+  //        fetch window (GREATEST(0, t - before) — the reference's
+  //        Math.max(0L, ts - before), mirrored per fold-order branch so
+  //        records within a window width of epoch 0 cannot diverge);
   //      * a view emits (v, null) iff NO click folded BEFORE it (c.ts <
   //        v.ts at full precision) lies in its window;
   //      * a click emits (null, c) iff NO view folded before it (v.ts <=
@@ -1280,20 +1283,24 @@ object StreamsParity extends Catalog {
       |     c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
       |pairs AS (
       |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
-      |  FROM v JOIN c ON v.user_id = c.user_id
-      |    AND epoch_ms(c.ts) BETWEEN epoch_ms(v.ts) - 600000
-      |                           AND epoch_ms(v.ts) + 3600000),
+      |  FROM v JOIN c ON v.user_id = c.user_id AND (
+      |    (c.ts < v.ts
+      |      AND epoch_ms(c.ts) BETWEEN GREATEST(0, epoch_ms(v.ts) - 600000)
+      |                             AND epoch_ms(v.ts) + 3600000)
+      |    OR (v.ts <= c.ts
+      |      AND epoch_ms(v.ts) BETWEEN GREATEST(0, epoch_ms(c.ts) - 3600000)
+      |                             AND epoch_ms(c.ts) + 600000))),
       |lnull AS (
       |  SELECT v.user_id, v.event_id AS view_id, CAST(-1 AS BIGINT) AS click_id
       |  FROM v WHERE NOT EXISTS (SELECT 1 FROM c
       |    WHERE c.user_id = v.user_id AND c.ts < v.ts
-      |      AND epoch_ms(c.ts) >= epoch_ms(v.ts) - 600000
+      |      AND epoch_ms(c.ts) >= GREATEST(0, epoch_ms(v.ts) - 600000)
       |      AND epoch_ms(c.ts) <= epoch_ms(v.ts) + 3600000)),
       |rnull AS (
       |  SELECT c.user_id, CAST(-1 AS BIGINT) AS view_id, c.event_id AS click_id
       |  FROM c WHERE NOT EXISTS (SELECT 1 FROM v
       |    WHERE v.user_id = c.user_id AND v.ts <= c.ts
-      |      AND epoch_ms(v.ts) >= epoch_ms(c.ts) - 3600000
+      |      AND epoch_ms(v.ts) >= GREATEST(0, epoch_ms(c.ts) - 3600000)
       |      AND epoch_ms(v.ts) <= epoch_ms(c.ts) + 600000))
       |SELECT * FROM pairs
       |UNION ALL SELECT * FROM lnull
@@ -1314,11 +1321,33 @@ object StreamsParity extends Catalog {
       views, clicks, beforeMs = 600000L, afterMs = 3600000L, graceMs = 0L,
       outer = true) { (lv, rv) => (lv.getOrElse(-1L), rv.getOrElse(-1L)) }
     val name = s"ije_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    joined.toDF().writeStream.format("memory").queryName(name)
+    // bench hygiene (r12 ADVICE): this is a TIMED workload (base + 10x),
+    // so the drain is bounded (a wedged checkpoint write must fail the
+    // sample, not hang the suite), the checkpoint lives under target/
+    // (the /tmp default is the r10 ChecksumFs failure location), and the
+    // per-invocation memory table is dropped after a localCheckpoint —
+    // otherwise each of the suite's runs pins a full join output in
+    // driver memory for the rest of the process
+    val ckpt = new java.io.File(s"target/ckpt/$name").getAbsolutePath
+    val query = joined.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-      .awaitTermination()
-    s.table(name).select(col("_1").as("user_id"),
+    if (!query.awaitTermination(600000L)) {
+      query.stop()
+      sys.error("q_interval_join_eager drain exceeded 600s")
+    }
+    val out = s.table(name).select(col("_1").as("user_id"),
       col("_2._1").as("view_id"), col("_2._2").as("click_id"))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    try { // the join's per-key state is corpus-sized — don't let N runs stack
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(ckpt)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(x => x.toFile.delete())
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out
   }
 
   // -- KTable⋈KTable outer (KTableKTableOuterJoin.java): either side may

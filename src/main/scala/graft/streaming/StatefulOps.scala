@@ -430,6 +430,30 @@ object StatefulOps {
             state.getOption.getOrElse(
               (Vector.empty[(Long, Array[Byte], K, V)], Long.MinValue))
           val out = Vector.newBuilder[(K, V)]
+          // r12 (VERDICT #3): the sorted-buffer treatment intervalJoinEager
+          // got in r11 — the buffer was ALWAYS kept (time, keyBytes)-sorted
+          // (so checkpointed state needs no migration), but each arrival
+          // paid two O(B) indexWhere scans: one to find a buffered key's
+          // slot for the non-resetting re-put, one to find the insertion
+          // point. Now: a key -> (time, bytes) map (rebuilt once per
+          // batch from state) locates a re-put's slot coordinates, and a
+          // binary search over the sorted buffer turns both lookups into
+          // O(log B). Output is byte-identical (SuppressOrderedPropertySpec
+          // pins it against the naive linear-scan model under randomized
+          // multi-batch replays).
+          def bsearch(t: Long, kb: Array[Byte]): Int = {
+            var lo = 0; var hi = buf.length
+            while (lo < hi) {
+              val m = (lo + hi) >>> 1
+              val e = buf(m)
+              val c = if (e._1 != t) java.lang.Long.compare(e._1, t)
+                      else compareUnsigned(e._2, kb)
+              if (c < 0) lo = m + 1 else hi = m
+            }
+            lo
+          }
+          val slot = scala.collection.mutable.HashMap.empty[K, (Long, Array[Byte])]
+          buf.foreach(e => slot(e._3) = (e._1, e._2))
           // arrivals fold in record-ts order (stable) — the micro-batch
           // iterator carries no order contract, the reference's process()
           // sees records in stream order
@@ -437,25 +461,27 @@ object StatefulOps {
             case (k, v, ts) =>
             val t = ts.getTime
             if (t > streamTime) streamTime = t
-            val i = buf.indexWhere(_._3 == k)
-            if (i >= 0) // non-resetting put: keep the (time, bytes) slot
-              buf = buf.updated(i, (buf(i)._1, buf(i)._2, k, v))
-            else {
-              val kb = serdeKeyBytes(k)
-              val pos = buf.indexWhere(e =>
-                e._1 > t || (e._1 == t && compareUnsigned(e._2, kb) > 0))
-              val entry = (t, kb, k, v)
-              buf = if (pos < 0) buf :+ entry
-                    else (buf.take(pos) :+ entry) ++ buf.drop(pos)
+            slot.get(k) match {
+              case Some((et, ekb)) => // non-resetting put: keep the slot
+                buf = buf.updated(bsearch(et, ekb), (et, ekb, k, v))
+              case None =>
+                val kb = serdeKeyBytes(k)
+                val pos = bsearch(t, kb)
+                val entry = (t, kb, k, v)
+                buf = if (pos == buf.length) buf :+ entry
+                      else (buf.take(pos) :+ entry) ++ buf.drop(pos)
+                slot(k) = (t, kb)
             }
             // time-limit eviction, oldest first
             val expiry = streamTime - delayMs
             while (buf.nonEmpty && buf.head._1 <= expiry) {
-              out += ((buf.head._3, buf.head._4)); buf = buf.tail
+              out += ((buf.head._3, buf.head._4))
+              slot.remove(buf.head._3); buf = buf.tail
             }
             // EMIT overflow policy: evict the OLDEST while over capacity
             while (buf.size > maxRecordsPerBuffer) {
-              out += ((buf.head._3, buf.head._4)); buf = buf.tail
+              out += ((buf.head._3, buf.head._4))
+              slot.remove(buf.head._3); buf = buf.tail
             }
           }
           state.update((buf, streamTime))
@@ -506,6 +532,19 @@ object StatefulOps {
         var (lbuf, rbuf, streamTime) =
           state.getOption.getOrElse(
             (Vector.empty[(Long, VL)], Vector.empty[(Long, VO)], Long.MinValue))
+        // checkpoint compatibility (r12 ADVICE): state written by the
+        // pre-r11 fold-order implementation can be unsorted across
+        // batches (late records within grace appended out of order) —
+        // the binary-search bounds below would silently miss matches on
+        // such a buffer. One O(B) sortedness check per group per batch;
+        // the STABLE re-sort preserves arrival order at equal
+        // timestamps, which is exactly insertSorted's placement.
+        def timeSorted[A](b: Vector[(Long, A)]): Vector[(Long, A)] = {
+          var i = 1
+          while (i < b.length && b(i - 1)._1 <= b(i)._1) i += 1
+          if (i >= b.length) b else b.sortBy(_._1)
+        }
+        lbuf = timeSorted(lbuf); rbuf = timeSorted(rbuf)
         val out = Vector.newBuilder[(K, VR)]
         // time-SORTED buffers with binary-search slice bounds (r11):
         // per-arrival cost O(log B + matches + insert) instead of a full

@@ -502,11 +502,16 @@ class PlanSpec extends AnyFunSuite {
   test("z-order layout: rank windows ride the bounded cell histogram") {
     // the ONLY unpartitioned windows are the cum-count over the <=65536-
     // row cell table (HashAggregate child = the bounding node); the
-    // per-cell row_number is partitioned; no cartesian anywhere
+    // per-cell row_number is partitioned; no cartesian anywhere. The
+    // bound is ENFORCED, not narrated (r12): the cell-key domain guard
+    // (DataEng.boundedCells assert_true filter) must survive into the
+    // executed plan, so a future grid-constant edit fails loudly instead
+    // of single-tasking a corpus-sized table through the window.
     assertUnpartitionedWindowsBounded(
       SparkEntry.queries("q_zorder_layout")(spark, dir), "q_zorder_layout")
     val plan = planOf("q_zorder_layout")
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("raise_error"), "cell-domain guard pruned from plan")
   }
 
   test("SCD2 history: both validity windows share one user_id shuffle") {
@@ -551,7 +556,22 @@ class PlanSpec extends AnyFunSuite {
     assertUnpartitionedWindowsBounded(
       SparkEntry.queries("q_histogram_equidepth")(spark, dir),
       "q_histogram_equidepth")
-    assert(!planOf("q_histogram_equidepth").contains("CartesianProduct"))
+    val plan = planOf("q_histogram_equidepth")
+    assert(!plan.contains("CartesianProduct"))
+    // the <=4096-cell contract is enforced in-plan (r12; see z-order pin)
+    assert(plan.contains("raise_error"), "cell-domain guard pruned from plan")
+  }
+
+  test("boundedCells guard THROWS when a cell key escapes its grid domain") {
+    import spark.implicits._
+    val cells = Seq((0L, 5L), (99999L, 7L)).toDF("lv", "cn")
+    val e = intercept[Exception] {
+      graft.queries.DataEng.boundedCells(cells, "lv", 65536L, "spec").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bounded")), msgs(e).mkString(" | "))
   }
 
   test("PMI collocations: lexicon broadcasts, top-100 is TakeOrdered") {
