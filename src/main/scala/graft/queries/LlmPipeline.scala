@@ -3394,15 +3394,28 @@ object LlmPipeline extends Catalog {
       s"greatest($a, $b) + (SELECT lv FROM lut_la WHERE i = " +
       s"least((greatest($a, $b) - least($a, $b)) >> 10, 1151)) END"
 
-  /** Longest-first logadd fold over candidate aliases c{lmax}..c1 as
-    * lateral-alias steps, final alias `a`. */
-  private def sqlLaChain(lmax: Int): String =
-    if (lmax == 1) "c1 AS a"
-    else (lmax - 1 to 1 by -1).map { k =>
-      val prev = if (k == lmax - 1) s"c$lmax" else s"m${k + 1}"
-      val alias = if (k == 1) "a" else s"m$k"
-      s"${sqlLogAdd(prev, s"c$k")} AS $alias"
-    }.mkString(",\n      ")
+  /** Longest-first logadd fold over candidate columns c{lmax}..c1,
+    * realized as NESTED subselects (DuckDB rejects lateral-alias
+    * references to expressions containing subqueries, and the lut_la
+    * lookup is one): each level consumes one candidate, carries the
+    * rest plus `passthrough` columns, final alias `a`. */
+  private def sqlLaNest(lmax: Int, inner: String,
+      passthrough: Seq[String] = Seq("w")): String = {
+    val pt = passthrough.mkString(", ")
+    if (lmax == 1) s"SELECT $pt, c1 AS a FROM ($inner)"
+    else {
+      var cur = inner
+      var prev = s"c$lmax"
+      for (k <- lmax - 1 to 1 by -1) {
+        val alias = if (k == 1) "a" else s"m$k"
+        val keep = (1 until k).map(i => s"c$i")
+        val cols = (passthrough ++ keep).mkString(", ")
+        cur = s"SELECT $cols, ${sqlLogAdd(prev, s"c$k")} AS $alias FROM ($cur)"
+        prev = s"m$k"
+      }
+      cur
+    }
+  }
 
   /** Forward lattice: alpha(j) per end position, 8 unrolled layers. */
   private def unigramFwdCtes(r: Int): String = {
@@ -3418,11 +3431,10 @@ object LlmPipeline extends Catalog {
         s"LEFT JOIN fw${r}_$i p$l ON p$l.w = ws.w " +
           s"LEFT JOIN s$r q$l ON q$l.piece = substr(ws.w, ${i + 1}, $l)"
       }
-      parts += s"""fw${r}_$j AS MATERIALIZED (SELECT w, a FROM (
-        SELECT ws.w, ${cands.mkString(",\n      ")},
-      ${sqlLaChain(lmax)}
+      val inner = s"""SELECT ws.w, ${cands.mkString(",\n      ")}
         FROM ws ${joins.mkString("\n        ")}
-        WHERE ws.len >= $j))"""
+        WHERE ws.len >= $j"""
+      parts += s"fw${r}_$j AS MATERIALIZED (${sqlLaNest(lmax, inner)})"
     }
     parts.result().mkString(",\n")
   }
@@ -3440,11 +3452,12 @@ object LlmPipeline extends Catalog {
         s"LEFT JOIN bw${r}_${i + l} p$l ON p$l.w = ws.w " +
           s"LEFT JOIN s$r q$l ON q$l.piece = substr(ws.w, ${i + 1}, $l)"
       }
-      parts += s"""bw${r}_$i AS MATERIALIZED (SELECT w, CASE WHEN len = $i THEN CAST(0 AS BIGINT) ELSE a END AS a FROM (
-        SELECT ws.w, ws.len, ${cands.mkString(",\n      ")},
-      ${sqlLaChain(lmax)}
+      val inner = s"""SELECT ws.w, ws.len, ${cands.mkString(",\n      ")}
         FROM ws ${joins.mkString("\n        ")}
-        WHERE ws.len >= $i))"""
+        WHERE ws.len >= $i"""
+      parts += s"bw${r}_$i AS MATERIALIZED (SELECT w, " +
+        s"CASE WHEN len = $i THEN CAST(0 AS BIGINT) ELSE a END AS a FROM (" +
+        sqlLaNest(lmax, inner, Seq("w", "len")) + "))"
     }
     parts.result().mkString(",\n")
   }
