@@ -437,6 +437,40 @@ object TextFunctions {
           concat(acc, x))
         .otherwise(concat(acc, lit(" "), x)))
 
+  // ------------------------------------- byte-level BPE (GPT-2 family)
+
+  /** GPT-2-family byte-level pre-tokenizer pattern (Radford et al. 2019,
+    * `gpt2/encoder.py`; the tiktoken lineage), written in the common
+    * Java-regex/RE2 subset so Spark and DuckDB split identically:
+    *   - contraction suffixes first ('s 't 're 've 'm 'll 'd),
+    *   - then space-prefixed letter runs, digit runs, punctuation runs,
+    *   - then whitespace runs.
+    * Two documented deviations from the original, both deterministic:
+    * the final `\s+(?!\S)` lookahead is dropped (RE2 has no lookahead),
+    * so an N-space run before a word stays one whitespace pre-token
+    * instead of splitting N-1 / 1; and the whitespace class is the
+    * explicit `[ \t\r\n\f]` (Java's `\s` includes \x0B, RE2's does not —
+    * naming the bytes keeps the contract engine-independent). */
+  val BytePretokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\r\\n\\f\\p{L}\\p{N}]+|[ \\t\\r\\n\\f]+"
+
+  /** Byte-level pre-tokens of RAW text (no normalization — byte-level
+    * BPE's contract is lossless coverage): ordered regex matches; every
+    * character of the input lands in exactly one pre-token, so
+    * concatenating the pre-tokens reproduces the document. */
+  def bytePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(BytePretokenRe), lit(0))
+
+  /** Pre-token -> its initial byte-level symbol string: the UTF-8 bytes
+    * as space-joined 2-hex-digit symbols ("ab" -> "61 62", "é" -> "C3
+    * A9"). The 256 hex pairs ARE the byte alphabet (GPT-2's
+    * bytes_to_unicode is the same idea with printable glyphs), symbols
+    * never contain whitespace, and [[bpePairs]]/[[bpeMerge]] operate on
+    * the spaced encoding unchanged — merged symbols are just longer hex
+    * strings, decodable back to the exact byte sequence. */
+  def byteInit(w: Column): Column =
+    trim(regexp_replace(hex(encode(w, "UTF-8")), "(..)", "$1 "))
+
   // ------------------------------------------------------- PII scrubbing
 
   /** PII patterns written in the common Java-regex/RE2 subset (no

@@ -2825,6 +2825,71 @@ object LlmPipeline extends Catalog {
       .select(col("w"), T.bpeInit(col("w")).as("sw"), col("f"))
       .localCheckpoint()
 
+  /** One unrolled BPE replay round for the DuckDB oracle: p$k counts
+    * adjacent pairs over w${k-1}, m$k picks the (count desc, pair asc)
+    * winner, w$k applies it with the greedy list_reduce fold. Shared by
+    * the char-level (q_bpe_encode) and byte-level (q_bpe_byte_*) oracles
+    * so the two families cannot drift in fold semantics. */
+  private def sqlBpeReplayRound(k: Int): String =
+    s"""p$k AS (
+       |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(sw, ' ') AS s, f FROM w${k - 1}),
+       |       unnest(range(1, len(s))) AS u(i)
+       |  GROUP BY pair),
+       |m$k AS (
+       |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+       |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+       |w$k AS (
+       |  SELECT w, list_reduce(string_split(sw, ' '), (acc, x) ->
+       |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
+       |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
+       |  FROM w${k - 1} CROSS JOIN m$k AS m)"""
+
+  /** Replay `rounds` BPE merge rounds over a (w, sw, f) symbol table:
+    * per round, ONE partial-agg'd pair-count shuffle, a 1-row
+    * TakeOrderedAndProject winner (two driver scalars — never word
+    * data), the greedy fold applied distributedly, and a localCheckpoint
+    * truncating the round's lineage so the plan stays constant-size.
+    * Shared by the char-level encoder and the byte-level family. */
+  private def bpeReplay(words0: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    var words = words0
+    for (_ <- 1 to rounds) {
+      // same winner rule as the trainer: top pair by (count desc, pair)
+      val Array(a, b) = words
+        .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .head().getAs[String]("pair").split(" ", 2)
+      words = words
+        .select(col("w"), T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
+        .localCheckpoint()
+    }
+    words
+  }
+
+  /** DuckDB fragment: the byte-level pre-tokenizer regex as a SQL string
+    * literal (TextFunctions.BytePretokenRe, apostrophe doubled). */
+  private val SqlBytePretokenRe: String =
+    "'" + T.BytePretokenRe.replace("'", "''") + "'"
+
+  /** DuckDB fragment: pre-token -> initial hex-pair symbol string
+    * (mirror of TextFunctions.byteInit; hex() is uppercase in both
+    * engines, encode() is UTF-8 in both). */
+  private val SqlByteInit: String =
+    "trim(regexp_replace(hex(encode(w)), '(..)', '\\1 ', 'g'))"
+
+  /** Shared byte-BPE pre-token table: distinct GPT-2-style pre-tokens
+    * with frequency, each as its initial one-symbol-per-BYTE hex string.
+    * Checkpointed — the trainer replay and both byte queries iterate from
+    * here without re-pre-tokenizing the corpus. */
+  private[graft] def bpeBytePretokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+    spread(load(s, dir, "documents"))
+      .select(explode(T.bytePretokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("w"), T.byteInit(col("w")).as("sw"), col("f"))
+      .localCheckpoint()
+
   // -- BPE encoder: apply the trainer's first N learned merges (same
   //    [[BpeMergeRounds]] config as the trainer) to segment
   //    every distinct corpus word (the tokenize-with-the-learned-vocab
@@ -2839,47 +2904,116 @@ object LlmPipeline extends Catalog {
   //    oracle unrolls the same N winner-selection+merge rounds and encodes
   //    with the same list_reduce fold.
   q("q_bpe_encode", {
-    def round(k: Int) =
-      s"""p$k AS (
-         |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
-         |  FROM (SELECT string_split(sw, ' ') AS s, f FROM w${k - 1}),
-         |       unnest(range(1, len(s))) AS u(i)
-         |  GROUP BY pair),
-         |m$k AS (
-         |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-         |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-         |w$k AS (
-         |  SELECT w, list_reduce(string_split(sw, ' '), (acc, x) ->
-         |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
-         |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
-         |  FROM w${k - 1} CROSS JOIN m$k AS m)"""
     val n = BpeMergeRounds
     s"""WITH t AS (SELECT unnest($SqlTokens) AS w FROM documents),
        |wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
        |w0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS sw, f FROM wf),
-       |${(1 to n).map(round).mkString(",\n")}
+       |${(1 to n).map(sqlBpeReplayRound).mkString(",\n")}
        |SELECT w, sw AS segmentation,
        |  CAST(len(string_split(sw, ' ')) AS BIGINT) AS n_symbols,
        |  CAST(f AS BIGINT) AS f,
        |  CAST(f * len(string_split(sw, ' ')) AS BIGINT) AS corpus_symbols
        |FROM w$n"""
   }) { (s, dir) =>
-    var words = bpeWords(s, dir)
-    for (_ <- 1 to BpeMergeRounds) {
-      // same winner rule as the trainer: top pair by (count desc, pair)
-      val Array(a, b) = words
-        .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
-        .groupBy("pair").agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .head().getAs[String]("pair").split(" ", 2)
-      words = words
-        .select(col("w"), T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
-        .localCheckpoint()
-    }
+    val words = bpeReplay(bpeWords(s, dir), BpeMergeRounds)
     words.select(col("w"), col("sw").as("segmentation"),
       size(split(col("sw"), " ")).cast("long").as("n_symbols"),
       col("f"),
       (col("f") * size(split(col("sw"), " "))).as("corpus_symbols"))
+  }
+
+  // -- BYTE-level BPE encoder (Radford et al. 2019, GPT-2 `encoder.py`;
+  //    the tiktoken family — the tokenizer real LLM corpora are processed
+  //    with): GPT-2-regex pre-tokenization over RAW text (contractions,
+  //    space-prefixed letter/digit/punct runs, whitespace runs — the
+  //    common Java/RE2 subset, deviations documented at
+  //    TextFunctions.BytePretokenRe), a 256-token BYTE alphabet (UTF-8
+  //    bytes as hex-pair symbols — GPT-2's bytes_to_unicode with hex
+  //    glyphs), and the same (count desc, pair asc) merge replay as
+  //    q_bpe_encode over the distinct PRE-TOKEN table. Byte-level means
+  //    total coverage: every pre-token encodes (no [UNK] path exists),
+  //    and concatenating a segmentation's symbols reproduces the exact
+  //    UTF-8 bytes. Scale shape: identical to the char family — the
+  //    corpus collapses onto distinct pre-tokens first, each round is one
+  //    partial-agg'd shuffle + a 1-row TakeOrderedAndProject, the driver
+  //    holds two hex scalars per round, localCheckpoint keeps the plan
+  //    constant-size; encoding a full corpus is then a pre-token ->
+  //    segmentation equi-join (unhinted, AQE decides — see
+  //    q_bpe_byte_stats).
+  q("q_bpe_byte_encode", {
+    val n = BpeMergeRounds
+    s"""WITH pt AS (
+       |  SELECT unnest(regexp_extract_all(text, $SqlBytePretokenRe, 0)) AS w
+       |  FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM pt GROUP BY w),
+       |w0 AS (SELECT w, $SqlByteInit AS sw, f FROM wf),
+       |${(1 to n).map(sqlBpeReplayRound).mkString(",\n")}
+       |SELECT w, sw AS segmentation,
+       |  CAST(len(string_split(sw, ' ')) AS BIGINT) AS n_symbols,
+       |  CAST(f AS BIGINT) AS f,
+       |  CAST(f * len(string_split(sw, ' ')) AS BIGINT) AS corpus_symbols
+       |FROM w$n"""
+  }) { (s, dir) =>
+    val words = bpeReplay(bpeBytePretokens(s, dir), BpeMergeRounds)
+    words.select(col("w"), col("sw").as("segmentation"),
+      size(split(col("sw"), " ")).cast("long").as("n_symbols"),
+      col("f"),
+      (col("f") * size(split(col("sw"), " "))).as("corpus_symbols"))
+  }
+
+  // -- byte-BPE fertility / coverage report (the oov twin): encode the
+  //    corpus with the learned byte-level vocab and report, per source,
+  //    the numbers a tokenizer build signs off on — tokens per pre-token
+  //    (fertility), bytes per token (compression), single-token rate, and
+  //    the OOV count, which byte-level BPE makes structurally zero (the
+  //    contrast with q_wordpiece_oov's whole-word [UNK]s) but is COMPUTED
+  //    here (left join miss count), not asserted. Scale shape: the
+  //    dictionary is the distinct pre-token table (not driver-bounded at
+  //    corpus scale), so the corpus-side join is an unhinted equi-join on
+  //    the pre-token — AQE broadcasts it at moderate corpora and falls
+  //    back to shuffle beyond; per-source sums partial-agg to |sources|
+  //    rows.
+  q("q_bpe_byte_stats", {
+    val n = BpeMergeRounds
+    s"""WITH pt AS (
+       |  SELECT unnest(regexp_extract_all(text, $SqlBytePretokenRe, 0)) AS w
+       |  FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM pt GROUP BY w),
+       |w0 AS (SELECT w, $SqlByteInit AS sw, f FROM wf),
+       |${(1 to n).map(sqlBpeReplayRound).mkString(",\n")},
+       |enc AS (SELECT w, CAST(len(string_split(sw, ' ')) AS BIGINT) AS n_sym FROM w$n),
+       |ps AS (
+       |  SELECT source, unnest(regexp_extract_all(text, $SqlBytePretokenRe, 0)) AS w
+       |  FROM documents)
+       |SELECT ps.source,
+       |  CAST(count(*) AS BIGINT) AS n_pretokens,
+       |  CAST(sum(octet_length(encode(ps.w))) AS BIGINT) AS n_bytes,
+       |  CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN e.n_sym = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+       |  CAST(sum(CASE WHEN e.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(CAST(sum(e.n_sym) AS DOUBLE) / count(*), 6) AS fertility,
+       |  round(CAST(sum(octet_length(encode(ps.w))) AS DOUBLE) / sum(e.n_sym), 6)
+       |    AS bytes_per_token
+       |FROM ps LEFT JOIN enc e ON ps.w = e.w
+       |GROUP BY ps.source"""
+  }) { (s, dir) =>
+    val enc = bpeReplay(bpeBytePretokens(s, dir), BpeMergeRounds)
+      .select(col("w"), size(split(col("sw"), " ")).cast("long").as("n_sym"))
+    val ps = spread(load(s, dir, "documents"))
+      .select(col("source"), explode(T.bytePretokens(col("text"))).as("w"))
+    ps.join(enc, Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(octet_length(col("w"))).as("n_bytes"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(when(col("n_sym") === 1, 1L).otherwise(0L)).as("n_single"),
+        sum(when(col("n_sym").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_pretokens"), col("n_bytes"),
+        col("n_tokens"), col("n_single"), col("n_oov"),
+        round(col("n_tokens").cast("double") / col("n_pretokens"), 6)
+          .as("fertility"),
+        round(col("n_bytes").cast("double") / col("n_tokens"), 6)
+          .as("bytes_per_token"))
   }
 
   // -- DSIR-style data selection (arXiv:2302.03169): importance-weight

@@ -85,7 +85,21 @@ class SignedDivisionSpec extends AnyFunSuite {
       """\(\(c << 10\) >> b\)""".r,
       // its SQL mirror (a string literal, not Scala arithmetic): operand
       // is a piece/total count, >= 1 by construction
-      """\(\(\(\(\$c\) \* 1024\) >> \$b\)""".r
+      """\(\(\(\(\$c\) \* 1024\) >> \$b\)""".r,
+      // UnigramIntLm.logAdd delta: hi = max(a,b) so hi - min(a,b) >= 0
+      """\(hi - math\.min\(a, b\)\) >> 10""".r,
+      // UnigramIntLm.exp2Fp: d is a DEFICIT, >= 0 at every call site
+      // (kernel: exp2Fp(math.max(0L, ...)); Unigram.scala:273) — q in
+      // [0,20], d % 65536 in [0,65535], Exp2Lut values positive
+      """val q = d >> 16""".r,
+      """Exp2Lut\(\(\(d % 65536L\) >> 6\)""".r,
+      // the soft-EM SQL mirrors (string literals -> DuckDB >> on BIGINT,
+      // same floor-vs-trunc moot on non-negative operands):
+      // logadd delta greatest-least >= 0
+      """least\(\(greatest\(\$a, \$b\) - least\(\$a, \$b\)\) >> 10""".r,
+      // occurrence deficit d = greatest(0, ...) >= 0 (unigramSoftCntCtes)
+      """CASE WHEN \(d >> 16\) > 20""".r,
+      """WHERE i = \(d % 65536\) >> 6\) >> \(d >> 16\)""".r
     )
     val files = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala")).toSeq
@@ -96,7 +110,7 @@ class SignedDivisionSpec extends AnyFunSuite {
         .linesIterator.zipWithIndex.toSeq
       // spaced infix `>>` only: `a >> k` is a shift; `struct<k,v>>` is not
       if line.matches(""".* >> .*""") && !line.trim.startsWith("//")
-      if !line.trim.startsWith("*")
+      if !line.trim.startsWith("*") && !line.trim.startsWith("/*")
       if !allowed.exists(_.findFirstIn(line).isDefined)
     } yield s"$f:${i + 1}: ${line.trim}"
     assert(offenders.isEmpty,
