@@ -2750,28 +2750,9 @@ object LlmPipeline extends Catalog {
   //    `localCheckpoint` truncates lineage per round exactly like the CC
   //    operator — the plan does not grow with merge count.
   q("q_bpe_merges", {
-    // one unrolled round: p$k counts pairs over w${k-1}, t$k ranks them.
-    def round(k: Int) =
-      s"""p$k AS (
-         |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
-         |  FROM (SELECT string_split(sw, ' ') AS s, f FROM w${k - 1}),
-         |       unnest(range(1, len(s))) AS u(i)
-         |  GROUP BY pair),
-         |t$k AS (
-         |  SELECT CAST($k AS BIGINT) AS iter, pair, cnt,
-         |    row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
-         |  FROM p$k)"""
-    // apply t$k's rank-1 merge: the same greedy fold as the Spark side.
-    def merge(k: Int) =
-      s"""w$k AS (
-         |  SELECT list_reduce(string_split(sw, ' '), (acc, x) ->
-         |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
-         |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
-         |  FROM w${k - 1} CROSS JOIN (
-         |    SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-         |    FROM t$k WHERE rnk = 1) m)"""
     val n = BpeMergeRounds
-    val chain = ((1 until n).flatMap(k => Seq(round(k), merge(k))) :+ round(n))
+    val chain = ((1 until n).flatMap(k =>
+      Seq(sqlBpeRankRound(k), sqlBpeApplyWinner(k))) :+ sqlBpeRankRound(n))
       .mkString(",\n")
     val union = (1 to n).map(k => s"SELECT * FROM t$k WHERE rnk <= 5")
       .mkString("\n      UNION ALL ")
@@ -2824,6 +2805,32 @@ object LlmPipeline extends Catalog {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(col("w"), T.bpeInit(col("w")).as("sw"), col("f"))
       .localCheckpoint()
+
+  /** One unrolled TRAINER round for the DuckDB oracle: p$k counts
+    * adjacent pairs over w${k-1}, t$k ranks every candidate (rnk 1 = the
+    * round's merge). Shared by q_bpe_merges (char) and q_bpe_byte_merges
+    * (byte) so the two trainers cannot drift. */
+  private def sqlBpeRankRound(k: Int): String =
+    s"""p$k AS (
+       |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(sw, ' ') AS s, f FROM w${k - 1}),
+       |       unnest(range(1, len(s))) AS u(i)
+       |  GROUP BY pair),
+       |t$k AS (
+       |  SELECT CAST($k AS BIGINT) AS iter, pair, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+       |  FROM p$k)"""
+
+  /** Apply t$k's rank-1 merge to w${k-1} — the trainer's between-round
+    * step, the same greedy fold as the Spark side. */
+  private def sqlBpeApplyWinner(k: Int): String =
+    s"""w$k AS (
+       |  SELECT list_reduce(string_split(sw, ' '), (acc, x) ->
+       |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
+       |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
+       |  FROM w${k - 1} CROSS JOIN (
+       |    SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+       |    FROM t$k WHERE rnk = 1) m)"""
 
   /** One unrolled BPE replay round for the DuckDB oracle: p$k counts
     * adjacent pairs over w${k-1}, m$k picks the (count desc, pair asc)
@@ -3014,6 +3021,109 @@ object LlmPipeline extends Catalog {
           .as("fertility"),
         round(col("n_bytes").cast("double") / col("n_tokens"), 6)
           .as("bytes_per_token"))
+  }
+
+  // -- byte-BPE trainer merge table (the merges.txt artifact a GPT-2
+  //    tokenizer build exports): the same count-pairs -> pick-winner ->
+  //    apply loop as q_bpe_merges, run over the byte-level pre-token
+  //    table — top-5 ranked candidates per round, rank 1 being the merge
+  //    applied before the next round. Identical scale shape to the char
+  //    trainer (one partial-agg'd shuffle per round, 5-row TakeOrdered,
+  //    localCheckpoint-bounded plan, the driver holds five scalars).
+  q("q_bpe_byte_merges", {
+    val n = BpeMergeRounds
+    val chain = ((1 until n).flatMap(k =>
+      Seq(sqlBpeRankRound(k), sqlBpeApplyWinner(k))) :+ sqlBpeRankRound(n))
+      .mkString(",\n")
+    val union = (1 to n).map(k => s"SELECT * FROM t$k WHERE rnk <= 5")
+      .mkString("\n      UNION ALL ")
+    s"""WITH pt AS (
+       |  SELECT unnest(regexp_extract_all(text, $SqlBytePretokenRe, 0)) AS w
+       |  FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM pt GROUP BY w),
+       |w0 AS (SELECT $SqlByteInit AS sw, f FROM wf),
+       |$chain
+       |SELECT iter, CAST(rnk AS BIGINT) AS rnk, pair, cnt
+       |FROM ($union)"""
+  }) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val n = BpeMergeRounds
+    var words: DataFrame = bpeBytePretokens(s, dir).select("sw", "f")
+    val tops = (1 to n).map { k =>
+      // 5 rows; the checkpoint truncates this round's lineage
+      val t = bpeTop5(words, k).localCheckpoint()
+      if (k < n) {
+        val Array(a, b) = t.filter(col("rnk") === 1)
+          .head().getAs[String]("pair").split(" ", 2)
+        words = words
+          .select(T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
+          .localCheckpoint()
+      }
+      t
+    }
+    tops.reduce(_ union _).select("iter", "rnk", "pair", "cnt")
+  }
+
+  // -- byte-BPE input-ids export (the doc-level token-id artifact an LLM
+  //    training pipeline materializes; byte twin of q_vocab_token_ids):
+  //    every byte-level token of a doc slice as (doc_id, pre-token pos,
+  //    symbol pos, token, id). The id table is the FINAL symbol vocab —
+  //    distinct symbols across the trained segmentations, ranked by
+  //    (corpus count desc, symbol) — which is bounded BY CONSTRUCTION at
+  //    256 byte values + one new symbol per merge round, so the ranking
+  //    window rides a ≤(256+N)-row aggregate and the id join broadcasts
+  //    legitimately at any corpus size. The doc->segmentation step is the
+  //    unhinted distinct-pre-token equi-join (AQE decides); positions are
+  //    carried as the (pt_pos, sym_pos) pair so no per-doc window is
+  //    needed to order tokens.
+  q("q_bpe_byte_token_ids", {
+    val n = BpeMergeRounds
+    s"""WITH pt AS (
+       |  SELECT unnest(regexp_extract_all(text, $SqlBytePretokenRe, 0)) AS w
+       |  FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM pt GROUP BY w),
+       |w0 AS (SELECT w, $SqlByteInit AS sw, f FROM wf),
+       |${(1 to n).map(sqlBpeReplayRound).mkString(",\n")},
+       |sym AS (
+       |  SELECT sym, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(sw, ' ')) AS sym, f FROM w$n)
+       |  GROUP BY sym),
+       |vocab AS (
+       |  SELECT sym AS token,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, sym) AS BIGINT) AS tid
+       |  FROM sym),
+       |d AS (
+       |  SELECT doc_id, regexp_extract_all(text, $SqlBytePretokenRe, 0) AS pts
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |dp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pt_pos, pts[i + 1] AS w
+       |  FROM d, unnest(range(len(pts))) AS u(i)),
+       |dj AS (
+       |  SELECT dp.doc_id, dp.pt_pos, string_split(e.sw, ' ') AS syms
+       |  FROM dp JOIN w$n e ON dp.w = e.w),
+       |ds AS (
+       |  SELECT doc_id, pt_pos, CAST(j AS BIGINT) AS sym_pos, syms[j + 1] AS token
+       |  FROM dj, unnest(range(len(syms))) AS v(j))
+       |SELECT ds.doc_id, ds.pt_pos, ds.sym_pos, ds.token, v.tid
+       |FROM ds JOIN vocab v ON ds.token = v.token"""
+  }) { (s, dir) =>
+    val dict = bpeReplay(bpeBytePretokens(s, dir), BpeMergeRounds)
+    val wv = Window.orderBy(col("cnt").desc, col("sym"))
+    val vocab = dict
+      .select(explode(split(col("sw"), " ")).as("sym"), col("f"))
+      .groupBy("sym").agg(sum("f").as("cnt"))
+      .select(col("sym").as("token"),
+        row_number().over(wv).cast("long").as("tid"))
+    spread(load(s, dir, "documents"))
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        posexplode(T.bytePretokens(col("text"))).as(Seq("pt_pos", "w")))
+      .join(dict.select("w", "sw"), Seq("w"))
+      .select(col("doc_id"), col("pt_pos").cast("long").as("pt_pos"),
+        posexplode(split(col("sw"), " ")).as(Seq("sym_pos", "token")))
+      .join(broadcast(vocab), Seq("token"))
+      .select(col("doc_id"), col("pt_pos"), col("sym_pos").cast("long").as("sym_pos"),
+        col("token"), col("tid"))
   }
 
   // -- DSIR-style data selection (arXiv:2302.03169): importance-weight

@@ -176,6 +176,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), plan.take(1200))
   }
 
+  test("byte-BPE merge loop: per-round lineage truncated (byte twin of " +
+      "the char pin — checkpointed 5-row RDDs, no parquet, no shuffle)") {
+    val plan = planOf("q_bpe_byte_merges")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1200))
+    assert(!plan.contains("parquet"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("HashAggregate"), plan.take(1200))
+  }
+
+  test("byte-BPE stats: corpus->dictionary is an unhinted pre-token " +
+      "equi-join — no cartesian, no nested loop, AQE decides the strategy") {
+    val plan = planOf("q_bpe_byte_stats")
+    assert(plan.contains("Join"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join") {
     val plan = planOf("q_subquery_correlated")
     // RewriteCorrelatedScalarSubquery: no per-row subquery execution —
