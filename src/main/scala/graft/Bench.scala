@@ -493,12 +493,23 @@ object Bench {
   @volatile private var attemptAborted = false
   @volatile private var midProbe: () => Unit = () => ()
   private val skippedWls = scala.collection.mutable.LinkedHashSet.empty[String]
+  // r12 (review): workloads gated since the last QUIET mid-attempt probe.
+  // When the probe detects a co-tenant, everything measured since the
+  // previous quiet reading was (potentially) measured with the co-tenant
+  // already present but undetected — those samples are de-quieted at
+  // Attempt construction so the targeted guard re-confirms them instead
+  // of silently committing up-to-1.6x-inflated medians as quiet.
+  private val sinceQuietProbe =
+    scala.collection.mutable.LinkedHashSet.empty[String]
+  @volatile private var taintedWls: Set[String] = Set.empty
   /** Budget gate for one workload: true to run; false records the skip
     * (budget exhausted OR the attempt was aborted mid-suite — either way
     * the workload becomes a targeted-guard suspect until measured). */
   private def budgetGate(wl: String): Boolean = {
     midProbe()
-    if (budgetOk && !attemptAborted) true
+    if (budgetOk && !attemptAborted) {
+      sinceQuietProbe.synchronized(sinceQuietProbe += wl); true
+    }
     else { skippedWls.synchronized(skippedWls += wl); false }
   }
 
@@ -885,6 +896,8 @@ object Bench {
       // arm the mid-attempt abort probe (full attempts only — a targeted
       // pass is already the fall-through and must keep measuring)
       attemptAborted = false
+      taintedWls = Set.empty
+      sinceQuietProbe.synchronized(sinceQuietProbe.clear())
       var gateCalls = 0
       midProbe =
         if (!full) () => ()
@@ -895,11 +908,17 @@ object Bench {
             quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, spin))
             if (spin > 1.6 * quietSpinMs) {
               attemptAborted = true
+              // everything measured since the last quiet probe reading
+              // may already be co-tenant-inflated — de-quiet it so the
+              // targeted guard confirms those samples (review r12)
+              taintedWls = sinceQuietProbe.synchronized(sinceQuietProbe.toSet)
               System.err.println(
                 f"[bench] mid-attempt spin $spin%.0f ms > 1.6x floor " +
                   f"$quietSpinMs%.0f ms - co-tenant arrived; aborting this " +
-                  "attempt, remaining workloads go to the targeted guard")
-            }
+                  "attempt, remaining workloads go to the targeted guard" +
+                  s" (re-confirming ${taintedWls.size} samples since the " +
+                  "last quiet probe)")
+            } else sinceQuietProbe.synchronized(sinceQuietProbe.clear())
           }
         }
 
@@ -1164,6 +1183,15 @@ object Bench {
       val x10Results: Seq[Sample] =
         if (!any10x || sys.env.getOrElse("SPARK_GRAFT_BENCH_10X", "1") == "0")
           Seq.empty
+        else if (!budgetOk || attemptAborted) {
+          // r12 (review): an aborted or budget-exhausted attempt must not
+          // pay the 10x corpus generation + three full count() scans out
+          // of the guard reserve — record the skips so the targeted
+          // guard re-runs the whole section instead
+          (x10Workloads.map(wl => s"$wl@10x") ++ x10CustomWls).filter(pass)
+            .foreach(wl => skippedWls.synchronized(skippedWls += wl))
+          Seq.empty
+        }
         else ensure10xDir(spark, sfDir) match {
           case None => Seq.empty
           case Some(dir10) =>
@@ -1347,9 +1375,14 @@ object Bench {
         calibRatio > 1.5
 
       midProbe = () => () // disarm — end probes above already ran
+      // de-quiet samples measured in the co-tenant's undetected window
+      // (between the last quiet mid-attempt probe and the abort) so the
+      // targeted guard re-confirms them under a quiet probe (review r12)
+      val tainted = taintedWls
       Attempt(contended,
-        results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
-          streaming ++ x10Results,
+        (results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
+          streaming ++ x10Results)
+          .map(smp => if (tainted(smp.wl)) smp.copy(quiet = false) else smp),
         lat, streamLat, (contrastiveRecall10, contrastiveNProbe10),
         loadStart, loadEnd, calibStartMs, calibEndMs, calibRatio,
         pcalibStartMs, pcalibEndMs, pcalibRatio, pcalibVsQuiet,

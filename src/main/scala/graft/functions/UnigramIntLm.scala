@@ -116,12 +116,17 @@ object UnigramIntLm {
     * construction), M-step = keep expected count >= one use (FP1) with
     * the alphabet floored at FP1 (UnigramLm's soft semantics on the
     * integer grid). Returns piece -> fixed-point log2 score. */
+  /** Corpus character alphabet: one distributed distinct pass over the
+    * word table, collected (bounded — it's an alphabet). Shared by the
+    * hard and soft trainers' M-step coverage floor. */
+  private def alphabetOf(wf: DataFrame): Set[String] = wf
+    .select(explode(transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))).as("c")).distinct()
+    .collect().map(_.getString(0)).toSet
+
   def trainSoft(wf: DataFrame, rounds: Int, maxPieceLen: Int = 6,
       topK: Int = 400): Map[String, Long] = {
-    val alphabet: Set[String] = wf
-      .select(explode(transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1)))).as("c")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val alphabet: Set[String] = alphabetOf(wf)
     var sc: Map[String, Long] =
       scores(UnigramLm.seedCounts(wf, maxPieceLen, topK).toMap)
     for (_ <- 1 to rounds) {
@@ -145,10 +150,7 @@ object UnigramIntLm {
     * vocab collected to the driver (the BPE-trainer contract). */
   def train(wf: DataFrame, rounds: Int, maxPieceLen: Int = 6,
       topK: Int = 400): Map[String, Long] = {
-    val alphabet: Set[String] = wf
-      .select(explode(transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1)))).as("c")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val alphabet: Set[String] = alphabetOf(wf)
     var v: Map[String, Long] =
       UnigramLm.seedCounts(wf, maxPieceLen, topK).toMap
     for (_ <- 1 to rounds) {

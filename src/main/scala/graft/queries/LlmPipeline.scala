@@ -2771,12 +2771,15 @@ object LlmPipeline extends Catalog {
     val tops = (1 to n).map { k =>
       val t = top5(k)
       if (k < n) {
-        // the round's winner: one 5-row-checkpointed lookup, two scalars
-        val Array(a, b) = t.filter(col("rnk") === 1)
-          .head().getAs[String]("pair").split(" ", 2)
-        words = words
-          .select(T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
-          .localCheckpoint()
+        // the round's winner: one 5-row-checkpointed lookup, two scalars;
+        // an empty round (fully merged corpus) skips the merge — the
+        // oracle's LEFT JOIN ON TRUE fold is the identity the same way
+        t.filter(col("rnk") === 1).collect().headOption.foreach { row =>
+          val Array(a, b) = row.getAs[String]("pair").split(" ", 2)
+          words = words
+            .select(T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
+            .localCheckpoint()
+        }
       }
       t
     }
@@ -2822,15 +2825,20 @@ object LlmPipeline extends Catalog {
        |  FROM p$k)"""
 
   /** Apply t$k's rank-1 merge to w${k-1} — the trainer's between-round
-    * step, the same greedy fold as the Spark side. */
+    * step, the same greedy fold as the Spark side. LEFT JOIN ON TRUE
+    * (not CROSS JOIN): when a round has NO pairs left (every word fully
+    * merged before the configured round count), m$k is empty and a cross
+    * join would empty the corpus — with the left join m.a/m.b are NULL,
+    * the CASE falls to its ELSE branch, and the fold is the identity,
+    * matching the Spark loop's skip-on-no-winner. */
   private def sqlBpeApplyWinner(k: Int): String =
     s"""w$k AS (
        |  SELECT list_reduce(string_split(sw, ' '), (acc, x) ->
        |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
        |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
-       |  FROM w${k - 1} CROSS JOIN (
+       |  FROM w${k - 1} LEFT JOIN (
        |    SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-       |    FROM t$k WHERE rnk = 1) m)"""
+       |    FROM t$k WHERE rnk = 1) m ON TRUE)"""
 
   /** One unrolled BPE replay round for the DuckDB oracle: p$k counts
     * adjacent pairs over w${k-1}, m$k picks the (count desc, pair asc)
@@ -2850,7 +2858,7 @@ object LlmPipeline extends Catalog {
        |  SELECT w, list_reduce(string_split(sw, ' '), (acc, x) ->
        |      CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a)) AND x = m.b
        |           THEN acc || x ELSE acc || ' ' || x END) AS sw, f
-       |  FROM w${k - 1} CROSS JOIN m$k AS m)"""
+       |  FROM w${k - 1} LEFT JOIN m$k AS m ON TRUE)"""
 
   /** Replay `rounds` BPE merge rounds over a (w, sw, f) symbol table:
     * per round, ONE partial-agg'd pair-count shuffle, a 1-row
@@ -2862,15 +2870,20 @@ object LlmPipeline extends Catalog {
       rounds: Int): org.apache.spark.sql.DataFrame = {
     var words = words0
     for (_ <- 1 to rounds) {
-      // same winner rule as the trainer: top pair by (count desc, pair)
-      val Array(a, b) = words
+      // same winner rule as the trainer: top pair by (count desc, pair);
+      // a round with NO pairs left (fully merged corpus before the
+      // configured round count) skips the merge — the oracle's LEFT JOIN
+      // ON TRUE fold degrades to the identity the same way
+      words
         .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
         .groupBy("pair").agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .head().getAs[String]("pair").split(" ", 2)
-      words = words
-        .select(col("w"), T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
-        .localCheckpoint()
+        .collect().headOption.foreach { row =>
+          val Array(a, b) = row.getAs[String]("pair").split(" ", 2)
+          words = words
+            .select(col("w"), T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
+            .localCheckpoint()
+        }
     }
     words
   }
@@ -3053,11 +3066,14 @@ object LlmPipeline extends Catalog {
       // 5 rows; the checkpoint truncates this round's lineage
       val t = bpeTop5(words, k).localCheckpoint()
       if (k < n) {
-        val Array(a, b) = t.filter(col("rnk") === 1)
-          .head().getAs[String]("pair").split(" ", 2)
-        words = words
-          .select(T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
-          .localCheckpoint()
+        // empty round (fully merged corpus) skips the merge, like the
+        // oracle's LEFT JOIN ON TRUE identity fold
+        t.filter(col("rnk") === 1).collect().headOption.foreach { row =>
+          val Array(a, b) = row.getAs[String]("pair").split(" ", 2)
+          words = words
+            .select(T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
+            .localCheckpoint()
+        }
       }
       t
     }

@@ -1343,9 +1343,13 @@ object StreamsParity extends Catalog {
     try { // the join's per-key state is corpus-sized — don't let N runs stack
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(ckpt)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(x => x.toFile.delete())
+      if (java.nio.file.Files.exists(p)) {
+        // Files.walk holds open directory handles until closed — a bench
+        // suite runs this dozens of times, so leak-free matters
+        val walk = java.nio.file.Files.walk(p)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.sortBy(-_.getNameCount).foreach(x => x.toFile.delete())
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
     out
   }

@@ -71,19 +71,22 @@ class SuppressOrderedPropertySpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     for (seed <- Seq(11, 29, 53)) {
       val rng = new scala.util.Random(seed)
-      var id = 0L
       // timestamps drift forward batch-to-batch with overlap and heavy
       // collisions (9 keys, 6 distinct times per batch window), so
       // re-puts, equal-time byte ordering, expiry and capacity overflow
       // all engage; one addData call per batch = one micro-batch, so the
-      // batch structure is deterministic
+      // batch structure is deterministic. Values are a FUNCTION of
+      // (batch, key, t), not a running id: two same-(key, t) records in
+      // one batch carry identical values, so the surviving value at a
+      // full tie is independent of the engine's group-iterator order
+      // (stable only as a sort implementation detail) while the re-put
+      // path still engages within and across batches.
       val batches: Seq[Seq[(String, String, Long)]] =
         (1 to 8).map { b =>
           (1 to 15).map { _ =>
-            id += 1
             val key = s"K${rng.nextInt(9)}"
             val t = (b - 1) * 300L + rng.nextInt(6) * 100L
-            (key, s"v$id", t)
+            (key, s"v$b:$key:$t", t)
           }
         }
       val mem = MemoryStream[(String, String, java.sql.Timestamp)]
