@@ -75,6 +75,7 @@ object Bench {
     "dsir-weights" -> "q_dsir_weights",
     "bpe-pairs" -> "q_bpe_pair_counts",
     "bpe-merges" -> "q_bpe_merges",
+    "bpe-byte-encode" -> "q_bpe_byte_encode", // r12: GPT-2-family byte BPE
     "curation-funnel" -> "q_curation_funnel",
     "line-filter" -> "q_line_filter",
     "repetition-remove" -> "q_repetition_remove",
@@ -216,7 +217,7 @@ object Bench {
     // deliberately-quadratic nProbe = k oracle-exact config, which at
     // 10x degenerates to a ~400M-pair all-pairs join)
     "knn-classify", "dsir-weights", "bpe-pairs",
-    "bpe-merges", "line-dedup-corpus", "perplexity-buckets",
+    "bpe-merges", "bpe-byte-encode", "line-dedup-corpus", "perplexity-buckets",
     "dedup-minhash-incr", "dedup-spans-remove", "rag-retrieval",
     "bm25-search",
     // r7 operator batch: scale readout for the round's new operators
@@ -670,6 +671,7 @@ object Bench {
       "dsir-weights" -> bytes("documents"),
       "bpe-pairs" -> bytes("documents"),
       "bpe-merges" -> bytes("documents"),
+      "bpe-byte-encode" -> bytes("documents"),
       "curation-funnel" -> bytes("documents"),
       "line-filter" -> bytes("documents"),
       "repetition-remove" -> bytes("documents"),
@@ -779,6 +781,7 @@ object Bench {
       "dsir-weights" -> docRows,
       "bpe-pairs" -> docRows,
       "bpe-merges" -> docRows,
+      "bpe-byte-encode" -> docRows,
       "curation-funnel" -> docRows,
       "line-filter" -> docRows,
       "repetition-remove" -> docRows,
