@@ -884,7 +884,11 @@ object Bench {
         calibStart: Double, calibEnd: Double, calibRatio: Double,
         pcalibStart: Double, pcalibEnd: Double, pcalibRatio: Double,
         pcalibVsQuiet: Double, streamProbeMs: Double, streamQuiet: Boolean,
-        aborted: Boolean)
+        aborted: Boolean,
+        // workloads gated true since the last quiet mid-attempt probe —
+        // for a TARGETED pass (no mid-probes) this is every workload the
+        // pass actually ran, which is what bounds its rerun accounting
+        gated: Set[String] = Set.empty)
 
     def oneAttempt(pass: String => Boolean, full: Boolean,
         first: Boolean = false): Attempt = {
@@ -909,19 +913,37 @@ object Bench {
           if (gateCalls % 10 == 0 && !attemptAborted && budgetOk) {
             val spin = parallelSpinMs(spinThreads)
             quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, spin))
-            if (spin > 1.6 * quietSpinMs) {
+            // one bad reading can be the JVM's own GC/compaction tail,
+            // not a co-tenant (r11 evidence: a post-batch 428 ms probe
+            // vs a 212 ms floor with zero co-tenants; two r12 sf0.1 runs
+            // aborted on single ~1.8x readings minutes after heavy
+            // compile load) — a genuine co-tenant persists across a
+            // SECOND spin, a GC burst does not. Abort only on two
+            // consecutive readings past the line.
+            val confirm =
+              if (spin > 1.6 * quietSpinMs) {
+                val c = parallelSpinMs(spinThreads)
+                quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, c))
+                c
+              } else spin
+            if (spin > 1.6 * quietSpinMs && confirm > 1.6 * quietSpinMs) {
               attemptAborted = true
               // everything measured since the last quiet probe reading
               // may already be co-tenant-inflated — de-quiet it so the
               // targeted guard confirms those samples (review r12)
               taintedWls = sinceQuietProbe.synchronized(sinceQuietProbe.toSet)
               System.err.println(
-                f"[bench] mid-attempt spin $spin%.0f ms > 1.6x floor " +
-                  f"$quietSpinMs%.0f ms - co-tenant arrived; aborting this " +
-                  "attempt, remaining workloads go to the targeted guard" +
-                  s" (re-confirming ${taintedWls.size} samples since the " +
-                  "last quiet probe)")
-            } else sinceQuietProbe.synchronized(sinceQuietProbe.clear())
+                f"[bench] mid-attempt spins $spin%.0f/$confirm%.0f ms > " +
+                  f"1.6x floor $quietSpinMs%.0f ms - co-tenant confirmed; " +
+                  "aborting this attempt, remaining workloads go to the " +
+                  "targeted guard (re-confirming " +
+                  s"${taintedWls.size} samples since the last quiet probe)")
+            } else {
+              if (spin > 1.6 * quietSpinMs) System.err.println(
+                f"[bench] mid-attempt spin spike $spin%.0f ms not " +
+                  f"confirmed ($confirm%.0f ms) - GC tail, not a co-tenant")
+              sinceQuietProbe.synchronized(sinceQuietProbe.clear())
+            }
           }
         }
 
@@ -997,7 +1019,17 @@ object Bench {
       // memory (steady-state serving). Neither number contains training.
       val ivfWls =
         Seq("ann-ivf", "ann-ivf-search", "ann-pq", "ann-ivf-pq-serve")
-      val ivfSearch = if (!ivfWls.exists(pass)) Seq.empty else {
+      val ivfSearch = if (!ivfWls.exists(pass)) Seq.empty
+      else if (!budgetOk || attemptAborted) {
+        // r12 (review): the codebook-training setup below is the one
+        // section whose heavy work ran before any per-workload gate — an
+        // aborted or budget-exhausted attempt must not pay k-means/PQ
+        // training out of the guard reserve; record the skips so the
+        // targeted guard re-runs the section instead
+        ivfWls.filter(pass).foreach(w =>
+          skippedWls.synchronized(skippedWls += w))
+        Seq.empty
+      } else {
         import org.apache.spark.sql.functions.col
         import graft.functions.VectorIndex
         try {
@@ -1058,7 +1090,12 @@ object Bench {
           }
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] ann-ivf setup: $e"); Seq.empty
+            // a setup failure must not silently drop the section from the
+            // suspect set (review r12) — route it to the targeted guard
+            System.err.println(s"[bench] ann-ivf setup: $e")
+            ivfWls.filter(pass).foreach(w =>
+              skippedWls.synchronized(skippedWls += w))
+            Seq.empty
         }
       }
 
@@ -1096,7 +1133,9 @@ object Bench {
           else Seq(Sample("dedup-index-probe", secs, docRows, docRows))
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] dedup-index-probe setup: $e"); Seq.empty
+            System.err.println(s"[bench] dedup-index-probe setup: $e")
+            skippedWls.synchronized(skippedWls += "dedup-index-probe")
+            Seq.empty
         }
       }
 
@@ -1134,7 +1173,9 @@ object Bench {
           }
           if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, inRows, n))
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $wl setup: $e"); Seq.empty }
+          System.err.println(s"[bench] $wl setup: $e")
+          skippedWls.synchronized(skippedWls += wl)
+          Seq.empty }
       val imageServe = imageDedupServe("image-dedup-serve", sfDir, sfTag, docRows)
 
       // media serve entries: decode+analysis over the PERSISTED synthetic
@@ -1166,7 +1207,9 @@ object Bench {
           }
           if (secs.isEmpty) Seq.empty else Seq(Sample(wl, secs, inRows, n))
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $wl setup: $e"); Seq.empty }
+          System.err.println(s"[bench] $wl setup: $e")
+          skippedWls.synchronized(skippedWls += wl)
+          Seq.empty }
 
       // 10x-scale re-run of the noisiest workloads: at sf0.1 the dedup/ANN
       // suite finishes in 0.5-2.5 s with ±20 % cross-process noise and
@@ -1196,7 +1239,13 @@ object Bench {
           Seq.empty
         }
         else ensure10xDir(spark, sfDir) match {
-          case None => Seq.empty
+          case None =>
+            // generation failure: route every @10x workload to the
+            // targeted guard (which retries generation) instead of
+            // silently omitting them with skipped=[] (review r12)
+            (x10Workloads.map(wl => s"$wl@10x") ++ x10CustomWls).filter(pass)
+              .foreach(wl => skippedWls.synchronized(skippedWls += wl))
+            Seq.empty
           case Some(dir10) =>
             val docRows10 = spark.read.parquet(s"$dir10/documents.parquet").count()
             val embRows10 = spark.read.parquet(s"$dir10/embeddings.parquet").count()
@@ -1378,18 +1427,38 @@ object Bench {
         calibRatio > 1.5
 
       midProbe = () => () // disarm — end probes above already ran
-      // de-quiet samples measured in the co-tenant's undetected window
-      // (between the last quiet mid-attempt probe and the abort) so the
-      // targeted guard re-confirms them under a quiet probe (review r12)
-      val tainted = taintedWls
+      // Quietness policy (review r12): a batch Sample's default
+      // quiet=true is only trustworthy when full-width spin readings
+      // BRACKET it below the co-tenant detection line (1.6x floor — the
+      // mid-attempt abort threshold; idle-JVM in-suite noise tops out
+      // ~1.5x, so this never taints a genuinely quiet run). Revocations:
+      //   (a) mid-attempt abort -> the undetected window since the last
+      //       quiet probe (taintedWls);
+      //   (b) a full attempt whose END full-width spin reads past the
+      //       line -> the residue since the last quiet probe (the tail
+      //       window the every-10th-gate probe cannot see);
+      //   (c) a TARGETED pass has no mid-probes at all, so a bad start
+      //       OR end spin taints the whole pass — without this, one
+      //       unprobed re-run under the same co-tenant would
+      //       "quiet-confirm" a tainted workload.
+      val allSamples = results ++ consumeProduce ++ ivfSearch ++ indexProbe ++
+        imageServe ++ streaming ++ x10Results
+      val endSpinBad = pcalibEndMs > 1.6 * quietSpinMs
+      val startSpinBad = pcalibStartMs > 1.6 * quietSpinMs
+      val gatedNow = sinceQuietProbe.synchronized(sinceQuietProbe.toSet)
+      val tainted: Set[String] =
+        if (!full) { if (startSpinBad || endSpinBad) gatedNow else Set.empty }
+        else taintedWls ++ (if (endSpinBad) gatedNow else Set.empty)
+      if (tainted.nonEmpty && !attemptAborted) System.err.println(
+        s"[bench] spin past the co-tenant line around ${tainted.size} " +
+          "sample(s) - de-quieted for guard re-confirmation")
       Attempt(contended,
-        (results ++ consumeProduce ++ ivfSearch ++ indexProbe ++ imageServe ++
-          streaming ++ x10Results)
-          .map(smp => if (tainted(smp.wl)) smp.copy(quiet = false) else smp),
+        allSamples.map(smp =>
+          if (tainted(smp.wl)) smp.copy(quiet = false) else smp),
         lat, streamLat, (contrastiveRecall10, contrastiveNProbe10),
         loadStart, loadEnd, calibStartMs, calibEndMs, calibRatio,
         pcalibStartMs, pcalibEndMs, pcalibRatio, pcalibVsQuiet,
-        streamProbeMs, streamQuiet, attemptAborted)
+        streamProbeMs, streamQuiet, attemptAborted, gatedNow)
     } // oneAttempt
 
     // ---- retry policy (r10): whole-suite retries chase a CONTENDED or
@@ -1458,9 +1527,13 @@ object Bench {
     // through r10 `lat` was first-wins (pinned to attempt 1 even when
     // that attempt was the contended one that forced a retry) and
     // streamLat was last-wins (overwritten by targeted passes).
+    // streamLat's key leads with a quiet-segment/no-abort preference
+    // (review r12): the single-threaded calibRatio is blind to partial
+    // co-tenants, so an aborted attempt's co-tenant-window percentiles
+    // could otherwise out-key the quiet guard attempt's.
     var latBest: Option[(Double, Map[String, Double])] = None
-    val streamLatBest =
-      scala.collection.mutable.Map.empty[String, (Double, Map[String, Double])]
+    val streamLatBest = scala.collection.mutable.Map
+      .empty[String, ((Int, Double), Map[String, Double])]
     var contrastive = (-1.0, -1)
     val attemptProbes = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -1480,9 +1553,11 @@ object Bench {
       }
       if (a.lat.nonEmpty && latBest.forall(_._1 > a.calibRatio))
         latBest = Some((a.calibRatio, a.lat))
+      val slKey = (if (a.streamQuiet && !a.aborted) 0 else 1, a.calibRatio)
       a.streamLat.foreach { case (wl, m) =>
-        if (streamLatBest.get(wl).forall(_._1 > a.calibRatio))
-          streamLatBest(wl) = (a.calibRatio, m)
+        import scala.math.Ordering.Implicits._
+        if (streamLatBest.get(wl).forall(_._1 > slKey))
+          streamLatBest(wl) = (slKey, m)
       }
       if (a.contrastive._2 > 0) contrastive = a.contrastive
       attemptProbes += f"""{"loadavg_start":${a.loadStart}%.2f,"loadavg_end":${a.loadEnd}%.2f,"calib_start_ms":${a.calibStart}%.1f,"calib_end_ms":${a.calibEnd}%.1f,"calib_ratio":${a.calibRatio}%.3f,"pcalib_start_ms":${a.pcalibStart}%.1f,"pcalib_end_ms":${a.pcalibEnd}%.1f,"pcalib_ratio":${a.pcalibRatio}%.3f,"pcalib_vs_quiet":${a.pcalibVsQuiet}%.3f,"stream_probe_ms":${a.streamProbeMs}%.1f,"stream_quiet":${a.streamQuiet},"contended":${a.contended}}"""
@@ -1539,8 +1614,12 @@ object Bench {
       System.err.println(
         s"[bench] contention guard: re-running ${sus.toSeq.sorted.mkString(", ")}")
       rerunLog ++= sus
-      sus.foreach(wl => rerunCounts(wl) += 1)
-      absorb(oneAttempt(sus.contains, full = false))
+      val ta = oneAttempt(sus.contains, full = false)
+      absorb(ta)
+      // burn rerun allowance only for suspects the pass actually RAN —
+      // a budget-starved pass must not spend the 2-rerun budget of
+      // workloads it never reached (review r12)
+      sus.filter(ta.gated).foreach(wl => rerunCounts(wl) += 1)
       targetedPasses += 1
       sus = suspectsNow()
     }
@@ -1681,10 +1760,12 @@ object Bench {
     if (!budgetOk || attemptAborted) {
       // record the skips so the targeted guard re-runs them (r12) —
       // through r11 a budget-exhausted full attempt silently dropped the
-      // whole streaming section from the suspect set
+      // whole streaming section from the suspect set. quiet=false: the
+      // segment was never probed, and this attempt is the aborted one —
+      // reporting "stream_quiet":true here would be fiction (review r12)
       streamWls.filter(pass).foreach(w =>
         skippedWls.synchronized(skippedWls += w))
-      return (Seq.empty, Map.empty, -1.0, true)
+      return (Seq.empty, Map.empty, -1.0, false)
     }
     // segment probe (r11): the 1-min loadavg is polluted by our OWN
     // just-finished batch section, so the streaming segment's contention
