@@ -434,6 +434,74 @@ object Bench {
     }.min
   }
 
+  /** Self-vs-machine CPU accounting (r13, VERDICT #1): returns
+    * (self jiffies, machine busy jiffies). `self` = this JVM's
+    * utime+stime from /proc/self/stat — GC, JIT, RocksDB compaction and
+    * every other bench-JVM thread count as SELF. `busy` = machine-wide
+    * non-idle jiffies from /proc/stat EXCLUDING iowait and steal (steal
+    * is the hypervisor withholding vCPUs — it slows our spins exactly
+    * like a co-tenant but no in-VM process is consuming the time, so
+    * attributing it as "external" would re-create the r12 false abort).
+    * (-1, -1) when /proc is unreadable. */
+  private[graft] def cpuJiffies(): (Long, Long) = {
+    val self = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      // fields 14 (utime) + 15 (stime), counted AFTER the parenthesised
+      // comm field (which may itself contain spaces)
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong
+    } catch { case _: Throwable => -1L }
+    val busy = try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      // cpu  user nice system idle iowait irq softirq steal ...
+      val p = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = p(3) + (if (p.length > 4) p(4) else 0L)
+      val steal = if (p.length > 7) p(7) else 0L
+      p.sum - idle - steal
+    } catch { case _: Throwable => -1L }
+    (self, busy)
+  }
+
+  /** One full-width spin with self-vs-other CPU attribution: returns
+    * (spin wall ms, non-self CPU cores burned across the spin window).
+    * The r12 detector aborted a zero-co-tenant run because a wall-time
+    * line alone cannot distinguish a co-tenant from the bench JVM's own
+    * GC/JIT/compaction tail or VM steal (VERDICT r12 #1); the jiffies
+    * split can — a co-tenant big enough to slow a full-width spin past
+    * 1.6x the floor must burn CPU this JVM does not own. Attribution
+    * unavailable (no /proc) → cores = MaxValue, i.e. fail open to the
+    * r12 wall-only behavior. */
+  private[graft] def attributedSpinMs(n: Int): (Double, Double) = {
+    val (s0, b0) = cpuJiffies()
+    val t0 = System.nanoTime()
+    val ms = parallelSpinMs(n)
+    val wallS = (System.nanoTime() - t0) / 1e9 // incl. the GC+sleep preamble
+    val (s1, b1) = cpuJiffies()
+    if (s0 < 0 || b0 < 0 || s1 < 0 || b1 < 0) (ms, Double.MaxValue)
+    else {
+      // USER_HZ is 100 on every mainstream linux ABI (procfs(5))
+      val otherS = math.max(0.0, ((b1 - b0) - (s1 - s0)) / 100.0)
+      (ms, otherS / math.max(wallS, 1e-9))
+    }
+  }
+
+  /** Non-self load (cores) above which an elevated spin is attributed to
+    * a real co-tenant rather than self noise: kernel threads plus the
+    * driver's supervision idle well under 1 core, while the co-tenants
+    * that actually poisoned artifacts held ~6 (r10) — 2.0 splits the two
+    * regimes with margin on both sides. */
+  private val CoTenantCores = 2.0
+
+  /** The four continuously-running streaming pins — their rec/sec floors
+    * are regression-gated (BASELINE.md), so the targeted guard re-runs
+    * them FIRST (VERDICT r12 #2: suite order put them last and a
+    * contended driver run committed an artifact with two of them never
+    * measured). */
+  private val streamingPins: Seq[String] = Seq("yahoo-streaming",
+    "stream-table-join-live", "state-store", "window-store")
+  private val streamingPinSet: Set[String] = streamingPins.toSet
+
   /** Quietest full-width spin ever observed on this machine (persisted
     * under benchDir, keyed by thread count) — the ABSOLUTE reference a
     * contended-from-the-start run is judged against. A within-run
@@ -570,6 +638,27 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // r13 (VERDICT #3): isolated-mode runs — SPARK_GRAFT_BENCH_ONLY=
+    // streaming measures ONLY the four streaming pins (no batch / 10x /
+    // serve sections), for adjudicating the rec/sec pins on a quiet box
+    // without a full suite's churn in front of them. The artifact goes to
+    // BENCH.only-<mode>.json so the committed BENCH.json (the prior-
+    // median / floor / quiet-spin source) is never overwritten by a
+    // deliberately-partial run.
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val onlyFilter: String => Boolean = benchOnly match {
+      case Some("streaming") => streamingPinSet.contains _
+      case Some(other) =>
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY=$other - running the full suite")
+        (_: String) => true
+      case None => (_: String) => true
+    }
+    // r13 (VERDICT #1): run-local multiplier on the mid-attempt abort
+    // line — lifted when elevated spins persist with no external CPU
+    // consumer (this box's self-noise ceiling sits above the 1.6x model).
+    // Never touches the persisted quiet floor.
+    var selfNoiseFactor = 1.0
     // every persisted bench artifact (codebooks, exact-pair audit, near-dup
     // index, tuned nProbe) is keyed by the sf it was built from — a smoke
     // run at another sf must never satisfy this run's marker guards
@@ -885,6 +974,11 @@ object Bench {
         pcalibStart: Double, pcalibEnd: Double, pcalibRatio: Double,
         pcalibVsQuiet: Double, streamProbeMs: Double, streamQuiet: Boolean,
         aborted: Boolean,
+        // start-spin-vs-floor ratio the idle-path latency probe was (or
+        // would have been) taken under — r13 VERDICT #5: committed
+        // latency percentiles must be tagged with their measurement
+        // conditions, and only quiet-start attempts take them at all
+        latSpinVsQuiet: Double = -1.0,
         // workloads gated true since the last quiet mid-attempt probe —
         // for a TARGETED pass (no mid-probes) this is every workload the
         // pass actually ran, which is what bounds its rerun accounting
@@ -898,7 +992,7 @@ object Bench {
       val loadStart = loadAvg()
       val loadStart5 = loadAvg5()
       val calibStartMs = calibrationSpinMs()
-      val pcalibStartMs = parallelSpinMs(spinThreads)
+      val (pcalibStartMs, pcalibStartOther) = attributedSpinMs(spinThreads)
       quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, pcalibStartMs))
       // arm the mid-attempt abort probe (full attempts only — a targeted
       // pass is already the fall-through and must keep measuring)
@@ -906,43 +1000,81 @@ object Bench {
       taintedWls = Set.empty
       sinceQuietProbe.synchronized(sinceQuietProbe.clear())
       var gateCalls = 0
+      var selfElevStreak = 0
       midProbe =
         if (!full) () => ()
         else () => {
           gateCalls += 1
           if (gateCalls % 10 == 0 && !attemptAborted && budgetOk) {
-            val spin = parallelSpinMs(spinThreads)
+            val (spin, other1) = attributedSpinMs(spinThreads)
             quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, spin))
-            // one bad reading can be the JVM's own GC/compaction tail,
-            // not a co-tenant (r11 evidence: a post-batch 428 ms probe
-            // vs a 212 ms floor with zero co-tenants; two r12 sf0.1 runs
-            // aborted on single ~1.8x readings minutes after heavy
-            // compile load) — a genuine co-tenant persists across a
-            // SECOND spin, a GC burst does not. Abort only on two
-            // consecutive readings past the line.
-            val confirm =
-              if (spin > 1.6 * quietSpinMs) {
-                val c = parallelSpinMs(spinThreads)
-                quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, c))
-                c
-              } else spin
-            if (spin > 1.6 * quietSpinMs && confirm > 1.6 * quietSpinMs) {
-              attemptAborted = true
-              // everything measured since the last quiet probe reading
-              // may already be co-tenant-inflated — de-quiet it so the
-              // targeted guard confirms those samples (review r12)
-              taintedWls = sinceQuietProbe.synchronized(sinceQuietProbe.toSet)
-              System.err.println(
-                f"[bench] mid-attempt spins $spin%.0f/$confirm%.0f ms > " +
-                  f"1.6x floor $quietSpinMs%.0f ms - co-tenant confirmed; " +
-                  "aborting this attempt, remaining workloads go to the " +
-                  "targeted guard (re-confirming " +
-                  s"${taintedWls.size} samples since the last quiet probe)")
-            } else {
-              if (spin > 1.6 * quietSpinMs) System.err.println(
-                f"[bench] mid-attempt spin spike $spin%.0f ms not " +
-                  f"confirmed ($confirm%.0f ms) - GC tail, not a co-tenant")
+            // abort line: 1.6x the quiet floor, lifted by the run-local
+            // self-noise re-baseline when this JVM's own tail work keeps
+            // reading past it with no external consumer (r13, VERDICT #1)
+            val line = 1.6 * quietSpinMs * selfNoiseFactor
+            if (spin <= line) {
+              selfElevStreak = 0
+              // a genuinely quiet reading brackets everything gated since
+              // the previous quiet reading as measured-under-quiet
               sinceQuietProbe.synchronized(sinceQuietProbe.clear())
+            } else {
+              // one bad reading can be the JVM's own GC/compaction tail,
+              // not a co-tenant (r11 evidence: a post-batch 428 ms probe
+              // vs a 212 ms floor with zero co-tenants) — a genuine
+              // co-tenant persists across a SECOND spin, a GC burst does
+              // not.
+              val (confirm, other2) = attributedSpinMs(spinThreads)
+              quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, confirm))
+              val otherCores = math.max(other1, other2)
+              if (confirm <= line) {
+                // unconfirmed spike: skip the abort but do NOT clear the
+                // bracket — only a fully-quiet first reading may commit
+                // the window's samples as verified-quiet (r12 ADVICE: a
+                // bursty co-tenant exiting between the two back-to-back
+                // spins would otherwise get its inflated samples
+                // committed as quiet with no guard re-confirmation)
+                System.err.println(
+                  f"[bench] mid-attempt spin spike $spin%.0f ms not " +
+                    f"confirmed ($confirm%.0f ms) - GC tail, not a co-tenant")
+              } else if (otherCores >= CoTenantCores) {
+                attemptAborted = true
+                // everything measured since the last quiet probe reading
+                // may already be co-tenant-inflated — de-quiet it so the
+                // targeted guard confirms those samples (review r12)
+                taintedWls = sinceQuietProbe.synchronized(sinceQuietProbe.toSet)
+                System.err.println(
+                  f"[bench] mid-attempt spins $spin%.0f/$confirm%.0f ms > " +
+                    f"line $line%.0f ms with non-self load " +
+                    f"$otherCores%.1f cores - co-tenant confirmed; " +
+                    "aborting this attempt, remaining workloads go to the " +
+                    "targeted guard (re-confirming " +
+                    s"${taintedWls.size} samples since the last quiet probe)")
+              } else {
+                // elevated but SELF-attributed (r12 VERDICT #1: the
+                // clean-box false abort — the bench JVM's own GC/JIT/
+                // compaction tail and/or VM steal reads 1.7-2.0x the
+                // floor on this VM): keep measuring; the bracket stays
+                // open so the attempt-end probe adjudicates these samples
+                selfElevStreak += 1
+                System.err.println(
+                  f"[bench] mid-attempt spins $spin%.0f/$confirm%.0f ms " +
+                    f"elevated but self-attributed (non-self " +
+                    f"$otherCores%.1f cores) - not a co-tenant")
+                if (selfElevStreak >= 3 && selfNoiseFactor < 2.5) {
+                  // elevation persists with no external consumer: this
+                  // box's self-noise ceiling sits above the 1.6x model —
+                  // re-baseline the ABORT line (only) so remaining gates
+                  // stop paying two extra full-width spins each; the
+                  // quiet floor itself stays untouched (it keys the
+                  // committed quietness taint and the contended flag)
+                  selfNoiseFactor = math.min(2.5,
+                    math.max(selfNoiseFactor,
+                      math.min(spin, confirm) / (1.6 * quietSpinMs) * 1.1))
+                  System.err.println(
+                    f"[bench] self-noise persisted $selfElevStreak%d probes" +
+                      f" - re-baselining abort-line factor to $selfNoiseFactor%.2f")
+                }
+              }
             }
           }
         }
@@ -954,9 +1086,15 @@ object Bench {
       // which is right here, before any heavy work
       // belt-and-suspenders (r12 ADVICE): the probe has its own internal
       // catch, but a failure here must NEVER abort the suite before the
-      // artifact is printed (the rc-124 class of outcome)
+      // artifact is printed (the rc-124 class of outcome).
+      // r13 (VERDICT #5): take the percentiles only under a QUIET start
+      // spin (<= 1.2x floor) — the committed r11/r12 numbers tracked run
+      // state (loadavg 4.5-5.5 attempt starts), not the engine. A
+      // non-quiet start defers the probe to the guard phase, where main
+      // retakes it once quiet; the artifact tags the reading either way.
+      val latSpinVsQuiet = pcalibStartMs / quietSpinMs
       val lat =
-        if (full && budgetOk)
+        if (full && budgetOk && latSpinVsQuiet <= 1.2)
           try latencyPercentiles(spark)
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] latency probe crashed: $e")
@@ -1386,7 +1524,7 @@ object Bench {
       // spin slower than the start spin means a co-tenant arrived mid-suite
       val loadEnd = loadAvg()
       val calibEndMs = calibrationSpinMs()
-      val pcalibEndMs = parallelSpinMs(spinThreads)
+      val (pcalibEndMs, pcalibEndOther) = attributedSpinMs(spinThreads)
       quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, pcalibEndMs))
       val calibRatio =
         math.max(calibStartMs, calibEndMs) / math.min(calibStartMs, calibEndMs)
@@ -1443,12 +1581,27 @@ object Bench {
       //       "quiet-confirm" a tainted workload.
       val allSamples = results ++ consumeProduce ++ ivfSearch ++ indexProbe ++
         imageServe ++ streaming ++ x10Results
-      val endSpinBad = pcalibEndMs > 1.6 * quietSpinMs
-      val startSpinBad = pcalibStartMs > 1.6 * quietSpinMs
+      // r13 (VERDICT #1/#2): a bracketing spin only de-quiets samples
+      // when the elevation is EXTERNALLY attributed — the r12 guard loop
+      // de-quieted its own samples from its own batch-tail load, turning
+      // one false abort into three full-width passes
+      val endSpinBad = pcalibEndMs > 1.6 * quietSpinMs &&
+        pcalibEndOther >= CoTenantCores
+      val startSpinBad = pcalibStartMs > 1.6 * quietSpinMs &&
+        pcalibStartOther >= CoTenantCores
       val gatedNow = sinceQuietProbe.synchronized(sinceQuietProbe.toSet)
+      // r13 (VERDICT #2c): streaming samples measured under a QUIET
+      // stream-segment probe were already certified by the probe that
+      // bracketed them — the batch segment's end spin (our own churn)
+      // must not revoke that certification
+      val streamExempt: Set[String] =
+        if (streamQuiet) streamingPinSet else Set.empty
       val tainted: Set[String] =
-        if (!full) { if (startSpinBad || endSpinBad) gatedNow else Set.empty }
-        else taintedWls ++ (if (endSpinBad) gatedNow else Set.empty)
+        if (!full) {
+          if (startSpinBad || endSpinBad) gatedNow -- streamExempt
+          else Set.empty
+        } else taintedWls ++
+          (if (endSpinBad) gatedNow -- streamExempt else Set.empty)
       if (tainted.nonEmpty && !attemptAborted) System.err.println(
         s"[bench] spin past the co-tenant line around ${tainted.size} " +
           "sample(s) - de-quieted for guard re-confirmation")
@@ -1458,7 +1611,7 @@ object Bench {
         lat, streamLat, (contrastiveRecall10, contrastiveNProbe10),
         loadStart, loadEnd, calibStartMs, calibEndMs, calibRatio,
         pcalibStartMs, pcalibEndMs, pcalibRatio, pcalibVsQuiet,
-        streamProbeMs, streamQuiet, attemptAborted, gatedNow)
+        streamProbeMs, streamQuiet, attemptAborted, latSpinVsQuiet, gatedNow)
     } // oneAttempt
 
     // ---- retry policy (r10): whole-suite retries chase a CONTENDED or
@@ -1551,8 +1704,11 @@ object Bench {
         if (s.quiet) everQuiet += s.wl
         if (merged.get(s.wl).forall(_.median > s.median)) merged(s.wl) = s
       }
-      if (a.lat.nonEmpty && latBest.forall(_._1 > a.calibRatio))
-        latBest = Some((a.calibRatio, a.lat))
+      // r13 (VERDICT #5): latency percentiles are keyed by the full-width
+      // start-spin ratio they were taken under (the probe is only taken
+      // when that ratio reads quiet; the tag rides into the artifact)
+      if (a.lat.nonEmpty && latBest.forall(_._1 > a.latSpinVsQuiet))
+        latBest = Some((a.latSpinVsQuiet, a.lat))
       val slKey = (if (a.streamQuiet && !a.aborted) 0 else 1, a.calibRatio)
       a.streamLat.foreach { case (wl, m) =>
         import scala.math.Ordering.Implicits._
@@ -1581,7 +1737,7 @@ object Bench {
     }
 
     var attempt = 1
-    var a = oneAttempt(_ => true, full = true, first = true)
+    var a = oneAttempt(onlyFilter, full = true, first = true)
     absorb(a)
     var quietest = a
     // every loop is ALSO bounded by the wall-clock budget (r11): a busy
@@ -1596,7 +1752,7 @@ object Bench {
         f"[bench] attempt $attempt ${if (a.contended) "CONTENDED" else "noisy"} " +
           f"(calib_ratio ${a.calibRatio}%.3f) - retrying " +
           s"(${maxAttempts - attempt} attempt(s) left)")
-      a = oneAttempt(_ => true, full = true)
+      a = oneAttempt(onlyFilter, full = true)
       attempt += 1
       absorb(a)
       if (a.calibRatio < quietest.calibRatio) quietest = a
@@ -1607,19 +1763,65 @@ object Bench {
     // quicker. The guard phase runs against the TRUE deadline: the
     // reserve the full attempts could not consume is spent here (r12)
     phaseDeadlineNs = Long.MaxValue
+    // r13 (VERDICT #5): if no attempt start was quiet enough to carry the
+    // idle-path latency probe, retake it at the start of the guard phase
+    // under a fresh spin reading — tagged with that reading either way
+    if (latBest.isEmpty && budgetOk) {
+      val (ls, _) = attributedSpinMs(spinThreads)
+      quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, ls))
+      val ratio = ls / quietSpinMs
+      System.err.println(
+        f"[bench] no quiet-start attempt carried the latency probe - " +
+          f"retaking in the guard phase (spin ${ratio}%.2fx floor)")
+      try {
+        val l = latencyPercentiles(spark)
+        if (l.nonEmpty) latBest = Some((ratio, l))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] guard-phase latency probe crashed: $e") }
+    }
     var targetedPasses = 0
+    var guardFullAttempts = 0
     var sus = suspectsNow()
     val rerunLog = scala.collection.mutable.ArrayBuffer.empty[String]
     while (sus.nonEmpty && targetedPasses < 3 && budgetOk) {
-      System.err.println(
-        s"[bench] contention guard: re-running ${sus.toSeq.sorted.mkString(", ")}")
-      rerunLog ++= sus
-      val ta = oneAttempt(sus.contains, full = false)
-      absorb(ta)
-      // burn rerun allowance only for suspects the pass actually RAN —
-      // a budget-starved pass must not spend the 2-rerun budget of
-      // workloads it never reached (review r12)
-      sus.filter(ta.gated).foreach(wl => rerunCounts(wl) += 1)
+      val suiteSize = math.max(1,
+        (merged.keySet ++ skippedWls.synchronized(skippedWls.toSet)).size)
+      if (sus.size > 0.4 * suiteSize && guardFullAttempts == 0) {
+        // r13 (VERDICT #2a): a "targeted" pass covering most of the suite
+        // is a full attempt in disguise (r12's guard re-ran 254/254) —
+        // run an honest full attempt instead, with mid-probes armed and
+        // the per-workload rerun budgets left unspent for real targeted
+        // passes afterwards
+        guardFullAttempts += 1
+        System.err.println(
+          s"[bench] contention guard: ${sus.size}/$suiteSize suspects " +
+            "(>40% of the suite) - running a full attempt instead of a " +
+            "suite-wide 'targeted' pass")
+        val fa = oneAttempt(onlyFilter, full = true)
+        absorb(fa)
+        if (fa.calibRatio < quietest.calibRatio) quietest = fa
+      } else {
+        // r13 (VERDICT #2b): priority tiers — the regression-gated
+        // streaming pins first, then never-measured workloads, then the
+        // remaining suspects. Suite order put the pins LAST, and r12's
+        // contended driver run exhausted the budget with state-store /
+        // window-store never measured at all.
+        val pins = sus.intersect(streamingPinSet)
+        val neverMeasured = (sus -- pins).filterNot(merged.contains)
+        val tier =
+          if (pins.nonEmpty) pins
+          else if (neverMeasured.nonEmpty) neverMeasured
+          else sus
+        System.err.println(
+          s"[bench] contention guard: re-running ${tier.toSeq.sorted.mkString(", ")}")
+        rerunLog ++= tier
+        val ta = oneAttempt(tier.contains, full = false)
+        absorb(ta)
+        // burn rerun allowance only for suspects the pass actually RAN —
+        // a budget-starved pass must not spend the 2-rerun budget of
+        // workloads it never reached (review r12)
+        tier.filter(ta.gated).foreach(wl => rerunCounts(wl) += 1)
+      }
       targetedPasses += 1
       sus = suspectsNow()
     }
@@ -1667,15 +1869,18 @@ object Bench {
     val loadJson =
       f"""{"cpus":${cpusN.toInt},"loadavg_start":${quietest.loadStart}%.2f,"loadavg_end":${quietest.loadEnd}%.2f,"calib_start_ms":${quietest.calibStart}%.1f,"calib_end_ms":${quietest.calibEnd}%.1f,"calib_ratio":${quietest.calibRatio}%.3f,"launch_spin_ms":$launchSpinMs%.1f,"launch_vs_quiet":$launchVsQuiet%.3f,"contended":${quietest.contended}}"""
     val guardJson =
-      s""""guard":{"targeted_passes":$targetedPasses,"reran":${rerunLog.toSeq.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"unresolved":${unresolved.map("\"" + _ + "\"").mkString("[", ",", "]")},"attempts":${attemptProbes.mkString("[", ",", "]")}}"""
+      f""""guard":{"targeted_passes":$targetedPasses,"full_attempts":$guardFullAttempts,"self_noise_factor":$selfNoiseFactor%.2f,"reran":${rerunLog.toSeq.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"unresolved":${unresolved.map("\"" + _ + "\"").mkString("[", ",", "]")},"attempts":${attemptProbes.mkString("[", ",", "]")}}"""
     // a workload "skipped" by the budget during a late targeted pass may
     // still carry a perfectly good sample from an earlier attempt — only
     // NEVER-measured workloads are reported as missing
     val skippedJson =
       skippedWls.filterNot(merged.contains).toSeq
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // r13 (VERDICT #5): the spin-vs-floor reading the committed latency
+    // percentiles were taken under (-1.0 = probe never ran)
+    val latProbeTag = latBest.map(_._1).getOrElse(-1.0)
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},$guardJson,"load":$loadJson,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"latency_probe_spin_vs_quiet":$latProbeTag%.3f,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},$guardJson,"load":$loadJson,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
     // STDOUT CONTRACT (driver tail-parses the LAST stdout line, and its
     // tail window has truncated a full queries map in 4 of 5 rounds):
     // print ONLY total + the 11 SimpleBenchmark-parity workloads + the
@@ -1687,7 +1892,12 @@ object Bench {
       .map(s => f""""${s.wl}":${s.median}%.3f""").mkString("{", ",", "}")
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$parityQs,"contended":${quietest.contended},"sf":"$sfDir"}"""
-    val w = new java.io.PrintWriter("BENCH.json")
+    // an isolated-mode run (BENCH_ONLY) must never overwrite the full
+    // artifact — BENCH.json feeds next run's priors, floors and the
+    // quiet-spin seed (r13)
+    val artifactFile =
+      benchOnly.map(m => s"BENCH.only-$m.json").getOrElse("BENCH.json")
+    val w = new java.io.PrintWriter(artifactFile)
     try w.write(json + "\n") finally w.close()
     spark.stop()
     println(stdoutLine)
@@ -1754,8 +1964,7 @@ object Bench {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val streamWls = Seq("yahoo-streaming", "stream-table-join-live",
-      "state-store", "window-store")
+    val streamWls = streamingPins
     if (!streamWls.exists(pass)) return (Seq.empty, Map.empty, -1.0, true)
     if (!budgetOk || attemptAborted) {
       // record the skips so the targeted guard re-runs them (r12) —
@@ -1774,11 +1983,20 @@ object Bench {
     // the guard re-runs tagged workloads until their probe reads quiet
     // (or the re-run/budget allowance is spent — then they are named in
     // guard.unresolved, never silently committed).
-    val probeMs = parallelSpinMs(spinThreads)
+    val (probeMs, probeOther) = attributedSpinMs(spinThreads)
     quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, probeMs))
-    val segQuiet = probeMs <= 1.35 * quietSpinMs
+    // quiet = within the in-suite noise band of the floor, OR elevated
+    // but SELF-attributed (r13, VERDICT #1: the segment probe fires right
+    // after the batch/10x sections, where this JVM's own GC/compaction
+    // tail reads up to ~2x the floor on an idle box — the co-tenant
+    // certification is about EXTERNAL load; a hard 2.5x cap still forces
+    // re-runs under extreme self-churn)
+    val segQuiet = probeMs <= 1.35 * quietSpinMs ||
+      (probeMs <= 2.5 * quietSpinMs && probeOther < CoTenantCores)
     if (!segQuiet) System.err.println(
-      f"[bench] streaming segment probe NOT quiet: spin $probeMs%.0f ms vs floor $quietSpinMs%.0f ms")
+      f"[bench] streaming segment probe NOT quiet: spin $probeMs%.0f ms vs floor $quietSpinMs%.0f ms (non-self $probeOther%.1f cores)")
+    else if (probeMs > 1.35 * quietSpinMs) System.err.println(
+      f"[bench] streaming segment probe elevated ($probeMs%.0f ms vs floor $quietSpinMs%.0f ms) but self-attributed (non-self $probeOther%.1f cores) - quiet")
     // state fan-out sized for the stream's key cardinality, not the batch
     // engine's width (deployment tuning, like the latency probe)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")

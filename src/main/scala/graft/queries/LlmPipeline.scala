@@ -2869,21 +2869,28 @@ object LlmPipeline extends Catalog {
   private def bpeReplay(words0: org.apache.spark.sql.DataFrame,
       rounds: Int): org.apache.spark.sql.DataFrame = {
     var words = words0
-    for (_ <- 1 to rounds) {
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
       // same winner rule as the trainer: top pair by (count desc, pair);
       // a round with NO pairs left (fully merged corpus before the
-      // configured round count) skips the merge — the oracle's LEFT JOIN
-      // ON TRUE fold degrades to the identity the same way
-      words
+      // configured round count) ends the replay — merging is monotone,
+      // so no later round can produce a pair either, and the oracle's
+      // LEFT JOIN ON TRUE fold degrades to the identity the same way
+      // (r13 ADVICE: the remaining rounds were paying a full pair-count
+      // shuffle each just to observe the same empty winner)
+      val top = words
         .select(explode(T.bpePairs(col("sw"))).as("pair"), col("f"))
         .groupBy("pair").agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .collect().headOption.foreach { row =>
+        .collect().headOption
+      top match {
+        case Some(row) =>
           val Array(a, b) = row.getAs[String]("pair").split(" ", 2)
           words = words
             .select(col("w"), T.bpeMerge(col("sw"), a, b).as("sw"), col("f"))
             .localCheckpoint()
-        }
+        case None => exhausted = true
+      }
     }
     words
   }

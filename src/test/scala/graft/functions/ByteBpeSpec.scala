@@ -81,19 +81,26 @@ class ByteBpeSpec extends AnyFunSuite {
     // 10-round replay must return the words unmerged (the oracle's
     // LEFT JOIN ON TRUE fold is the identity the same way), where the
     // pre-fix .head() threw NoSuchElementException
-    val dirDeg = java.nio.file.Files.createTempDirectory("bpedeg").toString
-    Seq((1L, "a b a", "s1", "en"), (2L, "b a", "s1", "en"))
-      .toDF("doc_id", "text", "source", "lang")
-      .write.mode("overwrite").parquet(s"$dirDeg/documents.parquet")
-    val enc = SparkEntry.queries("q_bpe_encode")(spark, dirDeg).collect()
-    assert(enc.map(_.getString(0)).sorted === Seq("a", "b"))
-    assert(enc.forall(_.getLong(2) === 1L)) // n_symbols: never merged
-    // byte twin: " a"/"a"/"b"/" b" pre-tokens are all 1-byte, same story
-    val benc = SparkEntry.queries("q_bpe_byte_encode")(spark, dirDeg).collect()
-    assert(benc.nonEmpty && benc.forall(_.getLong(2) === 1L))
-    // trainer: rounds past the last pair emit no candidate rows
-    val merges = SparkEntry.queries("q_bpe_merges")(spark, dirDeg).collect()
-    assert(merges.isEmpty)
+    val dirDegP = java.nio.file.Files.createTempDirectory("bpedeg")
+    val dirDeg = dirDegP.toString
+    try {
+      Seq((1L, "a b a", "s1", "en"), (2L, "b a", "s1", "en"))
+        .toDF("doc_id", "text", "source", "lang")
+        .write.mode("overwrite").parquet(s"$dirDeg/documents.parquet")
+      val enc = SparkEntry.queries("q_bpe_encode")(spark, dirDeg).collect()
+      assert(enc.map(_.getString(0)).sorted === Seq("a", "b"))
+      assert(enc.forall(_.getLong(2) === 1L)) // n_symbols: never merged
+      // byte twin: " a"/"a"/"b"/" b" pre-tokens are all 1-byte, same story
+      val benc = SparkEntry.queries("q_bpe_byte_encode")(spark, dirDeg).collect()
+      assert(benc.nonEmpty && benc.forall(_.getLong(2) === 1L))
+      // trainer: rounds past the last pair emit no candidate rows
+      val merges = SparkEntry.queries("q_bpe_merges")(spark, dirDeg).collect()
+      assert(merges.isEmpty)
+    } finally { // r13 ADVICE: don't leave the parquet tree in /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirDegP).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => p.toFile.delete())
+    }
   }
 
   test("catalog: stats report zero OOV and byte-bounded fertility") {
