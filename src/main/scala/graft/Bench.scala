@@ -502,6 +502,22 @@ object Bench {
     "stream-table-join-live", "state-store", "window-store")
   private val streamingPinSet: Set[String] = streamingPins.toSet
 
+  /** Which suspects a targeted guard pass re-runs NEXT (r13, VERDICT
+    * r12 #2b): the regression-gated streaming pins first, then
+    * never-measured workloads, then the remaining suspects. Suite order
+    * put the pins LAST, and r12's contended driver run exhausted its
+    * budget with state-store / window-store never measured at all —
+    * priority tiering guarantees a budget death under persistent
+    * contention still leaves every pin with a sample. */
+  private[graft] def guardTier(sus: Set[String],
+      measured: Set[String]): Set[String] = {
+    val pins = sus.intersect(streamingPinSet)
+    val neverMeasured = (sus -- pins).filterNot(measured.contains)
+    if (pins.nonEmpty) pins
+    else if (neverMeasured.nonEmpty) neverMeasured
+    else sus
+  }
+
   /** Quietest full-width spin ever observed on this machine (persisted
     * under benchDir, keyed by thread count) — the ABSOLUTE reference a
     * contended-from-the-start run is judged against. A within-run
@@ -1801,17 +1817,7 @@ object Bench {
         absorb(fa)
         if (fa.calibRatio < quietest.calibRatio) quietest = fa
       } else {
-        // r13 (VERDICT #2b): priority tiers — the regression-gated
-        // streaming pins first, then never-measured workloads, then the
-        // remaining suspects. Suite order put the pins LAST, and r12's
-        // contended driver run exhausted the budget with state-store /
-        // window-store never measured at all.
-        val pins = sus.intersect(streamingPinSet)
-        val neverMeasured = (sus -- pins).filterNot(merged.contains)
-        val tier =
-          if (pins.nonEmpty) pins
-          else if (neverMeasured.nonEmpty) neverMeasured
-          else sus
+        val tier = guardTier(sus, merged.keySet.toSet)
         System.err.println(
           s"[bench] contention guard: re-running ${tier.toSeq.sorted.mkString(", ")}")
         rerunLog ++= tier

@@ -43,6 +43,20 @@ class CpuAttributionSpec extends AnyFunSuite {
         f"(non-self $otherCores%.2f cores) - is another process loading this box?")
   }
 
+  test("guardTier prioritizes streaming pins, then never-measured, then the rest") {
+    val pins = Set("state-store", "window-store")
+    val sus = pins ++ Set("dedup-jaccard", "semdedup@10x")
+    // pins outrank everything — even workloads never measured at all
+    assert(Bench.guardTier(sus, measured = Set("dedup-jaccard")) === pins)
+    // no pins among the suspects: never-measured workloads go first
+    assert(Bench.guardTier(Set("dedup-jaccard", "semdedup@10x"),
+      measured = Set("dedup-jaccard")) === Set("semdedup@10x"))
+    // everything already measured: the remaining suspects run as one tier
+    assert(Bench.guardTier(Set("dedup-jaccard", "ann-ivf"),
+      measured = Set("dedup-jaccard", "ann-ivf")) ===
+      Set("dedup-jaccard", "ann-ivf"))
+  }
+
   test("attributedSpinMs sees an injected external co-tenant as OTHER") {
     // spawn a short-lived external busy-loop (the co-tenant signature the
     // r10/r12 artifacts were poisoned by) wide enough to clear the
