@@ -434,31 +434,62 @@ object Bench {
     }.min
   }
 
+  /** utime+stime (and the ppid, for the ancestor walk) of one pid from
+    * /proc/<pid>/stat. Fields are counted AFTER the parenthesised comm
+    * field (which may itself contain spaces): post-comm index 1 = ppid
+    * (field 4), 11/12 = utime/stime (fields 14/15). */
+  private def pidJiffies(pid: Long): Option[(Long, Long)] = try {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/proc/$pid/stat")))
+    val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    Some((rest(11).toLong + rest(12).toLong, rest(1).toLong))
+  } catch { case _: Throwable => None }
+
   /** Self-vs-machine CPU accounting (r13, VERDICT #1): returns
     * (self jiffies, machine busy jiffies). `self` = this JVM's
     * utime+stime from /proc/self/stat — GC, JIT, RocksDB compaction and
-    * every other bench-JVM thread count as SELF. `busy` = machine-wide
-    * non-idle jiffies from /proc/stat EXCLUDING iowait and steal (steal
-    * is the hypervisor withholding vCPUs — it slows our spins exactly
-    * like a co-tenant but no in-VM process is consuming the time, so
-    * attributing it as "external" would re-create the r12 false abort).
-    * (-1, -1) when /proc is unreadable. */
+    * every other bench-JVM thread count as SELF — PLUS the ancestor
+    * process chain (r14, VERDICT r13 #1): under a driver `sbt runMain`
+    * the parent sbt JVM's log pumping / GC / compile tail is in-house
+    * work, not a co-tenant, so it must not read as "other". Descendants
+    * are deliberately NOT folded in: a real co-tenant is never our
+    * child, and the injected-co-tenant spec spawns its busy loops as
+    * children precisely to stay attributable as external. `busy` =
+    * machine-wide non-idle jiffies from /proc/stat EXCLUDING iowait and
+    * steal (steal is the hypervisor withholding vCPUs — it slows our
+    * spins exactly like a co-tenant but no in-VM process is consuming
+    * the time, so attributing it as "external" would re-create the r12
+    * false abort) and EXCLUDING guest/guest_nice (procfs(5): guest time
+    * is already accounted in user/nice, so summing it double-counts VM
+    * hosting load — r13 ADVICE). (-1, -1) when /proc is unreadable. */
   private[graft] def cpuJiffies(): (Long, Long) = {
     val self = try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
-      // fields 14 (utime) + 15 (stime), counted AFTER the parenthesised
-      // comm field (which may itself contain spaces)
       val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-      rest(11).toLong + rest(12).toLong
+      var sum = rest(11).toLong + rest(12).toLong
+      // fold in the ancestor chain (sbt JVM, driver shell) up to init;
+      // depth-capped — a /proc race mid-walk just truncates the fold
+      var pid = rest(1).toLong
+      var depth = 0
+      while (pid > 1 && depth < 10) {
+        pidJiffies(pid) match {
+          case Some((j, ppid)) => sum += j; pid = ppid
+          case None => pid = 0
+        }
+        depth += 1
+      }
+      sum
     } catch { case _: Throwable => -1L }
     val busy = try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      // cpu  user nice system idle iowait irq softirq steal ...
+      // cpu  user nice system idle iowait irq softirq steal guest gnice
       val p = line.trim.split("\\s+").drop(1).map(_.toLong)
       val idle = p(3) + (if (p.length > 4) p(4) else 0L)
       val steal = if (p.length > 7) p(7) else 0L
-      p.sum - idle - steal
+      val guest = (if (p.length > 8) p(8) else 0L) +
+        (if (p.length > 9) p(9) else 0L)
+      p.sum - idle - steal - guest
     } catch { case _: Throwable => -1L }
     (self, busy)
   }
@@ -493,6 +524,17 @@ object Bench {
     * regimes with margin on both sides. */
   private val CoTenantCores = 2.0
 
+  /** "Non-self load reads as essentially zero" — the corroboration line
+    * (r13 ADVICE, r14): decisions that RELAX scrutiny (re-baselining the
+    * abort line, accepting an elevated-but-self segment probe, skipping
+    * the confirm spin inside the lifted bracket) demand external load
+    * ~0, not merely below the 2.0-core abort threshold. A 1–2-core
+    * co-tenant is invisible to the abort line by design (it cannot slow
+    * a 32-wide spin enough to matter), but it must not be allowed to
+    * DRIVE the relaxations — with the whole in-house ancestor chain now
+    * attributed as self, a clean box genuinely reads 0.0 here. */
+  private val SelfQuietCores = 0.5
+
   /** The four continuously-running streaming pins — their rec/sec floors
     * are regression-gated (BASELINE.md), so the targeted guard re-runs
     * them FIRST (VERDICT r12 #2: suite order put them last and a
@@ -508,13 +550,22 @@ object Bench {
     * put the pins LAST, and r12's contended driver run exhausted its
     * budget with state-store / window-store never measured at all —
     * priority tiering guarantees a budget death under persistent
-    * contention still leaves every pin with a sample. */
-  private[graft] def guardTier(sus: Set[String],
-      measured: Set[String]): Set[String] = {
+    * contention still leaves every pin with a sample.
+    *
+    * r14 (r13 ADVICE): a tier stops consuming exclusive passes once
+    * every workload in it has already been ATTEMPTED this guard phase —
+    * persistently-suspect pins (e.g. budget-skipped passes, which don't
+    * burn rerunCounts) must not eat all 3 targeted passes and starve
+    * never-measured non-pin workloads (the r12 #2 failure mode,
+    * reappearing one tier down). Once the pins tier has had its
+    * exclusive pass, later passes fold the next tier in alongside it. */
+  private[graft] def guardTier(sus: Set[String], measured: Set[String],
+      attempted: Set[String] = Set.empty): Set[String] = {
     val pins = sus.intersect(streamingPinSet)
     val neverMeasured = (sus -- pins).filterNot(measured.contains)
-    if (pins.nonEmpty) pins
-    else if (neverMeasured.nonEmpty) neverMeasured
+    if (pins.nonEmpty && !pins.subsetOf(attempted)) pins
+    else if (neverMeasured.nonEmpty && !neverMeasured.subsetOf(attempted))
+      pins ++ neverMeasured
     else sus
   }
 
@@ -661,9 +712,26 @@ object Bench {
     // BENCH.only-<mode>.json so the committed BENCH.json (the prior-
     // median / floor / quiet-spin source) is never overwritten by a
     // deliberately-partial run.
+    // r14 (VERDICT r13 #5): besides the `streaming` section alias, the
+    // mode accepts an explicit comma-separated workload list (e.g.
+    // SPARK_GRAFT_BENCH_ONLY=lang-id,text-stats) for adjudicating
+    // individual sub-second entries with 5+ quiet isolated reps
     val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val workloadNames = workloads.map(_._1).toSet
     val onlyFilter: String => Boolean = benchOnly match {
       case Some("streaming") => streamingPinSet.contains _
+      case Some(list) if list.contains(",") || workloadNames.contains(list) ||
+          list.endsWith("@10x") =>
+        val wanted = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = wanted.filterNot(w =>
+          workloadNames.contains(w.stripSuffix("@10x")) ||
+            w == "consumeproduce" || streamingPinSet.contains(w) ||
+            w.startsWith("contrastive-self") || w.startsWith("semdedup-prod") ||
+            w.contains("-serve"))
+        if (unknown.nonEmpty) System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_ONLY names unknown workload(s): " +
+            unknown.toSeq.sorted.mkString(", "))
+        wanted.contains _
       case Some(other) =>
         System.err.println(
           s"[bench] unknown SPARK_GRAFT_BENCH_ONLY=$other - running the full suite")
@@ -772,6 +840,7 @@ object Bench {
       "corpus-shuffle" -> bytes("documents"),
       "dedup-priority-keep" -> bytes("documents"),
       "contrastive-self" -> bytes("embeddings"),
+      "semdedup-prod" -> bytes("embeddings"),
       "knn-classify" -> bytes("embeddings"),
       "dsir-weights" -> bytes("documents"),
       "bpe-pairs" -> bytes("documents"),
@@ -985,7 +1054,10 @@ object Bench {
     // work.
     case class Attempt(contended: Boolean, samples: Seq[Sample],
         lat: Map[String, Double], streamLat: Map[String, Map[String, Double]],
-        contrastive: (Double, Int), loadStart: Double, loadEnd: Double,
+        contrastive: (Double, Int),
+        // (keep/drop agreement vs the oracle-config result, k used) for
+        // the production-config semdedup-prod@10x entry (r14)
+        semdedupProd: (Double, Int), loadStart: Double, loadEnd: Double,
         calibStart: Double, calibEnd: Double, calibRatio: Double,
         pcalibStart: Double, pcalibEnd: Double, pcalibRatio: Double,
         pcalibVsQuiet: Double, streamProbeMs: Double, streamQuiet: Boolean,
@@ -1026,13 +1098,26 @@ object Bench {
             quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, spin))
             // abort line: 1.6x the quiet floor, lifted by the run-local
             // self-noise re-baseline when this JVM's own tail work keeps
-            // reading past it with no external consumer (r13, VERDICT #1)
-            val line = 1.6 * quietSpinMs * selfNoiseFactor
-            if (spin <= line) {
+            // reading past it with no external consumer (r13, VERDICT #1).
+            // The BRACKET-CLEAR line stays at the UNLIFTED 1.6x (r13
+            // ADVICE): the lifted factor may only suppress aborts, never
+            // certify samples as verified-quiet — a sub-abort-threshold
+            // co-tenant can inflate spins up to the lifted line, and
+            // those samples must stay gated for the end probes and the
+            // targeted guard to adjudicate.
+            val quietLine = 1.6 * quietSpinMs
+            val line = quietLine * selfNoiseFactor
+            if (spin <= quietLine) {
               selfElevStreak = 0
               // a genuinely quiet reading brackets everything gated since
               // the previous quiet reading as measured-under-quiet
               sinceQuietProbe.synchronized(sinceQuietProbe.clear())
+            } else if (spin <= line && other1 < SelfQuietCores) {
+              // inside the re-baselined self-noise band AND corroborated
+              // by ~zero external load on this very reading: skip the
+              // confirm/abort machinery (the two extra full-width spins
+              // the re-baseline exists to save) but keep the bracket
+              // OPEN — these samples are not verified-quiet
             } else {
               // one bad reading can be the JVM's own GC/compaction tail,
               // not a co-tenant (r11 evidence: a post-batch 428 ms probe
@@ -1076,13 +1161,18 @@ object Bench {
                   f"[bench] mid-attempt spins $spin%.0f/$confirm%.0f ms " +
                     f"elevated but self-attributed (non-self " +
                     f"$otherCores%.1f cores) - not a co-tenant")
-                if (selfElevStreak >= 3 && selfNoiseFactor < 2.5) {
+                if (selfElevStreak >= 3 && selfNoiseFactor < 2.5 &&
+                    otherCores < SelfQuietCores) {
                   // elevation persists with no external consumer: this
                   // box's self-noise ceiling sits above the 1.6x model —
                   // re-baseline the ABORT line (only) so remaining gates
                   // stop paying two extra full-width spins each; the
                   // quiet floor itself stays untouched (it keys the
-                  // committed quietness taint and the contended flag)
+                  // committed quietness taint and the contended flag).
+                  // Corroboration (r13 ADVICE): non-self must read ~0 —
+                  // a 1-2 core co-tenant sits under the 2.0-core abort
+                  // threshold, and letting IT drive the lift would later
+                  // commit its up-to-2.5x-inflated spins as suppressed
                   selfNoiseFactor = math.min(2.5,
                     math.max(selfNoiseFactor,
                       math.min(spin, confirm) / (1.6 * quietSpinMs) * 1.1))
@@ -1375,7 +1465,10 @@ object Bench {
       // sampling noise.
       var contrastiveRecall10 = -1.0
       var contrastiveNProbe10 = -1
-      val x10CustomWls = Seq("contrastive-self@10x", "image-dedup-serve@10x",
+      var semdedupAgree10 = -1.0
+      var semdedupK10 = -1
+      val x10CustomWls = Seq("contrastive-self@10x", "semdedup-prod@10x",
+        "image-dedup-serve@10x",
         "audio-vad-serve@10x", "video-scenecut-serve@10x",
         "multimodal-audio-serve@10x")
       val any10x = x10Workloads.exists(wl => pass(s"$wl@10x")) ||
@@ -1519,7 +1612,81 @@ object Bench {
               System.err.println(s"[bench] contrastive-self@10x setup: $e")
               Seq.empty
             }
-            generic ++ contrastive ++
+            // semdedup-prod@10x (r14, VERDICT r13 #1): the PRODUCTION
+            // SemDeDup config at 10x — the float VectorIndex codebook +
+            // cosine path with k scaled ∝ N (constant cell occupancy:
+            // the oracle twin runs k=8 at base N, so 10x data trains
+            // k=80), vs the fixed-k=8 oracle-parity config that
+            // semdedup@10x keeps timing for cross-round comparability.
+            // Fixed k on 10x data is the documented anti-scale shape
+            // (SCALE.md: within-cell pair fan-out ~ N²/k — hold k and
+            // 10x the data ⇒ 100x the pairs); k ∝ N holds per-cell pair
+            // work linear in N. tau = 0.35 is the float twin of the
+            // integer oracle threshold (400·dot² >= 49·na·nb ⇔
+            // cos >= 7/20). The keep/drop agreement vs the oracle-config
+            // result is audited UNTIMED (cached per bench dir, the
+            // contrastive_recall_10x pattern) and rides the artifact.
+            val semdedupProd =
+              if (!pass("semdedup-prod@10x") ||
+                !budgetGate("semdedup-prod@10x")) Seq.empty
+            else try {
+              import org.apache.spark.sql.functions.{avg, col, lit, when}
+              import graft.functions.{SemDedup, VectorIndex}
+              val emb10 = spark.read.parquet(s"$dir10/embeddings.parquet")
+                .repartition(spark.sparkContext.defaultParallelism)
+              val kProd = 80
+              val tau = 0.35
+              semdedupK10 = kProd
+              val cbPath = s"$benchDir/semdedup-cb-10x-k$kProd-$sfTag"
+              val cb =
+                if (new java.io.File(s"$cbPath/_SUCCESS").exists())
+                  VectorIndex.loadCodebook(spark, cbPath)
+                else {
+                  val c = VectorIndex.train(emb10, "vec_id", "embedding",
+                    k = kProd, iters = 3, sampleOneIn = 2)
+                  VectorIndex.saveCodebook(spark, c, cbPath)
+                  c
+                }
+              // keep/drop agreement audit (UNTIMED, cached): fraction of
+              // vec_ids on which the production config and the integer
+              // oracle config make the same keep/drop decision at 10x
+              val agreePath = new java.io.File(
+                s"$benchDir/semdedup-agree-10x-k$kProd-$sfTag.txt")
+              semdedupAgree10 =
+                if (agreePath.exists())
+                  new String(java.nio.file.Files.readAllBytes(agreePath.toPath))
+                    .trim.toDouble
+                else {
+                  val oracleKept = SparkEntry.queries("q_semdedup_keep")(spark, dir10)
+                    .select(col("vec_id")).withColumn("o", lit(1))
+                  val prodKept = SemDedup.keep(emb10, "vec_id", "embedding",
+                      cb, tau)
+                    .select(col("vec_id")).withColumn("p", lit(1))
+                  val agree = emb10.select(col("vec_id"))
+                    .join(oracleKept, Seq("vec_id"), "left")
+                    .join(prodKept, Seq("vec_id"), "left")
+                    .agg(avg(when(col("o").isNull === col("p").isNull, 1.0)
+                      .otherwise(0.0)))
+                    .head().getDouble(0)
+                  java.nio.file.Files.write(agreePath.toPath,
+                    f"$agree%.6f".getBytes)
+                  agree
+                }
+              val secs = (1 to benchRuns).flatMap { _ =>
+                val t0 = System.nanoTime()
+                try {
+                  SemDedup.pairs(emb10, "vec_id", "embedding", cb, tau).count()
+                  Some((System.nanoTime() - t0) / 1e9)
+                } catch { case e: Throwable =>
+                  System.err.println(s"[bench] semdedup-prod@10x: $e"); None }
+              }
+              if (secs.isEmpty) Seq.empty
+              else Seq(Sample("semdedup-prod@10x", secs, embRows10, embRows10))
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] semdedup-prod@10x setup: $e")
+              Seq.empty
+            }
+            generic ++ contrastive ++ semdedupProd ++
               imageDedupServe("image-dedup-serve@10x", dir10,
                 s"10x-$sfTag", docRows10) ++
               mediaServe("audio-vad-serve@10x", "vad-wav",
@@ -1625,6 +1792,7 @@ object Bench {
         allSamples.map(smp =>
           if (tainted(smp.wl)) smp.copy(quiet = false) else smp),
         lat, streamLat, (contrastiveRecall10, contrastiveNProbe10),
+        (semdedupAgree10, semdedupK10),
         loadStart, loadEnd, calibStartMs, calibEndMs, calibRatio,
         pcalibStartMs, pcalibEndMs, pcalibRatio, pcalibVsQuiet,
         streamProbeMs, streamQuiet, attemptAborted, latSpinVsQuiet, gatedNow)
@@ -1704,6 +1872,7 @@ object Bench {
     val streamLatBest = scala.collection.mutable.Map
       .empty[String, ((Int, Double), Map[String, Double])]
     var contrastive = (-1.0, -1)
+    var semdedupProd = (-1.0, -1)
     val attemptProbes = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // a workload counts as VERIFIED-QUIET once ANY attempt measured it
@@ -1732,6 +1901,7 @@ object Bench {
           streamLatBest(wl) = (slKey, m)
       }
       if (a.contrastive._2 > 0) contrastive = a.contrastive
+      if (a.semdedupProd._2 > 0) semdedupProd = a.semdedupProd
       attemptProbes += f"""{"loadavg_start":${a.loadStart}%.2f,"loadavg_end":${a.loadEnd}%.2f,"calib_start_ms":${a.calibStart}%.1f,"calib_end_ms":${a.calibEnd}%.1f,"calib_ratio":${a.calibRatio}%.3f,"pcalib_start_ms":${a.pcalibStart}%.1f,"pcalib_end_ms":${a.pcalibEnd}%.1f,"pcalib_ratio":${a.pcalibRatio}%.3f,"pcalib_vs_quiet":${a.pcalibVsQuiet}%.3f,"stream_probe_ms":${a.streamProbeMs}%.1f,"stream_quiet":${a.streamQuiet},"contended":${a.contended}}"""
     }
 
@@ -1817,7 +1987,7 @@ object Bench {
         absorb(fa)
         if (fa.calibRatio < quietest.calibRatio) quietest = fa
       } else {
-        val tier = guardTier(sus, merged.keySet.toSet)
+        val tier = guardTier(sus, merged.keySet.toSet, rerunLog.toSet)
         System.err.println(
           s"[bench] contention guard: re-running ${tier.toSeq.sorted.mkString(", ")}")
         rerunLog ++= tier
@@ -1886,7 +2056,7 @@ object Bench {
     // percentiles were taken under (-1.0 = probe never ran)
     val latProbeTag = latBest.map(_._1).getOrElse(-1.0)
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"latency_probe_spin_vs_quiet":$latProbeTag%.3f,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},$guardJson,"load":$loadJson,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"latency_probe_spin_vs_quiet":$latProbeTag%.3f,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},"semdedup_agreement_10x":${semdedupProd._1}%.4f,"semdedup_k_10x":${semdedupProd._2},$guardJson,"load":$loadJson,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
     // STDOUT CONTRACT (driver tail-parses the LAST stdout line, and its
     // tail window has truncated a full queries map in 4 of 5 rounds):
     // print ONLY total + the 11 SimpleBenchmark-parity workloads + the
@@ -1896,8 +2066,12 @@ object Bench {
     val parityQs = allResults
       .filter(s => parityWorkloads.contains(s.wl))
       .map(s => f""""${s.wl}":${s.median}%.3f""").mkString("{", ",", "}")
+    // r14 (r13 ADVICE): an isolated-mode run tags its stdout line so a
+    // driver tail-parsing it can never mistake a deliberately-partial
+    // total for the suite total
+    val onlyTag = benchOnly.map(m => s""""only":"$m",""").getOrElse("")
     val stdoutLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$parityQs,"contended":${quietest.contended},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag"queries":$parityQs,"contended":${quietest.contended},"sf":"$sfDir"}"""
     // an isolated-mode run (BENCH_ONLY) must never overwrite the full
     // artifact — BENCH.json feeds next run's priors, floors and the
     // quiet-spin seed (r13)
@@ -1995,10 +2169,13 @@ object Bench {
     // but SELF-attributed (r13, VERDICT #1: the segment probe fires right
     // after the batch/10x sections, where this JVM's own GC/compaction
     // tail reads up to ~2x the floor on an idle box — the co-tenant
-    // certification is about EXTERNAL load; a hard 2.5x cap still forces
-    // re-runs under extreme self-churn)
+    // certification is about EXTREME external load; a hard 2.5x cap still
+    // forces re-runs under extreme self-churn). r14 (r13 ADVICE): the
+    // elevated acceptance demands non-self ~0 (SelfQuietCores), not
+    // merely under the 2.0-core abort threshold — a 1-2 core co-tenant
+    // must not have its inflated streaming segment certified quiet.
     val segQuiet = probeMs <= 1.35 * quietSpinMs ||
-      (probeMs <= 2.5 * quietSpinMs && probeOther < CoTenantCores)
+      (probeMs <= 2.5 * quietSpinMs && probeOther < SelfQuietCores)
     if (!segQuiet) System.err.println(
       f"[bench] streaming segment probe NOT quiet: spin $probeMs%.0f ms vs floor $quietSpinMs%.0f ms (non-self $probeOther%.1f cores)")
     else if (probeMs > 1.35 * quietSpinMs) System.err.println(
