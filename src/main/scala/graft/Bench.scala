@@ -78,6 +78,7 @@ object Bench {
     "bpe-byte-encode" -> "q_bpe_byte_encode", // r12: GPT-2-family byte BPE
     "curation-funnel" -> "q_curation_funnel",
     "line-filter" -> "q_line_filter",
+    "pack-sequences" -> "q_pack_nextfit",
     "repetition-remove" -> "q_repetition_remove",
     "quality-classifier" -> "q_quality_classifier",
     "ann-ivf-pq" -> "q_ann_ivf_pq",
@@ -848,6 +849,7 @@ object Bench {
       "bpe-byte-encode" -> bytes("documents"),
       "curation-funnel" -> bytes("documents"),
       "line-filter" -> bytes("documents"),
+      "pack-sequences" -> bytes("documents"),
       "repetition-remove" -> bytes("documents"),
       "quality-classifier" -> bytes("embeddings"),
       "ann-ivf-pq" -> bytes("embeddings"),
@@ -958,6 +960,7 @@ object Bench {
       "bpe-byte-encode" -> docRows,
       "curation-funnel" -> docRows,
       "line-filter" -> docRows,
+      "pack-sequences" -> docRows,
       "repetition-remove" -> docRows,
       "quality-classifier" -> embRows,
       "ann-ivf-pq" -> embRows,

@@ -1500,6 +1500,44 @@ object LlmPipeline extends Catalog {
         count(lit(1)).as("n_chunks"))
   }
 
+  // -- capacity-based next-fit packing (the T5/GPT-NeoX "fill the context
+  //    window, overflow opens a new sequence" recipe) — the variable-
+  //    length complement of q_sequence_packing's fixed-count packs.
+  //    Global greedy packing is inherently sequential, so the scale shape
+  //    is SHARDED next-fit (graft.functions.Packing): pack within
+  //    64-doc shards (bounded cells by construction), bins keyed
+  //    (shard, bin) — embarrassingly parallel, one groupBy shuffle, the
+  //    per-shard fold one codegen'd `aggregate` over a sorted array.
+  //    Oracle: the same fold as a per-shard recursive CTE stepping
+  //    rank-by-rank (depth <= 64, breadth = all shards at once).
+  q("q_pack_nextfit",
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, doc_id // 64 AS shard, CAST(len(toks) AS BIGINT) AS n_tok
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(trim(text), '\s+'),
+      |                      x -> len(x) > 0) AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0),
+      |r AS (SELECT doc_id, shard, n_tok,
+      |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |      FROM tk),
+      |f AS (
+      |  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin, n_tok AS run
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.shard, r.rn, r.doc_id, r.n_tok,
+      |    CASE WHEN f.run + r.n_tok > 256 THEN f.bin + 1 ELSE f.bin END,
+      |    CASE WHEN f.run + r.n_tok > 256 THEN r.n_tok ELSE f.run + r.n_tok END
+      |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+      |SELECT shard, doc_id, n_tok, bin FROM f""") { (s, dir) =>
+    val toks = T.tokens(col("text"))
+    graft.functions.Packing.packNextFit(
+      spread(load(s, dir, "documents"))
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0),
+      "doc_id", "n_tok", capacity = 256L, shardSize = 64L)
+  }
+
   // -- repetition ratio (C4's repeated-lines signal): distinct lines /
   //    lines and distinct tokens / tokens — high repetition marks
   //    boilerplate and crawler loops.
