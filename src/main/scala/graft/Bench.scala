@@ -238,6 +238,9 @@ object Bench {
     // end-to-end image entry at 10x)
     "kmeans-clusters", "winnowing-overlap", "lsh-pr-eval",
     "graph-triangles",
+    // r14: capacity-based next-fit packing — docs-based, the @10x ratio
+    // should read ~linear (per-shard fold; shard count grows with N)
+    "pack-sequences",
     // r8 third batch: documents-based data-eng operators
     "compaction-plan", "graph-degree-dist", "pmi-collocations",
     "k-anonymity", "random-projection",

@@ -215,6 +215,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Union"), plan.take(800))
   }
 
+  test("next-fit packing: one shard shuffle, the fold rides the agg - " +
+      "no window, no join, no second exchange") {
+    val plan = planOf("q_pack_nextfit")
+    // groupBy(shard) is the operator's single shuffle; the per-shard
+    // next-fit fold is an expression over the collected array, so no
+    // WindowExec over the corpus and no join anywhere
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, plan.take(1500))
+    assert(!plan.contains("WindowExec") && !plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("timeseries similarity: equi-joins only, top-k is TakeOrderedAndProject") {
     val plan = planOf("q_timeseries_similar")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
