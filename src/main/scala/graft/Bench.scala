@@ -722,16 +722,16 @@ object Bench {
     // individual sub-second entries with 5+ quiet isolated reps
     val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val workloadNames = workloads.map(_._1).toSet
+    def knownWl(w: String): Boolean =
+      workloadNames.contains(w.stripSuffix("@10x")) ||
+        w == "consumeproduce" || streamingPinSet.contains(w) ||
+        w.startsWith("contrastive-self") || w.startsWith("semdedup-prod") ||
+        w.contains("-serve")
     val onlyFilter: String => Boolean = benchOnly match {
       case Some("streaming") => streamingPinSet.contains _
-      case Some(list) if list.contains(",") || workloadNames.contains(list) ||
-          list.endsWith("@10x") =>
+      case Some(list) if list.split(",").map(_.trim).exists(knownWl) =>
         val wanted = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = wanted.filterNot(w =>
-          workloadNames.contains(w.stripSuffix("@10x")) ||
-            w == "consumeproduce" || streamingPinSet.contains(w) ||
-            w.startsWith("contrastive-self") || w.startsWith("semdedup-prod") ||
-            w.contains("-serve"))
+        val unknown = wanted.filterNot(knownWl)
         if (unknown.nonEmpty) System.err.println(
           s"[bench] SPARK_GRAFT_BENCH_ONLY names unknown workload(s): " +
             unknown.toSeq.sorted.mkString(", "))
