@@ -724,7 +724,8 @@ object Bench {
     val workloadNames = workloads.map(_._1).toSet
     def knownWl(w: String): Boolean =
       workloadNames.contains(w.stripSuffix("@10x")) ||
-        w == "consumeproduce" || streamingPinSet.contains(w) ||
+        w == "consumeproduce" || w == "suppress-ordered" ||
+        streamingPinSet.contains(w) ||
         w.startsWith("contrastive-self") || w.startsWith("semdedup-prod") ||
         w.contains("-serve")
     val onlyFilter: String => Boolean = benchOnly match {
@@ -1260,6 +1261,43 @@ object Bench {
         else Seq(Sample("consumeproduce", secs, eventRows, eventRows))
       }
 
+      // suppress-ordered: the ordered suppress buffer's adversarial fold —
+      // 80k SAME-timestamp md5-randomized keys into one buffer, so every
+      // insert lands mid-buffer via the serialized-key-bytes tie-break
+      // (ts-increasing arrivals append in O(1) and measure nothing). This
+      // pins the r14 TreeMap rewrite: the pre-rewrite Vector take/drop
+      // copy folded this shape in 2.4 s and scaled quadratically; the
+      // TreeMap fold reads ~0.6-0.9 s flat. Deterministic input
+      // (spark.range + md5), batch-mode fold, output is empty by design
+      // (nothing evicts) — the work IS the buffer maintenance.
+      val suppressOrdered =
+        if (!pass("suppress-ordered") || !budgetGate("suppress-ordered"))
+          Seq.empty
+        else {
+          val nKeys = 80000L
+          val secs = (1 to benchRuns).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              val builder = new graft.api.GraftStreams(spark)
+              import spark.implicits._
+              import org.apache.spark.sql.functions.{col, lit, md5}
+              val df = spark.range(nKeys).select(
+                md5(col("id").cast("string")).as("k"), lit("v").as("v"),
+                lit(1000000000L).cast("timestamp").as("ts"))
+              val stream = builder.stream[String, String](
+                df, col("k"), col("v"), col("ts"))
+              graft.streaming.StatefulOps.suppressUntilTimeLimitOrdered(
+                stream, delayMs = Long.MaxValue / 4,
+                maxRecordsPerBuffer = nKeys + 1, numBuffers = 1)
+                .toDF("k", "v").count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] suppress-ordered: $e"); None }
+          }
+          if (secs.isEmpty) Seq.empty
+          else Seq(Sample("suppress-ordered", secs, nKeys, nKeys))
+        }
+
       // ann-ivf / ann-ivf-search: the production serving shapes. The
       // codebook trains ONCE on a deterministic 1-in-4 id-hash sample (the
       // documented 100 TB default — training is an index-build cost, not a
@@ -1768,7 +1806,7 @@ object Bench {
       //       OR end spin taints the whole pass — without this, one
       //       unprobed re-run under the same co-tenant would
       //       "quiet-confirm" a tainted workload.
-      val allSamples = results ++ consumeProduce ++ ivfSearch ++ indexProbe ++
+      val allSamples = results ++ consumeProduce ++ suppressOrdered ++ ivfSearch ++ indexProbe ++
         imageServe ++ streaming ++ x10Results
       // r13 (VERDICT #1/#2): a bracketing spin only de-quiets samples
       // when the elevation is EXTERNALLY attributed — the r12 guard loop
