@@ -466,22 +466,48 @@ object Bench {
     * false abort) and EXCLUDING guest/guest_nice (procfs(5): guest time
     * is already accounted in user/nice, so summing it double-counts VM
     * hosting load — r13 ADVICE). (-1, -1) when /proc is unreadable. */
+  /** Ancestor pid list, snapshotted on the FIRST walk and reused, with
+    * the last-seen jiffies carried for a pid that exits or becomes
+    * unreadable mid-run (r15, ADVICE r14 medium): re-walking the chain
+    * every call made `self` non-monotonic — an ancestor exiting between
+    * two readings dropped its folded jiffies, the self delta went
+    * negative, and otherCores inflated enough to falsely confirm a
+    * co-tenant or defeat the SelfQuietCores corroboration. */
+  private var ancestorPids: Seq[Long] = null
+  private val ancestorLastSeen = scala.collection.mutable.Map.empty[Long, Long]
+
   private[graft] def cpuJiffies(): (Long, Long) = {
     val self = try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
       val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
       var sum = rest(11).toLong + rest(12).toLong
-      // fold in the ancestor chain (sbt JVM, driver shell) up to init;
-      // depth-capped — a /proc race mid-walk just truncates the fold
-      var pid = rest(1).toLong
-      var depth = 0
-      while (pid > 1 && depth < 10) {
-        pidJiffies(pid) match {
-          case Some((j, ppid)) => sum += j; pid = ppid
-          case None => pid = 0
+      if (ancestorPids == null) {
+        // first call: walk the chain (sbt JVM, driver shell) up to init;
+        // depth-capped — a /proc race mid-walk just truncates the fold
+        val b = Seq.newBuilder[Long]
+        var pid = rest(1).toLong
+        var depth = 0
+        while (pid > 1 && depth < 10) {
+          pidJiffies(pid) match {
+            case Some((j, ppid)) =>
+              b += pid; ancestorLastSeen(pid) = j; pid = ppid
+            case None => pid = 0
+          }
+          depth += 1
         }
-        depth += 1
+        ancestorPids = b.result()
+      }
+      ancestorPids.foreach { pid =>
+        pidJiffies(pid) match {
+          case Some((j, _)) =>
+            // a recycled pid could in principle report LOWER jiffies than
+            // the exited ancestor it replaced — the max keeps self
+            // monotonic either way
+            val seen = math.max(ancestorLastSeen.getOrElse(pid, 0L), j)
+            ancestorLastSeen(pid) = seen; sum += seen
+          case None => sum += ancestorLastSeen.getOrElse(pid, 0L)
+        }
       }
       sum
     } catch { case _: Throwable => -1L }
@@ -520,6 +546,20 @@ object Bench {
       (ms, otherS / math.max(wallS, 1e-9))
     }
   }
+
+  /** Post-guard run state for the stdout contract (r15, VERDICT r14 #2):
+    * the sticky per-attempt `contended` flag alone cannot distinguish
+    * "guard detected contention and re-ran everything quiet" from
+    * "committed samples are dirty". Returns (contended_seen, final_quiet):
+    * `contended_seen` = any attempt's probes flagged contention;
+    * `final_quiet` = every measured workload was confirmed under a quiet
+    * probe on some attempt AND nothing went unmeasured — i.e. the guard
+    * finished its job regardless of what it saw along the way. */
+  private[graft] def guardOutcome(attemptContended: Seq[Boolean],
+      measured: Set[String], everQuiet: Set[String],
+      neverMeasured: Set[String]): (Boolean, Boolean) =
+    (attemptContended.exists(identity),
+      neverMeasured.isEmpty && measured.forall(everQuiet.contains))
 
   /** Non-self load (cores) above which an elevated spin is attributed to
     * a real co-tenant rather than self noise: kernel threads plus the
@@ -641,6 +681,21 @@ object Bench {
   // of silently committing up-to-1.6x-inflated medians as quiet.
   private val sinceQuietProbe =
     scala.collection.mutable.LinkedHashSet.empty[String]
+  // r15 (VERDICT r14 #3): per-workload audit trail of the ATTRIBUTED
+  // non-self cores observed by the spin brackets containing it — a
+  // steady 1-2-core co-tenant is invisible to the abort line by design,
+  // so the artifact records the reading for post-hoc adjudication.
+  // Max-merged across probes/attempts; -1 = no bracket probe observed
+  // the workload (attribution unavailable readings are skipped). Zero
+  // behavior change to the guard itself.
+  private val wlNonSelf = scala.collection.mutable.Map.empty[String, Double]
+  private def stampNonSelf(cores: Double): Unit =
+    if (cores >= 0 && cores != Double.MaxValue)
+      sinceQuietProbe.synchronized(sinceQuietProbe.foreach { wl =>
+        wlNonSelf.synchronized {
+          if (wlNonSelf.getOrElse(wl, -1.0) < cores) wlNonSelf(wl) = cores
+        }
+      })
   @volatile private var taintedWls: Set[String] = Set.empty
   /** Budget gate for one workload: true to run; false records the skip
     * (budget exhausted OR the attempt was aborted mid-suite — either way
@@ -722,27 +777,42 @@ object Bench {
     // individual sub-second entries with 5+ quiet isolated reps
     val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val workloadNames = workloads.map(_._1).toSet
+    // exact custom-block names (r15, ADVICE r14: substring/prefix matching
+    // let a typo'd serve name pass the known-name check and silently
+    // produce an empty isolated run)
+    val customWls: Set[String] = Set(
+      "consumeproduce", "suppress-ordered", "dedup-index-probe",
+      "ann-ivf", "ann-ivf-search", "ann-pq", "ann-ivf-pq-serve",
+      "contrastive-self@10x", "semdedup-prod@10x",
+      "image-dedup-serve", "image-dedup-serve@10x",
+      "audio-vad-serve@10x", "video-scenecut-serve@10x",
+      "multimodal-audio-serve@10x")
     def knownWl(w: String): Boolean =
       workloadNames.contains(w.stripSuffix("@10x")) ||
-        w == "consumeproduce" || w == "suppress-ordered" ||
-        streamingPinSet.contains(w) ||
-        w.startsWith("contrastive-self") || w.startsWith("semdedup-prod") ||
-        w.contains("-serve")
-    val onlyFilter: String => Boolean = benchOnly match {
-      case Some("streaming") => streamingPinSet.contains _
-      case Some(list) if list.split(",").map(_.trim).exists(knownWl) =>
-        val wanted = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = wanted.filterNot(knownWl)
-        if (unknown.nonEmpty) System.err.println(
-          s"[bench] SPARK_GRAFT_BENCH_ONLY names unknown workload(s): " +
-            unknown.toSeq.sorted.mkString(", "))
-        wanted.contains _
-      case Some(other) =>
-        System.err.println(
-          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY=$other - running the full suite")
-        (_: String) => true
-      case None => (_: String) => true
-    }
+        streamingPinSet.contains(w) || customWls.contains(w)
+    // (onlyEngaged: the mode string for the stdout tag + artifact name,
+    // present ONLY when the filter actually engaged — the unknown-value
+    // fallback runs the FULL suite and must not tag its total as partial
+    // (ADVICE r14). The value is rebuilt from the recognized names, so no
+    // raw env bytes reach the JSON line or the filesystem.)
+    val (onlyFilter: (String => Boolean), onlyEngaged: Option[String]) =
+      benchOnly match {
+        case Some("streaming") =>
+          ((streamingPinSet.contains _): String => Boolean, Some("streaming"))
+        case Some(list) if list.split(",").map(_.trim).exists(knownWl) =>
+          val wanted = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = wanted.filterNot(knownWl)
+          if (unknown.nonEmpty) System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_ONLY names unknown workload(s): " +
+              unknown.toSeq.sorted.mkString(", "))
+          ((wanted.contains _): String => Boolean,
+            Some(wanted.filter(knownWl).toSeq.sorted.mkString(",")))
+        case Some(other) =>
+          System.err.println(
+            s"[bench] unknown SPARK_GRAFT_BENCH_ONLY=$other - running the full suite")
+          (((_: String) => true): String => Boolean, None)
+        case None => (((_: String) => true): String => Boolean, None)
+      }
     // r13 (VERDICT #1): run-local multiplier on the mid-attempt abort
     // line — lifted when elevated spins persist with no external CPU
     // consumer (this box's self-noise ceiling sits above the 1.6x model).
@@ -1102,6 +1172,7 @@ object Bench {
           gateCalls += 1
           if (gateCalls % 10 == 0 && !attemptAborted && budgetOk) {
             val (spin, other1) = attributedSpinMs(spinThreads)
+            stampNonSelf(other1) // audit trail BEFORE any bracket clear
             quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, spin))
             // abort line: 1.6x the quiet floor, lifted by the run-local
             // self-noise re-baseline when this JVM's own tail work keeps
@@ -1132,6 +1203,7 @@ object Bench {
               // co-tenant persists across a SECOND spin, a GC burst does
               // not.
               val (confirm, other2) = attributedSpinMs(spinThreads)
+              stampNonSelf(other2)
               quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, confirm))
               val otherCores = math.max(other1, other2)
               if (confirm <= line) {
@@ -1680,7 +1752,10 @@ object Bench {
                 .repartition(spark.sparkContext.defaultParallelism)
               val kProd = 80
               val tau = 0.35
-              semdedupK10 = kProd
+              // (semdedupK10 is assigned only after the agreement audit
+              // succeeds — ADVICE r14: assigning it up front let a thrown
+              // codebook/audit step register k=80 with agreement -1.0 as
+              // if the audit had run)
               val cbPath = s"$benchDir/semdedup-cb-10x-k$kProd-$sfTag"
               val cb =
                 if (new java.io.File(s"$cbPath/_SUCCESS").exists())
@@ -1716,6 +1791,7 @@ object Bench {
                     f"$agree%.6f".getBytes)
                   agree
                 }
+              semdedupK10 = kProd // only now: the audit value exists
               val secs = (1 to benchRuns).flatMap { _ =>
                 val t0 = System.nanoTime()
                 try {
@@ -1752,6 +1828,7 @@ object Bench {
       val loadEnd = loadAvg()
       val calibEndMs = calibrationSpinMs()
       val (pcalibEndMs, pcalibEndOther) = attributedSpinMs(spinThreads)
+      stampNonSelf(pcalibEndOther) // close the attempt's last open bracket
       quietSpinMs = math.min(quietSpinMs, quietSpinRef(spinThreads, pcalibEndMs))
       val calibRatio =
         math.max(calibStartMs, calibEndMs) / math.min(calibStartMs, calibEndMs)
@@ -1918,6 +1995,7 @@ object Bench {
     var contrastive = (-1.0, -1)
     var semdedupProd = (-1.0, -1)
     val attemptProbes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val attemptContendedLog = scala.collection.mutable.ArrayBuffer.empty[Boolean]
 
     // a workload counts as VERIFIED-QUIET once ANY attempt measured it
     // under a quiet probe — the committed number stays the min-median
@@ -1929,6 +2007,7 @@ object Bench {
     val everQuiet = scala.collection.mutable.Set.empty[String]
 
     def absorb(a: Attempt): Unit = {
+      attemptContendedLog += a.contended
       a.samples.foreach { s =>
         if (s.quiet) everQuiet += s.wl
         if (merged.get(s.wl).forall(_.median > s.median)) merged(s.wl) = s
@@ -2068,9 +2147,13 @@ object Bench {
       f""""${s.wl}":$mbs%.2f"""
     }.mkString("{", ",", "}")
     // per-workload error bars: median/min/max over n successful runs (of
-    // the attempt that won the min-median merge)
+    // the attempt that won the min-median merge), plus the max ATTRIBUTED
+    // non-self cores any spin bracket containing the workload observed
+    // (r15, VERDICT r14 #3 — sub-abort-threshold co-tenants become
+    // auditable; -1 = no bracket probe covered the workload)
     val stats = allResults.map { s =>
-      f""""${s.wl}":{"median":${s.median}%.4f,"min":${s.min}%.4f,"max":${s.max}%.4f,"n":${s.n}}"""
+      val ns = wlNonSelf.synchronized(wlNonSelf.getOrElse(s.wl, -1.0))
+      f""""${s.wl}":{"median":${s.median}%.4f,"min":${s.min}%.4f,"max":${s.max}%.4f,"n":${s.n},"non_self_cores":$ns%.2f}"""
     }.mkString("{", ",", "}")
     // headline total stays the BASE-scale suite (comparable across
     // rounds); the 10x re-runs report separately
@@ -2099,8 +2182,15 @@ object Bench {
     // r13 (VERDICT #5): the spin-vs-floor reading the committed latency
     // percentiles were taken under (-1.0 = probe never ran)
     val latProbeTag = latBest.map(_._1).getOrElse(-1.0)
+    // r15 (VERDICT r14 #2): post-guard state, in BOTH the artifact and the
+    // stdout contract — "contended_seen && final_quiet" = the guard saw
+    // contention and re-confirmed every committed workload under a quiet
+    // probe; only "!final_quiet" means the samples themselves are suspect
+    val (contendedSeen, finalQuiet) = guardOutcome(
+      attemptContendedLog.toSeq, merged.keySet.toSet, everQuiet.toSet,
+      skippedWls.synchronized(skippedWls.filterNot(merged.contains).toSet))
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"latency_probe_spin_vs_quiet":$latProbeTag%.3f,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},"semdedup_agreement_10x":${semdedupProd._1}%.4f,"semdedup_k_10x":${semdedupProd._2},$guardJson,"load":$loadJson,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","total_10x":$total10,"queries":$qs,"rec_sec":$rs,"mb_sec":$mb,"rows":$ns,"stats":$stats,"runs_per_workload":$benchRuns,"state_store":"$stateStore","latency_ms":$latJson,"latency_probe_spin_vs_quiet":$latProbeTag%.3f,"stream_latency_ms":$streamLatJson,"stream_records":$streamRecords,"contrastive_recall_10x":${contrastive._1}%.4f,"contrastive_nprobe_10x":${contrastive._2},"semdedup_agreement_10x":${semdedupProd._1}%.4f,"semdedup_k_10x":${semdedupProd._2},$guardJson,"load":$loadJson,"contended_seen":$contendedSeen,"final_quiet":$finalQuiet,"budget_s":$budgetS,"budget_exceeded":${!budgetOk},"skipped":$skippedJson,"spin_quiet_ms":$quietSpinMs%.1f,"spin_threads":$spinThreads,"sf":"$sfDir"}"""
     // STDOUT CONTRACT (driver tail-parses the LAST stdout line, and its
     // tail window has truncated a full queries map in 4 of 5 rounds):
     // print ONLY total + the 11 SimpleBenchmark-parity workloads + the
@@ -2113,14 +2203,23 @@ object Bench {
     // r14 (r13 ADVICE): an isolated-mode run tags its stdout line so a
     // driver tail-parsing it can never mistake a deliberately-partial
     // total for the suite total
-    val onlyTag = benchOnly.map(m => s""""only":"$m",""").getOrElse("")
+    // the tag/filename value comes from onlyEngaged (recognized names
+    // only, emitted only when the filter engaged — ADVICE r14); long
+    // workload lists are shortened so the artifact name stays within
+    // filesystem limits (r15: a 35-workload list exceeded NAME_MAX)
+    val onlyTag = onlyEngaged.map(m => s""""only":"$m",""").getOrElse("")
     val stdoutLine =
-      s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag"queries":$parityQs,"contended":${quietest.contended},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag"queries":$parityQs,"contended":${quietest.contended},"contended_seen":$contendedSeen,"final_quiet":$finalQuiet,"sf":"$sfDir"}"""
     // an isolated-mode run (BENCH_ONLY) must never overwrite the full
     // artifact — BENCH.json feeds next run's priors, floors and the
     // quiet-spin seed (r13)
+    def fileSafe(m: String): String = {
+      val s = m.map(c => if (c.isLetterOrDigit || "@,._-".contains(c)) c else '-')
+      if (s.length <= 80) s
+      else s.take(48) + "-" + java.lang.Integer.toHexString(s.hashCode)
+    }
     val artifactFile =
-      benchOnly.map(m => s"BENCH.only-$m.json").getOrElse("BENCH.json")
+      onlyEngaged.map(m => s"BENCH.only-${fileSafe(m)}.json").getOrElse("BENCH.json")
     val w = new java.io.PrintWriter(artifactFile)
     try w.write(json + "\n") finally w.close()
     spark.stop()

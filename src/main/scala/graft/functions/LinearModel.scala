@@ -107,8 +107,9 @@ object LinearModel {
   private def withMarginMicro(df: DataFrame, w: Array[Long],
       bias: Long): DataFrame =
     df.withColumn("dot",
-        aggregate(zip_with(col("xq"), typedLit(w.toSeq), (x, wi) => x * wi),
-          lit(0L), _ + _))
+        // codegen'd integer dot kernel (r15) — bit-identical to the
+        // interpreted zip_with+aggregate fold it replaces
+        graft.plans.NativeVector.dotI64(col("xq"), typedLit(w.toSeq)))
       .withColumn("mm", lit(bias) + expr("dot div 1000000"))
       .withColumn("idx", expr(
         "cast((least(greatest(mm, -8192000), 8191999) + 8192000) div 4000 as int)"))

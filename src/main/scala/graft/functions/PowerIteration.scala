@@ -68,8 +68,10 @@ object PowerIteration {
       val withV = xm.withColumn("vm", lit(vm))
       val contrib = withV
         .select(col("xm"),
-          expr("aggregate(zip_with(xm, vm, (a, b) -> a * b), 0L, (acc, y) -> acc + y) div 1000000")
-            .as("dm"))
+          // codegen'd integer dot kernel (r15) — bit-identical fold
+          (graft.plans.NativeVector.dotI64(col("xm"), col("vm")))
+            .as("__d"))
+        .select(col("xm"), expr("__d div 1000000").as("dm"))
         .select(posexplode(col("xm")).as(Seq("pos", "x")), col("dm"))
         .select(col("pos"), expr("(x * dm) div 1000000").as("cm"))
         .groupBy("pos").agg(sum("cm").as("s"))
@@ -104,8 +106,7 @@ object PowerIteration {
     * order-independent (per-row truncation before the corpus sum, so
     * another engine reproduces it row by row). */
   private def traceMicro(xm: DataFrame): Long =
-    xm.select(
-      expr("aggregate(zip_with(xm, xm, (a, b) -> a * b), 0L, (acc, y) -> acc + y) div 1000000")
-        .as("n2"))
+    xm.select(graft.plans.NativeVector.dotI64(col("xm"), col("xm")).as("__n2"))
+      .select(expr("__n2 div 1000000").as("n2"))
       .agg(sum("n2")).head().getLong(0)
 }

@@ -26,13 +26,23 @@ object SemDedup {
   /** Within-cluster near-duplicate pairs: (cell, id_a, id_b, cos). */
   def pairs(df: DataFrame, idCol: String, embCol: String,
       cb: VectorIndex.Codebook, tau: Double): DataFrame = {
+    // norms once per vector, not twice per candidate pair (r15; cos stays
+    // bit-identical via cosineFromNorms); cells localCheckpoints so the
+    // assignment UDF also runs once instead of once per join side
     val cells = VectorIndex.assignCells(df, embCol, cb)
       .withColumnRenamed("__cell", "cell")
-    val a = cells.select(col("cell"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = cells.select(col("cell"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+      .withColumn("nrm",
+        sqrt(VectorFunctions.dotProduct(col(embCol), col(embCol))))
+      .localCheckpoint(false)
+    val a = cells.select(col("cell"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"), col("nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, "cell")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", VectorFunctions.cosineFromNorms(
+        VectorFunctions.dotProduct(col("emb_a"), col("emb_b")),
+        col("nrm_a"), col("nrm_b")))
       .filter(col("cos") >= tau)
       .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
   }

@@ -26,6 +26,17 @@ object VectorFunctions {
   /** Cosine similarity in [-1, 1]; 0 when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column = NativeVector.cosineF32(a, b)
 
+  /** Cosine from a fresh dot product and PRE-COMPUTED norms
+    * (`na = sqrt(dot(a,a))`, once per vector instead of once per pair) —
+    * bit-identical to [[cosine]]: the same `dot / (sqrt(da) * sqrt(db))`
+    * IEEE sequence with the same zero-denominator rule, but the two norm
+    * folds leave the per-pair hot path (r15, guide §1.2: the pair stages
+    * evaluate this over ~nProbe·N/k candidate rows). */
+  def cosineFromNorms(dot: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0, lit(0.0)).otherwise(dot / denom)
+  }
+
   /** Squared euclidean distance. */
   def sqDist(a: Column, b: Column): Column = NativeVector.sqDistF32(a, b)
 

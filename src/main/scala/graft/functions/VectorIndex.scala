@@ -17,7 +17,18 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   final case class Codebook(centroids: Array[Array[Double]]) {
+    /** Unbox the row's float array ONCE (r15, guide §1.2 "per-task
+      * work"): `v(i)` through the generic `Seq[Float]` apply boxes every
+      * element — at corpus-scale ranking that was k·dim boxed Floats per
+      * row. ArraySeq.ofFloat exposes its backing primitive array
+      * zero-copy; anything else pays one unboxed copy. */
+    private def raw(v: Seq[Float]): Array[Float] = v match {
+      case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+      case _ => v.toArray
+    }
+
     def nearest(v: Seq[Float]): Int = {
+      val a = raw(v)
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -26,7 +37,7 @@ object VectorIndex {
         var d = 0.0
         var i = 0
         while (i < cent.length) {
-          val diff = cent(i) - v(i); d += diff * diff; i += 1
+          val diff = cent(i) - a(i); d += diff * diff; i += 1
         }
         if (d < bestD) { bestD = d; best = c }
         c += 1
@@ -34,14 +45,25 @@ object VectorIndex {
       best
     }
 
-    def nearestN(v: Seq[Float], n: Int): Seq[Int] =
-      centroids.indices.sortBy { c =>
+    /** Distances are precomputed into an array before the sort (r15):
+      * `sortBy(f)` re-evaluates `f` on EVERY comparison (`Ordering.on`),
+      * so the old form paid ~log2(k) full k·dim distance passes per row
+      * instead of one. Result order is bit-identical: the sort is stable
+      * and keys are the same doubles. */
+    def nearestN(v: Seq[Float], n: Int): Seq[Int] = {
+      val a = raw(v)
+      val d = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
         val cent = centroids(c)
-        var d = 0.0
+        var s = 0.0
         var i = 0
-        while (i < cent.length) { val diff = cent(i) - v(i); d += diff * diff; i += 1 }
-        d
-      }.take(n)
+        while (i < cent.length) { val diff = cent(i) - a(i); s += diff * diff; i += 1 }
+        d(c) = s
+        c += 1
+      }
+      centroids.indices.sortBy(i => d(i)).take(n)
+    }
   }
 
   /** Train a k-cell codebook with `iters` Lloyd iterations. Centroids are
@@ -122,15 +144,21 @@ object VectorIndex {
   def search(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       cb: Codebook, nProbe: Int, topK: Int): DataFrame = {
     val probeUdf = udf((v: Seq[Float]) => cb.nearestN(v, nProbe))
+    // per-vector norms hoisted out of the candidate stage (r15, bit-exact
+    // via cosineFromNorms)
     val indexed = assignCells(corpus, embCol, cb)
-      .select(col("__cell"), col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+      .select(col("__cell"), col(idCol).as("neighbor_id"), col(embCol).as("ce"),
+        sqrt(VectorFunctions.dotProduct(col(embCol), col(embCol))).as("n_nrm"))
     val probed = queries
-      .select(col(idCol).as("query_id"), col(embCol).as("qe"))
+      .select(col(idCol).as("query_id"), col(embCol).as("qe"),
+        sqrt(VectorFunctions.dotProduct(col(embCol), col(embCol))).as("q_nrm"))
       .withColumn("__cell", explode(probeUdf(col("qe"))))
     val sims = indexed.join(broadcast(probed), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosine(col("qe"), col("ce")), 4).as("sim"))
+        round(VectorFunctions.cosineFromNorms(
+          VectorFunctions.dotProduct(col("qe"), col("ce")),
+          col("q_nrm"), col("n_nrm")), 4).as("sim"))
     graft.operators.TopK.perGroup(sims, "query_id", "neighbor_id", "sim",
       topK, ascending = false)
   }
@@ -200,18 +228,27 @@ object VectorIndex {
     val ranked = corpus
       .select(col(idCol) +: col(embCol) +: extra.map(col): _*)
       .withColumn("__cells", rankUdf(col(embCol)))
+      // norms hoisted out of the pair stage (r15): one sqrt-of-dot per
+      // VECTOR here instead of two full norm folds per candidate pair —
+      // cosineFromNorms keeps the sim values bit-identical
+      .withColumn("__nrm",
+        sqrt(VectorFunctions.dotProduct(col(embCol), col(embCol))))
       .localCheckpoint()
     val indexed = ranked
       .select(explode(slice(col("__cells"), 1, assignR)).as("__cell") +:
         col(idCol).as("neighbor_id") +: col(embCol).as("ce") +:
+        col("__nrm").as("n_nrm") +:
         extra.map(c => col(c).as(s"n_$c")): _*)
     val probed = ranked
       .select(explode(slice(col("__cells"), 1, nProbe)).as("__cell") +:
         col(idCol).as("query_id") +: col(embCol).as("qe") +:
+        col("__nrm").as("q_nrm") +:
         extra.map(c => col(c).as(s"q_$c")): _*)
     indexed.join(probed, Seq("__cell")) // shuffled equi-join — NO broadcast
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("qe"), col("ce")), 4))
+      .withColumn("sim", round(VectorFunctions.cosineFromNorms(
+        VectorFunctions.dotProduct(col("qe"), col("ce")),
+        col("q_nrm"), col("n_nrm")), 4))
   }
 
   /** Multi-assignment indexing (the IVF "cell replication" refinement):

@@ -236,6 +236,33 @@ object MediaCodec {
         f.getFrameLength.toLong))
     } catch { case _: Exception => None }
 
+  /** One-pass REAL decode: header meta AND the PCM16 samples from a
+    * single JDK `getAudioInputStream` call (r15, guide §1.2 per-task
+    * work: the energy path called `audioMeta` + `decodePcm16`, paying the
+    * AudioSystem provider scan and RIFF parse twice per asset — the
+    * stream's own format/frameLength carry the identical meta). */
+  def decodePcm16WithMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian) None
+        else {
+          val raw = in.readAllBytes()
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
+            out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** REAL PCM decode through the JDK codec: every 16-bit LE mono sample.
     * None when no audio reader accepts the bytes or the format isn't
     * 16-bit PCM. */

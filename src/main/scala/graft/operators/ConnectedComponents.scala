@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,57 +31,107 @@ import org.apache.spark.sql.functions._
   * within `maxIter` throws rather than returning a partial closure —
   * wrong groups are worse than a visible failure.
   *
-  * Scale shape: each round is two shuffles keyed on node id (a groupBy-min
-  * plus two joins — all partial-aggregated map-side), matching the
-  * alternating-star CC formulations used at web scale. `localCheckpoint`
-  * truncates lineage so the plan does not grow with iterations, and the
-  * driver holds only the changed-row count, never node data.
+  * r15 execution rewrite (guide §1.2/§2.4): the loop body is pure
+  * (Long, Long) message passing — Catalyst buys it nothing, and the
+  * DataFrame formulation paid per ROUND for query planning plus an AQE
+  * stage-materialization barrier per exchange (measured: ~0.35 s/round
+  * of fixed overhead on a 77k-edge graph whose actual per-round action
+  * was ~0.1 s; the closure is fixed overhead in 9+ bench workloads). The
+  * loop now runs on pair RDDs — the GraphX/Pregel idiom — with one
+  * sticky HashPartitioner: the 2|E| edge table is partitioned by the
+  * message key ONCE and never re-shuffled; each round shuffles only
+  * label-table-sized data (reduceByKey with map-side combine + the jump
+  * join). `RDD.localCheckpoint` truncates lineage each round; the driver
+  * holds only the label-sum convergence scalar, never node data.
+  *
+  * Scale shape unchanged: per round one edge-sized co-partitioned join
+  * (narrow on the edge side), one node-keyed min-combine shuffle, one
+  * node-keyed jump join — the alternating-star CC cost envelope used at
+  * web scale. Numbers of rounds, labels and the returned rows are
+  * identical to the DataFrame formulation (same hashmin+jump fixpoint =
+  * per-component minimum).
   */
 object ConnectedComponents {
 
   /** Returns one row per node appearing in `edges`: (node, component)
     * where component is the minimum node id reachable from it. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
-    val sym = edges
-      .select(col(srcCol).cast("long").as("n"), col(dstCol).cast("long").as("peer"))
-      .union(edges.select(col(dstCol).cast("long").as("n"), col(srcCol).cast("long").as("peer")))
-      .localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
 
-    var labels = sym.select(col("n")).distinct().withColumn("label", col("n"))
-    var changed = 1L
+    // (from, to) per direction: label(from) is delivered to `to`.
+    // Partitioned by the message key once; localCheckpoint cuts the
+    // upstream pair-pipeline lineage out of every round.
+    val symRaw = edges
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    symRaw.localCheckpoint()
+    // scale-adaptive round width (guide §2: derive from input size, never
+    // a local constant): ~64k messages per task, capped by the session's
+    // shuffle-partition conf — the RDD loop has no AQE to coalesce the
+    // otherwise-fixed tiny per-round shuffles
+    val nEdges = symRaw.count()
+    val nParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (nEdges + 65535) / 65536)).toInt
+    val part = new HashPartitioner(nParts)
+    val sym = symRaw.partitionBy(part)
+    sym.localCheckpoint()
+
+    // labels: (node, label), init own id, co-partitioned with sym
+    var labels = sym
+      .mapPartitions(_.map { case (from, _) => (from, 0L) },
+        preservesPartitioning = true)
+      .reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (n, _) => (n, n) },
+        preservesPartitioning = true)
+    labels.localCheckpoint()
+
+    // convergence scalar: labels are node ids, monotonically
+    // non-increasing per node per round, so any change strictly
+    // decreases the sum (BigInt — cannot overflow at any corpus scale);
+    // the aggregate action is also what materializes each round's
+    // localCheckpoint — ONE job per round
+    def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      rdd.aggregate(BigInt(0))((acc, kv) => acc + BigInt(kv._2), _ + _)
+    // None until the first round's sum lands — the first round always
+    // runs (it must) without paying an initial sum job of its own
+    var prevSum: Option[BigInt] = None
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (!converged && it < maxIter) {
       // hashmin: adopt the minimum label among self and direct neighbors
-      val neighborMin = sym
-        .join(labels.select(col("n").as("peer"), col("label").as("plabel")), "peer")
-        .groupBy("n")
-        .agg(min("plabel").as("nbr_min"))
-      val relaxed = labels
-        .join(neighborMin, Seq("n"), "left")
-        .select(
-          col("n"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
+      // (sym side co-partitioned — narrow; self label rides as a message;
+      // reduceByKey min combines map-side)
+      val relaxed = (sym.join(labels, part)
+        .map { case (_, (to, plabel)) => (to, plabel) } ++ labels)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       // pointer jump (path halving): label <- label's label. Labels are
       // node ids by induction (init: own id; hashmin: min of node ids;
-      // jump: a label read from the table), so the left lookup always
-      // hits and monotonically decreases toward the component minimum.
+      // jump: a label read from the table), so the lookup always hits
+      // and monotonically decreases toward the component minimum.
       val next = relaxed
-        .join(relaxed.select(col("n").as("__ln"), col("label").as("__ll")),
-          col("label") === col("__ln"), "left")
-        .select(col("n"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
-          (col("chg") ||
-            coalesce(col("__ll"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select("n", "label")
+        .map { case (n, l) => (l, n) }
+        .leftOuterJoin(relaxed, part)
+        .map { case (l, (n, ll)) => (n, math.min(l, ll.getOrElse(l))) }
+        .partitionBy(part)
+      next.localCheckpoint()
+      val t0 = System.nanoTime()
+      val s = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_TRACE")) System.err.println(
+        f"[cc] round ${it + 1}: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      val prior = labels
+      labels = next
+      prior.unpersist(false)
       it += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"ConnectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — raise maxIter")
-    labels
+          "(label sum still decreasing) — raise maxIter")
+    labels.toDF("n", "label")
   }
 }

@@ -173,6 +173,11 @@ object TopK {
     val spark = scored.sparkSession
     import spark.implicits._
     checkContract(scored, groupCol, idCol, scoreCol)
+    // descending only: under the negated-score trick an ascending NaN
+    // would rank first instead of last (the one semantic the typed
+    // buffer and this path would disagree on)
+    if (k == 1 && !ascending) return top1WithPayload(scored, groupCol,
+      idCol, scoreCol, payloadCol, ascending)
     val agg = new BoundedTopKPayload(k, ascending).toColumn.name("topk")
     scored
       .select(col(groupCol).cast("long"), col(idCol).cast("long"),
@@ -186,5 +191,43 @@ object TopK {
         }
       }
       .toDF(groupCol, idCol, scoreCol, payloadCol, "rank")
+  }
+
+  /** k = 1 fast path (r15, guide §1.2): the per-(query, type) top-1 of
+    * the corpus-scale mining join processes every CANDIDATE row through
+    * the typed Aggregator — tuple encode/decode plus an object buffer
+    * per row. A codegen'd `max(struct(...))` computes the identical
+    * winner inside whole-stage codegen with map-side partial aggregation:
+    *   - score component `score + 0.0` normalizes -0.0 to 0.0 before the
+    *     struct comparison (interpreted double compare ranks -0.0 below
+    *     0.0; BoundedTopK — like Spark's sort — treats them equal), and
+    *     IEEE `x + 0.0 == x` for every other double including NaN, which
+    *     the struct comparison ranks greatest exactly like
+    *     java.lang.Double.compare in [[BoundedTopK.rankBefore]];
+    *   - `~id` (bitwise NOT) is a total order-REVERSING bijection on
+    *     longs (no MinValue overflow, unlike negation), so the max picks
+    *     the SMALLEST id on score ties;
+    *   - the original score and the payload ride the struct tail: they
+    *     are only reached on full (score, id) ties, i.e. the same id,
+    *     where both are identical by construction.
+    * Emits the same (group, id, score, payload, rank=1) rows. */
+  private def top1WithPayload(scored: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, payloadCol: String,
+      ascending: Boolean): DataFrame = {
+    require(!ascending, "top1WithPayload serves the descending path only")
+    val score = col(scoreCol).cast("double")
+    val cmpScore = score + 0.0
+    val key = org.apache.spark.sql.functions.struct(
+      cmpScore.as("s"),
+      org.apache.spark.sql.functions.bitwise_not(col(idCol).cast("long")).as("nid"),
+      score.as("orig"),
+      col(payloadCol).cast("string").as("p"))
+    scored
+      .groupBy(col(groupCol).cast("long").as(groupCol))
+      .agg(org.apache.spark.sql.functions.max(key).as("m"))
+      .select(col(groupCol),
+        org.apache.spark.sql.functions.bitwise_not(col("m.nid")).as(idCol),
+        col("m.orig").as(scoreCol), col("m.p").as(payloadCol),
+        org.apache.spark.sql.functions.lit(1).as("rank"))
   }
 }

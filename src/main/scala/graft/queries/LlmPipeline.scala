@@ -2278,9 +2278,8 @@ object LlmPipeline extends Catalog {
     val assigned = xm.select(col("vec_id"), col("xm"),
       (kmAssignKey(cents, k) % k).as("cell"))
     val packed = array(cents.map { case (cid, cm) =>
-      aggregate(
-        zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v) * lit(k.toLong) + lit(cid)
+      graft.plans.NativeVector.sqDistI64(col("xm"), typedLit(cm)) *
+        lit(k.toLong) + lit(cid)
     }: _*)
     val probed = xm.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("xm").as("qm"),
@@ -2289,8 +2288,7 @@ object LlmPipeline extends Catalog {
     val cand = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("qm"), col("xm"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d"))
+        graft.plans.NativeVector.sqDistI64(col("qm"), col("xm")).as("d"))
     graft.operators.TopK.perGroup(cand, "query_id", "neighbor_id", "d",
       k = topK, ascending = true)
   }
@@ -2347,8 +2345,7 @@ object LlmPipeline extends Catalog {
       .select(col("vec_id").as("query_id"), col("xm").as("qm"))
     val exactD = xm.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("qm"), col("xm"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d"))
+        graft.plans.NativeVector.sqDistI64(col("qm"), col("xm")).as("d"))
     val exact = graft.operators.TopK.perGroup(exactD, "query_id",
       "neighbor_id", "d", k = 10, ascending = true)
       .select("query_id", "neighbor_id")
@@ -2396,18 +2393,22 @@ object LlmPipeline extends Catalog {
     val cents = kmeansIntCentroids(xm, k)
     val cells = xm.select(col("vec_id"), col("xm"),
         (kmAssignKey(cents, k) % k).as("cell"))
-      .withColumn("nv", aggregate(col("xm"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("nv", graft.plans.NativeVector.dotI64(col("xm"), col("xm")))
       .localCheckpoint()
     val a = cells.select(col("cell"), col("vec_id").as("id_a"),
       col("xm").as("xa"), col("nv").as("na"))
     val b = cells.select(col("cell"), col("vec_id").as("id_b"),
       col("xm").as("xb"), col("nv").as("nb"))
     a.join(b, "cell").filter(col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(zip_with(col("xa"), col("xb"),
-        (p, q2) => p * q2), lit(0L), (acc, v) => acc + v))
+      // r15 per-pair kernels (guide §1.2): the interpreted
+      // zip_with+aggregate dot and the four-decimal-cast threshold ran
+      // per CANDIDATE PAIR (~N²/k rows — the workload's wall);
+      // NativeVector.dotI64 is the codegen'd bit-identical fold and
+      // intCosGE the exact 128-bit integer compare of
+      // 400·dot² >= 49·na·nb (same rows out, same dot values)
+      .withColumn("dot", graft.plans.NativeVector.dotI64(col("xa"), col("xb")))
       .filter(col("dot") > 0 &&
-        col("dot").cast("decimal(19,0)") * col("dot").cast("decimal(19,0)") * 400 >=
-          col("na").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)") * 49)
+        graft.plans.NativeVector.intCosGE(col("dot"), col("na"), col("nb"), 400, 49))
       .select(col("cell"), col("id_a"), col("id_b"), col("dot"))
   }
 
@@ -2478,8 +2479,7 @@ object LlmPipeline extends Catalog {
     val adc = subv.filter(col("vec_id") < 20)
       .join(broadcast(centsDf), col("sub") === col("csub"))
       .select(col("vec_id").as("query_id"), col("sub").as("asub"), col("cl"),
-        aggregate(zip_with(col("sv"), col("cm"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s2, v) => s2 + v).as("ad"))
+        graft.plans.NativeVector.sqDistI64(col("sv"), col("cm")).as("ad"))
     val cd = codes
       .join(broadcast(adc),
         col("sub") === col("asub") && col("code") === col("cl"))
@@ -4543,9 +4543,8 @@ object LlmPipeline extends Catalog {
     val cents = kmeansIntCentroids(xm, k)
     val assigned = xm.select(col("vec_id"), (kmAssignKey(cents, k) % k).as("cell"))
     val packed = array(cents.map { case (cid, cm) =>
-      aggregate(
-        zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v) * lit(k.toLong) + lit(cid)
+      graft.plans.NativeVector.sqDistI64(col("xm"), typedLit(cm)) *
+        lit(k.toLong) + lit(cid)
     }: _*)
     val probed = xm.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"),
@@ -4565,8 +4564,7 @@ object LlmPipeline extends Catalog {
     val adc = subv.filter(col("vec_id") < 20)
       .join(broadcast(centsDf), col("sub") === col("csub"))
       .select(col("vec_id").as("aquery_id"), col("sub").as("asub"), col("cl"),
-        aggregate(zip_with(col("sv"), col("cm"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s2, v) => s2 + v).as("ad"))
+        graft.plans.NativeVector.sqDistI64(col("sv"), col("cm")).as("ad"))
     val cd = cand
       .join(codes, col("neighbor_id") === codes("vec_id"))
       .join(broadcast(adc),
@@ -5764,7 +5762,9 @@ object LlmPipeline extends Catalog {
       r = deg.join(contrib, deg("n") === contrib("n2"), "left")
         .select(deg("n"), deg("d"),
           (lit(150000L / nN) + coalesce(col("m"), lit(0L))).as("r"))
-        .localCheckpoint()
+        // lazy (r15): lineage truncation is what the loop needs; eager
+        // materialization cost 3 extra jobs for a 3-step fixed iteration
+        .localCheckpoint(false)
     }
     r.select(col("n").as("doc_id"), col("d").as("degree"),
       col("r").as("rank_micro"))
@@ -5794,11 +5794,12 @@ object LlmPipeline extends Catalog {
   private[graft] def audioEnergyRows(id: Long,
       wav: Array[Byte]): Iterator[(Long, Long, Long, Long, Long)] = {
     import graft.multimodal.MediaCodec
-    val (sr, ch, frames) = MediaCodec.audioMeta(wav).getOrElse(
-      sys.error(s"JDK audio reader rejected wav for doc $id"))
+    // one JDK codec pass (r15): meta and samples from the same
+    // AudioInputStream — the old audioMeta+decodePcm16 pair paid the
+    // AudioSystem provider scan and RIFF parse twice per asset
+    val (sr, ch, frames, decoded) = MediaCodec.decodePcm16WithMeta(wav)
+      .getOrElse(sys.error(s"JDK audio reader rejected wav for doc $id"))
     require(ch == 1, s"doc $id decoded $ch channels")
-    val decoded = MediaCodec.decodePcm16(wav).getOrElse(
-      sys.error(s"wav failed PCM decode for doc $id"))
     val winLen = decoded.length / 8
     (0 until 8).iterator.map { w =>
       var sum = 0L
@@ -6662,9 +6663,10 @@ object LlmPipeline extends Catalog {
   private def kmAssignKey(cents: Array[(Long, Array[Long])], k: Int) =
     least(cents.map {
       case (cid, cm) =>
-        aggregate(
-          zip_with(col("xm"), typedLit(cm), (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, v) => acc + v) * lit(k.toLong) + lit(cid)
+        // codegen'd integer sqdist kernel (r15) — bit-identical to the
+        // interpreted zip_with+aggregate fold it replaces
+        graft.plans.NativeVector.sqDistI64(col("xm"), typedLit(cm)) *
+          lit(k.toLong) + lit(cid)
     }: _*)
 
   /** One integer-Lloyd update round from the first-k seed: the round-2
@@ -6706,8 +6708,7 @@ object LlmPipeline extends Catalog {
     (0 until m).foldLeft(lit(Long.MaxValue)) { (acc, su) =>
       val packs = (0 until ksub).flatMap { cl =>
         cents.get((su, cl.toLong)).map { cm =>
-          aggregate(zip_with(col("sv"), typedLit(cm),
-              (a, b) => (a - b) * (a - b)), lit(0L), (s2, v) => s2 + v) *
+          graft.plans.NativeVector.sqDistI64(col("sv"), typedLit(cm)) *
             lit(ksub.toLong) + lit(cl.toLong)
         }
       }
@@ -7466,25 +7467,42 @@ object LlmPipeline extends Catalog {
     erFuzzyPairs(s, dir)
   }
 
-  /** Spark twin of the ER candidate CTEs (shared by pairs + entities). */
+  /** Spark twin of the ER candidate CTEs (shared by pairs + entities).
+    *
+    * r15 rewrite (guide §2.4/§1.2): the old shape — two-branch union for
+    * the blocking keys, a count-filtered key table, then a SELF-JOIN of
+    * the keyed rows against it — planned with ZERO exchange reuse: the
+    * committed before-plan (plans/r15/q_er_fuzzy_pairs_before.txt) shows
+    * 8 parquet scans of `documents`, i.e. the tokenize+normalize pipeline
+    * ran up to 8x per query. This is now the one-pass bucket shape the
+    * MinHash family already uses (minhashPairs): ONE scan, blocking keys
+    * exploded from one array, ONE groupBy(bk) collecting (doc_id, title)
+    * structs — titles ride the buckets (SCALE rule #3) — the 2..50 cut
+    * BEFORE pairing, in-bucket ordered pairs, then the same distinct +
+    * Levenshtein rescore. Output is row-identical (same buckets, same
+    * pairs, same filter); the shared DuckDB CTE chain is untouched. */
   private def erFuzzyPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val t = spread(load(s, dir, "documents"))
-      .select(col("doc_id"), T.tokens(col("text")).as("ws"),
+    val k = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), D.bindOnce(T.tokens(col("text"))) { ws =>
+          array(array_join(slice(ws, 1, 5), " "),
+            array_join(slice(ws, 6, 5), " "))
+        }.as("bks"),
         substring(T.normalizeText(col("text")), 1, 80).as("title"))
-    val k = t.select(col("doc_id"), col("title"),
-        array_join(slice(col("ws"), 1, 5), " ").as("bk"))
-      .unionByName(t.select(col("doc_id"), col("title"),
-        array_join(slice(col("ws"), 6, 5), " ").as("bk")))
-    val bc = k.groupBy("bk").agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, 50)).select("bk")
-    // bc is one row per surviving bucket key — grows with the corpus, so
-    // no broadcast hint (equi-key semi-reduction; AQE picks the strategy)
-    val kk = k.join(bc, "bk")
-    val a = kk.select(col("bk"), col("doc_id").as("doc_a"), col("title").as("ta"))
-    val b = kk.select(col("bk"), col("doc_id").as("doc_b"), col("title").as("tb"))
-    a.join(b, Seq("bk")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ta", "tb").distinct()
+      .select(col("doc_id"), col("title"), explode(col("bks")).as("bk"))
+    val pairs = k.groupBy("bk")
+      .agg(collect_list(struct(col("doc_id"), col("title"))).as("ms"))
+      // bucket cap (oracle-mirrored, counts ROWS like the old bc CTE —
+      // a doc whose two block keys coincide counts twice, as before)
+      .filter(size(col("ms")).between(2, 50))
+      .select(explode(D.orderedPairs(col("ms"))).as("p"))
+      // strict < drops the self-pair of a doc bucketed twice (old join
+      // predicate doc_a < doc_b)
+      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.title").as("ta"), col("p.b.title").as("tb"))
+      .distinct()
+    pairs
       .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
       .filter(col("lev") <= 20)
       .select("doc_a", "doc_b", "lev")

@@ -133,4 +133,25 @@ class CpuAttributionSpec extends AnyFunSuite {
           f"cores (got $otherCores%.2f)")
     } finally procs.foreach(_.destroyForcibly())
   }
+
+  test("guardOutcome: post-guard flags distinguish recovered from dirty runs") {
+    // r15 (VERDICT r14 #2): the sticky contended flag alone reads the same
+    // for "guard saw contention and re-confirmed everything quiet" and
+    // "samples are dirty" — the (contended_seen, final_quiet) pair is the
+    // in-artifact distinction.
+    val wls = Set("a", "b", "c")
+    // clean run: nothing seen, everything quiet-confirmed
+    assert(Bench.guardOutcome(Seq(false), wls, wls, Set.empty) ===
+      ((false, true)))
+    // guard recovered: attempt 1 contended, re-runs confirmed every
+    // workload under a quiet probe -> contended_seen but final_quiet
+    assert(Bench.guardOutcome(Seq(true, false), wls, wls, Set.empty) ===
+      ((true, true)))
+    // dirty: one workload never confirmed quiet
+    assert(Bench.guardOutcome(Seq(true, false), wls, Set("a", "b"),
+      Set.empty) === ((true, false)))
+    // dirty: a workload was never measured at all
+    assert(Bench.guardOutcome(Seq(false), wls, wls, Set("d")) ===
+      ((false, false)))
+  }
 }

@@ -87,6 +87,39 @@ class TopKSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("k=1 payload fast path is bit-identical to the typed buffer (r15)") {
+    // the descending k=1 case routes through the codegen'd max(struct)
+    // path — pin it against the rank window on random frames PLUS the
+    // -0.0/0.0 tie and NaN-greatest edges the struct comparison must
+    // reproduce (the score is normalized with `+ 0.0`, the id tiebreak
+    // rides bitwise NOT)
+    val rnd = new scala.util.Random(5)
+    val rand = (1 to 500).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong, math.rint(rnd.nextDouble() * 8) / 2.0, s"t$i")
+    }
+    val edges = Seq(
+      (900L, 1L, -0.0, "neg-zero"), (900L, 2L, 0.0, "pos-zero"),
+      (901L, 3L, Double.NaN, "nan"), (901L, 4L, 99.0, "big"),
+      (902L, 5L, -3.5, "only"))
+    val df = (rand ++ edges).toDF("g", "id", "score", "tag")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val got = TopK.perGroupWithPayload(df, "g", "id", "score", "tag",
+        k = 1, ascending = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === expect)
+    // winner 900 must be id=1: -0.0 and 0.0 tie, smaller id wins (the
+    // window's NormalizeFloatingNumbers semantics, and BoundedTopK's)
+    assert(got.contains((900L, 1L, 1)))
+    // the fast path must plan as a codegen'd aggregate, not a typed one
+    val plan = TopK.perGroupWithPayload(df, "g", "id", "score", "tag",
+      k = 1, ascending = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("AppendColumns"), plan.take(1200))
+    assert(plan.contains("partial_"), plan.take(1200))
+  }
+
   test("plans as a partial aggregation with no Window node") {
     val df = randomScored(7, 100)
     val plan = TopK.perGroup(df, "g", "id", "score", k = 5, ascending = false)

@@ -56,4 +56,55 @@ class VectorKernelSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan)
   }
+
+  // ------------------------- r15 integer kernels (micro-grid hot path)
+
+  private def randLongVecs(n: Int, dim: Int): Seq[(Array[Long], Array[Long])] = {
+    val rnd = new scala.util.Random(7)
+    // micro-grid magnitudes: |x| <= 2^21 like round(float * 1e6)
+    def v() = Array.fill(dim)((rnd.nextInt(4194305) - 2097152).toLong)
+    Seq.fill(n)((v(), v()))
+  }
+
+  test("dotI64/sqDistI64 are bit-identical to the zip_with+aggregate fold") {
+    val df = randLongVecs(200, 64).toDF("a", "b")
+    val diffs = df.select(
+        (NativeVector.dotI64($"a", $"b") ===
+          aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), _ + _)).as("d"),
+        (NativeVector.sqDistI64($"a", $"b") ===
+          aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+            lit(0L), _ + _)).as("s"))
+      .filter(!$"d" || !$"s").count()
+    assert(diffs === 0)
+    // null-propagation parity
+    val nulls = Seq(
+      (Array(1L, 2L), Array(1L, 2L, 3L)),
+      (null.asInstanceOf[Array[Long]], Array(1L))).toDF("a", "b")
+    nulls.select(NativeVector.dotI64($"a", $"b"),
+        NativeVector.sqDistI64($"a", $"b")).collect()
+      .foreach(r => (0 until 2).foreach(i => assert(r.isNullAt(i))))
+  }
+
+  test("intCosGE matches exact decimal arithmetic incl. 64-bit-overflowing products") {
+    val rnd = new scala.util.Random(11)
+    // magnitudes up to the documented 2^47 micro-grid bound, plus
+    // boundary-exact cases where 400·dot² == 49·na·nb
+    val cases = Seq.fill(3000)((math.abs(rnd.nextLong()) % (1L << 47),
+        math.abs(rnd.nextLong()) % (1L << 47),
+        math.abs(rnd.nextLong()) % (1L << 47))) ++
+      Seq((7L, 20L, 20L), (7L * 1000000, 20L * 1000000, 20L * 1000000),
+        (0L, 0L, 0L), (1L << 46, 1L << 46, 1L << 46))
+    cases.foreach { case (dot, na, nb) =>
+      val exact = BigInt(dot) * BigInt(dot) * 400 >= BigInt(na) * BigInt(nb) * 49
+      assert(VectorKernels.intCosGE(dot, na, nb, 400, 49) === exact,
+        s"($dot, $na, $nb)")
+    }
+    // expression path agrees with a decimal(38,0) Spark evaluation
+    val df = cases.take(500).toDF("dot", "na", "nb")
+    val diffs = df.filter(
+      NativeVector.intCosGE($"dot", $"na", $"nb", 400, 49) =!=
+        ($"dot".cast("decimal(38,0)") * $"dot".cast("decimal(38,0)") * 400 >=
+          $"na".cast("decimal(38,0)") * $"nb".cast("decimal(38,0)") * 49)).count()
+    assert(diffs === 0)
+  }
 }
