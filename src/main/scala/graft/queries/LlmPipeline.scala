@@ -226,6 +226,10 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("s"))
     val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= 50)
+      // reused by sized (twice, via the sa/sb aliases) and pairs — the
+      // planner shares none of it (r15: 6 parquet scans in the before
+      // plan); the lazy checkpoint computes the shingle pipeline once
+      .localCheckpoint(false)
     val sized = kept.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // shingle -> bucket of doc_ids -> in-bucket ordered pairs;
@@ -275,6 +279,10 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), explode(D.charShingles(col("text"), 4)).as("s"))
     val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= 50)
+      // reused by sized (twice, via the sa/sb aliases) and pairs — the
+      // planner shares none of it (r15: 6 parquet scans in the before
+      // plan); the lazy checkpoint computes the shingle pipeline once
+      .localCheckpoint(false)
     val sized = kept.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = kept.filter(size(col("ids")) > 1)
@@ -324,6 +332,10 @@ object LlmPipeline extends Catalog {
       .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("s"))
     val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= 50)
+      // reused by sized (twice, via the sa/sb aliases) and pairs — the
+      // planner shares none of it (r15: 6 parquet scans in the before
+      // plan); the lazy checkpoint computes the shingle pipeline once
+      .localCheckpoint(false)
     val sized = kept.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = kept.filter(size(col("ids")) > 1)
@@ -2678,6 +2690,9 @@ object LlmPipeline extends Catalog {
     import org.apache.spark.sql.expressions.Window
     val tok = spread(load(s, dir, "documents"))
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      // consumed by several branches with zero plan sharing (r15
+      // before-plan: up to 10 parquet scans) — tokenize once
+      .localCheckpoint(false)
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tok.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
@@ -4680,6 +4695,11 @@ object LlmPipeline extends Catalog {
       .agg(count(lit(1)).as("n_tri"), sum("cnt").as("mass"))
       .select(col("doc_id"), col("lang"),
         least(expr("mass * 1000 div n_tri"), lit(1000000L)).as("score_q"))
+      // one row per doc, consumed by the histogram branch AND the final
+      // select — the planner shared none of it (r15 before-plan: 12
+      // parquet scans, the trigram explode evaluated 6x); the lazy
+      // checkpoint computes the scoring pipeline once
+      .localCheckpoint(false)
     val hist = scores.groupBy("lang", "score_q").agg(count(lit(1)).as("nd"))
     val tot = hist.groupBy("lang").agg(sum("nd").as("n"))
     val cumW = Window.partitionBy("lang").orderBy("score_q")
@@ -5330,6 +5350,9 @@ object LlmPipeline extends Catalog {
        |SELECT query_id, doc_id, score_micro, rank FROM ranked WHERE rank <= 5""") { (s, dir) =>
     val tok = spread(load(s, dir, "documents"))
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      // consumed by several branches with zero plan sharing (r15
+      // before-plan: up to 10 parquet scans) — tokenize once
+      .localCheckpoint(false)
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tok.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
@@ -6078,6 +6101,9 @@ object LlmPipeline extends Catalog {
     val sh = spread(load(s, dir, "documents"))
       .select(col("source"), explode(D.wordShingles(col("text"), 3)).as("s"))
       .distinct()
+      // consumed 3x (cnt + both self-join sides) with zero plan sharing
+      // (r15 before-plan: 8 parquet scans) — checkpoint once
+      .localCheckpoint(false)
     val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val a = sh.toDF("source_a", "s")
     val b = sh.toDF("source_b", "s")
@@ -6254,20 +6280,28 @@ object LlmPipeline extends Catalog {
     * artifact (the bench's image-dedup-serve shape; at 100 TB the codec
     * chain runs once per asset at intake, never per dedup pass). */
   def ahashPairsFrom(ah: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // r15: one-pass bucket-collect pairing (the minhashPairs /
+    // erFuzzyPairs shape). The old count-filter + keyed-rows self-join
+    // planned with zero exchange reuse, so the signature input — at base
+    // scale the whole PNG encode→resize→decode chain — was recomputed up
+    // to 8x per query (plans/r15/q_image_ahash_dedup_before.txt: 8
+    // parquet scans). Signatures now ride the buckets (SCALE rule #3);
+    // buckets, pairs, distinct and the Hamming rescore are row-identical.
     val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
         explode(array((0 until 4).map(lit): _*)).as("band"))
       .withColumn("v", expr(
         """CASE WHEN band < 2 THEN shiftright(ahash_lo, band * 16) & 65535
           |ELSE shiftright(ahash_hi, (band - 2) * 16) & 65535 END""".stripMargin))
-    val small = bands.groupBy("band", "v").agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, 50)).select("band", "v")
-    val kb = bands.join(small, Seq("band", "v"))
-    val a = kb.select(col("doc_id").as("doc_a"), col("ahash_hi").as("hi_a"),
-      col("ahash_lo").as("lo_a"), col("band"), col("v"))
-    val b2 = kb.select(col("doc_id").as("doc_b"), col("ahash_hi").as("hi_b"),
-      col("ahash_lo").as("lo_b"), col("band"), col("v"))
-    a.join(b2, Seq("band", "v")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+    bands.groupBy("band", "v")
+      .agg(collect_list(
+        struct(col("doc_id"), col("ahash_hi"), col("ahash_lo"))).as("ms"))
+      .filter(size(col("ms")).between(2, 50))
+      .select(explode(D.orderedPairs(col("ms"))).as("p"))
+      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.ahash_hi").as("hi_a"), col("p.a.ahash_lo").as("lo_a"),
+        col("p.b.ahash_hi").as("hi_b"), col("p.b.ahash_lo").as("lo_b"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)")
           .as("hamming"))
@@ -7280,6 +7314,8 @@ object LlmPipeline extends Catalog {
     import graft.operators.KMinValues
     val toks = spread(load(s, dir, "documents"))
       .select(col("source"), explode(D.wordShingles(col("text"), 3)).as("w"))
+      // consumed by the sketch AND the exact twin — shingle once (r15)
+      .localCheckpoint(false)
     val est = KMinValues.estimate(KMinValues.sketch(toks, "w", "source"), "source")
     toks.groupBy("source").agg(countDistinct(col("w")).as("n_exact"))
       .join(est, "source")
