@@ -397,7 +397,11 @@ object TextFunctions {
     * signed 64-bit int). Matches DuckDB's
     * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` exactly. */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // codegen'd digest-direct kernel (r15) — bit-identical to
+    // conv(substring(md5(c), 1, 15), 16, 10) without the 32-char hex
+    // round-trip (see NativeHash.Md5Long60); the md5 digest itself is
+    // unchanged, so every oracle mirror stays valid
+    graft.plans.NativeHash.md5Long60(c.cast("string"))
 
   // ------------------------------------------------- BPE (arXiv:1508.07909)
 

@@ -53,19 +53,17 @@ object HyperLogLog {
   /** Per-group register table: (groupCols..., j, m_j) — one row per
     * NON-EMPTY register (absent register = 0). */
   def registers(items: DataFrame, itemCol: String, groupCols: Seq[String]): DataFrame = {
+    // ONE md5Long evaluation feeds both the register index and rho
+    // (r15: j and the remainder previously built two structurally
+    // different md5 trees, defeating codegen subexpression elimination);
+    // h is non-negative (60-bit), so `div 64` == shiftright 6 exactly
     val h = T.md5Long(col(itemCol))
     items
       .select((groupCols.map(col) :+ (h % M).as("j") :+
-        rho(expr(s"(${hSql(itemCol)}) div $M")).as("__rho")): _*)
+        rho(shiftright(h, 6)).as("__rho")): _*)
       .groupBy((groupCols.map(col) :+ col("j")): _*)
       .agg(max("__rho").as("m_j"))
   }
-
-  /** Spark-side SQL fragment for md5Long (keeps the div inside one
-    * expression so codegen fuses hash + split; same value as
-    * [[graft.functions.TextFunctions.md5Long]]). */
-  private def hSql(itemCol: String): String =
-    s"cast(conv(substring(md5($itemCol), 1, 15), 16, 10) as bigint)"
 
   /** alpha_64 · m² in 2^-30 units · 1000: 709 · 4096 · 2^30 (exact).
     * PUBLIC and interpolated into both oracle SQL strings (the LcTable /

@@ -103,7 +103,9 @@ object KMinValues {
     * expression so codegen fuses hash + truncate; DuckDB mirror:
     * `CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) // 1024`. */
   def hash50(c: String): org.apache.spark.sql.Column =
-    expr(s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint) div 1024")
+    // digest-direct kernel (r15), bit-identical; the value is
+    // non-negative (60-bit) so `div 1024` == shiftright 10 exactly
+    shiftright(graft.plans.NativeHash.md5Long60(expr(c).cast("string")), 10)
 
   /** Per-group KMV state: (groupCol, kmv array<bigint>) — ONE
     * partial-agg'd typed aggregation to a ≤ k-long ascending array per

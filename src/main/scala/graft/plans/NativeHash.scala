@@ -131,6 +131,28 @@ object HashKernels {
     h
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The oracle 60-bit md5 key, straight from the digest bytes (r15):
+    * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)` — the
+    * first 15 hex chars are bytes 0..6 plus the high nibble of byte 7,
+    * read as an unsigned base-16 integer — without materializing the
+    * 32-char hex string or parsing it back. The MD5 digest itself is
+    * unchanged (it IS the oracle contract); the MessageDigest instance
+    * is per-thread, not per-row. */
+  def md5Long60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
   /** Java regex `\s`: ASCII whitespace only (unlike Character.isWhitespace). */
   private def isRegexSpace(c: Char): Boolean =
     c == ' ' || (c >= '\t' && c <= '\r') // \t \n VT \f \r
@@ -153,6 +175,20 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.fnv64($c)")
   override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+/** `md5_long60(string)` — codegen'd oracle-exact 60-bit md5 key (see
+  * [[HashKernels.md5Long60]]); replaces the hex-string round-trip
+  * `conv(substring(md5(s), 1, 15), 16, 10)` on every md5-keyed hot path
+  * (shingles, spans, winnowing grams, priority draws). */
+case class Md5Long60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.md5Long60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.md5Long60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60 =
     copy(child = newChild)
 }
 
@@ -205,6 +241,7 @@ object NativeHash {
   import org.apache.spark.sql.GraftColumns.{column, expression}
 
   def fnv64(c: Column): Column = column(Fnv64(expression(c)))
+  def md5Long60(c: Column): Column = column(Md5Long60(expression(c)))
   def fnvFoldLongs(arr: Column, seed: Column): Column =
     column(FnvFoldLongs(expression(arr), expression(seed)))
   def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))

@@ -102,10 +102,10 @@ object LlmPipeline extends Catalog {
     spread(load(s, dir, "documents"))
       .withColumn("toks", T.tokens(col("text")))
       .filter(size(col("toks")) > 0)
-      .withColumn("flags", expr(
-        """transform(sequence(0, size(toks) - 1), i ->
-          |  cast(conv(substring(md5(concat(cast(doc_id as string), '|',
-          |    cast(i as string))), 1, 15), 16, 10) as bigint) % 100 < 15""".stripMargin + ")"))
+      .withColumn("flags",
+        transform(sequence(lit(0), size(col("toks")) - 1), i =>
+          T.md5Long(concat(col("doc_id").cast("string"), lit("|"),
+            i.cast("string"))) % 100 < 15))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         expr("cast(size(filter(flags, x -> x)) as bigint)").as("n_masked"),
@@ -7526,7 +7526,7 @@ object LlmPipeline extends Catalog {
         }.as("bks"),
         substring(T.normalizeText(col("text")), 1, 80).as("title"))
       .select(col("doc_id"), col("title"), explode(col("bks")).as("bk"))
-    val pairs = k.groupBy("bk")
+    k.groupBy("bk")
       .agg(collect_list(struct(col("doc_id"), col("title"))).as("ms"))
       // bucket cap (oracle-mirrored, counts ROWS like the old bc CTE —
       // a doc whose two block keys coincide counts twice, as before)
@@ -7535,12 +7535,20 @@ object LlmPipeline extends Catalog {
       // strict < drops the self-pair of a doc bucketed twice (old join
       // predicate doc_a < doc_b)
       .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      // distinct FIRST, Levenshtein once per surviving pair: the DP is
+      // ~6400 cell ops per 80-char pair and pairs are duplicated across
+      // the two blocking passes, so rescoring pre-distinct costs ~2x the
+      // dominant kernel for a narrower exchange — measured SLOWER at 10x
+      // (A/B 9.9 s -> 16 s); the title-wide distinct is the cheaper side
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.title").as("ta"), col("p.b.title").as("tb"))
       .distinct()
-    pairs
-      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("lev") <= 20)
+      // banded DP (r15): the 3-arg levenshtein runs O(len·threshold)
+      // instead of O(len²) and returns -1 above the threshold — exact
+      // (identical distances) for every pair the <= 20 filter keeps
+      .withColumn("lev",
+        levenshtein(col("ta"), col("tb"), 20).cast("long"))
+      .filter(col("lev") >= 0)
       .select("doc_a", "doc_b", "lev")
   }
 
