@@ -442,11 +442,14 @@ object Bench {
     * /proc/<pid>/stat. Fields are counted AFTER the parenthesised comm
     * field (which may itself contain spaces): post-comm index 1 = ppid
     * (field 4), 11/12 = utime/stime (fields 14/15). */
-  private def pidJiffies(pid: Long): Option[(Long, Long)] = try {
+  private def pidJiffies(pid: Long): Option[(Long, Long, Long)] = try {
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"/proc/$pid/stat")))
     val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-    Some((rest(11).toLong + rest(12).toLong, rest(1).toLong))
+    // post-comm index 19 = stat field 22 = starttime — the pid-identity
+    // check (r16, ADVICE r15 low: a recycled pid must not fold a
+    // stranger's jiffies into `self`)
+    Some((rest(11).toLong + rest(12).toLong, rest(1).toLong, rest(19).toLong))
   } catch { case _: Throwable => None }
 
   /** Self-vs-machine CPU accounting (r13, VERDICT #1): returns
@@ -475,9 +478,16 @@ object Bench {
     * co-tenant or defeat the SelfQuietCores corroboration. */
   private var ancestorPids: Seq[Long] = null
   private val ancestorLastSeen = scala.collection.mutable.Map.empty[Long, Long]
+  // pid -> starttime at snapshot: a re-read whose starttime differs is a
+  // RECYCLED pid (the kernel reused the number for an unrelated process)
+  // and must fall back to lastSeen, not fold the stranger's jiffies
+  // (r16, ADVICE r15 low). All three structures are guarded by
+  // `ancestorLock` — the snapshot init was racy if two threads probed.
+  private val ancestorStart = scala.collection.mutable.Map.empty[Long, Long]
+  private val ancestorLock = new Object
 
   private[graft] def cpuJiffies(): (Long, Long) = {
-    val self = try {
+    val self = try ancestorLock.synchronized {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
       val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
@@ -490,8 +500,9 @@ object Bench {
         var depth = 0
         while (pid > 1 && depth < 10) {
           pidJiffies(pid) match {
-            case Some((j, ppid)) =>
-              b += pid; ancestorLastSeen(pid) = j; pid = ppid
+            case Some((j, ppid, st)) =>
+              b += pid; ancestorLastSeen(pid) = j; ancestorStart(pid) = st
+              pid = ppid
             case None => pid = 0
           }
           depth += 1
@@ -500,13 +511,16 @@ object Bench {
       }
       ancestorPids.foreach { pid =>
         pidJiffies(pid) match {
-          case Some((j, _)) =>
+          case Some((j, _, st)) if ancestorStart.get(pid).forall(_ == st) =>
             // a recycled pid could in principle report LOWER jiffies than
             // the exited ancestor it replaced — the max keeps self
             // monotonic either way
             val seen = math.max(ancestorLastSeen.getOrElse(pid, 0L), j)
             ancestorLastSeen(pid) = seen; sum += seen
-          case None => sum += ancestorLastSeen.getOrElse(pid, 0L)
+          case _ =>
+            // exited, unreadable, or recycled (starttime mismatch):
+            // carry the last reading this identity ever reported
+            sum += ancestorLastSeen.getOrElse(pid, 0L)
         }
       }
       sum
@@ -783,7 +797,7 @@ object Bench {
     val customWls: Set[String] = Set(
       "consumeproduce", "suppress-ordered", "dedup-index-probe",
       "ann-ivf", "ann-ivf-search", "ann-pq", "ann-ivf-pq-serve",
-      "contrastive-self@10x", "semdedup-prod@10x",
+      "contrastive-self@10x", "contrastive-self-full@10x", "semdedup-prod@10x",
       "image-dedup-serve", "image-dedup-serve@10x",
       "audio-vad-serve@10x", "video-scenecut-serve@10x",
       "multimodal-audio-serve@10x")
@@ -1583,7 +1597,8 @@ object Bench {
       var contrastiveNProbe10 = -1
       var semdedupAgree10 = -1.0
       var semdedupK10 = -1
-      val x10CustomWls = Seq("contrastive-self@10x", "semdedup-prod@10x",
+      val x10CustomWls = Seq("contrastive-self@10x",
+        "contrastive-self-full@10x", "semdedup-prod@10x",
         "image-dedup-serve@10x",
         "audio-vad-serve@10x", "video-scenecut-serve@10x",
         "multimodal-audio-serve@10x")
@@ -1645,9 +1660,21 @@ object Bench {
             // per vector (selfScored's materialized index) removes the
             // duplicated k·N ranking term. Frontier: recall 0.906 at
             // ~12.6 s vs r7's 0.749 at 6.8 s / untuned 0.932 at 23.4 s.
+            // r16 (VERDICT r15 #5): contrastive-self-full@10x — the
+            // NON-PRUNABLE twin of contrastive-self@10x. Under the bench's
+            // count() action Catalyst prunes the declarative per-pair
+            // cosine aggregate (disclosed r15 honesty note), so the
+            // headline series no longer measures the kernel; this entry
+            // times the SAME minePairs config under agg(sum(sim)) — the
+            // cosine of every surviving pair must be computed and summed.
+            // The existing series is untouched for cross-round
+            // comparability.
+            val wantContrastive = pass("contrastive-self@10x") &&
+              budgetGate("contrastive-self@10x")
+            val wantContrastiveFull = pass("contrastive-self-full@10x") &&
+              budgetGate("contrastive-self-full@10x")
             val contrastive =
-              if (!pass("contrastive-self@10x") ||
-                !budgetGate("contrastive-self@10x")) Seq.empty
+              if (!wantContrastive && !wantContrastiveFull) Seq.empty
             else try {
               import org.apache.spark.sql.functions.{avg, col, when}
               import graft.functions.VectorIndex
@@ -1713,7 +1740,8 @@ object Bench {
                 }
               contrastiveRecall10 = recChosen
               contrastiveNProbe10 = npChosen
-              val secs = (1 to benchRuns).flatMap { _ =>
+              val secs = if (!wantContrastive) Seq.empty
+              else (1 to benchRuns).flatMap { _ =>
                 val t0 = System.nanoTime()
                 try {
                   VectorIndex.minePairs(emb10, "vec_id", "embedding", "label",
@@ -1722,8 +1750,24 @@ object Bench {
                 } catch { case e: Throwable =>
                   System.err.println(s"[bench] contrastive-self@10x: $e"); None }
               }
-              if (secs.isEmpty) Seq.empty
-              else Seq(Sample("contrastive-self@10x", secs, embRows10, embRows10))
+              val secsFull = if (!wantContrastiveFull) Seq.empty
+              else (1 to benchRuns).flatMap { _ =>
+                val t0 = System.nanoTime()
+                try {
+                  // sum(sim) cannot be pruned: every pair's cosine is
+                  // computed, aggregated and returned (one scalar row)
+                  VectorIndex.minePairs(emb10, "vec_id", "embedding", "label",
+                    cb10, nProbe = npChosen, assignR = 2)
+                    .agg(org.apache.spark.sql.functions.sum(col("sim"))).head()
+                  Some((System.nanoTime() - t0) / 1e9)
+                } catch { case e: Throwable =>
+                  System.err.println(s"[bench] contrastive-self-full@10x: $e"); None }
+              }
+              (if (secs.isEmpty) Seq.empty
+               else Seq(Sample("contrastive-self@10x", secs, embRows10, embRows10))) ++
+              (if (secsFull.isEmpty) Seq.empty
+               else Seq(Sample("contrastive-self-full@10x", secsFull,
+                 embRows10, embRows10)))
             } catch { case e: Throwable =>
               System.err.println(s"[bench] contrastive-self@10x setup: $e")
               Seq.empty

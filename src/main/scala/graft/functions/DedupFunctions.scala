@@ -120,16 +120,13 @@ object DedupFunctions {
     * Single-pass shape: one md5 per token, one fold producing the 60 vote
     * counters as an array, one weighted sum — not 60 folds over the token
     * hashes. */
-  def simhash64(c: Column, bits: Int = 60): Column = {
-    val hashes = transform(tokens(normalizeText(c)), t => md5Long(t))
-    val powers = array((0 until bits).map(b => lit(1L << b)): _*)
-    val votes = aggregate(hashes, array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, powers, (a, p) =>
-        a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, powers, (v, p) => when(v > 0L, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash64(c: Column, bits: Int = 60): Column =
+    // digest-direct one-pass kernel (r16) — bit-identical to the
+    // interpreted fold it replaces (tokens(normalizeText) → md5Long per
+    // token → zip_with vote → pack); equivalence pinned by
+    // NativeHashSpec's kernel-vs-column property. The md5 hash family
+    // (the oracle contract) is unchanged.
+    graft.plans.NativeHash.md5SimHash64(c.cast("string"), bits)
 
   /** Hamming distance between two long-encoded fingerprints. */
   def hammingDist(a: Column, b: Column): Column =

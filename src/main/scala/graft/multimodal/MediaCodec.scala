@@ -240,15 +240,22 @@ object MediaCodec {
     * single JDK `getAudioInputStream` call (r15, guide §1.2 per-task
     * work: the energy path called `audioMeta` + `decodePcm16`, paying the
     * AudioSystem provider scan and RIFF parse twice per asset — the
-    * stream's own format/frameLength carry the identical meta). */
-  def decodePcm16WithMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Short])] =
+    * stream's own format/frameLength carry the identical meta).
+    *
+    * r16 (ADVICE r15 low): a stream that OPENS but fails the 16-bit /
+    * mono / little-endian check reports the decoded format in a distinct
+    * Left instead of collapsing into the reader-rejected case — the
+    * caller's diagnostics can name the actual channel count again. */
+  def decodePcm16WithMeta(bytes: Array[Byte]): Either[String, (Int, Int, Long, Array[Short])] =
     try {
       val in = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-            fmt.isBigEndian) None
+            fmt.isBigEndian)
+          Left(s"unsupported decoded format: ${fmt.getSampleSizeInBits}-bit, " +
+            s"${fmt.getChannels} channel(s), bigEndian=${fmt.isBigEndian}")
         else {
           val raw = in.readAllBytes()
           val out = new Array[Short](raw.length / 2)
@@ -257,11 +264,12 @@ object MediaCodec {
             out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
             i += 1
           }
-          Some((fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
+          Right((fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
             out))
         }
       } finally in.close()
-    } catch { case _: Exception => None }
+    } catch { case e: Exception =>
+      Left(s"JDK audio reader rejected the bytes: ${e.getClass.getSimpleName}") }
 
   /** REAL PCM decode through the JDK codec: every 16-bit LE mono sample.
     * None when no audio reader accepts the bytes or the format isn't

@@ -153,6 +153,50 @@ object HashKernels {
     (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
+  /** One-pass md5-family SimHash (r16, VERDICT r15 #4): the digest-direct
+    * twin of `DedupFunctions.simhash64` — lowercase, tokenize on regex
+    * `\s` runs, md5Long60 per token OCCURRENCE (duplicates vote), per-bit
+    * +1/-1 vote, pack bits with positive votes. Bit-identical to the
+    * interpreted column pipeline it replaces
+    * (`aggregate(zip_with(votes, powers, ...))` over
+    * `transform(tokens(normalizeText(c)), md5Long)`): tokenization is the
+    * same non-`\s` runs of the lowercased text (normalizeText's trim +
+    * whitespace-collapse are no-ops under `\s+` splitting — pinned by
+    * NativeHashSpec), the per-token hash is the same [[md5Long60]], and
+    * the vote/pack fold is the same sign rule. Replaces the last 3-deep
+    * interpreted HOF fold on a dedup hot path (the fnv twin went native
+    * in r14). */
+  def md5SimHash64(s: UTF8String, bits: Int): Long = {
+    val text = s.toLowerCase.toString
+    val votes = new Array[Int](bits)
+    val md = md5Local.get()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isRegexSpace(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isRegexSpace(text.charAt(i))) i += 1
+      if (i > start) {
+        md.reset()
+        val d = md.digest(text.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        val h = (v << 4) | ((d(7) & 0xffL) >>> 4)
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
   /** Java regex `\s`: ASCII whitespace only (unlike Character.isWhitespace). */
   private def isRegexSpace(c: Char): Boolean =
     c == ' ' || (c >= '\t' && c <= '\r') // \t \n VT \f \r
@@ -220,6 +264,21 @@ case class SimHash64Native(child: Expression, bits: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `md5_simhash64(text, bits)` — one-pass codegen'd SimHash on the
+  * oracle md5 hash family (see [[HashKernels.md5SimHash64]]); replaces
+  * the interpreted tokens → md5 per token → zip_with vote fold of
+  * `DedupFunctions.simhash64` bit-exactly. */
+case class Md5SimHash64(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.md5SimHash64(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashKernels.md5SimHash64($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash64 =
+    copy(child = newChild)
+}
+
 /** `fnv_fold_longs(array<long>, seed)` — seeded FNV-1a fold over long
   * lanes (wrapping multiply in codegen, exempt from ANSI overflow
   * checks); the LSH band-key compressor. */
@@ -247,6 +306,8 @@ object NativeHash {
   def shingleHashes(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
   def simhash64Native(c: Column, bits: Int = 60): Column =
     column(SimHash64Native(expression(c), bits))
+  def md5SimHash64(c: Column, bits: Int = 60): Column =
+    column(Md5SimHash64(expression(c), bits))
 
   /** Register `fnv64` / `shingle_hashes` for SQL use. */
   def register(spark: SparkSession): Unit = {

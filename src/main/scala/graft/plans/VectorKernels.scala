@@ -93,9 +93,11 @@ object VectorKernels {
     * `dot > 0` first; na/nb are sums of squares). Replaces the
     * per-pair decimal(19,0) arithmetic — four Decimal casts and two
     * Decimal multiplies per candidate pair — with two unsigned 128-bit
-    * products (`Math.multiplyHigh`). Exactness: dot,na,nb < 2^47 on the
-    * micro grid (64 dims × (2^21)² < 2^47), so num·dot² < 2^103 and
-    * den·na·nb < 2^101 — both fit 128 bits with num,den <= 512. */
+    * products (`Math.multiplyHigh`). Exactness (r16, ADVICE r15: the
+    * old comment understated the input bound 2x): dot,na,nb <= 2^48 on
+    * the micro grid (64 dims × (2^21)² = 2^48), so num·dot² <= 2^105 and
+    * den·na·nb <= 2^105 — both fit 128 bits with margin for
+    * num,den <= 512 (2^9). */
   def intCosGE(dot: Long, na: Long, nb: Long, num: Int, den: Int): Boolean = {
     // u128 = (hi, lo) of x*y for x,y >= 0; scaling by small positive c
     // needs the UNSIGNED high product of the low word (Java 17 has no

@@ -519,16 +519,28 @@ object LlmPipeline extends Catalog {
 
   /** Spark side of the same candidate-pair generation: band buckets ->
     * in-bucket pairs, one pass (no self-join recompute). */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val sigs = spread(load(s, dir, "documents"))
-      .select(col("doc_id"),
-        D.minhashSignature(D.wordShingles(col("text"), 3), 16).as("sig"))
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    minhashPairsFromShingles(spread(load(s, dir, "documents"))
+      .select(col("doc_id"), D.wordShingles(col("text"), 3).as("shs")))
+
+  /** [[minhashPairs]] over an already-shingled (doc_id, shs) table — lets
+    * q_lsh_pr_eval share ONE tokenize+shingle pass between the candidate
+    * side and its exact-Jaccard truth side (r16, VERDICT r15 #7). Same
+    * signatures, buckets and pairs as before the split. */
+  private def minhashPairsFromShingles(shd: org.apache.spark.sql.DataFrame) = {
+    val sigs = shd.select(col("doc_id"),
+      D.minhashSignature(col("shs"), 16).as("sig"))
+    // bucket cap (oracle-mirrored): an exact-dup flood sharing every
+    // band hash must not explode O(n^2) pairs in one task. The r16
+    // window-count pre-filter (erFuzzyPairs/ahashPairsFrom) was A/B'd
+    // here too and measured 2-7% SLOWER on four consumers — these
+    // buckets buffer bare longs (8 B/member, not ~100 B structs), so the
+    // guard's extra sort outweighs the smaller buffers; the post-collect
+    // size filter stays (OPTIMIZATION_r16.md has the A/B).
     sigs
       .select(col("doc_id"), explode(D.bandKeys(col("sig"), 4, 4)).as("bk"))
       .groupBy(col("bk.band"), col("bk.bandhash"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      // bucket cap (oracle-mirrored): an exact-dup flood sharing every
-      // band hash must not explode O(n^2) pairs in one task
       .filter(size(col("ids")).between(2, 50))
       .select(explode(D.orderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
@@ -5356,9 +5368,17 @@ object LlmPipeline extends Catalog {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tok.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val dl = spread(load(s, dir, "documents"))
-      .select(col("doc_id"), size(T.tokens(col("text"))).cast("long").as("dl"))
-    val tot = dl.agg(count(lit(1)).as("n"), sum("dl").as("tl"))
+    // r16 (VERDICT r15 #8): doc length from the checkpointed token table
+    // instead of a SECOND tokenizing scan of documents. The old `dl` kept
+    // zero-token docs (dl = 0) only for tot's (n, tl): the sc join below
+    // never reaches them (a doc with no tokens has no tf rows), their tl
+    // contribution is 0, and n is just the document COUNT — read here
+    // from a doc_id-only scan (no tokenization; parquet prunes to one
+    // column). Scores are value-identical.
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = spread(load(s, dir, "documents")).select(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(tok.agg(count(lit(1)).as("tl")))
     val qt = tok.filter(col("doc_id") < 5 && length(col("token")) >= 6)
       .select(col("doc_id").as("query_id"), col("token").as("qtoken")).distinct()
     val hit = tf.join(broadcast(qt),
@@ -5820,8 +5840,12 @@ object LlmPipeline extends Catalog {
     // one JDK codec pass (r15): meta and samples from the same
     // AudioInputStream — the old audioMeta+decodePcm16 pair paid the
     // AudioSystem provider scan and RIFF parse twice per asset
-    val (sr, ch, frames, decoded) = MediaCodec.decodePcm16WithMeta(wav)
-      .getOrElse(sys.error(s"JDK audio reader rejected wav for doc $id"))
+    // r16 (ADVICE r15 low): format rejections carry the decoded fields
+    // (channel count etc.) instead of collapsing into "reader rejected"
+    val (sr, ch, frames, decoded) = MediaCodec.decodePcm16WithMeta(wav) match {
+      case Right(v) => v
+      case Left(why) => sys.error(s"JDK audio decode failed for doc $id: $why")
+    }
     require(ch == 1, s"doc $id decoded $ch channels")
     val winLen = decoded.length / 8
     (0 until 8).iterator.map { w =>
@@ -6292,10 +6316,18 @@ object LlmPipeline extends Catalog {
       .withColumn("v", expr(
         """CASE WHEN band < 2 THEN shiftright(ahash_lo, band * 16) & 65535
           |ELSE shiftright(ahash_hi, (band - 2) * 16) & 65535 END""".stripMargin))
-    bands.groupBy("band", "v")
+    // r16 (ADVICE r15 medium): pre-count bucket size with a window over
+    // the same (band, v) shuffle so a degenerate constant band (e.g. an
+    // all-black-image flood hashing to 0) is dropped BEFORE building an
+    // unbounded collect_list buffer — WindowExec buffers spill; hash-agg
+    // list buffers do not. Buckets/pairs row-identical to the old
+    // post-collect size filter.
+    val wBand = org.apache.spark.sql.expressions.Window.partitionBy("band", "v")
+    bands.withColumn("__n", count(lit(1)).over(wBand))
+      .filter(col("__n").between(2, 50))
+      .groupBy("band", "v")
       .agg(collect_list(
         struct(col("doc_id"), col("ahash_hi"), col("ahash_lo"))).as("ms"))
-      .filter(size(col("ms")).between(2, 50))
       .select(explode(D.orderedPairs(col("ms"))).as("p"))
       .filter(col("p.a.doc_id") < col("p.b.doc_id"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
@@ -6891,11 +6923,18 @@ object LlmPipeline extends Catalog {
        |       ELSE 0 END AS BIGINT) AS recall_micro
        |FROM tr JOIN tp USING (threshold_micro) CROSS JOIN nc""") { (s, dir) =>
     import s.implicits._
-    val cand = minhashPairs(s, dir).localCheckpoint()
+    // r16 (VERDICT r15 #7): ONE tokenize+shingle pass shared by the LSH
+    // candidate side and the exact-Jaccard truth side (before: two full
+    // wordShingles pipelines — the plan has no scans because the
+    // checkpoints are eager, but the r15 shape ran the shingle kernel
+    // twice per doc)
+    val shd = spread(load(s, dir, "documents"))
+      .select(col("doc_id"), D.wordShingles(col("text"), 3).as("shs"))
+      .localCheckpoint(false)
+    val cand = minhashPairsFromShingles(shd).localCheckpoint()
     // exact kept-shingle Jaccard in integer micro units (the
     // q_dedup_ngram_jaccard shape, unthresholded)
-    val sh = spread(load(s, dir, "documents"))
-      .select(col("doc_id"), explode(D.wordShingles(col("text"), 3)).as("s"))
+    val sh = shd.select(col("doc_id"), explode(col("shs")).as("s"))
     val kept = sh.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= 50).localCheckpoint()
     val sized = kept.select(explode(col("ids")).as("doc_id"))
@@ -7526,28 +7565,48 @@ object LlmPipeline extends Catalog {
         }.as("bks"),
         substring(T.normalizeText(col("text")), 1, 80).as("title"))
       .select(col("doc_id"), col("title"), explode(col("bks")).as("bk"))
-    k.groupBy("bk")
+    // r16 (ADVICE r15 medium): bound the collect_list buffer — a
+    // degenerate hot blocking key (all-empty texts share bk "") would
+    // otherwise build an unbounded (id, title) struct buffer before the
+    // 2..50 cut discards it, an executor-OOM hazard at scale. The bucket
+    // size is pre-counted with a window over the SAME (bk) shuffle
+    // (WindowExec buffers in a spillable row array — no OOM; the groupBy
+    // below reuses the exchange), so oversized keys are dropped BEFORE
+    // any row rides an aggregation buffer. Counts ROWS like the old bc
+    // CTE — a doc whose two block keys coincide counts twice, as before;
+    // buckets/pairs are row-identical to the post-collect size filter.
+    val wBk = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+    k.withColumn("__n", count(lit(1)).over(wBk))
+      .filter(col("__n").between(2, 50))
+      .groupBy("bk")
       .agg(collect_list(struct(col("doc_id"), col("title"))).as("ms"))
-      // bucket cap (oracle-mirrored, counts ROWS like the old bc CTE —
-      // a doc whose two block keys coincide counts twice, as before)
-      .filter(size(col("ms")).between(2, 50))
       .select(explode(D.orderedPairs(col("ms"))).as("p"))
       // strict < drops the self-pair of a doc bucketed twice (old join
       // predicate doc_a < doc_b)
       .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.title").as("ta"), col("p.b.title").as("tb"))
+      // provably-safe prune BEFORE the distinct (r16, VERDICT r15 #2):
+      // lev(ta,tb) >= |len(ta)-len(tb)|, so a length gap > 20 can never
+      // survive the <= 20 filter — dropping those pairs here narrows the
+      // title-wide distinct exchange and skips their DP entirely
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= 20)
       // distinct FIRST, Levenshtein once per surviving pair: the DP is
       // ~6400 cell ops per 80-char pair and pairs are duplicated across
       // the two blocking passes, so rescoring pre-distinct costs ~2x the
       // dominant kernel for a narrower exchange — measured SLOWER at 10x
       // (A/B 9.9 s -> 16 s); the title-wide distinct is the cheaper side
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.title").as("ta"), col("p.b.title").as("tb"))
       .distinct()
       // banded DP (r15): the 3-arg levenshtein runs O(len·threshold)
       // instead of O(len²) and returns -1 above the threshold — exact
-      // (identical distances) for every pair the <= 20 filter keeps
+      // (identical distances) for every pair the <= 20 filter keeps.
+      // r16: equal titles short-circuit to 0 before the DP —
+      // lev(x, x) = 0 exactly, and near-dup corpora make equal 80-char
+      // title prefixes the COMMON case, so most pairs skip the ~80x41
+      // band entirely for one memcmp
       .withColumn("lev",
-        levenshtein(col("ta"), col("tb"), 20).cast("long"))
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb"), 20).cast("long")))
       .filter(col("lev") >= 0)
       .select("doc_a", "doc_b", "lev")
   }

@@ -713,11 +713,30 @@ object StatefulOps {
         val wm = state.getCurrentWatermarkMs()
         // finalize every window end the watermark has newly passed; all
         // records inside such a window are in the buffer (eviction keeps
-        // t > previousWm - size and emission stops at e <= previousWm)
+        // t > previousWm - size and emission stops at e <= previousWm).
+        // r16 (VERDICT r15 #3, measured hotspot): the replay's final
+        // no-data batch finalizes ~2 window ends per record with the
+        // WHOLE key history buffered, and the old per-end
+        // `buf.count(t > e-size && t <= e)` made that O(ends·|buf|) per
+        // key. The count is a difference of two sorted-rank lookups —
+        // sort once, binary-search twice per end: O((|buf|+ends)·log).
+        // Counts are bit-identical (#(t<=e) - #(t<=e-size) over the same
+        // multiset).
+        val sortedTs = buf.toArray
+        java.util.Arrays.sort(sortedTs)
+        def countLE(x: Long): Int = {
+          var lo = 0
+          var hi = sortedTs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (sortedTs(mid) <= x) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
         val out = buf.flatMap(t => Seq(t, t + sizeMs)).distinct
           .filter(e => e <= wm && e > prev.emittedUpToMs).sorted
           .flatMap { e =>
-            val n = buf.count(t => t > e - sizeMs && t <= e)
+            val n = countLE(e) - countLE(e - sizeMs)
             if (n > 0) Some((key, new Timestamp(e), n.toLong)) else None
           }
         val kept = buf.filter(_ > wm - sizeMs)

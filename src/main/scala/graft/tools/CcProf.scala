@@ -17,6 +17,10 @@ object CcProf {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("CCPROF_AQE", "true"))
+      // r16 A/B knob: the CC loop's (Long, Long) message shuffles ride
+      // spark.serializer (RDD path — SQL exchanges are unaffected)
+      .config("spark.serializer", sys.env.getOrElse("CCPROF_SERIALIZER",
+        "org.apache.spark.serializer.JavaSerializer"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

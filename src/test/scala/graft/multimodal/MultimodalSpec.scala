@@ -136,6 +136,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.audioMeta(wav.take(20)) === None)
     assert(MediaCodec.audioMeta("junk".getBytes) === None)
     assert(MediaCodec.decodePcm16("junk".getBytes) === None)
+    // r16 (ADVICE r15): the one-pass decoder distinguishes reader
+    // rejection from a decoded-but-unsupported format, naming the fields
+    val ok = MediaCodec.decodePcm16WithMeta(wav)
+    assert(ok.isRight)
+    assert(ok.toOption.get._4.toSeq === samples.toSeq)
+    assert(MediaCodec.decodePcm16WithMeta("junk".getBytes)
+      .left.exists(_.contains("rejected")))
+    // a stereo WAV opens fine but fails the mono check: the error must
+    // carry the actual channel count, not "rejected"
+    val stereo = {
+      val b = MediaCodec.encodeWavPcm16(8000, samples.take(8))
+      // RIFF fmt chunk: channels at offset 22 (LE short), block align 34,
+      // byte rate 28 — patch to 2-channel so only the header changes
+      b(22) = 2; b(32) = 4
+      val byteRate = 8000 * 4
+      b(28) = (byteRate & 0xff).toByte; b(29) = ((byteRate >> 8) & 0xff).toByte
+      b(30) = ((byteRate >> 16) & 0xff).toByte; b(31) = ((byteRate >> 24) & 0xff).toByte
+      b
+    }
+    assert(MediaCodec.decodePcm16WithMeta(stereo)
+      .left.exists(_.contains("2 channel")))
   }
 
   test("frame container: round-trips real PNG frames, rejects torn blobs") {

@@ -79,6 +79,45 @@ class NativeHashSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("md5_simhash64 kernel = the interpreted md5 column fold, bit for bit") {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    import graft.functions.TextFunctions.md5Long
+    // the r15 column pipeline the r16 kernel replaces, inlined verbatim
+    def oldSimhash(c: org.apache.spark.sql.Column, bits: Int = 60) = {
+      val hashes = transform(tokens(normalizeText(c)), t => md5Long(t))
+      val powers = array((0 until bits).map(b => lit(1L << b)): _*)
+      val votes = aggregate(hashes, array_repeat(lit(0L), bits),
+        (acc, h) => zip_with(acc, powers, (a, p) =>
+          a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
+      aggregate(
+        zip_with(votes, powers, (v, p) => when(v > 0L, p).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val adversarial = Seq(
+      "", " ", "   \t\n\f\r  ", "one",
+      "The quick  brown fox JUMPS over", "  lead and trail  ",
+      "repeated repeated repeated token votes", // occurrence voting
+      "İstanbul GRÜSSE 中文 😀emoji😀 a b", // U+00A0 is NOT \s: one token
+      "tab\tsplit\nandvertical\fand\rcr",
+      "UPPER lower MiXeD case")
+    val seeded = new scala.util.Random(16)
+    val fuzz = (1 to 60).map { _ =>
+      (1 to seeded.nextInt(12)).map { _ =>
+        val len = 1 + seeded.nextInt(8)
+        (1 to len).map(_ => (32 + seeded.nextInt(95)).toChar).mkString
+      }.mkString(" ")
+    }
+    val df = (adversarial ++ fuzz).toDF("t")
+    val got = df.select(NativeHash.md5SimHash64($"t"), oldSimhash($"t"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // the fold over a real scan stays inside whole-stage codegen
+    val plan = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(NativeHash.md5SimHash64(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("native minhash query finds the same near-dup structure as the md5 path") {
     val dir = "/root/testdata/sf0.001"
     val md5Pairs = graft.SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
